@@ -9,8 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
-Test / fork := true
-run / fork := true
+// Fork EVERY JVM-running task (run, runMain, test). `run / fork` alone
+// does NOT cover `runMain` (different task axis): without this, Spark
+// runs inside the 4 GiB sbt launcher JVM and is 10-30x slower/erratic.
+fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq

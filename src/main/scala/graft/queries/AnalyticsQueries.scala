@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** General analytics surface: aggregation, joins, windows, quantiles,
+  * distinct, histograms, event-time grouping. These exercise the Catalyst
+  * paths a 100 TB deployment depends on: partial aggregation, broadcast
+  * joins for dimensions, TakeOrderedAndProject for top-K, AQE.
+  */
+object AnalyticsQueries {
+
+  // ---- q01: pricing summary (flagship; TPC-H Q1 shape) ---------------
+
+  /** One scan + one partial/final hash aggregate over 6 groups. Money
+    * sums go through exact integer cent arithmetic ([[QueryUtil.moneySum]])
+    * so they are order-independent — bit-identical across engines and
+    * partitionings. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * (lit(1d) + col("l_tax"))).as("sum_charge"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        r6(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  (sum(floor(l_quantity * 100)::BIGINT)::DOUBLE / 100) AS sum_qty,
+      |  (sum(floor(l_extendedprice * 100)::BIGINT)::DOUBLE / 100) AS sum_base_price,
+      |  (sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)::DOUBLE / 100) AS sum_disc_price,
+      |  (sum(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)::BIGINT)::DOUBLE / 100) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q17: window functions -----------------------------------------
+
+  /** Top-3 orders per customer by total price — ranking window. The
+    * window partitions by o_custkey: at scale this is one shuffle keyed
+    * by customer, no global sort. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    o.filter(col("o_custkey") < 200)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS total_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders WHERE o_custkey < 200) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  // ---- q18: star-schema join with broadcast dimensions ---------------
+
+  /** Revenue per nation: fact-to-fact shuffle join (orders ⋈ lineitem)
+    * plus broadcast joins for the small dimensions — exactly the plan
+    * shape wanted at 100 TB (dims broadcast, one big-key shuffle). */
+  def revenuePerNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val revenuePerNationSql: String =
+    """SELECT r_name, n_name,
+      |  (sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)::DOUBLE / 100) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---- q19: event-time tumbling window aggregation -------------------
+
+  /** Hourly per-type event rollup — the batch shape of the streaming
+    * windowed profile (same plan Structured Streaming runs
+    * incrementally). Window start exported as epoch seconds for an
+    * engine-neutral hashable type. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long of
+    // epoch nanos (spark.sql.legacy.parquet.nanosAsLong — set by
+    // Verify/Bench/tests). Hour bucketing in exact integer math.
+    val ev = table(spark, dir, "events")
+    ev.groupBy(
+        (expr("ts div 3600000000000") * lit(3600L)).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        r6(avg(col("value"))).as("avg_value"),
+        moneySum(col("value")).as("sum_value"))
+      .select(col("hour_epoch"), col("event_type"), col("n_events"),
+        col("avg_value"), col("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  val eventsHourlySql: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+      |  event_type, count(*) AS n_events,
+      |  round(avg(value), 6) AS avg_value,
+      |  (sum(floor(value * 100)::BIGINT)::DOUBLE / 100) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---- q20: exact quartiles + IQR outliers ---------------------------
+
+  /** Exact interpolated quartiles (percentile) + Tukey-fence outlier
+    * count — the reference's declared-TODO surface
+    * (jar/ProfileJob.java:68-70). Two-stage: tiny quartile aggregate
+    * broadcast back over the scan. */
+  def quartilesOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val q = li.agg(
+      expr("percentile(l_extendedprice, 0.25)").as("q1"),
+      expr("percentile(l_extendedprice, 0.5)").as("q2"),
+      expr("percentile(l_extendedprice, 0.75)").as("q3"))
+    val out = li.crossJoin(broadcast(q))
+      .filter(col("l_extendedprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+        col("l_extendedprice") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .agg(count(lit(1)).as("n_outliers"))
+    q.crossJoin(out)
+      .select(r6(col("q1")).as("q1"), r6(col("q2")).as("q2"),
+        r6(col("q3")).as("q3"), col("n_outliers"))
+  }
+
+  val quartilesOutliersSql: String =
+    """WITH q AS (
+      |  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+      |         quantile_cont(l_extendedprice, 0.5) AS q2,
+      |         quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem)
+      |SELECT round(q1, 6) AS q1, round(q2, 6) AS q2, round(q3, 6) AS q3,
+      |  (SELECT count(*) FROM lineitem, q
+      |   WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+      |      OR l_extendedprice > q3 + 1.5 * (q3 - q1)) AS n_outliers
+      |FROM q""".stripMargin
+
+  // ---- q21: exact + approximate distinct -----------------------------
+
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.agg(
+      countDistinct(col("l_partkey")).as("nd_part"),
+      countDistinct(col("l_suppkey")).as("nd_supp"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("nd_flag_status"))
+  }
+
+  val distinctCountsSql: String =
+    """SELECT count(DISTINCT l_partkey) AS nd_part,
+      |  count(DISTINCT l_suppkey) AS nd_supp,
+      |  count(DISTINCT (l_returnflag, l_linestatus)) AS nd_flag_status
+      |FROM lineitem""".stripMargin
+
+  /** HyperLogLog++ approximate distinct — the 100 TB path (single pass,
+    * fixed memory, mergeable sketches). No SQL oracle: DuckDB's approx
+    * sketch differs by construction; the driver records rows>0 and the
+    * ScalaTest asserts <2% error vs exact. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.agg(
+      approx_count_distinct(col("l_partkey")).as("apx_part"),
+      approx_count_distinct(col("l_suppkey")).as("apx_supp"),
+      approx_count_distinct(col("l_orderkey")).as("apx_order"))
+  }
+
+  // ---- q23: histogram ------------------------------------------------
+
+  /** Fixed-width histogram via width_bucket-style bucketing — declared
+    * TODO in the reference (jar/ProfileJob.java:69). Bin width 5000 over
+    * a fixed domain so bucket ids are scale-stable. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.groupBy(floor(col("l_extendedprice") / lit(5000d)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  val histogramSql: String =
+    """SELECT floor(l_extendedprice / 5000)::BIGINT AS bucket, count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.profile.{NumericProfiler, TopK, TypeCensus}
+import QueryUtil._
+
+/** The descriptive-statistics query surface (the reference's core
+  * capability), each with a DuckDB oracle built from the same constants.
+  */
+object ProfileQueries {
+
+  // ---- q02: single-pass numeric profile of lineitem ------------------
+
+  val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** One scan, one global aggregate for ALL columns, then unpivot to
+    * long format driver-free via `stack` (SURVEY.md §3.2's one-pass
+    * design vs the reference's O(cols) rescans). */
+  def profileNumeric(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val aggs = profileCols.zipWithIndex.flatMap { case (c, i) =>
+      val dc = col(c).cast("double")
+      val p = s"c${i}_"
+      Seq(
+        count(lit(1)).as(s"${p}n_rows"),
+        count(dc).as(s"${p}n"),
+        r6(min(dc)).as(s"${p}vmin"),
+        r6(max(dc)).as(s"${p}vmax"),
+        r6(avg(dc)).as(s"${p}vavg"),
+        r6(var_pop(dc)).as(s"${p}var_pop"),
+        r6(var_samp(dc)).as(s"${p}var_samp"),
+        r6(stddev_pop(dc)).as(s"${p}stddev_pop"),
+        r6(when(var_pop(dc) === 0d, 0d).otherwise(skewness(dc))).as(s"${p}skew_pop"),
+        // Spark kurtosis is EXCESS kurtosis; reference reports raw
+        // population kurtosis (StatsPojo.java:243-248) => +3.
+        r6(when(var_pop(dc) === 0d, 0d).otherwise(kurtosis(dc) + lit(3d))).as(s"${p}kurt_pop"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("n_rows", "n", "vmin", "vmax", "vavg", "var_pop",
+      "var_samp", "stddev_pop", "skew_pop", "kurt_pop")
+    val stackArgs = profileCols.zipWithIndex.flatMap { case (c, i) =>
+      lit(c) +: metrics.map(m => col(s"c${i}_$m"))
+    }
+    one.select(stack(
+        (lit(profileCols.size) +: stackArgs): _*
+      ).as("col_name" +: metrics))
+      .orderBy("col_name")
+  }
+
+  def profileNumericSql: String = {
+    val selects = profileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n,
+         |  round(min($c::DOUBLE), 6) AS vmin, round(max($c::DOUBLE), 6) AS vmax,
+         |  round(avg($c::DOUBLE), 6) AS vavg,
+         |  round(var_pop($c::DOUBLE), 6) AS var_pop,
+         |  round(var_samp($c::DOUBLE), 6) AS var_samp,
+         |  round(stddev_pop($c::DOUBLE), 6) AS stddev_pop,
+         |  round(CASE WHEN var_pop($c::DOUBLE) = 0 THEN 0
+         |    ELSE (sum(power($c::DOUBLE - mu, 3)) / count($c)) / power(var_pop($c::DOUBLE), 1.5) END, 6) AS skew_pop,
+         |  round(CASE WHEN var_pop($c::DOUBLE) = 0 THEN 0
+         |    ELSE (sum(power($c::DOUBLE - mu, 4)) / count($c)) / power(var_pop($c::DOUBLE), 2) END, 6) AS kurt_pop
+         |FROM lineitem, (SELECT avg($c::DOUBLE) AS mu FROM lineitem)""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---- q03: mixed-type whole-table profile of orders -----------------
+
+  /** Full-surface single-pass profile over a mixed-type table: null /
+    * empty tallies, epoch-millis numeric stats for timestamps
+    * (CastUtils.java:60-62 parity), and length stats for strings. */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "orders")
+    val fields = df.schema.fields.toSeq
+    val aggCols = fields.zipWithIndex.flatMap { case (f, i) =>
+      val p = s"c${i}_"
+      val c = col(f.name)
+      val isStr = f.dataType.typeName == "string"
+      val dcOpt = NumericProfiler.numericValue(f.name, f.dataType)
+      val dc = dcOpt.getOrElse(lit(null).cast("double"))
+      Seq(
+        count(lit(1)).as(s"${p}n_rows"),
+        count(c).as(s"${p}nonnull"),
+        (if (isStr) sum(when(trim(c) === "", 1L).otherwise(0L)) else lit(0L))
+          .as(s"${p}empty"),
+        count(dc).as(s"${p}n"),
+        r6(min(dc)).as(s"${p}vmin"),
+        r6(max(dc)).as(s"${p}vmax"),
+        r6(avg(dc)).as(s"${p}vavg"),
+        r6(stddev_pop(dc)).as(s"${p}stddev_pop"),
+        (if (isStr) min(length(c)).cast("long") else lit(null).cast("long"))
+          .as(s"${p}len_min"),
+        (if (isStr) max(length(c)).cast("long") else lit(null).cast("long"))
+          .as(s"${p}len_max"),
+        (if (isStr) r6(avg(length(c))) else lit(null).cast("double"))
+          .as(s"${p}len_avg"))
+    }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val metrics = Seq("n_rows", "nonnull", "empty", "n", "vmin", "vmax",
+      "vavg", "stddev_pop", "len_min", "len_max", "len_avg")
+    val stackArgs = fields.zipWithIndex.flatMap { case (f, i) =>
+      lit(f.name) +: metrics.map(m => col(s"c${i}_$m"))
+    }
+    one.select(stack(
+        (lit(fields.size) +: stackArgs): _*
+      ).as("col_name" +: metrics))
+      .orderBy("col_name")
+  }
+
+  def profileOrdersSql: String = {
+    // (name, numeric SQL expr or null, is string)
+    val cols = Seq(
+      ("o_orderkey", Some("o_orderkey::DOUBLE"), false),
+      ("o_custkey", Some("o_custkey::DOUBLE"), false),
+      ("o_orderstatus", None, true),
+      ("o_totalprice", Some("o_totalprice::DOUBLE"), false),
+      ("o_orderdate", Some("epoch_ms(o_orderdate)::DOUBLE"), false),
+      ("o_orderpriority", None, true))
+    val selects = cols.map { case (name, numOpt, isStr) =>
+      val num = numOpt.getOrElse("NULL::DOUBLE")
+      val empty =
+        if (isStr) s"sum(CASE WHEN trim($name) = '' THEN 1 ELSE 0 END)::BIGINT"
+        else "0::BIGINT"
+      val lenMin = if (isStr) s"min(length($name))::BIGINT" else "NULL::BIGINT"
+      val lenMax = if (isStr) s"max(length($name))::BIGINT" else "NULL::BIGINT"
+      val lenAvg = if (isStr) s"round(avg(length($name)), 6)" else "NULL::DOUBLE"
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+         |  count($name) AS nonnull, $empty AS empty, count($num) AS n,
+         |  round(min($num), 6) AS vmin, round(max($num), 6) AS vmax,
+         |  round(avg($num), 6) AS vavg,
+         |  round(stddev_pop($num), 6) AS stddev_pop,
+         |  $lenMin AS len_min, $lenMax AS len_max, $lenAvg AS len_avg
+         |FROM orders""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---- q04: whole-row completeness -----------------------------------
+
+  def completeRecords(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "orders")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(NumericProfiler.completePredicate(df.schema), 1L).otherwise(0L))
+        .as("complete_records"))
+  }
+
+  val completeRecordsSql: String = {
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val allCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val pred = allCols.map { c =>
+      if (strCols.contains(c)) s"($c IS NOT NULL AND trim($c) <> '')"
+      else s"($c IS NOT NULL)"
+    }.mkString(" AND ")
+    s"SELECT count(*) AS n_rows, sum(CASE WHEN $pred THEN 1 ELSE 0 END)::BIGINT AS complete_records FROM orders"
+  }
+
+  // ---- q05: length stats ---------------------------------------------
+
+  val lengthCols = Seq("p_name", "p_brand", "p_type")
+
+  def lengthStats(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "part")
+    val aggs = lengthCols.zipWithIndex.flatMap { case (c, i) =>
+      val p = s"c${i}_"
+      Seq(
+        min(length(col(c))).cast("long").as(s"${p}len_min"),
+        max(length(col(c))).cast("long").as(s"${p}len_max"),
+        r6(avg(length(col(c)))).as(s"${p}len_avg"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("len_min", "len_max", "len_avg")
+    val stackArgs = lengthCols.zipWithIndex.flatMap { case (c, i) =>
+      lit(c) +: metrics.map(m => col(s"c${i}_$m"))
+    }
+    one.select(stack(
+        (lit(lengthCols.size) +: stackArgs): _*
+      ).as("col_name" +: metrics))
+      .orderBy("col_name")
+  }
+
+  val lengthStatsSql: String =
+    lengthCols.map { c =>
+      s"""SELECT '$c' AS col_name, min(length($c))::BIGINT AS len_min,
+         |  max(length($c))::BIGINT AS len_max,
+         |  round(avg(length($c)), 6) AS len_avg FROM part""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---- q06: string type census ---------------------------------------
+
+  /** Census over a digit-bearing derived string (the numeric payload of
+    * events.props JSON) and a never-numeric string (documents.lang). */
+  def typeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val census = TypeCensus.censusAggs("s")
+    val ev = table(spark, dir, "events")
+      .withColumn("s", regexp_extract(col("props"), "[0-9]+", 0))
+    val evAgg = ev.agg(census.head, census.tail: _*)
+      .withColumn("col_name", lit("props_num"))
+    val docs = table(spark, dir, "documents").withColumn("s", col("lang"))
+    val docAgg = docs.agg(census.head, census.tail: _*)
+      .withColumn("col_name", lit("lang"))
+    evAgg.unionByName(docAgg)
+      .select(("col_name" +: TypeCensus.counterNames).map(col): _*)
+      .orderBy("col_name")
+  }
+
+  val typeCensusSql: String = {
+    val ev = TypeCensus.sqlCensusAggs("s").mkString(",\n  ")
+    s"""SELECT 'props_num' AS col_name, $ev
+       |FROM (SELECT regexp_extract(props, '[0-9]+') AS s FROM events)
+       |UNION ALL
+       |SELECT 'lang' AS col_name, $ev
+       |FROM (SELECT lang AS s FROM documents)
+       |ORDER BY col_name""".stripMargin
+  }
+
+  // ---- q07/q08: top-K values & patterns ------------------------------
+
+  def topValues(spark: SparkSession, dir: String): DataFrame =
+    TopK.topKValues(table(spark, dir, "part"), "p_brand", 20)
+      .orderBy(desc("cnt"), asc("value"))
+
+  val topValuesSql: String =
+    """SELECT p_brand AS value, count(*) AS cnt FROM part
+      |WHERE p_brand IS NOT NULL
+      |GROUP BY p_brand ORDER BY cnt DESC, value ASC LIMIT 20""".stripMargin
+
+  def topPatterns(spark: SparkSession, dir: String): DataFrame =
+    TopK.topKPatterns(table(spark, dir, "customer"), "c_name", 20)
+      .orderBy(desc("cnt"), asc("pattern"))
+
+  /** DuckDB mirror of the reference mask (StringStatsTuple.java:24-46):
+    * chained global regex replaces after strip_accents. Order matters:
+    * letters first, then digits, then blanks, then the catch-all. */
+  val topPatternsSql: String =
+    """SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  strip_accents(c_name), '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g'),
+      |  '[0-9]', '#', 'g'), '[ \t]', 'b', 'g'), '[^aA#b/:.''-]', '?', 'g') AS pattern,
+      |  count(*) AS cnt
+      |FROM customer WHERE c_name IS NOT NULL
+      |GROUP BY 1 ORDER BY cnt DESC, pattern ASC LIMIT 20""".stripMargin
+}
