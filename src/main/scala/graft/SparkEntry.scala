@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries => A, ProfileQueries => P}
+import graft.queries.{AnalyticsQueries => A, PipelineQueries => L, ProfileQueries => P}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,13 +27,25 @@ object SparkEntry {
     "q06_type_census" -> (P.typeCensus _),
     "q07_topk_values" -> (P.topValues _),
     "q08_topk_patterns" -> (P.topPatterns _),
+    "q09_dedup_exact" -> (L.dedupExact _),
+    "q10_dedup_minhash" -> (L.dedupMinhash _),
+    "q11_dedup_simhash" -> (L.dedupSimhash _),
+    "q12_ngram_jaccard" -> (L.ngramJaccard _),
+    "q13_knn_cosine" -> (L.knnCosine _),
+    "q14_text_quality" -> (L.textQuality _),
+    "q15_langid" -> (L.langId _),
+    "q16_fingerprints" -> (L.fingerprints _),
     "q17_window_top_orders" -> (A.topOrdersPerCustomer _),
     "q18_join_revenue_nation" -> (A.revenuePerNation _),
     "q19_events_hourly" -> (A.eventsHourly _),
     "q20_quartiles_outliers" -> (A.quartilesOutliers _),
     "q21_distinct_counts" -> (A.distinctCounts _),
     "q22_approx_distinct" -> (A.approxDistinct _),
-    "q23_histogram" -> (A.histogram _))
+    "q23_histogram" -> (A.histogram _),
+    "q24_embedding_neardup" -> (L.embeddingNearDup _),
+    "q25_ann_ivf" -> (L.annIvf _),
+    "q26_multimodal" -> (L.multimodal _),
+    "q30_events_stream" -> (L.eventsStream _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,10 +58,21 @@ object SparkEntry {
     "q06_type_census" -> P.typeCensusSql,
     "q07_topk_values" -> P.topValuesSql,
     "q08_topk_patterns" -> P.topPatternsSql,
+    "q09_dedup_exact" -> L.dedupExactSql,
+    "q10_dedup_minhash" -> L.dedupMinhashSql,
+    "q11_dedup_simhash" -> L.dedupSimhashSql,
+    "q12_ngram_jaccard" -> L.ngramJaccardSql,
+    "q13_knn_cosine" -> L.knnCosineSql,
+    "q14_text_quality" -> L.textQualitySql,
+    "q15_langid" -> L.langIdSql,
+    "q16_fingerprints" -> L.fingerprintsSql,
     "q17_window_top_orders" -> A.topOrdersPerCustomerSql,
     "q18_join_revenue_nation" -> A.revenuePerNationSql,
     "q19_events_hourly" -> A.eventsHourlySql,
     "q20_quartiles_outliers" -> A.quartilesOutliersSql,
     "q21_distinct_counts" -> A.distinctCountsSql,
-    "q23_histogram" -> A.histogramSql)
+    "q23_histogram" -> A.histogramSql,
+    "q24_embedding_neardup" -> L.embeddingNearDupSql,
+    "q26_multimodal" -> L.multimodalSql,
+    "q30_events_stream" -> L.eventsStreamSql)
 }

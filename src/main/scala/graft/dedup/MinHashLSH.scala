@@ -1,0 +1,107 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.Hashing
+
+/** MinHash + LSH near-duplicate detection (Broder '97 resemblance
+  * sketches; banding per Leskovec/Rajaraman/Ullman MMDS ch.3).
+  *
+  * Pipeline (all deterministic, mirrored exactly by the generated
+  * DuckDB oracle SQL in [[graft.queries.PipelineQueries]]):
+  *
+  *   1. shingle: distinct word k-shingles per doc (k=3);
+  *   2. sign: 32 affine MinHash functions over md5-derived 31-bit
+  *      shingle hashes → a 32-long signature per doc (one explode +
+  *      one hash-aggregate with 32 `min` exprs — partial agg collapses
+  *      per-partition before the shuffle, so the exchange carries one
+  *      signature row per (doc × partition), not per shingle);
+  *   3. band: 16 bands × 2 rows; docs sharing any band key are
+  *      candidates (self-join keyed by (band, key) — the ONLY pairwise
+  *      step, and it only touches colliding docs, never all O(n²)
+  *      pairs);
+  *   4. verify: exact Jaccard over the shingle postings of candidate
+  *      pairs only; emit pairs with jaccard ≥ threshold.
+  *
+  * At 100 TB the shuffles are: postings (doc_id, shingle-hash) for
+  * signatures, band keys (32 bytes/doc), and postings again restricted
+  * to candidates. Nothing materializes O(n²).
+  */
+object MinHashLSH {
+
+  val NumHashes = 32
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Distinct (id, shingle) postings. */
+  def postings(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(Hashing.wordShingles(col(textCol), k)).as("shingle"))
+
+  /** One row per doc: id, h0..h31 signature. */
+  def signatures(post: DataFrame): DataFrame = {
+    val x = Hashing.x31(col("shingle"))
+    val mins = (0 until NumHashes).map(i => min(Hashing.affine(i, x)).as(s"h$i"))
+    post.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (id, band, key) — one row per band per doc. */
+  def bandKeys(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val key = concat_ws("_",
+        (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing at least one band key,
+    * with signature-estimated Jaccard. */
+  def candidates(sig: DataFrame): DataFrame = {
+    val bk = bandKeys(sig)
+    val l = bk.as("l")
+    val r = bk.as("r")
+    val pairs = l.join(r, col("l.band") === col("r.band") &&
+        col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == "id") c else s"a_$c").toIndexedSeq: _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "id") c else s"b_$c").toIndexedSeq: _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sa, pairs("doc_a") === sa("id")).drop("id")
+      .join(sb, pairs("doc_b") === sb("id")).drop("id")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** Candidates verified with exact Jaccard over shingle postings;
+    * keeps pairs with jaccard ≥ threshold. */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val post = postings(docs, idCol, textCol, k)
+    val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
+    val cand = candidates(signatures(post))
+    // intersection counts for candidate pairs only
+    val pa = post.select(col("id").as("doc_a"), col("shingle"))
+    val pb = post.select(col("id").as("doc_b"), col("shingle"))
+    val inter = cand.select("doc_a", "doc_b")
+      .join(pa, "doc_a").join(pb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Media payload: opaque bytes + typed metadata. The schema a 100 TB
+  * multimodal lake uses: content as `binary` (parquet BYTE_ARRAY,
+  * never parsed by the engine), metadata as flat typed columns so
+  * predicate pushdown/pruning work (filter by media_type or dims
+  * without touching bytes). */
+final case class MediaRecord(
+    media_id: Long,
+    media_type: String, // "image" | "audio" | "video"
+    content: Array[Byte],
+    width: Int,
+    height: Int,
+    n_frames: Int)
+
+/** Per-record features extracted by the (stubbed) decoder. */
+final case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    checksum: String,
+    mean_byte: Double,
+    n_sampled_frames: Int)
+
+/** Multimodal column pipeline: decode / feature-extract / resize /
+  * frame-sample over opaque binary columns.
+  *
+  * The real decode (JPEG/PCM/H.264) would sit in `decodeStub` — media
+  * codecs are NOT in this container, so the byte→pixels step is a
+  * clearly-marked deterministic fake. Everything around it is the real
+  * Spark plumbing and is what matters at scale:
+  *
+  *  - typed `Dataset[MediaRecord]` with a `binary` content column;
+  *  - `mapPartitions` batch shape (the Scala analogue of arrow-batched
+  *    pandas UDFs): one iterator per partition so a real decoder would
+  *    amortize codec init per-partition, not per-row;
+  *  - metadata stays in flat typed columns → scans prune/push down
+  *    without reading bytes.
+  */
+object Multimodal {
+
+  /** STUB — deterministic fake decode. A real implementation would
+    * decode `content` with an image/audio codec; this container has
+    * none, so features are pure byte arithmetic (deterministic and
+    * cross-engine checkable). */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < r.content.length) { sum += (r.content(i) & 0xff); i += 1 }
+    val mean = if (r.content.length == 0) 0.0 else sum.toDouble / r.content.length
+    MediaFeatures(
+      media_id = r.media_id,
+      media_type = r.media_type,
+      n_bytes = r.content.length.toLong,
+      checksum = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.content).map("%02x".format(_)).mkString,
+      mean_byte = math.rint(mean * 1e6) / 1e6,
+      // frame-sample stub: every 10th frame, at least 1
+      n_sampled_frames = math.max(1, r.n_frames / 10))
+  }
+
+  /** Batch feature extraction — partition-at-a-time, codec init once
+    * per partition (the `mapInPandas` batch shape, Scala-typed). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real code: val codec = Codec.open() — once per partition
+      it.map(decodeStub)
+    }
+  }
+
+  /** Build a deterministic media table from the documents corpus (text
+    * bytes standing in for encoded media). Used by tests/queries since
+    * the testdata has no true binary table. */
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col(idCol).cast("long").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col(idCol) % 3 + 1).cast("int")).as("media_type"),
+        col(textCol).cast("binary").as("content"),
+        (col(idCol) % 64 + 16).cast("int").as("width"),
+        (col(idCol) % 48 + 16).cast("int").as("height"),
+        (col(idCol) % 30 + 1).cast("int").as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** Resize stub: metadata-only transform (a real one maps pixels);
+    * shows the pruning-friendly layout — bytes column untouched. */
+  def resize(media: Dataset[MediaRecord], maxDim: Int): DataFrame =
+    media.toDF().withColumn("scale",
+        least(lit(1.0d), lit(maxDim.toDouble) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.multimodal.Multimodal
+import graft.similarity.{CosineKnn, IvfIndex}
+import graft.text.{Hashing, TextStats}
+import QueryUtil._
+
+/** The LLM-training-data pipeline surface: deduplication (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup),
+  * similarity search (brute-force + IVF), text analysis (tokens,
+  * quality, language ID, fingerprinting), multimodal plumbing, and a
+  * Structured Streaming windowed profile.
+  *
+  * Every DuckDB oracle here is GENERATED from the same constants the
+  * Spark operators use ([[Hashing]], [[TextStats]]), so thresholds and
+  * hash coefficients cannot drift between the two engines.
+  */
+object PipelineQueries {
+
+  private val P = Hashing.P31
+
+  // ---- q09: exact dedup ----------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    ExactDedup.stats(table(spark, dir, "documents"), "doc_id", "text")
+
+  val dedupExactSql: String =
+    """SELECT count(*) AS n_distinct, sum(group_size)::BIGINT AS n_docs,
+      |  (sum(group_size) - count(*))::BIGINT AS n_duplicates,
+      |  sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups
+      |FROM (SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+      |        count(*) AS group_size
+      |      FROM documents GROUP BY md5(text))""".stripMargin
+
+  // ---- q10: MinHash + LSH near-dup -----------------------------------
+
+  val MinhashThreshold = 0.5
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicates(table(spark, dir, "documents"),
+        "doc_id", "text", MinhashThreshold)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupMinhashSql: String = {
+    val n = MinHashLSH.NumHashes
+    val sigMins = (0 until n)
+      .map(i => s"min(${Hashing.affineSql(i, "x")}) AS h$i").mkString(",\n    ")
+    val bands = (0 until MinHashLSH.Bands).map { b =>
+      val key = (0 until MinHashLSH.RowsPerBand)
+        .map(r => s"h${b * MinHashLSH.RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val matchSum = (0 until n)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sets AS (
+       |  SELECT id, ${Hashing.wordShinglesSql("w", 3)} AS sh FROM tok),
+       |post AS (SELECT id, unnest(sh) AS shingle FROM sets),
+       |xs AS (SELECT id, ${Hashing.x31Sql("shingle")} AS x FROM post),
+       |sig AS (SELECT id, $sigMins FROM xs GROUP BY id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+       |est AS (
+       |  SELECT doc_a, doc_b, ($matchSum) / ${n.toDouble} AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.id = doc_a
+       |  JOIN sig sb ON sb.id = doc_b),
+       |verified AS (
+       |  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM est e
+       |  JOIN sets a ON a.id = e.doc_a
+       |  JOIN sets b ON b.id = e.doc_b)
+       |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
+       |  round(jaccard, 6) AS jaccard
+       |FROM verified WHERE jaccard >= $MinhashThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q11: SimHash near-dup -----------------------------------------
+
+  val SimhashMaxHamming = 3
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = SimHash.fingerprints(table(spark, dir, "documents"), "doc_id", "text")
+    SimHash.nearDuplicates(fp, SimhashMaxHamming).orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until SimHash.Bits)
+      .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val fpExpr = (0 until SimHash.Bits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |feats AS (
+       |  SELECT id, unnest(${Hashing.wordShinglesSql("w", 2)}) AS feat FROM tok),
+       |hx AS (SELECT id, ${Hashing.h60Sql("feat")} AS h FROM feats),
+       |bits AS (SELECT id, $bitSums FROM hx GROUP BY id),
+       |fp AS (SELECT id, ($fpExpr)::BIGINT AS simhash FROM bits)
+       |SELECT a.id AS doc_a, b.id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM fp a JOIN fp b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q12: n-gram Jaccard similarity join ---------------------------
+
+  val NgramN = 3
+  val NgramThreshold = 0.7
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    NgramJaccard.similarPairs(table(spark, dir, "documents"),
+        "doc_id", "text", NgramN, NgramThreshold)
+      .orderBy("doc_a", "doc_b")
+
+  val ngramJaccardSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id AS id, ${Hashing.charNgramsSql("text", NgramN)} AS gr
+       |  FROM documents)
+       |SELECT a.id AS doc_a, b.id AS doc_b,
+       |  round(len(list_intersect(a.gr, b.gr))::DOUBLE /
+       |    (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 6) AS jaccard
+       |FROM g a JOIN g b ON a.id < b.id
+       |WHERE len(list_intersect(a.gr, b.gr))::DOUBLE /
+       |    (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= $NgramThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q13: brute-force cosine top-k ---------------------------------
+
+  val KnnQueries = 16
+  val KnnK = 5
+
+  def knnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < KnnQueries)
+    CosineKnn.topK(emb, "vec_id", "embedding", queries, KnnK)
+      .orderBy("query_id", "rank")
+  }
+
+  val knnCosineSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id, e FROM v WHERE vec_id < $KnnQueries),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.e, v.e) AS cos
+       |  FROM q, v WHERE v.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM s)
+       |SELECT query_id, rk::INT AS "rank", neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin
+
+  // ---- q14: text quality / token stats -------------------------------
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    table(spark, dir, "documents").select(
+        col("doc_id"),
+        TextStats.nTokens(t).as("n_tokens"),
+        TextStats.nSubwordTokens(t).as("n_subwords"),
+        round(TextStats.alnumRatio(t), 6).as("alnum_ratio"),
+        round(TextStats.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextStats.meanTokenLen(t), 6).as("mean_token_len"),
+        TextStats.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, ${TextStats.nTokensSql("text")} AS n_tokens,
+       |  ${TextStats.nSubwordTokensSql("text")} AS n_subwords,
+       |  round(${TextStats.alnumRatioSql("text")}, 6) AS alnum_ratio,
+       |  round(${TextStats.stopwordRatioSql("text")}, 6) AS stopword_ratio,
+       |  round(${TextStats.meanTokenLenSql("text")}, 6) AS mean_token_len,
+       |  ${TextStats.qualityScoreSql("text")} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q15: language ID ----------------------------------------------
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  val langIdSql: String =
+    s"""SELECT lang, ${TextStats.langIdSql("text")} AS pred_lang, count(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
+  // ---- q16: document fingerprinting ----------------------------------
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("id")
+
+  val fingerprintsSql: String =
+    TextStats.fingerprintsSql("documents", "doc_id", "text") + "\nORDER BY id"
+
+  // ---- q24: embedding-cosine near-dup --------------------------------
+
+  val NearDupCos = 0.4
+
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    CosineKnn.nearDuplicatePairs(table(spark, dir, "embeddings"),
+        "vec_id", "embedding", NearDupCos)
+      .orderBy("doc_a", "doc_b")
+
+  val embeddingNearDupSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+       |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |  round(list_cosine_similarity(a.e, b.e), 6) AS cos
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.e, b.e) >= $NearDupCos
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q25: IVF approximate nearest neighbor (rows-only check) -------
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    val queries = emb.filter(col("vec_id") < KnnQueries)
+    IvfIndex.search(assigned, "vec_id", "embedding", queries, centroids,
+        KnnK, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- q26: multimodal feature extraction ----------------------------
+
+  def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      table(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("checksum"), col("n_sampled_frames"))
+      .orderBy("media_id")
+  }
+
+  val multimodalSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+      |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+      |  md5(text) AS checksum,
+      |  greatest(1, (doc_id % 30 + 1) // 10)::INT AS n_sampled_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- q30: Structured Streaming windowed profile --------------------
+
+  /** Replays events.parquet through a real file-source streaming query
+    * (readStream → watermark → tumbling window agg → memory sink) and
+    * returns the final result table. Complete output mode: every
+    * window, same totals as the batch oracle. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file streaming sources take a directory; glob down to the one table
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+    // memory-sink table name must be fresh if re-run in one session
+    try spark.catalog.dropTempView("events_stream_result") catch { case _: Throwable => () }
+    val agg = graft.streaming.StreamingProfile.windowedStats(
+        src, "event_ts", "event_type", "value", "1 hour", "10 minutes")
+      .select(
+        unix_seconds(col("window_start")).as("hour_epoch"),
+        col("event_type"), col("n_events"),
+        r6(col("avg_value")).as("avg_value"),
+        r6(col("stddev_value")).as("stddev_value"),
+        r6(col("min_value")).as("min_value"),
+        r6(col("max_value")).as("max_value"))
+    val q = agg.writeStream
+      .format("memory").queryName("events_stream_result")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("events_stream_result").orderBy("hour_epoch", "event_type")
+  }
+
+  val eventsStreamSql: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+      |  event_type, count(*) AS n_events,
+      |  round(avg(value), 6) AS avg_value,
+      |  round(stddev_pop(value), 6) AS stddev_value,
+      |  round(min(value), 6) AS min_value,
+      |  round(max(value), 6) AS max_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+}

@@ -77,7 +77,17 @@ object ProfileQueries {
       val p = s"c${i}_"
       val c = col(f.name)
       val isStr = f.dataType.typeName == "string"
-      val dcOpt = NumericProfiler.numericValue(f.name, f.dataType)
+      // Date/timestamp columns profile as epoch DAYS here (not the
+      // library's reference-parity epoch millis): day counts are exact
+      // small integers, so sums of squares stay inside the double's 53
+      // exact bits and var/stddev are bit-identical across engines —
+      // epoch-millis second moments (~1e23) are not.
+      val dcOpt = f.dataType.typeName match {
+        case "timestamp" | "timestamp_ntz" | "date" =>
+          Some(expr(s"unix_millis(cast(`${f.name}` as timestamp)) div 86400000")
+            .cast("double"))
+        case _ => NumericProfiler.numericValue(f.name, f.dataType)
+      }
       val dc = dcOpt.getOrElse(lit(null).cast("double"))
       Seq(
         count(lit(1)).as(s"${p}n_rows"),
@@ -115,7 +125,7 @@ object ProfileQueries {
       ("o_custkey", Some("o_custkey::DOUBLE"), false),
       ("o_orderstatus", None, true),
       ("o_totalprice", Some("o_totalprice::DOUBLE"), false),
-      ("o_orderdate", Some("epoch_ms(o_orderdate)::DOUBLE"), false),
+      ("o_orderdate", Some("(epoch_ms(o_orderdate) // 86400000)::DOUBLE"), false),
       ("o_orderpriority", None, true))
     val selects = cols.map { case (name, numOpt, isStr) =>
       val num = numOpt.getOrElse("NULL::DOUBLE")
