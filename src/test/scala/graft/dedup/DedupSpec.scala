@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, TestSpark}
+import graft.text.Hashing
+
+/** Dedup operators vs brute-force ground truth on sf0.001 documents. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  /** Brute-force pairs with word-3-shingle Jaccard >= t. */
+  private def bruteJaccardPairs(t: Double): Set[(Long, Long)] = {
+    val sets = docs.select(col("doc_id"),
+        Hashing.wordShingles(col("text"), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (a, b)).toSet
+  }
+
+  test("exact dedup: md5 groups count distinct texts") {
+    val row = ExactDedup.stats(docs, "doc_id", "text").head()
+    val nDocs = docs.count()
+    val nDistinct = docs.select("text").distinct().count()
+    assert(row.getAs[Long]("n_docs") == nDocs)
+    assert(row.getAs[Long]("n_distinct") == nDistinct)
+    assert(row.getAs[Long]("n_duplicates") == nDocs - nDistinct)
+  }
+
+  test("minhash LSH finds every brute-force pair at threshold 0.5") {
+    val got = MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteJaccardPairs(0.5)
+    // exact-verify stage means zero false positives; LSH banding at
+    // 16x2 makes false negatives ~1e-5 for j>=0.5 — assert equality
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+  }
+
+  test("minhash est_jaccard tracks exact jaccard") {
+    MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5).collect().foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val ex = r.getAs[Double]("jaccard")
+      assert(math.abs(est - ex) < 0.35, s"est $est vs exact $ex")
+    }
+  }
+
+  test("simhash near-dups: blocked result equals brute force") {
+    val fp = SimHash.fingerprints(docs, "doc_id", "text").cache()
+    val blocked = SimHash.nearDuplicates(fp, 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = fp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(blocked == brute, s"got ${blocked.size}, want ${brute.size}")
+    fp.unpersist()
+  }
+
+  test("simhash fingerprints are 60-bit non-negative") {
+    SimHash.fingerprints(docs, "doc_id", "text").collect().foreach { r =>
+      val v = r.getAs[Long]("simhash")
+      assert(v >= 0L && v < (1L << 60))
+    }
+  }
+
+  test("ngram jaccard prefix-filter join equals brute force") {
+    val got = NgramJaccard.similarPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.select(col("doc_id"),
+        Hashing.charNgrams(col("text"), 3).as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.7
+    } yield (a, b)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+  }
+
+  test("h60 hashing matches the cross-engine contract") {
+    // md5('hello') = 5d41402abc4b2a76b9719d911017c592;
+    // first 15 hex digits as decimal:
+    val spark2 = spark
+    import spark2.implicits._
+    val v = Seq("hello").toDF("s")
+      .select(Hashing.h60(col("s"))).head().getLong(0)
+    assert(v == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+    assert(v == 419982666956583591L) // matches DuckDB ('0x'||...)::BIGINT
+  }
+}

@@ -1,0 +1,71 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Similarity search vs naive in-driver ground truth on sf0.001. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private def naiveTopK(k: Int, nQueries: Int): Map[Long, Seq[Long]] = {
+    val vs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    vs.filter(_._1 < nQueries).map { case (q, qv) =>
+      q -> vs.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("brute-force topK matches naive computation") {
+    val got = CosineKnn.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), 5)
+      .orderBy("query_id", "rank").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq)
+      .toMap
+    assert(got == naiveTopK(5, 8))
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val rows = CosineKnn.nearDuplicatePairs(emb, "vec_id", "embedding", 0.4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getAs[Double]("cos") >= 0.4)
+    }
+  }
+
+  test("IVF search recall >= 0.6 vs exact, and exact on probed cells") {
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8)
+    assert(centroids.length == 8)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    // every vector lands in exactly one cell
+    assert(assigned.count() == emb.count())
+    val got = IvfIndex.search(assigned, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), centroids, 5, nprobe = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet)
+      .toMap
+    val exact = naiveTopK(5, 8).view.mapValues(_.toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean IVF recall $mean")
+  }
+
+  test("train is deterministic") {
+    val c1 = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 2)
+    val c2 = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+}
