@@ -38,11 +38,15 @@ object MinHashLSH {
     docs.select(col(idCol).as("id"),
         explode(Hashing.wordShingles(col(textCol), k)).as("shingle"))
 
-  /** One row per doc: id, h0..h31 signature. */
+  /** One row per doc: id, h0..h31 signature. The base hash is projected
+    * ONCE before the aggregate — aggregate expressions get no common-
+    * subexpression elimination, so putting x31(shingle) inside each of
+    * the 32 `min`s would run 32 md5s per posting row. */
   def signatures(post: DataFrame): DataFrame = {
-    val x = Hashing.x31(col("shingle"))
-    val mins = (0 until NumHashes).map(i => min(Hashing.affine(i, x)).as(s"h$i"))
-    post.groupBy("id").agg(mins.head, mins.tail: _*)
+    val hashed = post.select(col("id"), Hashing.x31(col("shingle")).as("x"))
+    val mins = (0 until NumHashes)
+      .map(i => min(Hashing.affine(i, col("x"))).as(s"h$i"))
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** (id, band, key) — one row per band per doc. */
@@ -83,22 +87,33 @@ object MinHashLSH {
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    val post = postings(docs, idCol, textCol, k)
-    val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
+    // repartition first (tiny input split, heavy per-row hashing) and
+    // cache: the DAG reads postings twice (signatures + band keys)
+    val spread = graft.Partitioning.spread(docs, col(idCol))
+    val post = postings(spread, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidates(signatures(post))
-    // intersection counts for candidate pairs only
-    val pa = post.select(col("id").as("doc_a"), col("shingle"))
-    val pb = post.select(col("id").as("doc_b"), col("shingle"))
-    val inter = cand.select("doc_a", "doc_b")
-      .join(pa, "doc_a").join(pb, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // exact verification: sorted hashed shingle-sets intersected with
+    // the native two-pointer expression (same pattern as NgramJaccard —
+    // the postings-explode verification join was 5x slower). Built by
+    // re-aggregating the PERSISTED postings — NOT via a
+    // `transform(_, h60)` lambda over the docs: higher-order functions
+    // evaluate interpreted (md5 per element outside codegen, measured
+    // 97 s single-task after Catalyst pushed the projection below the
+    // spreading exchange).
+    val sets = post
+      .select(col("id"), Hashing.h60(col("shingle")).as("h"))
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh"))
+    val sa = broadcast(sets.toDF("doc_a", "sh_a"))
+    val sb = broadcast(sets.toDF("doc_b", "sh_b"))
     cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("long"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"),

