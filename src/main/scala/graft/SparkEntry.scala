@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries => A, PipelineQueries => L, ProfileQueries => P}
+import graft.queries.{AnalyticsQueries => A, ExtendedQueries => E, PipelineQueries => L, ProfileQueries => P}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,7 +45,12 @@ object SparkEntry {
     "q24_embedding_neardup" -> (L.embeddingNearDup _),
     "q25_ann_ivf" -> (L.annIvf _),
     "q26_multimodal" -> (L.multimodal _),
-    "q30_events_stream" -> (L.eventsStream _))
+    "q27_correlation" -> (E.correlationMatrix _),
+    "q28_rollup" -> (E.revenueRollup _),
+    "q29_semi_anti_join" -> (E.semiAntiJoin _),
+    "q30_events_stream" -> (L.eventsStream _),
+    "q31_stream_moments" -> (E.streamMoments _),
+    "q32_set_ops" -> (E.setOps _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -74,5 +79,10 @@ object SparkEntry {
     "q23_histogram" -> A.histogramSql,
     "q24_embedding_neardup" -> L.embeddingNearDupSql,
     "q26_multimodal" -> L.multimodalSql,
-    "q30_events_stream" -> L.eventsStreamSql)
+    "q27_correlation" -> E.correlationMatrixSql,
+    "q28_rollup" -> E.revenueRollupSql,
+    "q29_semi_anti_join" -> E.semiAntiJoinSql,
+    "q30_events_stream" -> L.eventsStreamSql,
+    "q31_stream_moments" -> E.streamMomentsSql,
+    "q32_set_ops" -> E.setOpsSql)
 }

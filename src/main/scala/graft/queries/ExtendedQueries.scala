@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Coverage of the reference's declared-TODO surface
+  * (jar/ProfileJob.java:67-71: correlation) and the SURVEY.md §2 rows
+  * recorded as "Spark built-in if ever needed" (§2.5 intersect/except,
+  * §2.3 grouping sets, joins beyond inner) — each exercised as an
+  * oracle-checked query so the inventory lines are demonstrably
+  * covered, not just claimed.
+  */
+object ExtendedQueries {
+
+  // ---- q27: correlation matrix (reference TODO jar/ProfileJob.java:71)
+
+  val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pearson correlation of every column pair in ONE aggregate pass
+    * (Spark's `corr` is a pairwise-mergeable moment aggregate — same
+    * single-scan shape as the profiler). */
+  def correlationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val pairs = for {
+      (a, i) <- corrCols.zipWithIndex; (b, j) <- corrCols.zipWithIndex
+      if i < j
+    } yield (a, b)
+    val aggs = pairs.map { case (a, b) =>
+      r6(corr(col(a), col(b))).as(s"corr_${a}_$b")
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.flatMap { case (a, b) =>
+      Seq(lit(a), lit(b), col(s"corr_${a}_$b"))
+    }
+    one.select(stack(
+        (lit(pairs.size) +: stackArgs): _*
+      ).as(Seq("col_a", "col_b", "corr")))
+      .orderBy("col_a", "col_b")
+  }
+
+  val correlationMatrixSql: String = {
+    val pairs = for {
+      (a, i) <- corrCols.zipWithIndex; (b, j) <- corrCols.zipWithIndex
+      if i < j
+    } yield (a, b)
+    pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS \"corr\" FROM lineitem"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  // ---- q28: rollup (grouping sets; SURVEY §2.3 A5) -------------------
+
+  /** Revenue rollup over (returnflag, linestatus) — partial-agg
+    * friendly multi-level aggregation in one pass. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("revenue"), col("n"))
+      .orderBy("flag", "status")
+  }
+
+  val revenueRollupSql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |  coalesce(l_linestatus, 'ALL') AS status,
+       |  ${moneySumSql("l_extendedprice")} AS revenue, count(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY flag, status""".stripMargin
+
+  // ---- q29: semi / anti joins (SURVEY §2.6) --------------------------
+
+  /** Customers with orders above a threshold (semi) and with no orders
+    * at all (anti) — EXISTS / NOT EXISTS as first-class plans; both
+    * sides aggregate to one row for a compact oracle. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 150000)
+    val withBig = c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_big_order"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+    withBig.crossJoin(without)
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer c WHERE EXISTS (
+      |     SELECT 1 FROM orders o
+      |     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000))
+      |   AS n_with_big_order,
+      |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+      |     SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |   AS n_without_orders""".stripMargin
+
+  // ---- q32: intersect / except (SURVEY §2.5) -------------------------
+
+  /** Set algebra over supplier vs customer nation keys: which nations
+    * have customers AND suppliers, customers but NO suppliers. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+    val s = table(spark, dir, "supplier").select(col("s_nationkey").as("nk"))
+    val both = c.intersect(s).agg(count(lit(1)).as("n_both"))
+    val onlyC = c.except(s).agg(count(lit(1)).as("n_customer_only"))
+    both.crossJoin(onlyC)
+  }
+
+  val setOpsSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT c_nationkey AS nk FROM customer
+      |     INTERSECT SELECT s_nationkey FROM supplier)) AS n_both,
+      |  (SELECT count(*) FROM (
+      |     SELECT c_nationkey AS nk FROM customer
+      |     EXCEPT SELECT s_nationkey FROM supplier)) AS n_customer_only""".stripMargin
+
+  // ---- q31: streaming windowed moments (MomentsAggregator on a stream)
+
+  /** The single-buffer Pébay aggregator maintained incrementally by
+    * Structured Streaming — variance/skew/kurtosis per event-time
+    * window, checked against a batch SQL oracle. */
+  def streamMoments(spark: SparkSession, dir: String): DataFrame = {
+    try spark.catalog.dropTempView("stream_moments_result") catch { case _: Throwable => () }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = graft.streaming.StreamingProfile.windowedMoments(
+        src, "event_ts", "event_type", "value", "1 hour", "10 minutes")
+      .select(
+        unix_seconds(col("window_start")).as("hour_epoch"),
+        col("event_type"), col("n"),
+        r6(col("mean")).as("mean"),
+        r6(col("var_pop")).as("var_pop"),
+        r6(col("min")).as("vmin"),
+        r6(col("max")).as("vmax"))
+    val q = agg.writeStream
+      .format("memory").queryName("stream_moments_result")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("stream_moments_result").orderBy("hour_epoch", "event_type")
+  }
+
+  val streamMomentsSql: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+      |  event_type, count(value) AS n,
+      |  round(avg(value), 6) AS mean,
+      |  round(var_pop(value), 6) AS var_pop,
+      |  round(min(value), 6) AS vmin,
+      |  round(max(value), 6) AS vmax
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+}
