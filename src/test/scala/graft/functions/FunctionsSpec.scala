@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Native expressions: SQL registration, codegen paths, and source
+  * format round-trips (csv/json/parquet). */
+class FunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate like their Column forms") {
+    GraftFunctions.registerAll(spark)
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .limit(50).createOrReplaceTempView("cust_v")
+    val viaSql = spark.sql(
+      "SELECT c_name, pattern_mask(c_name) AS m FROM cust_v ORDER BY c_name")
+      .collect()
+    viaSql.foreach { r =>
+      assert(r.getString(1) == PatternMask.mask(r.getString(0)))
+    }
+    val cos = spark.sql(
+      "SELECT double_array_cosine(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0 / math.sqrt(2)) < 1e-12)
+    val ic = spark.sql(
+      "SELECT sorted_long_intersect_count(array(1L,3L,5L), array(2L,3L,5L,9L)) AS n")
+      .head().getInt(0)
+    assert(ic == 2)
+  }
+
+  test("pattern_mask works inside whole-stage codegen and interpreted eval") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("Abc-12", "café #9").toDF("s")
+    // codegen path (projection)
+    val gen = df.select(PatternMask.pattern_mask(col("s"))).collect().map(_.getString(0))
+    assert(gen.toSeq == Seq("Aaa-##", "aaaab##"))
+    // interpreted path (direct expression eval on a catalyst literal)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(PatternMaskExpression(
+      Literal(UTF8String.fromString("Abc-12"),
+        org.apache.spark.sql.types.StringType)).eval(null).toString == "Aaa-##")
+  }
+
+  test("csv and json sources round-trip with schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val orig = spark.read.parquet(s"$sfDir/nation.parquet")
+    orig.write.mode("overwrite").option("header", "true").csv(s"$dir/nation_csv")
+    orig.write.mode("overwrite").json(s"$dir/nation_json")
+    val csv = spark.read.option("header", "true")
+      .schema(orig.schema).csv(s"$dir/nation_csv")
+    val json = spark.read.schema(orig.schema).json(s"$dir/nation_json")
+    val want = orig.orderBy("n_nationkey").collect().toSeq
+    assert(csv.orderBy("n_nationkey").collect().toSeq == want)
+    assert(json.orderBy("n_nationkey").collect().toSeq == want)
+  }
+
+  test("sorted intersect agrees with array_intersect semantics") {
+    val rnd = new scala.util.Random(7)
+    val s = spark
+    import s.implicits._
+    val pairs = Seq.fill(50) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val got = pairs.toDF("a", "b").select(
+      ArrayOps.sortedIntersectCount(col("a"), col("b")).as("n")).collect()
+    got.zip(pairs).foreach { case (r, (a, b)) =>
+      assert(r.getInt(0) == a.toSet.intersect(b.toSet).size)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan-shape assertions: the physical plans the 100 TB design depends
+  * on, locked in as tests so a refactor can't silently regress them
+  * (SURVEY.md §7.3 "one-pass plan discipline"). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: ship-date filter reaches the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed down:\n$p")
+  }
+
+  test("q01: scan reads only the needed columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q07: top-K plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q07_topk_values")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q18: dimension joins broadcast; no shuffle of dimension tables") {
+    val p = plan("q18_join_revenue_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins (customer, nation, region):\n$p")
+  }
+
+  test("q02: whole-table profile is one scan, zero row shuffles") {
+    val p = plan("q02_profile_numeric")
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan:\n$p")
+  }
+
+  test("q13: knn corpus is scanned once and queries broadcast") {
+    val p = plan("q13_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("double_array_cosine"), s"native cosine not in plan:\n$p")
+  }
+}
