@@ -50,7 +50,8 @@ object SparkEntry {
     "q29_semi_anti_join" -> (E.semiAntiJoin _),
     "q30_events_stream" -> (L.eventsStream _),
     "q31_stream_moments" -> (E.streamMoments _),
-    "q32_set_ops" -> (E.setOps _))
+    "q32_set_ops" -> (E.setOps _),
+    "q33_scott_histogram" -> (E.scottHistogram _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -84,5 +85,6 @@ object SparkEntry {
     "q29_semi_anti_join" -> E.semiAntiJoinSql,
     "q30_events_stream" -> L.eventsStreamSql,
     "q31_stream_moments" -> E.streamMomentsSql,
-    "q32_set_ops" -> E.setOpsSql)
+    "q32_set_ops" -> E.setOpsSql,
+    "q33_scott_histogram" -> E.scottHistogramSql)
 }

@@ -120,6 +120,56 @@ object ExtendedQueries {
       |     SELECT c_nationkey AS nk FROM customer
       |     EXCEPT SELECT s_nationkey FROM supplier)) AS n_customer_only""".stripMargin
 
+  // ---- q33: Scott's-rule histogram (width from data, then bucket) ----
+
+  /** The reference's declared histogram intent (TODO
+    * jar/ProfileJob.java:69) joined with its bin-width recommendation
+    * (jar/ProfileJob.java:146-162): a two-phase plan — tiny stats
+    * aggregate (count, stddev_pop, skewness) broadcast back over the
+    * scan, `floor(3.49·σ·n^(-1/3))` with the ×0.4/0.6/0.7 skew
+    * correction, then width_bucket-style grouping. Both phases are
+    * deterministic scalar math, so the oracle mirrors them exactly. */
+  def scottHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val c = col("l_extendedprice")
+    val stats = li.agg(
+      count(lit(1)).as("n"),
+      stddev_pop(c).as("sd"),
+      skewness(c).as("sk"))
+    val width = {
+      val base = floor(lit(3.49) * col("sd") * pow(col("n"), lit(-1.0 / 3.0)))
+      val sk = ceil(col("sk"))
+      when(sk === 1.0, base * 0.4)
+        .when(sk === 2.0, base * 0.6)
+        .when(sk === 3.0, base * 0.7)
+        .otherwise(base)
+    }
+    li.crossJoin(broadcast(stats.select(width.as("w"))))
+      .groupBy(floor(c / col("w")).cast("long").as("bucket"), col("w").as("bin_width"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"), r6(col("bin_width")).as("bin_width"), col("cnt"))
+      .orderBy("bucket")
+  }
+
+  val scottHistogramSql: String =
+    """WITH s AS (
+      |  SELECT count(*) AS n, stddev_pop(l_extendedprice) AS sd,
+      |    CASE WHEN var_pop(l_extendedprice) = 0 THEN 0
+      |      ELSE (sum(power(l_extendedprice - mu, 3)) / count(*)) /
+      |           power(var_pop(l_extendedprice), 1.5) END AS sk
+      |  FROM lineitem, (SELECT avg(l_extendedprice) AS mu FROM lineitem)),
+      |w AS (
+      |  SELECT CASE ceil(sk)
+      |      WHEN 1 THEN floor(3.49 * sd * power(n, -1.0/3)) * 0.4
+      |      WHEN 2 THEN floor(3.49 * sd * power(n, -1.0/3)) * 0.6
+      |      WHEN 3 THEN floor(3.49 * sd * power(n, -1.0/3)) * 0.7
+      |      ELSE floor(3.49 * sd * power(n, -1.0/3)) END AS w
+      |  FROM s)
+      |SELECT floor(l_extendedprice / w)::BIGINT AS bucket,
+      |  round(w, 6) AS bin_width, count(*) AS cnt
+      |FROM lineitem, w
+      |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
   // ---- q31: streaming windowed moments (MomentsAggregator on a stream)
 
   /** The single-buffer Pébay aggregator maintained incrementally by

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming top-K frequent values with BOUNDED state — the streaming
+  * form of the profiler's top-K surface (reference: batch global sort +
+  * first(K), jar/ProfileJob.java:190-199; unbounded distinct values
+  * make exact streaming top-K impossible in finite memory, so this uses
+  * the Space-Saving sketch of Metwally/Agrawal/El Abbadi, ICDT'05).
+  *
+  * State per group key: at most `capacity` (value → (count, error))
+  * entries. On overflow the minimum-count entry is evicted and its
+  * count becomes the newcomer's error bound. Guarantees: any value
+  * with true frequency > N/capacity is present; reported count is
+  * within [true, true + error].
+  *
+  * Scale shape: micro-batch rows pre-aggregate to (key, value, cnt)
+  * BEFORE the stateful shuffle (count-per-value is associative), so
+  * state updates see one row per distinct value per batch, and state
+  * is hash-partitioned by group key across executors.
+  */
+object StreamingTopK {
+
+  type Counters = Map[String, (Long, Long)] // value -> (count, error)
+
+  /** One update step of the Space-Saving sketch. */
+  def updateSketch(
+      sketch: Counters, value: String, cnt: Long, capacity: Int): Counters =
+    sketch.get(value) match {
+      case Some((c, e)) => sketch.updated(value, (c + cnt, e))
+      case None if sketch.size < capacity => sketch.updated(value, (cnt, 0L))
+      case None =>
+        // evict the minimum; inherit its count as error bound
+        val (minV, (minC, _)) = sketch.minBy { case (v, (c, _)) => (c, v) }
+        (sketch - minV).updated(value, (minC + cnt, minC))
+    }
+
+  /** Top-k rows per key from a streaming (key, value) frame.
+    * Output (update mode): key, value, cnt, err, rank. */
+  def topK(
+      events: DataFrame, keyCol: String, valueCol: String,
+      k: Int, capacity: Int = 256): Dataset[TopKRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // pre-aggregate the micro-batch: one row per (key, value)
+    val ds = events
+      .select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("string").as("v"))
+      .as[(String, String)]
+
+    implicit val stateEnc = Encoders.kryo[Counters]
+
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Counters, TopKRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Counters]) =>
+          // batch-local combine before touching state
+          val batchCounts = rows.foldLeft(Map.empty[String, Long]) {
+            case (m, (_, v)) => m.updated(v, m.getOrElse(v, 0L) + 1L)
+          }
+          val sk0 = state.getOption.getOrElse(Map.empty: Counters)
+          val sk = batchCounts.foldLeft(sk0) { case (s, (v, c)) =>
+            updateSketch(s, v, c, capacity)
+          }
+          state.update(sk)
+          sk.toSeq
+            .sortBy { case (v, (c, _)) => (-c, v) }
+            .take(k).zipWithIndex
+            .map { case ((v, (c, e)), i) => TopKRow(key, v, c, e, i + 1) }
+            .iterator
+      }
+  }
+}
+
+final case class TopKRow(key: String, value: String, cnt: Long, err: Long, rank: Int)
