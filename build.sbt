@@ -28,11 +28,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Xms=Xmx: heap-resize full GCs showed up as random 10-30s stalls
-  // in otherwise-stable benchmark queries
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // fault the heap in at JVM boot (unmeasured) instead of stalling
-  // mid-query on first touch of fresh pages
-  "-XX:+AlwaysPreTouch",
+  // Lazy heap, no Xms pin, no pre-touch: a 16g pinned pre-touched heap
+  // stalls forked JVMs in kernel time on this sandbox (measured: bench
+  // 52.7s lazy-8g vs 235s pinned-16g vs DNF with AlwaysPreTouch).
+  // Matches the known-good tools/run.sh config.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq
