@@ -240,11 +240,27 @@ object PipelineQueries {
   // ---- q24: embedding-cosine near-dup --------------------------------
 
   val NearDupCos = 0.4
+  val NearDupNlist = 16
+  val NearDupProbe = 8
 
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    CosineKnn.nearDuplicatePairs(table(spark, dir, "embeddings"),
-        "vec_id", "embedding", NearDupCos)
+  /** Candidates→verify shape: IVF multi-probe cell blocking generates
+    * candidate pairs (postings self-join keyed by cell — never an
+    * explicit all-pairs scan), then the exact cosine verifies them via
+    * id-keyed equi-joins with no corpus broadcast. The oracle is the
+    * exact all-pairs SQL, so this query also asserts candidate recall
+    * = 1.0 at this (threshold, nlist, nprobe) config — the same
+    * containment SimilaritySpec checks standalone. At a higher
+    * threshold on a clustered corpus the same shape runs with
+    * nprobe ≪ nlist; 0.4 on this synthetic tail needs wide probing
+    * (see [[IvfIndex.nearDupCandidates]] scaladoc). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = NearDupNlist)
+    val cands = IvfIndex.nearDupCandidates(
+      emb, "vec_id", "embedding", centroids, nprobe = NearDupProbe)
+    CosineKnn.verifyPairs(cands, emb, "vec_id", "embedding", NearDupCos)
       .orderBy("doc_a", "doc_b")
+  }
 
   val embeddingNearDupSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

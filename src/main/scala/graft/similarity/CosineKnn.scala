@@ -56,9 +56,10 @@ object CosineKnn {
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding-space
-    * near-duplicate detection. Exact; blocked crossJoin. At 100 TB this
-    * is the verification stage after an ANN/LSH candidate generator —
-    * see [[IvfIndex.nearDupCandidates]]. */
+    * near-duplicate detection. Exact; blocked crossJoin. Quadratic by
+    * construction: use only when the corpus fits the O(n²) budget or
+    * exactness is non-negotiable. The scale path is
+    * [[IvfIndex.nearDupCandidates]] → [[verifyPairs]]. */
   def nearDuplicatePairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
@@ -66,6 +67,27 @@ object CosineKnn {
       .select(col(idCol).as("doc_a"), toDoubleArray(col(vecCol)).as("va"))
     val b = corpus.select(col(idCol).as("doc_b"), toDoubleArray(col(vecCol)).as("vb"))
     a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Verify candidate pairs against the real vectors: equi-join
+    * `candidates(doc_a, doc_b)` back to the corpus by id on each side,
+    * compute the exact cosine, keep pairs ≥ threshold.
+    *
+    * Deliberately no `broadcast()` hint on the corpus: at 100 TB the
+    * corpus cannot be broadcast, and both joins are plain equi-joins on
+    * the id, so Catalyst/AQE picks broadcast when the corpus happens to
+    * be small and shuffle-hash/sort-merge when it is not. The candidate
+    * table (output of a blocked generator, ≪ n²) is the only thing that
+    * moves twice. */
+  def verifyPairs(
+      candidates: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val va = corpus.select(col(idCol).as("doc_a"), toDoubleArray(col(vecCol)).as("va"))
+    val vb = corpus.select(col(idCol).as("doc_b"), toDoubleArray(col(vecCol)).as("vb"))
+    candidates.join(va, "doc_a").join(vb, "doc_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,44 +79,64 @@ object IvfIndex {
     centroids
   }
 
-  /** Corpus with an assigned `cell` column. */
+  /** Corpus with an assigned `cell` column — a pure argmax projection
+    * via the native [[graft.functions.VectorOps.nearest_cells]]
+    * expression: no ×nlist crossJoin row blowup, no per-id window
+    * shuffle. Assignment is a map over the scan at any scale. */
   def assign(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
-    val spark = corpus.sparkSession
-    val centDf = broadcast(centroidsDf(spark, centroids))
     val v = CosineKnn.toDoubleArray(col(vecCol))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("csim"), asc("cell"))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(centDf)
-      .withColumn("csim", CosineKnn.cosine(v, col("cvec")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+    corpus.select(col(idCol), col(vecCol),
+      element_at(graft.functions.VectorOps.nearest_cells(v, centroids, 1), 1)
+        .as("cell"))
   }
 
-  def centroidsDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("cell", "cvec")
+  /** Candidate near-duplicate pairs via multi-probe cell blocking:
+    * every vector posts to its `nprobe` nearest cells; any two vectors
+    * sharing a posted cell are candidates. The only pairwise step is
+    * the postings self-join keyed by cell — never O(n²) when the data
+    * clusters tighter than the cell diameter. Verify candidates with
+    * [[CosineKnn.verifyPairs]] (shuffle join, no corpus broadcast).
+    *
+    * Recall is data-dependent: sound for high thresholds on clustered
+    * corpora (near-dup cos ≫ inter-cluster cos). Measured on the
+    * synthetic embeddings at threshold 0.4 (a gradual similarity tail,
+    * no cluster gap): recall 1.0 needs nprobe≈6 of nlist=16, at which
+    * point candidates cover ~97% of all pairs — for that regime use
+    * the exact blocked [[CosineKnn.nearDuplicatePairs]] instead. The
+    * recall/candidate trade is asserted in SimilaritySpec. */
+  def nearDupCandidates(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val v = CosineKnn.toDoubleArray(col(vecCol))
+    val posts = corpus.select(col(idCol).as("id"),
+      explode(graft.functions.VectorOps.nearest_cells(v, centroids, nprobe))
+        .as("cell"))
+    val l = posts.toDF("doc_a", "cell")
+    val r = posts.toDF("doc_b", "cell")
+    l.join(r, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
   }
 
   /** Approximate top-k: probe the nprobe nearest cells per query.
-    * Output schema matches [[CosineKnn.topK]]. */
+    * Output schema matches [[CosineKnn.topK]].
+    *
+    * Probe selection is the same [[graft.functions.VectorOps.nearest_cells]]
+    * projection as [[assign]] (one row per (query, probed cell) via
+    * explode) — no query×centroid crossJoin, no ranking window. The only
+    * window left is the per-query top-k merge itself, partitioned by
+    * query_id, which is the operator's semantics. */
   def search(
       assigned: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, centroids: Array[Array[Double]],
       k: Int, nprobe: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    val centDf = broadcast(centroidsDf(spark, centroids))
     val qv = CosineKnn.toDoubleArray(col(vecCol))
-    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), qv.as("qvec"))
-      .crossJoin(centDf)
-      .withColumn("csim", CosineKnn.cosine(col("qvec"), col("cvec")))
-      .withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    val probes = queries.select(
+      col(idCol).as("query_id"), qv.as("qvec"),
+      explode(graft.functions.VectorOps.nearest_cells(qv, centroids, nprobe))
+        .as("cell"))
     val corpus = assigned.select(col(idCol).as("neighbor_id"),
       CosineKnn.toDoubleArray(col(vecCol)).as("cvec2"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))

@@ -55,6 +55,31 @@ class FunctionsSpec extends SparkSpec {
     assert(json.orderBy("n_nationkey").collect().toSeq == want)
   }
 
+  test("nearest_cells picks top-p centroids by cosine, ties to lowest cell") {
+    val s = spark
+    import s.implicits._
+    val cents = Array(
+      Array(1.0, 0.0), // cell 0
+      Array(0.0, 1.0), // cell 1
+      Array(1.0, 1.0), // cell 2
+      Array(1.0, 0.0)) // cell 3 — duplicate of 0: tie must resolve to 0 first
+    val df = Seq(Seq(2.0, 0.0), Seq(1.0, 1.0)).toDF("v")
+    val got = df.select(VectorOps.nearest_cells(col("v"), cents, 3)).collect()
+      .map(_.getSeq[Int](0).toSeq)
+    // v=(2,0): cos 1.0 with cells 0 and 3 (tie -> 0 then 3), then cell 2
+    assert(got(0) == Seq(0, 3, 2), s"got ${got(0)}")
+    // v=(1,1): cell 2 exact, then cells 0/1/3 all cos=.707 (tie -> 0, 1)
+    assert(got(1) == Seq(2, 0, 1), s"got ${got(1)}")
+    // interpreted eval path agrees with the codegen projection above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit = Literal(new GenericArrayData(Array(2.0, 0.0)), ArrayType(DoubleType))
+    val ev = NearestCells(lit, cents.map(_.toIndexedSeq).toIndexedSeq, 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(ev.toIntArray().toSeq == Seq(0, 3, 2))
+  }
+
   test("sorted intersect agrees with array_intersect semantics") {
     val rnd = new scala.util.Random(7)
     val s = spark

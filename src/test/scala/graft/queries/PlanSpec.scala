@@ -46,4 +46,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("double_array_cosine"), s"native cosine not in plan:\n$p")
   }
+
+  test("q24: near-dup is candidates->verify, no all-pairs product of the corpus") {
+    val p = plan("q24_embedding_neardup")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+      assert(!p.contains(bad), s"q24 plan contains $bad:\n$p")
+    }
+    assert(p.contains("nearest_cells"), s"IVF cell blocking missing:\n$p")
+  }
+
+  test("q25: IVF assign/probe has no crossJoin and no assignment window") {
+    val p = plan("q25_ann_ivf")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+      assert(!p.contains(bad), s"q25 plan contains $bad:\n$p")
+    }
+    // exactly one Window operator remains — the per-query top-k merge.
+    // (WindowGroupLimit nodes are the rank-limit pushdown of that same
+    // window, not extra windows, so count only "Window [" operators.)
+    assert("Window \\[".r.findAllIn(p).size <= 1, s"extra window in q25 plan:\n$p")
+  }
 }

@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean IVF recall $mean")
   }
 
+  test("IVF candidates->verify equals exact near-dup pairs (recall 1.0 at q24 config)") {
+    val exact = CosineKnn.nearDuplicatePairs(emb, "vec_id", "embedding", 0.4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding",
+      nlist = graft.queries.PipelineQueries.NearDupNlist)
+    val cands = IvfIndex.nearDupCandidates(emb, "vec_id", "embedding",
+      centroids, nprobe = graft.queries.PipelineQueries.NearDupProbe)
+    val verified = CosineKnn.verifyPairs(cands, emb, "vec_id", "embedding", 0.4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == exact, "candidates->verify must reproduce the exact pair set")
+  }
+
+  test("assign is a pure projection: no exchange, no window, no join in its plan") {
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8)
+    val p = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Window", "Join").foreach { bad =>
+      assert(!p.contains(bad), s"assign plan contains $bad:\n$p")
+    }
+    assert(p.contains("nearest_cells"), s"native expression missing:\n$p")
+  }
+
   test("train is deterministic") {
     val c1 = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 2)
     val c2 = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 2)
