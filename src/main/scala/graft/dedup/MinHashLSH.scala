@@ -83,10 +83,21 @@ object MinHashLSH {
   }
 
   /** Candidates verified with exact Jaccard over shingle postings;
-    * keeps pairs with jaccard ≥ threshold. */
+    * keeps pairs with jaccard ≥ threshold.
+    *
+    * The returned plan reads a persisted postings table; callers making
+    * repeated library calls should prefer [[nearDuplicatesResult]] and
+    * `release()` after the final action (see [[graft.CachedResult]]). */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
+      threshold: Double, k: Int = 3): DataFrame =
+    nearDuplicatesResult(docs, idCol, textCol, threshold, k).df
+
+  /** [[nearDuplicates]] plus a release handle for the persisted
+    * postings scratch table. */
+  def nearDuplicatesResult(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): graft.CachedResult = {
     // repartition first (tiny input split, heavy per-row hashing) and
     // cache: the DAG reads postings twice (signatures + band keys)
     val spread = graft.Partitioning.spread(docs, col(idCol))
@@ -104,9 +115,15 @@ object MinHashLSH {
     val sets = post
       .select(col("id"), Hashing.h60(col("shingle")).as("h"))
       .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh"))
-    val sa = broadcast(sets.toDF("doc_a", "sh_a"))
-    val sb = broadcast(sets.toDF("doc_b", "sh_b"))
-    cand
+    // Deliberately NO broadcast hint on the per-doc set table: at
+    // 100 TB the corpus's shingle arrays cannot ship to every executor.
+    // Both verify joins are plain id equi-joins, so Catalyst/AQE
+    // broadcasts when `sets` happens to be small and shuffle-joins
+    // otherwise — then only the candidate pairs (≪ n², output of the
+    // banding) and the matching set rows cross the exchange.
+    val sa = sets.toDF("doc_a", "sh_a")
+    val sb = sets.toDF("doc_b", "sh_b")
+    val out = cand
       .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter",
         graft.functions.ArrayOps.sortedIntersectCount(col("sh_a"), col("sh_b"))
@@ -118,5 +135,6 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
+    graft.CachedResult(out, Seq(post))
   }
 }

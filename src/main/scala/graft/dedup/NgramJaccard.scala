@@ -33,10 +33,21 @@ object NgramJaccard {
     docs.select(col(idCol).as("id"),
       explode(Hashing.charNgrams(col(textCol), n)).as("gram"))
 
-  /** Pairs (a < b) with exact n-gram Jaccard ≥ threshold. */
+  /** Pairs (a < b) with exact n-gram Jaccard ≥ threshold.
+    *
+    * The returned plan reads persisted postings/prefix tables; callers
+    * making repeated library calls should prefer [[similarPairsResult]]
+    * and `release()` after the final action ([[graft.CachedResult]]). */
   def similarPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double): DataFrame =
+    similarPairsResult(docs, idCol, textCol, n, threshold).df
+
+  /** [[similarPairs]] plus a release handle for the persisted postings
+    * and prefix scratch tables. */
+  def similarPairsResult(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): graft.CachedResult = {
     // Repartition by id BEFORE the shingling/hashing work: document
     // tables are tiny on disk (one input split) but explode ~100x in
     // compute, and AQE plans by bytes, not downstream CPU — without
@@ -68,27 +79,28 @@ object NgramJaccard {
         col("sz_a") * lit(threshold) <= col("sz_b"))
       .select("doc_a", "doc_b").distinct()
 
-    // Exact verification via broadcast gram arrays + array_intersect
-    // (codegen'd, zero shuffle): exploding candidates against full
-    // postings would cost |cand| × |grams/doc| join rows — measured
-    // 700M on a corpus of heavily-overlapping docs where prefix+size
-    // filtering still leaves ~1.7M candidates. The per-doc gram-set
-    // table is tiny relative to the corpus (distinct grams only), so
-    // broadcasting it is the right trade until vocab × docs outgrows
-    // executor memory — at which point natural-text vocabularies also
-    // make the prefix filter selective again.
+    // Exact verification via per-doc gram arrays, NOT by exploding
+    // candidates against full postings — that costs |cand| ×
+    // |grams/doc| join rows (measured 700M on a corpus of heavily-
+    // overlapping docs where prefix+size filtering still leaves ~1.7M
+    // candidates).
     // SORTED hashed-long gram arrays: intersection via the native
     // two-pointer codegen expression (graft.functions.ArrayOps) — the
     // boxed array_intersect hash path measured ~35 s on 1.7M pairs.
     // One sort per document amortizes over every pair it appears in.
     // Re-aggregated from the persisted hashed postings (a transform()
     // lambda would re-run md5 per element interpreted — see MinHashLSH).
+    // Deliberately NO broadcast hint: at 100 TB the corpus's gram
+    // arrays cannot ship to every executor. Both joins are plain id
+    // equi-joins, so Catalyst/AQE broadcasts when `garr` is small and
+    // shuffle-joins otherwise — then only candidates (≪ n²) and the
+    // matching array rows cross the exchange.
     val garr = post.groupBy("id").agg(sort_array(collect_list(col("g"))).as("gr"))
-    val ga = broadcast(garr.toDF("doc_a", "gr_a"))
-    val gb = broadcast(garr.toDF("doc_b", "gr_b"))
+    val ga = garr.toDF("doc_a", "gr_a")
+    val gb = garr.toDF("doc_b", "gr_b")
     // candidates exit the distinct AQE-coalesced into ~1 partition
     // (28 MB of pairs) — respread so verification uses every core
-    graft.Partitioning.spread(cand, col("doc_a"))
+    val out = graft.Partitioning.spread(cand, col("doc_a"))
       .join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("inter",
         graft.functions.ArrayOps.sortedIntersectCount(col("gr_a"), col("gr_b"))
@@ -98,5 +110,6 @@ object NgramJaccard {
           (size(col("gr_a")) + size(col("gr_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    graft.CachedResult(out, Seq(post, prefix))
   }
 }

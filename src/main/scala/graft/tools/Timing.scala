@@ -26,6 +26,9 @@ object Timing {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[timing] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // mirror Bench: each rep builds fresh persisted scratch (postings
+      // etc.); without clearing, rep N runs against N-1 stale caches
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

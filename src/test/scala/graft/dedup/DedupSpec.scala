@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got ${got.size}, want ${want.size}")
   }
 
+  test("verify stages carry no forced corpus broadcast; release() frees scratch") {
+    // The broadcast-vs-shuffle choice for the per-doc array tables must
+    // stay with Catalyst/AQE (size-based), not be hard-coded: at 100 TB
+    // a forced corpus broadcast is the scale-killer.
+    val mh = MinHashLSH.nearDuplicatesResult(docs, "doc_id", "text", 0.5)
+    val ng = NgramJaccard.similarPairsResult(docs, "doc_id", "text", 3, 0.7)
+    for ((name, res) <- Seq("minhash" -> mh, "ngram" -> ng)) {
+      val opt = res.df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("strategy=broadcast"),
+        s"$name verify join carries a broadcast hint:\n$opt")
+      res.df.count() // materialize → scratch tables are now cached
+      assert(res.cached.forall(_.storageLevel.useMemory ||
+        res.cached.forall(_.storageLevel.useDisk)), s"$name scratch not persisted")
+      res.release()
+      assert(res.cached.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+        s"$name release() left scratch cached")
+    }
+  }
+
   test("h60 hashing matches the cross-engine contract") {
     // md5('hello') = 5d41402abc4b2a76b9719d911017c592;
     // first 15 hex digits as decimal:
