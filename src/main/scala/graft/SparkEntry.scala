@@ -51,7 +51,9 @@ object SparkEntry {
     "q30_events_stream" -> (L.eventsStream _),
     "q31_stream_moments" -> (E.streamMoments _),
     "q32_set_ops" -> (E.setOps _),
-    "q33_scott_histogram" -> (E.scottHistogram _))
+    "q33_scott_histogram" -> (E.scottHistogram _),
+    "q34_stream_topk" -> (L.streamTopK _),
+    "q35_quartiles_approx" -> (A.quartilesOutliersApprox _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -123,8 +123,12 @@ object AnalyticsQueries {
     // epoch nanos (spark.sql.legacy.parquet.nanosAsLong — set by
     // Verify/Bench/tests). Hour bucketing in exact integer math.
     val ev = table(spark, dir, "events")
+    // FLOOR division to the hour (see ProfileQueries: `div` truncates
+    // toward zero, diverging from date_trunc's floor for pre-1970 ts;
+    // exact long arithmetic — epoch NANOS exceed double's 53 bits)
     ev.groupBy(
-        (expr("ts div 3600000000000") * lit(3600L)).as("hour_epoch"),
+        (expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * lit(3600L))
+          .as("hour_epoch"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -148,7 +152,13 @@ object AnalyticsQueries {
   /** Exact interpolated quartiles (percentile) + Tukey-fence outlier
     * count — the reference's declared-TODO surface
     * (jar/ProfileJob.java:68-70). Two-stage: tiny quartile aggregate
-    * broadcast back over the scan. */
+    * broadcast back over the scan.
+    *
+    * MEMORY BOUND: Spark's exact `percentile` buffers EVERY value of
+    * the column in its aggregation buffer — O(rows) driver-side after
+    * the final merge. Correct and oracle-comparable at test SF;
+    * unusable at 100 TB. The scale path is [[quartilesOutliersApprox]]
+    * (bounded-memory sketch, same shape). */
   def quartilesOutliers(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val q = li.agg(
@@ -175,6 +185,35 @@ object AnalyticsQueries {
       |   WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
       |      OR l_extendedprice > q3 + 1.5 * (q3 - q1)) AS n_outliers
       |FROM q""".stripMargin
+
+  /** Accuracy parameter for [[quartilesOutliersApprox]]: rank error
+    * ≤ 1/accuracy of the row count (Greenwald–Khanna summaries). */
+  val ApproxPercentileAccuracy = 10000
+
+  /** Scale path for [[quartilesOutliers]]: `approx_percentile`
+    * (Greenwald–Khanna quantile summaries) replaces exact `percentile`.
+    * Per-buffer state is O(accuracy·log n) instead of O(rows), so the
+    * same two-stage plan — tiny sketch aggregate broadcast back over a
+    * second scan for the Tukey fences — survives any corpus size.
+    * Gated rows-only (sketch outputs are engine-specific; no DuckDB
+    * equivalence); the rank-error bound vs the exact quartiles is
+    * asserted in QuantileSpec. */
+  def quartilesOutliersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val q = li.agg(expr(
+        s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), $ApproxPercentileAccuracy)")
+        .as("qs"))
+      .select(element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q2"),
+        element_at(col("qs"), 3).as("q3"))
+    val out = li.crossJoin(broadcast(q))
+      .filter(col("l_extendedprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+        col("l_extendedprice") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .agg(count(lit(1)).as("n_outliers"))
+    q.crossJoin(out)
+      .select(r6(col("q1")).as("q1"), r6(col("q2")).as("q2"),
+        r6(col("q3")).as("q3"), col("n_outliers"))
+  }
 
   // ---- q21: exact + approximate distinct -----------------------------
 

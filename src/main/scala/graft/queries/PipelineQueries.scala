@@ -312,7 +312,9 @@ object PipelineQueries {
     // file streaming sources take a directory; glob down to the one table
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      // floor (not truncate) nanos→micros: same pre-1970 seam as the
+      // hour bucketing in AnalyticsQueries.eventsHourly
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     // memory-sink table name must be fresh if re-run in one session
     try spark.catalog.dropTempView("events_stream_result") catch { case _: Throwable => () }
     val agg = graft.streaming.StreamingProfile.windowedStats(
@@ -342,4 +344,29 @@ object PipelineQueries {
       |  round(max(value), 6) AS max_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---- q34: bounded-state streaming top-K ----------------------------
+
+  /** Top user_ids per event_type from the events STREAM via the
+    * Space-Saving sketch ([[graft.streaming.StreamingTopK]]) — bounded
+    * state per key regardless of distinct-value cardinality. Gated
+    * rows-only: sketch (count, error) output is approximation-order-
+    * dependent, so there is no engine-independent SQL oracle;
+    * exactness when capacity exceeds the distinct-value count is
+    * asserted in StreamingTopKSpec. */
+  def streamTopK(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    try spark.catalog.dropTempView("stream_topk_result") catch { case _: Throwable => () }
+    val topk = graft.streaming.StreamingTopK.topK(
+      src, "event_type", "user_id", k = 5, capacity = 256)
+    val q = topk.toDF().writeStream
+      .format("memory").queryName("stream_topk_result")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("stream_topk_result").orderBy("key", "rank")
+  }
 }

@@ -84,8 +84,15 @@ object ProfileQueries {
       // epoch-millis second moments (~1e23) are not.
       val dcOpt = f.dataType.typeName match {
         case "timestamp" | "timestamp_ntz" | "date" =>
-          Some(expr(s"unix_millis(cast(`${f.name}` as timestamp)) div 86400000")
-            .cast("double"))
+          // FLOOR division (not `div`, which truncates toward zero):
+          // DuckDB's // floors, so pre-1970 epochs would otherwise be
+          // one day off between engine and oracle. (x - pmod(x, d)) is
+          // the largest multiple of d ≤ x, exact in long arithmetic —
+          // no double-precision detour for ~1e12 millis.
+          Some({
+            val m = s"unix_millis(cast(`${f.name}` as timestamp))"
+            expr(s"($m - pmod($m, 86400000)) div 86400000").cast("double")
+          })
         case _ => NumericProfiler.numericValue(f.name, f.dataType)
       }
       val dc = dcOpt.getOrElse(lit(null).cast("double"))

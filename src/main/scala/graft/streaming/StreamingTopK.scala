@@ -17,9 +17,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * within [true, true + error].
   *
   * Scale shape: micro-batch rows pre-aggregate to (key, value, cnt)
-  * BEFORE the stateful shuffle (count-per-value is associative), so
-  * state updates see one row per distinct value per batch, and state
-  * is hash-partitioned by group key across executors.
+  * BEFORE the stateful shuffle — a per-partition hash combine
+  * (`mapPartitions`; Dataset.groupByKey alone has no map-side
+  * combine), so the exchange carries one row per distinct (key, value)
+  * per input partition instead of one per event, and state is
+  * hash-partitioned by group key across executors.
   */
 object StreamingTopK {
 
@@ -44,11 +46,20 @@ object StreamingTopK {
       k: Int, capacity: Int = 256): Dataset[TopKRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    // pre-aggregate the micro-batch: one row per (key, value)
+    // map-side combine: collapse the micro-batch partition to one
+    // (key, value, cnt) row per distinct pair before the shuffle.
+    // A streaming groupBy().count() can't precede the stateful op
+    // (multiple-stateful-operator restriction), but a stateless
+    // per-partition fold can — same effect on shuffle volume.
     val ds = events
       .select(col(keyCol).cast("string").as("k"),
         col(valueCol).cast("string").as("v"))
       .as[(String, String)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        it.foreach { kv => m.update(kv, m.getOrElse(kv, 0L) + 1L) }
+        m.iterator.map { case ((k, v), c) => (k, v, c) }
+      }
 
     implicit val stateEnc = Encoders.kryo[Counters]
 
@@ -56,9 +67,9 @@ object StreamingTopK {
       .flatMapGroupsWithState[Counters, TopKRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[Counters]) =>
-          // batch-local combine before touching state
+          // merge the per-partition partial counts for this key
           val batchCounts = rows.foldLeft(Map.empty[String, Long]) {
-            case (m, (_, v)) => m.updated(v, m.getOrElse(v, 0L) + 1L)
+            case (m, (_, v, c)) => m.updated(v, m.getOrElse(v, 0L) + c)
           }
           val sk0 = state.getOption.getOrElse(Map.empty: Counters)
           val sk = batchCounts.foldLeft(sk0) { case (s, (v, c)) =>
