@@ -50,10 +50,15 @@ object ProfileRunner {
 
   def report(df: DataFrame, topK: Int = 20): String = {
     val tp = profile(df, topK)
-    val widths = binWidths(tp)
-      .map { case (n, (w, ok)) =>
-        s"BinWidth for column $n = $w${if (ok) "" else " (UNRELIABLE: |skew| > 3)"}"
-      }.mkString("\n")
+    // column order (not Map iteration order): matches the reference's
+    // print loop and keeps the rendering golden-file stable
+    val widths = tp.columns.filter(_.moments.n > 0).map { cp =>
+      val (w, ok) = DerivedStats.scottBinWidth(cp.moments, cp.rowCount)
+      // reference parity: scottBinWidth flags unreliable only for
+      // POSITIVE skew > 3 (jar/ProfileJob.java:146-162), so the
+      // message must not imply absolute-value semantics
+      s"BinWidth for column ${cp.name} = $w${if (ok) "" else " (UNRELIABLE: skew > 3)"}"
+    }.mkString("\n")
     tp.report(topK) + "\n" + widths + "\n"
   }
 }

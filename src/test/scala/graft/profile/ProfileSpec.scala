@@ -91,6 +91,26 @@ class ProfileSpec extends SparkSpec {
     assert(ValueRender.lengthOf('x') == 1)
   }
 
+  test("golden: rendered report on the reference demo fixture") {
+    // SURVEY §5.2 item 4: the full rendered report (StatsPojo.toString,
+    // StatsPojo.java:442-504, with the :449 numeric-values print bug
+    // fixed — documented in ColumnProfile.report) is golden-filed so
+    // any formatting or derived-stat drift is caught verbatim.
+    // Regenerate deliberately with GRAFT_REGEN_GOLDEN=1 sbt test.
+    val s = spark
+    import s.implicits._
+    val df = referenceRows(1000).toDF("col1", "col2", "col3")
+    val got = ProfileRunner.report(df)
+    val golden = java.nio.file.Paths.get("src/test/resources/reference_report.golden")
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      java.nio.file.Files.createDirectories(golden.getParent)
+      java.nio.file.Files.write(golden, got.getBytes("UTF-8"))
+    }
+    val want = new String(java.nio.file.Files.readAllBytes(golden), "UTF-8")
+    assert(got == want, "rendered report drifted from golden file " +
+      "(regenerate deliberately with GRAFT_REGEN_GOLDEN=1)")
+  }
+
   test("scott bin width with skew correction (jar/ProfileJob.java:146-162)") {
     val m = Moments.of((1 to 1000).map(_.toDouble))
     val (w, reliable) = DerivedStats.scottBinWidth(m, 1000)
