@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local-mode sizing: a single 8g JVM affords 64 MB broadcasts.
+      // The library never forces a join strategy (no broadcast hints on
+      // corpus-derived tables); this threshold lets the planner pick
+      // broadcast for the ~12 MB per-doc array tables the dedup verify
+      // stages join — on a real cluster the same decision stays
+      // size-governed and flips to shuffle as the corpus grows.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.text.Hashing
 
-/** Scratch: bisect q12's cost at sf0.1. Not part of the driver contract. */
+/** Scratch: bisect q12's cost at sf0.1, mirroring the CURRENT
+  * NgramJaccard.similarPairsResult stages. Not part of the driver
+  * contract. */
 object Q12Probe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,7 +27,8 @@ object Q12Probe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    val post = graft.Partitioning.spread(docs, col("doc_id")).select(col("doc_id").as("id"),
+    val post = graft.Partitioning.spread(docs, col("doc_id"))
+      .select(col("doc_id").as("id"),
         explode(Hashing.charNgrams(col("text"), n)).as("gram"))
       .select(col("id"), Hashing.h60(col("gram")).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -46,20 +49,33 @@ object Q12Probe {
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_b") * lit(threshold) <= col("sz_a") &&
         col("sz_a") * lit(threshold) <= col("sz_b"))
-    t("collision count (no distinct)")(println(joined.count()))
-    val cand = graft.Partitioning.spread(joined.select("doc_a", "doc_b").distinct(), col("doc_a"))
+    val cand = joined.select("doc_a", "doc_b").distinct()
+    val candSpread = graft.Partitioning.spread(cand, col("doc_a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    t("cand distinct count")(println(cand.count()))
-    val garr = docs.select(col("doc_id").as("id"),
-      transform(Hashing.charNgrams(col("text"), n), g => Hashing.h60(g)).as("gr"))
-    val ga = broadcast(garr.toDF("doc_a", "gr_a"))
-    val gb = broadcast(garr.toDF("doc_b", "gr_b"))
-    val out = cand.join(ga, "doc_a").join(gb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("gr_a"), col("gr_b"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("gr_a")) + size(col("gr_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-    t("verify count")(println(out.count()))
+    t("cand distinct count")(println(candSpread.count()))
+    // current verify: sorted hashed arrays + native two-pointer
+    // intersect, join strategy left to Catalyst/AQE (no broadcast hint)
+    val garr = post.groupBy("id").agg(sort_array(collect_list(col("g"))).as("gr"))
+    val ga = garr.toDF("doc_a", "gr_a")
+    val gb = garr.toDF("doc_b", "gr_b")
+    def verify(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      candSpread.join(l, "doc_a").join(r, "doc_b")
+        .withColumn("inter",
+          graft.functions.ArrayOps.sortedIntersectCount(col("gr_a"), col("gr_b"))
+            .cast("long"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("gr_a")) + size(col("gr_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+    val unhinted = verify(ga, gb)
+    val hinted = verify(broadcast(ga), broadcast(gb))
+    println("[probe] UNHINTED final plan:")
+    println(unhinted.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Aggregate"))
+      .mkString("\n"))
+    t("verify unhinted 1")(println(unhinted.count()))
+    t("verify unhinted 2")(println(unhinted.count()))
+    t("verify hinted 1")(println(hinted.count()))
+    t("verify hinted 2")(println(hinted.count()))
     spark.stop()
   }
 }
