@@ -53,7 +53,9 @@ object SparkEntry {
     "q32_set_ops" -> (E.setOps _),
     "q33_scott_histogram" -> (E.scottHistogram _),
     "q34_stream_topk" -> (L.streamTopK _),
-    "q35_quartiles_approx" -> (A.quartilesOutliersApprox _))
+    "q35_quartiles_approx" -> (A.quartilesOutliersApprox _),
+    "q36_stream_dedup" -> (L.streamDedup _),
+    "q37_sessionization" -> (A.sessionization _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -88,5 +90,7 @@ object SparkEntry {
     "q30_events_stream" -> L.eventsStreamSql,
     "q31_stream_moments" -> E.streamMomentsSql,
     "q32_set_ops" -> E.setOpsSql,
-    "q33_scott_histogram" -> E.scottHistogramSql)
+    "q33_scott_histogram" -> E.scottHistogramSql,
+    "q36_stream_dedup" -> L.streamDedupSql,
+    "q37_sessionization" -> A.sessionizationSql)
 }

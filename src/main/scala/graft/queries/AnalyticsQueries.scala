@@ -215,6 +215,58 @@ object AnalyticsQueries {
         r6(col("q3")).as("q3"), col("n_outliers"))
   }
 
+  // ---- q37: sessionization (session windows) -------------------------
+
+  val SessionGap = "12 hours"
+
+  /** Per-user sessionization of the events table via `session_window`
+    * (gap-merged event-time windows — a distinct window class from
+    * q19's fixed tumbling hours). Events ≤ gap apart merge (boundary
+    * pinned by experiment: an event exactly `gap` after the previous
+    * MERGES; `gap`+ε starts a new session — the oracle's
+    * `ts - prev > gap` reproduces exactly that).
+    *
+    * Scale shape: one hash-partition shuffle on user_id, then sessions
+    * form per-key via sorted merge — no self-join, no window-function
+    * second shuffle. The same expression runs incrementally under
+    * Structured Streaming with a watermark (state = open sessions per
+    * user, closed at watermark + gap). */
+  def sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      // exact nanos→micros floor (see eventsHourly re: div vs floor)
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    ev.groupBy(col("user_id"), session_window(col("event_ts"), SessionGap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val sessionizationSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 12 HOUR
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM m)
+      |SELECT user_id,
+      |  epoch_us(min(ts)::TIMESTAMP) AS session_start_us,
+      |  count(*) AS n_events,
+      |  (sum(floor(value * 100)::BIGINT)::DOUBLE / 100) AS sum_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   // ---- q21: exact + approximate distinct -----------------------------
 
   def distinctCounts(spark: SparkSession, dir: String): DataFrame = {

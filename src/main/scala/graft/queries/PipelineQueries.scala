@@ -345,6 +345,36 @@ object PipelineQueries {
       |FROM events
       |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
 
+  // ---- q36: streaming exact dedup ------------------------------------
+
+  /** Exact dedup on a STREAM: one state row per distinct content hash
+    * (`dropDuplicates` on md5(text)), append mode — the streaming form
+    * of q09's batch exact dedup. State grows with distinct content,
+    * which is the honest lower bound for exact dedup at any scale
+    * (same ~24 B/row as the batch md5 shuffle; RocksDB state store on
+    * a real cluster). For unbounded streams where only near-time
+    * re-delivery matters, `dropDuplicatesWithinWatermark` bounds state
+    * by the watermark delay instead — same plan shape, state evicted
+    * past the watermark. Oracle: DISTINCT md5(text) in DuckDB (md5 is
+    * the cross-engine hash contract, see [[graft.text.Hashing]]). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    try spark.catalog.dropTempView("stream_dedup_result") catch { case _: Throwable => () }
+    val deduped = src.select(md5(col("text")).as("h")).dropDuplicates("h")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup_result")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("stream_dedup_result").orderBy("h")
+  }
+
+  val streamDedupSql: String =
+    "SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"
+
   // ---- q34: bounded-state streaming top-K ----------------------------
 
   /** Top user_ids per event_type from the events STREAM via the
