@@ -55,7 +55,8 @@ object SparkEntry {
     "q34_stream_topk" -> (L.streamTopK _),
     "q35_quartiles_approx" -> (A.quartilesOutliersApprox _),
     "q36_stream_dedup" -> (L.streamDedup _),
-    "q37_sessionization" -> (A.sessionization _))
+    "q37_sessionization" -> (A.sessionization _),
+    "q38_asof_join" -> (A.asofJoin _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +93,6 @@ object SparkEntry {
     "q32_set_ops" -> E.setOpsSql,
     "q33_scott_histogram" -> E.scottHistogramSql,
     "q36_stream_dedup" -> L.streamDedupSql,
-    "q37_sessionization" -> A.sessionizationSql)
+    "q37_sessionization" -> A.sessionizationSql,
+    "q38_asof_join" -> A.asofJoinSql)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the single latest right row
+  * with `rightTs <= leftTs` on the same key (the time-series "most
+  * recent quote for this trade" operator; Spark has no built-in).
+  *
+  * Spark-first composition instead of a join: UNION the two sides with
+  * a side tag, then one window per key ordered by (ts, side) carrying
+  * the running `last(right payload, ignoreNulls)` — left rows read the
+  * latest right payload at or before their timestamp. Cost is ONE hash
+  * shuffle on the key plus the per-partition sort the window needs;
+  * compare a naive `left.join(right, key && rightTs <= leftTs)` +
+  * argmax, which materializes every (left, right-before-it) pair —
+  * quadratic per hot key. Equal timestamps: right rows sort BEFORE left
+  * rows (side 0 < 1), so a right row at exactly `leftTs` matches —
+  * the `<=` convention, same as DuckDB/Pandas as-of joins.
+  *
+  * At 100 TB the shape holds: both sides hash-partition by key, the
+  * window is a sorted scan per partition carrying one payload of
+  * state, and AQE's skew split handles hot keys. A left row with no
+  * prior right row keeps a NULL payload (left-outer semantics).
+  *
+  * Determinism caveat: if the RIGHT side has duplicate (key, ts) rows
+  * the winner among them is sort-order-dependent — pass `tieBreak` to
+  * order equal-ts right rows (ascending; the LAST wins, e.g. a
+  * sequence number picks the highest).
+  */
+object AsofJoin {
+
+  /** @param leftCols     left columns to carry through (unprefixed)
+    * @param rightPayload right columns to attach, as (src -> outName)
+    * @param tieBreak     optional right-side column ordering equal-ts
+    *                     right rows (ascending; last wins) */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      leftCols: Seq[String],
+      rightPayload: Seq[(String, String)],
+      tieBreak: Option[String] = None): DataFrame = {
+    val tb: Column = tieBreak.map(col).getOrElse(lit(0L))
+    val rPrep = right.select(col(key), col(ts), tb.cast("long").as("__tb"),
+      struct(rightPayload.map { case (src, out) => col(src).as(out) }: _*).as("__r"))
+    val lPrep = left.select(col(key), col(ts),
+      struct(leftCols.map(col): _*).as("__l"))
+    val rType = rPrep.schema("__r").dataType
+    val lType = lPrep.schema("__l").dataType
+    val l = lPrep.select(col(key), col(ts), lit(1).as("__side"),
+      lit(0L).as("__tb"), col("__l"), lit(null).cast(rType).as("__r"))
+    val r = rPrep.select(col(key), col(ts), lit(0).as("__side"),
+      col("__tb"), lit(null).cast(lType).as("__l"), col("__r"))
+    val w = Window.partitionBy(key)
+      .orderBy(asc(ts), asc("__side"), asc("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map { case (_, out) => col(s"__asof.$out").as(out) }: _*)
+  }
+}

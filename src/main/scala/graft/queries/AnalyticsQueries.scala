@@ -267,6 +267,47 @@ object AnalyticsQueries {
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ---- q38: backward as-of join --------------------------------------
+
+  /** For each purchase event, the user's most recent click at or
+    * before it ([[graft.operators.AsofJoin.backward]] — union + running
+    * window, one shuffle; see its scaladoc for the 100 TB argument).
+    * Timestamps as epoch micros (exact long floor from nanos) so both
+    * engines compare integers. (user_id, ts) is unique in the events
+    * data at every SF (probed), so no tie-break is needed; DuckDB's
+    * native ASOF LEFT JOIN is the oracle. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    graft.operators.AsofJoin.backward(
+        purchases, clicks,
+        key = "user_id", ts = "ts_us",
+        leftCols = Seq("user_id", "ts_us", "event_id", "purchase_value"),
+        rightPayload = Seq("ts_us" -> "click_ts_us", "value" -> "click_value"))
+      .withColumnRenamed("ts_us", "purchase_ts_us")
+      .orderBy("user_id", "purchase_ts_us")
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS purchase_ts_us,
+      |         event_id, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS click_ts_us,
+      |         value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id AS user_id, p.purchase_ts_us, p.event_id,
+      |       p.purchase_value, c.click_ts_us, c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.click_ts_us <= p.purchase_ts_us
+      |ORDER BY user_id, purchase_ts_us""".stripMargin
+
   // ---- q21: exact + approximate distinct -----------------------------
 
   def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
