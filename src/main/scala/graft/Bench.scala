@@ -22,6 +22,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // JIT/codegen warmup on the tiny sf0.001 flagship query (untimed):
+    // without it the first timed query absorbs ~3-4 s of JVM warmup
+    // that belongs to the process, not the operator (standard bench
+    // hygiene — measure steady state, not cold start)
+    try { SparkEntry.entry(spark).count(); spark.catalog.clearCache() }
+    catch { case _: Throwable => () }
     // sorted order + cache clearing between queries: per-query persists
     // (dedup postings etc.) are internal scratch state; letting them
     // accumulate distorts later queries' memory and GC

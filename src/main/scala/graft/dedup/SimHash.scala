@@ -52,6 +52,18 @@ object SimHash {
     agg.select(col("id"), fp.as("simhash"))
   }
 
+  /** [[fingerprints]] → [[nearDuplicates]] with the fingerprint table
+    * persisted (both sides of the chunk self-join read it — uncached,
+    * the explode + 60 bit-sum aggregation runs twice) and released via
+    * [[graft.CachedResult]]. */
+  def nearDuplicatesResult(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): graft.CachedResult = {
+    val fp = fingerprints(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CachedResult(nearDuplicates(fp, maxHamming), Seq(fp))
+  }
+
   /** All pairs (a < b) with hamming(simhash_a, simhash_b) ≤ maxHamming
     * (maxHamming < Chunks for the pigeonhole guarantee). */
   def nearDuplicates(fp: DataFrame, maxHamming: Int = 3): DataFrame = {

@@ -92,14 +92,13 @@ object PipelineQueries {
 
   val SimhashMaxHamming = 3
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: nearDuplicates reads fingerprints on BOTH sides of the
-    // chunk self-join — uncached, the explode + 60 bit-sum aggregation
-    // would run twice
-    val fp = SimHash.fingerprints(table(spark, dir, "documents"), "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    SimHash.nearDuplicates(fp, SimhashMaxHamming).orderBy("doc_a", "doc_b")
-  }
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    // persisted fingerprints ride inside the CachedResult; the Bench/
+    // Verify harnesses clear the cache between queries, and library
+    // callers get release() via SimHash.nearDuplicatesResult directly
+    SimHash.nearDuplicatesResult(table(spark, dir, "documents"),
+        "doc_id", "text", SimhashMaxHamming)
+      .df.orderBy("doc_a", "doc_b")
 
   val dedupSimhashSql: String = {
     val bitSums = (0 until SimHash.Bits)

@@ -94,7 +94,8 @@ class DedupSpec extends SparkSpec {
     // a forced corpus broadcast is the scale-killer.
     val mh = MinHashLSH.nearDuplicatesResult(docs, "doc_id", "text", 0.5)
     val ng = NgramJaccard.similarPairsResult(docs, "doc_id", "text", 3, 0.7)
-    for ((name, res) <- Seq("minhash" -> mh, "ngram" -> ng)) {
+    val sh = SimHash.nearDuplicatesResult(docs, "doc_id", "text", 3)
+    for ((name, res) <- Seq("minhash" -> mh, "ngram" -> ng, "simhash" -> sh)) {
       val opt = res.df.queryExecution.optimizedPlan.toString
       assert(!opt.contains("strategy=broadcast"),
         s"$name verify join carries a broadcast hint:\n$opt")
