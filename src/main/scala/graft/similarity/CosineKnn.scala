@@ -32,7 +32,11 @@ object CosineKnn {
   def cosine(a: Column, b: Column): Column =
     graft.functions.ArrayOps.cosine_column(a, b)
 
-  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Vectorized float[]→double[] cast. NOT `transform(c, _.cast("double"))`:
+    * higher-order functions run interpreted (per-element lambda dispatch),
+    * while a whole-array `Cast` is a single codegen'd expression — this
+    * sits in every similarity hot path (q13/q24/q25 corpus scans). */
+  def toDoubleArray(c: Column): Column = c.cast("array<double>")
 
   /** Exact top-k neighbors (excluding self) for each query vector.
     * Output: (query_id, rank, neighbor_id, cos). */

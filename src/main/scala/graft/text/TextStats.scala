@@ -67,11 +67,14 @@ object TextStats {
       s" / greatest(len(string_split_regex(lower(trim($e)), '\\s+'))::DOUBLE, 1.0))"
   }
 
-  /** Mean whitespace-token length. */
+  /** Mean whitespace-token length. Pure length arithmetic — the sum of
+    * token lengths is the non-whitespace character count of the trimmed
+    * text, so no per-token `aggregate()` lambda (higher-order functions
+    * run interpreted; this is a per-row hot path at corpus scale). */
   def meanTokenLen(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    aggregate(toks, lit(0.0d), (acc, t) => acc + length(t).cast("double")) /
-      greatest(size(toks).cast("double"), lit(1.0d))
+    val t = trim(text)
+    length(regexp_replace(t, "\\s+", "")).cast("double") /
+      greatest(size(split(t, "\\s+")).cast("double"), lit(1.0d))
   }
 
   def meanTokenLenSql(e: String): String =

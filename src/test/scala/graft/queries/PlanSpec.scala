@@ -55,6 +55,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("nearest_cells"), s"IVF cell blocking missing:\n$p")
   }
 
+  test("q13/q24/q25: similarity hot paths have no interpreted lambda at all") {
+    // Higher-order functions (transform/aggregate/filter/...) run
+    // interpreted — per-element lambda dispatch inside the corpus scan.
+    // The similarity paths must be pure codegen: native cosine /
+    // nearest_cells expressions plus a vectorized array cast.
+    Seq("q13_knn_cosine", "q24_embedding_neardup", "q25_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"), s"$q plan has an interpreted HOF:\n$p")
+    }
+  }
+
+  test("q14: text quality has no interpreted transform/aggregate lambda") {
+    // stopwordRatio legitimately keeps one `filter` HOF (set membership
+    // over a 20-token list); the per-row sum loops must be arithmetic.
+    val p = plan("q14_text_quality")
+    assert("(?<![A-Za-z])(transform|aggregate)\\(".r.findFirstIn(p).isEmpty,
+      s"q14 plan has an interpreted transform/aggregate:\n$p")
+  }
+
   test("q25: IVF assign/probe has no crossJoin and no assignment window") {
     val p = plan("q25_ann_ivf")
     Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
