@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one-file-per-bucket sorted scans (BucketedTables.writeBucketed
+      // guarantees the layout); lets bucketed merge joins skip the Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // 64 MB broadcast threshold: see Verify.scala — the dedup verify
       // joins' per-doc array tables are ~12 MB at sf0.1, just over the
       // 10 MB default; the strategy choice stays size-governed.

@@ -56,7 +56,8 @@ object SparkEntry {
     "q35_quartiles_approx" -> (A.quartilesOutliersApprox _),
     "q36_stream_dedup" -> (L.streamDedup _),
     "q37_sessionization" -> (A.sessionization _),
-    "q38_asof_join" -> (A.asofJoin _))
+    "q38_asof_join" -> (A.asofJoin _),
+    "q39_bucketed_join" -> (A.bucketedRevenue _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +95,6 @@ object SparkEntry {
     "q33_scott_histogram" -> E.scottHistogramSql,
     "q36_stream_dedup" -> L.streamDedupSql,
     "q37_sessionization" -> A.sessionizationSql,
-    "q38_asof_join" -> A.asofJoinSql)
+    "q38_asof_join" -> A.asofJoinSql,
+    "q39_bucketed_join" -> A.bucketedRevenueSql)
 }

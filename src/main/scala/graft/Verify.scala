@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one-file-per-bucket sorted scans (BucketedTables.writeBucketed
+      // guarantees the layout); lets bucketed merge joins skip the Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // Local-mode sizing: a single 8g JVM affords 64 MB broadcasts.
       // The library never forces a join strategy (no broadcast hints on
       // corpus-derived tables); this threshold lets the planner pick

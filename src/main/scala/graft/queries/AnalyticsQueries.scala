@@ -351,4 +351,75 @@ object AnalyticsQueries {
   val histogramSql: String =
     """SELECT floor(l_extendedprice / 5000)::BIGINT AS bucket, count(*) AS cnt
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- q39: shuffle-free fact-to-fact join over bucketed tables ------
+
+  private val BucketCount = 8
+
+  /** Revenue per high-value order over BUCKETED lineitem ⋈ orders —
+    * the q18 fact-to-fact core with the shuffle designed out of it.
+    *
+    * Both sides are stored bucketed+sorted by the join key
+    * ([[graft.sources.BucketedTables]]), so the sort-merge join needs no
+    * Exchange and no Sort on either side, and the order-keyed
+    * aggregation reuses the join's clustering (HashPartitioning on
+    * `o_orderkey` satisfies the groupBy's ClusteredDistribution). The
+    * ONLY shuffle in the plan is the final presentation ORDER BY over
+    * the small result. At 100 TB this converts the nightly fact-to-fact
+    * join from two full-table shuffles into a co-located bucket scan,
+    * priced once at write time; PlanSpec locks the shape. */
+  def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val (liName, ordName) = ensureBucketed(spark, dir)
+    val li = spark.table(liName)
+    val o = spark.table(ordName)
+    // force SMJ even where one side would fit broadcast: the 100 TB
+    // case this models has no broadcast-able side
+    li.hint("merge")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("o_totalprice") > lit(400000d))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Bucketed copies of lineitem/orders for `dir`, written once per
+    * (catalog, dir): the bucket layout only exists through the catalog,
+    * and re-runs in the same session (bench reps, repeated plans) reuse
+    * the first write — modeling the real workload where bucketing is an
+    * ingest-time decision, not a per-query one. Only the query-relevant
+    * columns are bucketed (a 100 TB ingest would bucket the full
+    * table; the layout mechanics are identical). */
+  private def ensureBucketed(
+      spark: SparkSession, dir: String): (String, String) = synchronized {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val (liName, ordName) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+    if (!spark.catalog.tableExists(liName) ||
+        !spark.catalog.tableExists(ordName)) {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+      graft.sources.BucketedTables.writeBucketed(
+        table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        liName, s"$base/lineitem", "l_orderkey", BucketCount)
+      graft.sources.BucketedTables.writeBucketed(
+        table(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ordName, s"$base/orders", "o_orderkey", BucketCount)
+    }
+    (liName, ordName)
+  }
+
+  /** Oracle over the PLAIN parquet tables — DuckDB doesn't see the
+    * bucketing, which is the point: layout changes plans, not answers. */
+  val bucketedRevenueSql: String =
+    s"""SELECT o_orderkey, o_orderstatus,
+       |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice > 400000
+       |GROUP BY o_orderkey, o_orderstatus
+       |ORDER BY o_orderkey""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table writes — the storage-side half of shuffle-free joins.
   *
@@ -19,11 +20,20 @@ import org.apache.spark.sql.DataFrame
   */
 object BucketedTables {
 
-  /** Write `df` as an external bucketed+sorted parquet table. */
+  /** Write `df` as an external bucketed+sorted parquet table.
+    *
+    * The pre-write `repartition(buckets, key)` uses the same murmur3
+    * hash as the bucket layout, so every task holds exactly one bucket
+    * and each bucket lands in ONE file — the condition under which the
+    * scan trusts `sortBy` order and a downstream merge join needs
+    * neither Exchange nor Sort. Without it, every write task emits a
+    * file per bucket (task-count × buckets small files at scale) and
+    * readers must re-sort. */
   def writeBucketed(
       df: DataFrame, tableName: String, path: String,
       key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path)
       .format("parquet")

@@ -15,6 +15,9 @@ object Timing {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one-file-per-bucket sorted scans (BucketedTables.writeBucketed
+      // guarantees the layout); lets bucketed merge joins skip the Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // match Bench/Verify session sizing (see Verify.scala)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

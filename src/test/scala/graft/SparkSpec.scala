@@ -12,6 +12,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one-file-per-bucket sorted scans (BucketedTables.writeBucketed
+    // guarantees the layout); lets bucketed merge joins skip the Sort
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -74,6 +74,24 @@ class PlanSpec extends SparkSpec {
       s"q14 plan has an interpreted transform/aggregate:\n$p")
   }
 
+  test("q39: bucketed fact join has no hash/broadcast exchange and no pre-join sort") {
+    // Both sides bucketed+sorted by the join key, one file per bucket:
+    // the sort-merge join consumes the storage layout directly. The only
+    // Exchange allowed in the whole plan is the final presentation
+    // ORDER BY (rangepartitioning over the small result).
+    val p = plan("q39_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a co-located merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not hash-shuffle either side:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"bucketed join must not broadcast (models two non-broadcastable facts):\n$p")
+    // sortBy + one-file-per-bucket: the scan order is trusted, so the
+    // only Sort in the plan is the final ORDER BY — not two pre-join
+    // sorts plus it
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts <= 1, s"bucketed join should consume the written sort order ($sorts Sorts):\n$p")
+  }
+
   test("q25: IVF assign/probe has no crossJoin and no assignment window") {
     val p = plan("q25_ann_ivf")
     Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
