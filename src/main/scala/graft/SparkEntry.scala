@@ -57,7 +57,8 @@ object SparkEntry {
     "q36_stream_dedup" -> (L.streamDedup _),
     "q37_sessionization" -> (A.sessionization _),
     "q38_asof_join" -> (A.asofJoin _),
-    "q39_bucketed_join" -> (A.bucketedRevenue _))
+    "q39_bucketed_join" -> (A.bucketedRevenue _),
+    "q40_neardup_econ" -> (L.neardupEcon _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -96,5 +97,6 @@ object SparkEntry {
     "q36_stream_dedup" -> L.streamDedupSql,
     "q37_sessionization" -> A.sessionizationSql,
     "q38_asof_join" -> A.asofJoinSql,
-    "q39_bucketed_join" -> A.bucketedRevenueSql)
+    "q39_bucketed_join" -> A.bucketedRevenueSql,
+    "q40_neardup_econ" -> L.neardupEconSql)
 }

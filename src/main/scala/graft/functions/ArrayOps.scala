@@ -51,6 +51,28 @@ object ArrayOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Per-element affine blend of two double arrays:
+    * `out[i] = alpha*a[i] + beta*b[i]`. Both coefficients are explicit
+    * (not `1-alpha`) so the oracle SQL can use the SAME double literals
+    * and the IEEE operation sequence matches bit-for-bit. Codegen'd for
+    * the same reason as [[cosine_column]] — `zip_with` would run an
+    * interpreted per-element lambda on every row. */
+  def mix_columns(a: Column, b: Column, alpha: Double, beta: Double): Column =
+    SqlShims.column(DoubleArrayMix(
+      SqlShims.expression(a), SqlShims.expression(b), alpha, beta))
+
+  /** Java impl, also called from generated code. */
+  def mix(a: ArrayData, b: ArrayData, alpha: Double, beta: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = alpha * a.getDouble(i) + beta * b.getDouble(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Java impl, also called from generated code. */
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     var i = 0; var j = 0; var c = 0
@@ -83,6 +105,28 @@ case class DoubleArrayCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "double_array_cosine"
+}
+
+case class DoubleArrayMix(
+    left: Expression, right: Expression, alpha: Double, beta: Double)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.mix(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], alpha, beta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArrayOps.mix($a, $b, $alpha, $beta)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleArrayMix =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "double_array_mix"
 }
 
 case class SortedLongIntersectCount(left: Expression, right: Expression)

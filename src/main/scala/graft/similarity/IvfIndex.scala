@@ -36,17 +36,27 @@ object IvfIndex {
   }
 
   /** Train nlist centroids with `iters` Lloyd iterations. Deterministic:
-    * init = the nlist smallest-id vectors. Returns the centroid table. */
+    * init = the nlist smallest-id vectors, or with `spreadInit` the
+    * nlist smallest by `xxhash64(id)` — a deterministic pseudo-random
+    * spread over the corpus. Id-ordered init seeds adjacent ids, which
+    * on a corpus with id-correlated structure (e.g. grouped variants)
+    * collapses the initial centroids into a few regions; hash order
+    * breaks the correlation without collecting anything beyond the
+    * nlist seeds (a `TakeOrdered` at any scale). Returns the centroid
+    * table. */
   def train(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+      nlist: Int, iters: Int = 3, spreadInit: Boolean = false): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus
       .select(col(idCol).cast("long").as("id"),
         CosineKnn.toDoubleArray(col(vecCol)).as("v"))
       .as[(Long, Array[Double])]
-    var centroids = ds.orderBy("id").limit(nlist).collect().map(t => normalize(t._2))
+    val seed =
+      if (spreadInit) ds.orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      else ds.orderBy("id").limit(nlist)
+    var centroids = seed.collect().map(t => normalize(t._2))
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       // sum + count per nearest cell — one partial-agg shuffle of nlist rows

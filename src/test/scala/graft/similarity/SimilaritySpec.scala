@@ -77,6 +77,37 @@ class SimilaritySpec extends SparkSpec {
     assert(verified == exact, "candidates->verify must reproduce the exact pair set")
   }
 
+  test("q40 economical regime: recall 1.0 with candidates well below all-pairs") {
+    // The clustered-corpus regime where IVF blocking pays: the q40
+    // grouped-variant corpus has a similarity gap, so multi-probe
+    // candidates are a small fraction of n(n-1)/2 while still
+    // containing every true pair (q24's gradual tail needs
+    // near-exhaustive probing — economics are a data property).
+    import graft.queries.PipelineQueries._
+    val corpus = groupedEmbeddings(emb).cache()
+    try {
+      val n = corpus.count()
+      val centroids = IvfIndex.train(
+        corpus, "vec_id", "embedding", nlist = EconNlist, spreadInit = true)
+      val cands = IvfIndex.nearDupCandidates(
+        corpus, "vec_id", "embedding", centroids, nprobe = EconProbe).cache()
+      try {
+        val nCands = cands.count()
+        val allPairs = n * (n - 1) / 2
+        assert(nCands <= allPairs / 4,
+          s"not economical: $nCands candidates vs $allPairs pairs")
+        val exact = CosineKnn.nearDuplicatePairs(corpus, "vec_id", "embedding", EconCos)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val verified = CosineKnn.verifyPairs(cands, corpus, "vec_id", "embedding", EconCos)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(exact.nonEmpty && verified == exact,
+          s"recall must be 1.0: ${verified.size} verified vs ${exact.size} exact")
+      } finally cands.unpersist()
+    } finally corpus.unpersist()
+  }
+
   test("assign is a pure projection: no exchange, no window, no join in its plan") {
     val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8)
     val p = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
