@@ -58,7 +58,8 @@ object SparkEntry {
     "q37_sessionization" -> (A.sessionization _),
     "q38_asof_join" -> (A.asofJoin _),
     "q39_bucketed_join" -> (A.bucketedRevenue _),
-    "q40_neardup_econ" -> (L.neardupEcon _))
+    "q40_neardup_econ" -> (L.neardupEcon _),
+    "q41_stream_dedup_wm" -> (L.streamDedupWatermark _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,5 +99,6 @@ object SparkEntry {
     "q37_sessionization" -> A.sessionizationSql,
     "q38_asof_join" -> A.asofJoinSql,
     "q39_bucketed_join" -> A.bucketedRevenueSql,
-    "q40_neardup_econ" -> L.neardupEconSql)
+    "q40_neardup_econ" -> L.neardupEconSql,
+    "q41_stream_dedup_wm" -> L.streamDedupWatermarkSql)
 }

@@ -438,6 +438,53 @@ object PipelineQueries {
   val streamDedupSql: String =
     "SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"
 
+  // ---- q41: watermark-bounded streaming dedup ------------------------
+
+  /** Streaming dedup with WATERMARK-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`) — the unbounded-stream answer to
+    * q36, whose exact-dedup state grows with distinct content forever.
+    * A key's state is evicted once the watermark passes its event time
+    * plus the delay, so steady-state memory is O(keys per delay window)
+    * regardless of stream length; duplicates separated by more than the
+    * delay re-emit — the contract re-delivery dedup wants. Replayed
+    * here with a delay covering the dataset's 30-day horizon, so the
+    * gated output equals exact DISTINCT (the DuckDB oracle); the
+    * eviction/re-emit semantics beyond the horizon are asserted in
+    * StreamingSpec on a controlled MemoryStream. The dedup key
+    * (event_type, user_id, hour) is projected BEFORE dedup so the
+    * emitted first-seen row is deterministic under any partitioning. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    try spark.catalog.dropTempView("stream_dedup_wm_result") catch { case _: Throwable => () }
+    val deduped = src.select(
+        // floor nanos→micros, as in q30 (pre-1970 seam)
+        expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)").as("event_ts"),
+        col("event_type"), col("user_id"),
+        // exact integer hour bucketing, as in q19 (epoch nanos exceed
+        // double's 53 bits)
+        (expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * lit(3600L))
+          .as("hour_epoch"))
+      .withWatermark("event_ts", "35 days")
+      .dropDuplicatesWithinWatermark("event_type", "user_id", "hour_epoch")
+      .select("event_type", "user_id", "hour_epoch")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup_wm_result")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("stream_dedup_wm_result")
+      .orderBy("event_type", "user_id", "hour_epoch")
+  }
+
+  val streamDedupWatermarkSql: String =
+    """SELECT DISTINCT event_type, user_id,
+      |  epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch
+      |FROM events
+      |ORDER BY event_type, user_id, hour_epoch""".stripMargin
+
   // ---- q34: bounded-state streaming top-K ----------------------------
 
   /** Top user_ids per event_type from the events STREAM via the

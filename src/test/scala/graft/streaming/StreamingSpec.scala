@@ -85,4 +85,45 @@ class StreamingSpec extends SparkSpec {
         "first window should have been finalized with both events")
     } finally q.stop()
   }
+
+  test("watermark-bounded dedup: dups inside the delay drop, state evicts past it") {
+    // The q41 operator's actual contract, under controlled batches:
+    // a key's state lives until watermark > firstEventTime + delay;
+    // duplicates inside that horizon are dropped, and the same key
+    // arriving after eviction is re-emitted (bounded state means
+    // bounded memory, not forever-dedup).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("sec", "key")
+      .withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "100 seconds")
+      .dropDuplicatesWithinWatermark("key")
+    val q = df.writeStream.format("memory")
+      .queryName("wm_dedup_test").outputMode("append").start()
+    try {
+      // batch 1: first "a" at t=1000 (state expires once wm > 1100)
+      input.addData((1000L, "a"), (1010L, "a"), (1000L, "b"))
+      q.processAllAvailable()
+      // batch 2: wm = 1010-100 = 910; dup "a" within horizon -> dropped
+      input.addData((1050L, "a"), (1150L, "c"))
+      q.processAllAvailable()
+      // batch 3: wm = 1150-100 = 1050 < 1100, "a" still held -> dropped
+      input.addData((1090L, "a"), (1300L, "d"))
+      q.processAllAvailable()
+      // batch 4: wm = 1300-100 = 1200 > 1100 -> "a" state evicted;
+      // a fresh "a" re-emits
+      input.addData((1400L, "a"))
+      q.processAllAvailable()
+
+      val got = spark.table("wm_dedup_test")
+        .select("sec", "key").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1000L, "a"), (1000L, "b"), (1150L, "c"),
+        (1300L, "d"), (1400L, "a")),
+        s"unexpected emissions: $got")
+    } finally q.stop()
+  }
 }
