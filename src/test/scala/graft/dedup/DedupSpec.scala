@@ -65,6 +65,36 @@ class DedupSpec extends SparkSpec {
     fp.unpersist()
   }
 
+  test("simhash skewed chunk: shared-chunk blowup is filtered before distinct") {
+    // Adversarial skew fixture: 2048 fingerprints that ALL share chunk 0
+    // (low 15 bits zero) — the chunk self-join alone yields ~2M
+    // candidate rows. Payload bits encode the doc index in a 4x
+    // repetition code, so pairwise hamming = 4*popcount(i^j) >= 4 > 3:
+    // none survive the hamming filter except 5 planted exact twins.
+    // The filter-before-distinct guard (SimHash.nearDuplicates) means
+    // the distinct set holds 5 rows, not 2M — this test both proves the
+    // result exact under skew and stays fast only because of the guard.
+    val s = spark
+    import s.implicits._
+    def rep4(i: Int): Long = {
+      var out = 0L
+      var b = 0
+      while (b < 11) {
+        if (((i >> b) & 1) == 1) out |= 0xfL << (4 * b)
+        b += 1
+      }
+      out
+    }
+    val base = (0 until 2048).map(i => (i.toLong, rep4(i) << 15))
+    val twins = (0 until 5).map(j => (10000L + j, rep4(j) << 15))
+    val fp = (base ++ twins).toDF("id", "simhash")
+    val got = SimHash.nearDuplicates(fp, 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (0 until 5).map(j => (j.toLong, 10000L + j, 0)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("simhash fingerprints are 60-bit non-negative") {
     SimHash.fingerprints(docs, "doc_id", "text").collect().foreach { r =>
       val v = r.getAs[Long]("simhash")

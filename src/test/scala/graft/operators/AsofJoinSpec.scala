@@ -47,6 +47,42 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.getDouble(3) == 2.0, s"highest seq must win: $got")
   }
 
+  test("property: random ties vs in-driver reference (dup (key,ts) right rows + tieBreak)") {
+    // Seeded-random stand-in for scalacheck (offline cache). Small key
+    // and ts domains force heavy (key, ts) collisions on BOTH sides —
+    // the regime where the tieBreak contract (highest seq among
+    // equal-ts right rows wins) is the only thing making the operator
+    // deterministic. seq is the unique right row index, so the naive
+    // reference's argmax is well-defined.
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(120)(
+        (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toString))
+      val right = Seq.tabulate(150)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, rnd.nextDouble(), i.toLong))
+      val expected = left.map { case (k, t, tag) =>
+        val win = right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._4)).lastOption
+        (k, t, tag, win.map(_._2), win.map(_._3))
+      }.sortBy(x => (x._1, x._2, x._3, x._4))
+      val got = AsofJoin.backward(
+          left.toDF("k", "t", "tag"),
+          right.toDF("k", "t", "v", "seq"),
+          "k", "t",
+          leftCols = Seq("k", "t", "tag"),
+          rightPayload = Seq("t" -> "r_t", "v" -> "r_v"),
+          tieBreak = Some("seq"))
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getString(2),
+          if (row.isNullAt(3)) None else Some(row.getLong(3)),
+          if (row.isNullAt(4)) None else Some(row.getDouble(4))))
+        .toSeq.sortBy(x => (x._1, x._2, x._3, x._4))
+      assert(got == expected, s"seed $seed mismatch")
+    }
+  }
+
   test("plan: one hash shuffle on the key, no join operator") {
     val s = spark
     import s.implicits._
