@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries => A, ExtendedQueries => E, PipelineQueries => L, ProfileQueries => P}
+import graft.queries.{AnalyticsQueries => A, ExtendedQueries => E, PipelineQueries => L, ProfileQueries => P, ScaleQueries => S}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,7 +59,17 @@ object SparkEntry {
     "q38_asof_join" -> (A.asofJoin _),
     "q39_bucketed_join" -> (A.bucketedRevenue _),
     "q40_neardup_econ" -> (L.neardupEcon _),
-    "q41_stream_dedup_wm" -> (L.streamDedupWatermark _))
+    "q41_stream_dedup_wm" -> (L.streamDedupWatermark _),
+    "q42_range_join" -> (S.rangeJoinActivity _),
+    "q43_stratified_sample" -> (S.stratifiedSample _),
+    "q44_tfidf_terms" -> (S.tfidfTerms _),
+    "q45_salted_distinct" -> (S.saltedDistinct _),
+    "q46_stream_range_join" -> (S.streamRangeJoin _),
+    "q47_partition_prune" -> (S.partitionPrune _),
+    "q48_hll_cube" -> (S.hllCube _),
+    "q49_stream_enrich" -> (S.streamEnrich _),
+    "q50_group_quantiles" -> (S.groupQuantiles _),
+    "q51_skew_join" -> (S.skewJoinRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,5 +110,14 @@ object SparkEntry {
     "q38_asof_join" -> A.asofJoinSql,
     "q39_bucketed_join" -> A.bucketedRevenueSql,
     "q40_neardup_econ" -> L.neardupEconSql,
-    "q41_stream_dedup_wm" -> L.streamDedupWatermarkSql)
+    "q41_stream_dedup_wm" -> L.streamDedupWatermarkSql,
+    "q42_range_join" -> S.rangeJoinActivitySql,
+    "q43_stratified_sample" -> S.stratifiedSampleSql,
+    "q44_tfidf_terms" -> S.tfidfTermsSql,
+    "q45_salted_distinct" -> S.saltedDistinctSql,
+    "q46_stream_range_join" -> S.streamRangeJoinSql,
+    "q47_partition_prune" -> S.partitionPruneSql,
+    "q49_stream_enrich" -> S.streamEnrichSql,
+    "q50_group_quantiles" -> S.groupQuantilesSql,
+    "q51_skew_join" -> S.skewJoinRollupSql)
 }

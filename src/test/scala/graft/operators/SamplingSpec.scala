@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (1L to n.toLong).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+  }
+
+  test("sampling is deterministic: identical membership across runs") {
+    val df = ids(2000)
+    def sampleIds = Sampling.stratifiedDeterministic(
+        df, col("id"), col("lang"), Map("en" -> 0.1), 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sampleIds == sampleIds)
+  }
+
+  test("thresholds nest: a lower-rate sample is a subset of a higher-rate one") {
+    val df = ids(2000)
+    def at(rate: Double) = Sampling.stratifiedDeterministic(
+        df, col("id"), col("lang"), Map.empty, rate)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val (lo, hi) = (at(0.1), at(0.4))
+    assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
+  }
+
+  test("per-stratum empirical rates track the configured rates") {
+    val df = ids(12000) // ~4000 en, ~8000 de
+    val got = Sampling.stratifiedDeterministic(
+        df, col("id"), col("lang"), Map("en" -> 0.1), 0.5)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 16-bit uniform hash: 3-sigma ≈ 1.5% absolute at these counts
+    assert(math.abs(got("en") / 4000.0 - 0.1) < 0.03, got.toString)
+    assert(math.abs(got("de") / 8000.0 - 0.5) < 0.03, got.toString)
+  }
+
+  test("rate 0 keeps nothing; rate 1 keeps everything") {
+    val df = ids(500)
+    def at(rate: Double) = Sampling.stratifiedDeterministic(
+      df, col("id"), col("lang"), Map.empty, rate).count()
+    assert(at(0.0) == 0L && at(1.0) == 500L)
+  }
+
+  test("train split is independent of sample membership (different salt)") {
+    val df = ids(12000)
+    val sampled = Sampling.stratifiedDeterministic(
+      df, col("id"), col("lang"), Map.empty, 0.3)
+    val frac = sampled.agg(
+        avg(Sampling.isTrain(col("id"), 0.8).cast("double")))
+      .head().getDouble(0)
+    // if the split reused the sample hash, everything sampled at 0.3
+    // would be train (0.3 < 0.8 prefix) — independence keeps it ~0.8
+    assert(math.abs(frac - 0.8) < 0.03, frac.toString)
+  }
+}

@@ -92,6 +92,41 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 1, s"bucketed join should consume the written sort order ($sorts Sorts):\n$p")
   }
 
+  test("q42: range join is a banded equi-join — no nested loop, no cartesian") {
+    // A raw non-equi time predicate would plan the per-key pairs as a
+    // nested loop; banding must turn it into plain hash/merge joins.
+    val p = plan("q42_range_join")
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+      assert(!p.contains(bad), s"q42 plan contains $bad:\n$p")
+    }
+  }
+
+  test("q43: deterministic sampling pushes no shuffle before the aggregate") {
+    // sample membership is a pure projection+filter; the only exchanges
+    // are the groupBy partial->final pair and the final ORDER BY
+    val p = plan("q43_stratified_sample")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"sampling should be projection-only pre-agg:\n$p")
+  }
+
+  test("q47: date filter prunes partitions at plan time; columns pruned too") {
+    val p = plan("q47_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      s"partition pruning missing:\n$p")
+    assert(p.contains("(event_date") && p.contains(">= 2024-01-10"),
+      s"date range not in PartitionFilters:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id") &&
+      !readSchema.contains("ts:"), s"column pruning failed: $readSchema")
+  }
+
+  test("q51: salted skew join shuffles on (key, salt), no broadcast of either side") {
+    val p = plan("q51_skew_join")
+    assert(p.contains("SortMergeJoin"), s"expected forced SMJ:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"q51 models a non-broadcastable build side:\n$p")
+  }
+
   test("q25: IVF assign/probe has no crossJoin and no assignment window") {
     val p = plan("q25_ann_ivf")
     Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
