@@ -69,7 +69,11 @@ object SparkEntry {
     "q48_hll_cube" -> (S.hllCube _),
     "q49_stream_enrich" -> (S.streamEnrich _),
     "q50_group_quantiles" -> (S.groupQuantiles _),
-    "q51_skew_join" -> (S.skewJoinRollup _))
+    "q51_skew_join" -> (S.skewJoinRollup _),
+    "q52_per_key_cap" -> (S.perKeyCap _),
+    "q53_stream_sessions" -> (S.streamSessions _),
+    "q54_label_centroids" -> (S.labelCentroids _),
+    "q55_media_decode" -> (S.mediaDecode _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -119,5 +123,9 @@ object SparkEntry {
     "q47_partition_prune" -> S.partitionPruneSql,
     "q49_stream_enrich" -> S.streamEnrichSql,
     "q50_group_quantiles" -> S.groupQuantilesSql,
-    "q51_skew_join" -> S.skewJoinRollupSql)
+    "q51_skew_join" -> S.skewJoinRollupSql,
+    "q52_per_key_cap" -> S.perKeyCapSql,
+    "q53_stream_sessions" -> S.streamSessionsSql,
+    "q54_label_centroids" -> S.labelCentroidsSql,
+    "q55_media_decode" -> S.mediaDecodeSql)
 }

@@ -88,6 +88,81 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  // ---- real encode/decode path (uncompressed containers) -------------
+
+  /** Image geometry for [[encodedMedia]]: fixed 16-px-wide frames,
+    * capped payloads (oracle-computable sizes; see q55). */
+  val BmpWidth = 16
+  val BmpMaxBytes = 240
+  val WavMaxSamples = 400
+  val WavRate = 8000
+
+  /** Deterministic ENCODED media table: text bytes become real
+    * containers by id — doc_id%3 = 0 → 24-bit BMP (grayscale pixels =
+    * text bytes, zero-padded to full rows), 1 → 16-bit PCM WAV
+    * (samples = centered text bytes), 2 → raw passthrough (modeling a
+    * format whose codec is absent). Unlike [[syntheticMedia]]'s opaque
+    * bytes, these blobs are genuine containers that
+    * [[decodeMedia]] re-parses byte-for-byte. */
+  def encodedMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[(Long, Array[Byte])] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, text) =>
+        val bytes = (id % 3) match {
+          case 0 =>
+            val len = math.min(text.length, BmpMaxBytes)
+            val h = math.max(1, (len + BmpWidth - 1) / BmpWidth)
+            val gray = java.util.Arrays.copyOf(text, BmpWidth * h)
+            MediaCodec.encodeBmp(BmpWidth, h, gray)
+          case 1 =>
+            val n = math.min(text.length, WavMaxSamples)
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (((text(i) & 0xff) - 128) * 256).toShort; i += 1
+            }
+            MediaCodec.encodeWavPcm16(WavRate, samples)
+          case _ => text
+        }
+        (id, bytes)
+      }
+  }
+
+  /** Features from a REAL decode ([[MediaCodec]]), dispatched on the
+    * container magic; unknown formats pass through as "raw". */
+  final case class DecodedMedia(
+      media_id: Long, fmt: String, n_bytes: Long,
+      w: Long, h: Long, n_samples: Long, mean_signal: Double)
+
+  /** Genuine bytes→pixels/samples decode, partition-at-a-time (same
+    * batch shape as [[extractFeatures]]). `mean_signal` is the mean
+    * gray level (BMP) / RMS amplitude (WAV) — decode fidelity is
+    * asserted against independently computed values in DecodeSpec. */
+  def decodeMedia(media: Dataset[(Long, Array[Byte])]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+          val (w, h, gray) = MediaCodec.decodeBmp(bytes)
+          var sum = 0L
+          gray.foreach(g => sum += (g & 0xff))
+          val mean = if (gray.isEmpty) 0d else sum.toDouble / gray.length
+          DecodedMedia(id, "bmp", bytes.length.toLong, w.toLong, h.toLong, 0L,
+            math.rint(mean * 1e6) / 1e6)
+        } else if (bytes.length >= 4 &&
+            new String(bytes, 0, 4, "US-ASCII") == "RIFF") {
+          val (_, samples) = MediaCodec.decodeWavPcm16(bytes)
+          var sq = 0d
+          samples.foreach(s => sq += s.toDouble * s)
+          val rms = if (samples.isEmpty) 0d else math.sqrt(sq / samples.length)
+          DecodedMedia(id, "wav", bytes.length.toLong, 0L, 0L, samples.length.toLong,
+            math.rint(rms * 1e6) / 1e6)
+        } else DecodedMedia(id, "raw", bytes.length.toLong, 0L, 0L, 0L, 0d)
+      }
+    }
+  }
+
   /** Resize stub: metadata-only transform (a real one maps pixels);
     * shows the pruning-friendly layout — bytes column untouched. */
   def resize(media: Dataset[MediaRecord], maxDim: Int): DataFrame =

@@ -370,7 +370,8 @@ object PipelineQueries {
     * (readStream → watermark → tumbling window agg → memory sink) and
     * returns the final result table. Complete output mode: every
     * window, same totals as the batch oracle. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file streaming sources take a directory; glob down to the one table
     val src = spark.readStream.schema(schema)
@@ -420,7 +421,8 @@ object PipelineQueries {
     * by the watermark delay instead — same plan shape, state evicted
     * past the watermark. Oracle: DISTINCT md5(text) in DuckDB (md5 is
     * the cross-engine hash contract, see [[graft.text.Hashing]]). */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -453,7 +455,8 @@ object PipelineQueries {
     * StreamingSpec on a controlled MemoryStream. The dedup key
     * (event_type, user_id, hour) is projected BEFORE dedup so the
     * emitted first-seen row is deterministic under any partitioning. */
-  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -494,7 +497,8 @@ object PipelineQueries {
     * dependent, so there is no engine-independent SQL oracle;
     * exactness when capacity exceeds the distinct-value count is
     * asserted in StreamingTopKSpec. */
-  def streamTopK(spark: SparkSession, dir: String): DataFrame = {
+  def streamTopK(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -41,4 +41,29 @@ object QueryUtil {
     * whether Spark mapped it to TIMESTAMP or TIMESTAMP_NTZ. */
   def tsLit(df: DataFrame, colName: String, value: String): Column =
     lit(value).cast(df.schema(colName).dataType)
+
+  /** Streaming state partitions for the gated streaming queries.
+    *
+    * Stateful operators allocate `spark.sql.shuffle.partitions` state
+    * stores per operator (a stream-stream join spins FOUR per
+    * partition), and every micro-batch pays store open/commit/snapshot
+    * per partition — a fixed cost independent of data volume. State
+    * partitioning is therefore sized to STATE VOLUME, not CPU count:
+    * the bench corpus carries KB-scale state, where 8 partitions cuts
+    * the q46 join from ~8 s to ~2.6 s warm; a 100 TB deployment sizes
+    * this up (it is pinned per-query into the checkpoint on first
+    * start, exactly like a production job picks it at deploy time). */
+  val StreamStatePartitions = 8
+
+  /** Run `body` (typically: build + start + await a streaming query)
+    * with `spark.sql.shuffle.partitions` = [[StreamStatePartitions]],
+    * restoring the session value afterwards. The conf is read at query
+    * START and recorded in the checkpoint, so the override must span
+    * planning; results never depend on it. */
+  def withStreamStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, StreamStatePartitions.toString)
+    try body finally spark.conf.set(key, old)
+  }
 }

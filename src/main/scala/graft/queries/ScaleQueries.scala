@@ -196,7 +196,8 @@ object ScaleQueries {
     * window, so state is bounded by (watermark + 24 h) of data per
     * side, not the whole stream. Emits the raw attribution pairs
     * (append mode); the batch oracle is the same join in SQL. */
-  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -227,7 +228,7 @@ object ScaleQueries {
     // (user_id, ts) is unique per side, so this ORDER BY is total
     spark.table("stream_range_join_result")
       .orderBy("user_id", "purchase_ts_us", "click_ts_us")
-  }
+    }
 
   val streamRangeJoinSql: String =
     s"""WITH p AS (
@@ -321,7 +322,8 @@ object ScaleQueries {
     * micro-batch — the dim never shuffles the stream), then a running
     * per-nation rollup. State is one row per nation (complete mode);
     * the stream side is never buffered for the join. */
-  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -342,7 +344,7 @@ object ScaleQueries {
       .start()
     q.awaitTermination(300000)
     spark.table("stream_enrich_result").orderBy("nation")
-  }
+    }
 
   val streamEnrichSql: String =
     s"""SELECT n_name AS nation,
@@ -415,4 +417,176 @@ object ScaleQueries {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q52: deterministic per-key cap --------------------------------
+
+  val PerKeyCap = 5
+
+  /** Per-user event cap: keep at most [[PerKeyCap]] events per user,
+    * chosen by md5-of-id rank — the "at most K documents per domain /
+    * K events per user" downsampling every training mix needs, made
+    * reproducible (same kept set on every run and engine, unlike
+    * `ORDER BY rand()`). One hash shuffle + per-key sort; rank-limit
+    * pushdown (WindowGroupLimit) keeps only K rows per key ahead of
+    * the full window sort at scale. */
+  def perKeyCap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(md5(col("event_id").cast("string")))
+    ev.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= PerKeyCap)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("event_id")).as("id_checksum"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val perKeyCapSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_id, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY md5(event_id::VARCHAR)) AS rn
+       |  FROM events)
+       |SELECT user_id, count(*)::BIGINT AS n_kept,
+       |  sum(event_id)::BIGINT AS id_checksum,
+       |  ${moneySumSql("value")} AS sum_value
+       |FROM r WHERE rn <= $PerKeyCap
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---- q53: streaming sessionization ---------------------------------
+
+  /** q37's `session_window` run incrementally under Structured
+    * Streaming: state is the set of OPEN sessions per user (merged on
+    * overlap), and append mode emits a session once the watermark
+    * passes its close (last event + gap). The stream result is
+    * therefore exactly the batch sessions that are CLOSED at the final
+    * watermark — the open tail (110 sessions at sf0.01) is correctly
+    * withheld, not lost; the oracle encodes the same horizon. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // floor nanos→micros, as q37
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withWatermark("event_ts", "0 seconds")
+    try spark.catalog.dropTempView("stream_sessions_result")
+    catch { case _: Throwable => () }
+    val q = src
+      .groupBy(col("user_id"),
+        session_window(col("event_ts"), AnalyticsQueries.SessionGap))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName("stream_sessions_result")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("stream_sessions_result")
+      .orderBy("user_id", "session_start_us")
+    }
+
+  /** q37's oracle restricted to sessions closed at the final watermark
+    * (max event time): last event + gap <= horizon. */
+  val streamSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 12 HOUR
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id,
+      |    epoch_us(min(ts)::TIMESTAMP) AS session_start_us,
+      |    count(*) AS n_events,
+      |    (sum(floor(value * 100)::BIGINT)::DOUBLE / 100) AS sum_value,
+      |    max(ts) AS last_ts
+      |  FROM s GROUP BY user_id, sess)
+      |SELECT user_id, session_start_us, n_events, sum_value
+      |FROM g
+      |WHERE last_ts + INTERVAL 12 HOUR <= (SELECT max(ts) FROM events)
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // ---- q54: per-label embedding centroids ----------------------------
+
+  val CentroidDims = 8
+
+  /** Per-label centroid coordinates (first [[CentroidDims]] of the 64
+    * dims) — the cluster-statistics op of an embedding pipeline. One
+    * aggregation over a projection of `element_at`s: no explode, no
+    * shuffle of the vectors themselves, partial aggregation map-side;
+    * at 100 TB this is a pure scan + 10-row result. (The full-width
+    * centroid is the same plan with 64 projections or a fold over
+    * `posexplode`; the gated query keeps the oracle readable.) */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val em = table(spark, dir, "embeddings")
+    val coords = (1 to CentroidDims).map(k =>
+      r6(avg(element_at(col("embedding"), k).cast("double"))).as(s"c$k"))
+    em.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), coords: _*)
+      .orderBy("label")
+  }
+
+  // ---- q55: real media encode→decode round trip ----------------------
+
+  /** Documents encoded into REAL containers (24-bit BMP / PCM WAV /
+    * raw; [[graft.multimodal.Multimodal.encodedMedia]]) and decoded
+    * back by [[graft.multimodal.Multimodal.decodeMedia]] — an actual
+    * byte-level parse, not the q26 stub. The oracle recomputes every
+    * container size and geometry from first principles (BMP = 54-byte
+    * header + rows, WAV = 44-byte header + samples), so a decoder that
+    * misparsed any header field fails the gate; pixel/sample fidelity
+    * is asserted in DecodeSpec (encode→decode round-trip). */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val enc = graft.multimodal.Multimodal.encodedMedia(docs, "doc_id", "text")
+    graft.multimodal.Multimodal.decodeMedia(enc).toDF()
+      .select(col("media_id"), col("fmt"), col("n_bytes"),
+        col("w"), col("h"), col("n_samples"))
+      .orderBy("media_id")
+  }
+
+  val mediaDecodeSql: String = {
+    val (bw, bmax, wmax) =
+      (graft.multimodal.Multimodal.BmpWidth,
+        graft.multimodal.Multimodal.BmpMaxBytes,
+        graft.multimodal.Multimodal.WavMaxSamples)
+    val rows = s"greatest(1, ceil(least(octet_length(encode(text)), $bmax) / $bw.0))::BIGINT"
+    s"""SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'raw' END AS fmt,
+       |  (CASE doc_id % 3
+       |    WHEN 0 THEN 54 + $rows * ${bw * 3}
+       |    WHEN 1 THEN 44 + 2 * least(octet_length(encode(text)), $wmax)
+       |    ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+       |  (CASE doc_id % 3 WHEN 0 THEN $bw ELSE 0 END)::BIGINT AS w,
+       |  (CASE doc_id % 3 WHEN 0 THEN $rows ELSE 0 END)::BIGINT AS h,
+       |  (CASE doc_id % 3 WHEN 1 THEN least(octet_length(encode(text)), $wmax)
+       |   ELSE 0 END)::BIGINT AS n_samples
+       |FROM documents
+       |ORDER BY media_id""".stripMargin
+  }
+
+  val labelCentroidsSql: String = {
+    val coords = (1 to CentroidDims)
+      .map(k => s"round(avg(embedding[$k]::DOUBLE), 6) AS c$k").mkString(",\n  ")
+    s"""SELECT label, count(*)::BIGINT AS n_vecs,
+       |  $coords
+       |FROM embeddings
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
 }

@@ -19,6 +19,34 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(got.getAs[Long]("n_events") == ev.count())
   }
 
+  test("q53: streaming sessions equal batch sessions closed at the horizon") {
+    val got = ScaleQueries.streamSessions(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // batch q37 result restricted to sessions whose close (last event +
+    // gap) precedes the final watermark (max event time)
+    val batch = AnalyticsQueries.sessionization(spark, sfDir)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val horizon = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val gapUs = 12L * 3600 * 1000000
+    // session close (last event + gap) is not in q37's output;
+    // recompute it per (user, session_start) from the raw timestamps
+    val tsByUser: Map[Long, Seq[Long]] = ev
+      .groupBy(col("user_id")).agg(collect_list(col("ts_us")).as("all_ts"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val want = batch.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }.filter { case (uid, startUs, _, _) =>
+      var last = startUs
+      tsByUser(uid).dropWhile(_ < startUs).foreach { t =>
+        if (t <= last + gapUs) last = t
+      }
+      last + gapUs <= horizon
+    }.toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("q49: stream-static enrichment equals the batch join") {
     val got = ScaleQueries.streamEnrich(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
