@@ -73,7 +73,10 @@ object SparkEntry {
     "q52_per_key_cap" -> (S.perKeyCap _),
     "q53_stream_sessions" -> (S.streamSessions _),
     "q54_label_centroids" -> (S.labelCentroids _),
-    "q55_media_decode" -> (S.mediaDecode _))
+    "q55_media_decode" -> (S.mediaDecode _),
+    "q56_dedup_clusters" -> (S.dedupClusters _),
+    "q57_decontaminate" -> (S.decontaminate _),
+    "q58_training_mix" -> (S.trainingMix _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -127,5 +130,8 @@ object SparkEntry {
     "q52_per_key_cap" -> S.perKeyCapSql,
     "q53_stream_sessions" -> S.streamSessionsSql,
     "q54_label_centroids" -> S.labelCentroidsSql,
-    "q55_media_decode" -> S.mediaDecodeSql)
+    "q55_media_decode" -> S.mediaDecodeSql,
+    "q56_dedup_clusters" -> S.dedupClustersSql,
+    "q57_decontaminate" -> S.decontaminateSql,
+    "q58_training_mix" -> S.trainingMixSql)
 }

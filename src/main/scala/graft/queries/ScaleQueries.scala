@@ -541,6 +541,151 @@ object ScaleQueries {
       .orderBy("label")
   }
 
+  // ---- q56: dedup clusters (connected components) --------------------
+
+  /** The q10 near-dup PAIRS collapsed into duplicate CLUSTERS via
+    * [[graft.operators.ConnectedComponents]] — per cluster: the
+    * canonical representative (min doc_id, the doc a dedup pass
+    * keeps), member count, and an id checksum proving exact
+    * membership. Pairs alone under-dedup (a~b, b~c must collapse to
+    * one kept doc); this is the step that fixes it. The oracle runs
+    * the identical minhash pipeline in SQL and resolves components
+    * with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = PipelineQueries.dedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"))
+      .orderBy("cluster_rep")
+  }
+
+  /** q10's full SQL pipeline as a CTE, then min-label reachability via
+    * a recursive CTE (feasible for the oracle's graph sizes; the
+    * Spark side is the iterative distributed form). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${PipelineQueries.dedupMinhashSql}
+       |),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT comp AS cluster_rep, count(*)::BIGINT AS n_members,
+       |  sum(id)::BIGINT AS id_checksum
+       |FROM comp
+       |GROUP BY comp
+       |ORDER BY cluster_rep""".stripMargin
+
+  // ---- q57: benchmark decontamination --------------------------------
+
+  /** Long n-grams so shared fingerprints mean real passage overlap,
+    * not common words (8-grams flag 100% of this corpus; 24-char
+    * spans ≈ 4-5 words flag ~5%). */
+  val DecontamGram = 24
+  val DecontamModP = 4
+  /** Stand-in eval set: every 19th doc. */
+  val BenchMod = 19
+
+  /** Eval-set decontamination — the anti-join every training pipeline
+    * runs before a data release: drop any candidate document sharing a
+    * sampled long-n-gram fingerprint with the benchmark set. Shape:
+    * corpus grams are mod-p downsampled at the scan (4× volume cut
+    * before any shuffle), the benchmark fingerprint set is tiny (eval
+    * sets are KBs against a 100 TB corpus) and BROADCASTS into the
+    * semi-join, and the final membership test is a left-anti join by
+    * id. No shuffle ever carries the corpus text. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val fp = graft.Partitioning.spread(docs, col("doc_id"))
+      .select(col("doc_id").as("id"),
+        explode(graft.text.Hashing.charNgrams(col("text"), DecontamGram)).as("gram"))
+      .select(col("id"), graft.text.Hashing.x31(col("gram")).as("h"))
+      .filter(col("h") % DecontamModP === 0)
+      .distinct()
+      .persist() // two consumers (bench + candidate sides); harness clears
+    val bench = fp.filter(col("id") % BenchMod === 0).select("h").distinct()
+    val contaminated = fp.filter(col("id") % BenchMod =!= 0)
+      .join(broadcast(bench), Seq("h"))
+      .select(col("id").as("doc_id")).distinct()
+    docs.filter(col("doc_id") % BenchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  val decontaminateSql: String = {
+    import graft.text.Hashing
+    s"""WITH fp AS (
+       |  SELECT DISTINCT id, h FROM (
+       |    SELECT doc_id AS id, ${Hashing.x31Sql("gram")} AS h
+       |    FROM (SELECT doc_id,
+       |            unnest(${Hashing.charNgramsSql("text", DecontamGram)}) AS gram
+       |          FROM documents))
+       |  WHERE h % $DecontamModP = 0),
+       |bench AS (SELECT DISTINCT h FROM fp WHERE id % $BenchMod = 0),
+       |cont AS (
+       |  SELECT DISTINCT id FROM fp
+       |  WHERE id % $BenchMod <> 0 AND h IN (SELECT h FROM bench))
+       |SELECT lang, count(*)::BIGINT AS n_kept,
+       |  sum(doc_id)::BIGINT AS id_checksum
+       |FROM documents
+       |WHERE doc_id % $BenchMod <> 0
+       |  AND doc_id NOT IN (SELECT id FROM cont)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  // ---- q58: end-to-end training-mix materialization ------------------
+
+  val MixMinQuality = 0.5
+
+  /** The composed release pipeline: quality-filter (Gopher-style
+    * score ≥ [[MixMinQuality]]) → deterministic stratified language
+    * mix ([[SampleRates]]) → per-(lang, source) manifest with counts,
+    * character mass, and mean quality. Every stage is a projection or
+    * filter until the single final aggregation — the whole mix
+    * materializes in one scan of the corpus. */
+  def trainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val scored = docs
+      .withColumn("q", TextStats.qualityScore(col("text")))
+      .filter(col("q") >= MixMinQuality)
+    Sampling.stratifiedDeterministic(
+        scored, col("doc_id"), col("lang"), SampleRates, DefaultRate)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        r6(avg(col("q"))).as("mean_quality"))
+      .orderBy("lang", "source")
+  }
+
+  val trainingMixSql: String = {
+    val caseArms = SampleRates.toSeq.sorted
+      .map { case (k, r) => s"WHEN '$k' THEN '${Sampling.thresholdHex(r)}'" }
+      .mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang, source, doc_id, n_chars,
+       |    ${TextStats.qualityScoreSql("text")} AS q
+       |  FROM documents)
+       |SELECT lang, source, count(*)::BIGINT AS n_docs,
+       |  sum(n_chars)::BIGINT AS sum_chars,
+       |  round(avg(q), 6) AS mean_quality
+       |FROM scored
+       |WHERE q >= $MixMinQuality
+       |  AND substr(md5(doc_id::VARCHAR || ':sample'), 1, 4) <
+       |      CASE lang $caseArms ELSE '${Sampling.thresholdHex(DefaultRate)}' END
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
+
   // ---- q55: real media encode→decode round trip ----------------------
 
   /** Documents encoded into REAL containers (24-bit BMP / PCM WAV /
