@@ -76,7 +76,8 @@ object SparkEntry {
     "q55_media_decode" -> (S.mediaDecode _),
     "q56_dedup_clusters" -> (S.dedupClusters _),
     "q57_decontaminate" -> (S.decontaminate _),
-    "q58_training_mix" -> (S.trainingMix _))
+    "q58_training_mix" -> (S.trainingMix _),
+    "q59_stream_window_distinct" -> (S.streamWindowDistinct _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -686,6 +686,40 @@ object ScaleQueries {
        |ORDER BY lang, source""".stripMargin
   }
 
+  // ---- q59: streaming windowed approx-distinct (sketch as state) -----
+
+  /** Daily distinct-user estimate over the event stream —
+    * `approx_count_distinct` (HLL++) as STREAMING state: per-window
+    * state is one sketch (KB), not the user set, so the same query
+    * holds on an unbounded stream where exact distinct state grows
+    * without limit. Complete mode + event-time windows; the estimate
+    * is approximate by design → rows-only gate, with the per-window
+    * error bound asserted against exact batch counts in
+    * ScaleQueriesSpec. */
+  def streamWindowDistinct(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // floor nanos→micros, as q30
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withWatermark("event_ts", "1 hour")
+    try spark.catalog.dropTempView("stream_window_distinct_result")
+    catch { case _: Throwable => () }
+    val q = src
+      .groupBy(window(col("event_ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id")).as("nd_users_est"),
+        count(lit(1)).as("n_events"))
+      .select(unix_seconds(col("window.start")).as("day_epoch"),
+        col("nd_users_est"), col("n_events"))
+      .writeStream.format("memory").queryName("stream_window_distinct_result")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("stream_window_distinct_result").orderBy("day_epoch")
+    }
+
   // ---- q55: real media encode→decode round trip ----------------------
 
   /** Documents encoded into REAL containers (24-bit BMP / PCM WAV /

@@ -127,6 +127,13 @@ class PlanSpec extends SparkSpec {
       s"q51 models a non-broadcastable build side:\n$p")
   }
 
+  test("q57: benchmark fingerprints broadcast; candidates leave by anti-join") {
+    val p = plan("q57_decontaminate")
+    assert(p.contains("BroadcastExchange"),
+      s"benchmark fingerprint set should broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"expected a left-anti membership join:\n$p")
+  }
+
   test("q25: IVF assign/probe has no crossJoin and no assignment window") {
     val p = plan("q25_ann_ivf")
     Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>

@@ -47,6 +47,23 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("q59: streaming windowed HLL estimates within 5% of exact, exact counts match") {
+    val got = ScaleQueries.streamWindowDistinct(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .groupBy(window(col("event_ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("nd"), count(lit(1)).as("n"))
+      .select(unix_seconds(col("window.start")).as("day"), col("nd"), col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got.length == exact.size)
+    got.foreach { case (day, est, n) =>
+      val (nd, nExact) = exact(day)
+      assert(n == nExact, s"day=$day exact event count mismatch")
+      assert(math.abs(est - nd).toDouble / nd < 0.05, s"day=$day est=$est nd=$nd")
+    }
+  }
+
   test("q49: stream-static enrichment equals the batch join") {
     val got = ScaleQueries.streamEnrich(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
