@@ -77,7 +77,8 @@ object SparkEntry {
     "q56_dedup_clusters" -> (S.dedupClusters _),
     "q57_decontaminate" -> (S.decontaminate _),
     "q58_training_mix" -> (S.trainingMix _),
-    "q59_stream_window_distinct" -> (S.streamWindowDistinct _))
+    "q59_stream_window_distinct" -> (S.streamWindowDistinct _),
+    "q60_resample_fill" -> (S.resampleFill _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -134,5 +135,6 @@ object SparkEntry {
     "q55_media_decode" -> S.mediaDecodeSql,
     "q56_dedup_clusters" -> S.dedupClustersSql,
     "q57_decontaminate" -> S.decontaminateSql,
-    "q58_training_mix" -> S.trainingMixSql)
+    "q58_training_mix" -> S.trainingMixSql,
+    "q60_resample_fill" -> S.resampleFillSql)
 }

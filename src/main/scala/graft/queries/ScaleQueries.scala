@@ -686,6 +686,57 @@ object ScaleQueries {
        |ORDER BY lang, source""".stripMargin
   }
 
+  // ---- q60: resample + forward fill ----------------------------------
+
+  /** 2024-01-01T00:00:00Z in epoch micros; the events table spans
+    * January 2024 (TESTDATA.md). */
+  val JanStartUs = 1704067200000000L
+  val DayUs = 86400000000L
+  val JanDays = 31
+
+  /** Time-series regularization: a daily grid per user, forward-filled
+    * with the user's most recent event at or before each grid point —
+    * the resample→fill step that turns irregular event streams into
+    * model-ready regular series. The grid is an explode over a
+    * 31-element sequence (no join to build it), and the fill is the
+    * [[graft.operators.AsofJoin]] union+running-window shape: ONE hash
+    * shuffle of (grid ∪ events), no per-pair work, any grid density.
+    * Days before a user's first event stay NULL (left-outer). DuckDB's
+    * native ASOF LEFT JOIN is the oracle. */
+  def resampleFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val grid = ev.select("user_id").distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0L), lit(JanDays - 1L))).as("i"))
+      .select(col("user_id"),
+        (lit(JanStartUs) + col("i") * lit(DayUs)).as("ts_us"))
+    graft.operators.AsofJoin.backward(
+        grid, ev,
+        key = "user_id", ts = "ts_us",
+        leftCols = Seq("user_id", "ts_us"),
+        rightPayload = Seq("ts_us" -> "last_ts_us", "value" -> "last_value"))
+      .withColumnRenamed("ts_us", "day_us")
+      .orderBy("user_id", "day_us")
+  }
+
+  val resampleFillSql: String =
+    s"""WITH days AS (
+       |  SELECT unnest(generate_series(
+       |    TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+       |    INTERVAL 1 DAY)) AS d),
+       |users AS (SELECT DISTINCT user_id FROM events),
+       |grid AS (
+       |  SELECT user_id, epoch_us(d) AS day_us FROM users CROSS JOIN days),
+       |e AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ets, value FROM events)
+       |SELECT g.user_id AS user_id, g.day_us, e.ets AS last_ts_us,
+       |       e.value AS last_value
+       |FROM grid g ASOF LEFT JOIN e
+       |  ON g.user_id = e.user_id AND e.ets <= g.day_us
+       |ORDER BY user_id, day_us""".stripMargin
+
   // ---- q59: streaming windowed approx-distinct (sketch as state) -----
 
   /** Daily distinct-user estimate over the event stream —
