@@ -33,13 +33,19 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Component label (the min node id reachable) for every node with
-    * at least one edge. Output: (id, comp). */
+    * at least one edge. Output: (id, comp).
+    *
+    * @param partitions parallelism for the per-round joins — size to
+    *   the EDGE LIST, not the cluster (near-dup graphs are orders of
+    *   magnitude smaller than their corpus; every round pays task
+    *   overhead per partition across ~4 iterations). 0 = inherit. */
   def components(
       edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col(src).as("a"), col(dst).as("b"))
+      maxIter: Int = 50, partitions: Int = 0): DataFrame = {
+    val undRaw = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
-      .persist()
+    val und = (if (partitions > 0) undRaw.repartition(partitions, col("a"))
+      else undRaw).persist()
     // eager localCheckpoint: materializes AND truncates lineage
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)

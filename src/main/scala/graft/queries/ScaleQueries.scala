@@ -554,7 +554,8 @@ object ScaleQueries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = PipelineQueries.dedupMinhash(spark, dir)
       .select(col("doc_a"), col("doc_b"))
-    graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+    graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b", partitions = 8)
       .groupBy(col("comp").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"))
       .orderBy("cluster_rep")

@@ -134,6 +134,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected a left-anti membership join:\n$p")
   }
 
+  test("q58: training mix is one corpus scan, one aggregation exchange") {
+    val p = plan("q58_training_mix")
+    assert("Scan parquet|FileScan".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"quality+mix must stay projection-only before the groupBy:\n$p")
+  }
+
+  test("q60: fill is one window over one union shuffle (plus grid distinct)") {
+    val p = plan("q60_resample_fill")
+    assert("Window \\[".r.findAllIn(p).size == 1, s"expected 1 window:\n$p")
+    // grid-build distinct + union fill = 2 hash exchanges, no joins at all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Join"), s"as-of fill must not plan a join:\n$p")
+  }
+
   test("q25: IVF assign/probe has no crossJoin and no assignment window") {
     val p = plan("q25_ann_ivf")
     Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
