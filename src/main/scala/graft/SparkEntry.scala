@@ -78,7 +78,8 @@ object SparkEntry {
     "q57_decontaminate" -> (S.decontaminate _),
     "q58_training_mix" -> (S.trainingMix _),
     "q59_stream_window_distinct" -> (S.streamWindowDistinct _),
-    "q60_resample_fill" -> (S.resampleFill _))
+    "q60_resample_fill" -> (S.resampleFill _),
+    "q61_forward_asof" -> (S.forwardAsof _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -136,5 +137,6 @@ object SparkEntry {
     "q56_dedup_clusters" -> S.dedupClustersSql,
     "q57_decontaminate" -> S.decontaminateSql,
     "q58_training_mix" -> S.trainingMixSql,
-    "q60_resample_fill" -> S.resampleFillSql)
+    "q60_resample_fill" -> S.resampleFillSql,
+    "q61_forward_asof" -> S.forwardAsofSql)
 }

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param leftCols     left columns to carry through (unprefixed)
+  /** Latest right row with `rightTs <= leftTs` (the `<=` convention).
+    *
+    * @param leftCols     left columns to carry through (unprefixed)
     * @param rightPayload right columns to attach, as (src -> outName)
     * @param tieBreak     optional right-side column ordering equal-ts
     *                     right rows (ascending; last wins) */
@@ -40,7 +42,34 @@ object AsofJoin {
       key: String, ts: String,
       leftCols: Seq[String],
       rightPayload: Seq[(String, String)],
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None): DataFrame =
+    asof(left, right, key, ts, leftCols, rightPayload, tieBreak,
+      lookBack = true)
+
+  /** Forward as-of: the single EARLIEST right row with
+    * `rightTs >= leftTs` on the same key (the "next quote after this
+    * order" direction). Mirrored window: right rows sort AFTER left
+    * rows at equal ts (so an exact-ts right row matches — the `>=`
+    * convention) and the frame runs currentRow→unboundedFollowing
+    * carrying `first(right, ignoreNulls)`. Same single-shuffle cost
+    * and tie-break contract as [[backward]] except ties take the
+    * FIRST equal-ts right row in `tieBreak` order (lowest wins). */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      leftCols: Seq[String],
+      rightPayload: Seq[(String, String)],
+      tieBreak: Option[String] = None): DataFrame =
+    asof(left, right, key, ts, leftCols, rightPayload, tieBreak,
+      lookBack = false)
+
+  private def asof(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      leftCols: Seq[String],
+      rightPayload: Seq[(String, String)],
+      tieBreak: Option[String],
+      lookBack: Boolean): DataFrame = {
     val tb: Column = tieBreak.map(col).getOrElse(lit(0L))
     val rPrep = right.select(col(key), col(ts), tb.cast("long").as("__tb"),
       struct(rightPayload.map { case (src, out) => col(src).as(out) }: _*).as("__r"))
@@ -52,11 +81,20 @@ object AsofJoin {
       lit(0L).as("__tb"), col("__l"), lit(null).cast(rType).as("__r"))
     val r = rPrep.select(col(key), col(ts), lit(0).as("__side"),
       col("__tb"), lit(null).cast(lType).as("__l"), col("__r"))
-    val w = Window.partitionBy(key)
-      .orderBy(asc(ts), asc("__side"), asc("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right(0) sorts BEFORE left(1) at equal ts, running
+    // frame looks back, last() wins. forward: mirror everything.
+    val w =
+      if (lookBack) Window.partitionBy(key)
+        .orderBy(asc(ts), asc("__side"), asc("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else Window.partitionBy(key)
+        .orderBy(asc(ts), desc("__side"), asc("__tb"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pick =
+      if (lookBack) last(col("__r"), ignoreNulls = true).over(w)
+      else first(col("__r"), ignoreNulls = true).over(w)
     l.unionByName(r)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__asof", pick)
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map { case (_, out) => col(s"__asof.$out").as(out) }: _*)

@@ -738,6 +738,53 @@ object ScaleQueries {
        |  ON g.user_id = e.user_id AND e.ets <= g.day_us
        |ORDER BY user_id, day_us""".stripMargin
 
+  // ---- q61: forward as-of join ---------------------------------------
+
+  /** For each purchase, the user's NEXT click at or after it
+    * ([[graft.operators.AsofJoin.forward]] — the mirrored direction of
+    * q38; same union + running-window single-shuffle shape). DuckDB has
+    * no forward ASOF, so the oracle is the correlated-min formulation
+    * joined back on the unique (user, ts) pair. */
+  def forwardAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    graft.operators.AsofJoin.forward(
+        purchases, clicks,
+        key = "user_id", ts = "ts_us",
+        leftCols = Seq("user_id", "ts_us", "event_id", "purchase_value"),
+        rightPayload = Seq("ts_us" -> "next_click_ts_us",
+          "value" -> "next_click_value"))
+      .withColumnRenamed("ts_us", "purchase_ts_us")
+      .orderBy("user_id", "purchase_ts_us")
+  }
+
+  val forwardAsofSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS purchase_ts_us,
+      |         event_id, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS click_ts_us,
+      |         value AS click_value
+      |  FROM events WHERE event_type = 'click'),
+      |n AS (
+      |  SELECT p.*,
+      |    (SELECT min(c.click_ts_us) FROM c
+      |     WHERE c.user_id = p.user_id
+      |       AND c.click_ts_us >= p.purchase_ts_us) AS next_click_ts_us
+      |  FROM p)
+      |SELECT n.user_id AS user_id, n.purchase_ts_us, n.event_id,
+      |       n.purchase_value, n.next_click_ts_us,
+      |       c.click_value AS next_click_value
+      |FROM n LEFT JOIN c
+      |  ON c.user_id = n.user_id AND c.click_ts_us = n.next_click_ts_us
+      |ORDER BY user_id, purchase_ts_us""".stripMargin
+
   // ---- q59: streaming windowed approx-distinct (sketch as state) -----
 
   /** Daily distinct-user estimate over the event stream —

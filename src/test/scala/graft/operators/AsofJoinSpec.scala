@@ -47,6 +47,42 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.getDouble(3) == 2.0, s"highest seq must win: $got")
   }
 
+  test("forward as-of: earliest right at-or-after each left row") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 25L, "late"), (2L, 10L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 7L, 0.7), (1L, 15L, 1.5), (1L, 20L, 2.0), (2L, 9L, 9.9))
+      .toDF("k", "t", "v")
+    val got = AsofJoin.forward(l, r, "k", "t",
+        leftCols = Seq("k", "t", "tag"),
+        rightPayload = Seq("t" -> "r_t", "v" -> "r_v"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getString(2),
+        if (row.isNullAt(3)) None else Some(row.getLong(3)),
+        if (row.isNullAt(4)) None else Some(row.getDouble(4))))
+      .toSet
+    assert(got == Set(
+      (1L, 10L, "a", Some(15L), Some(1.5)),   // earliest >= 10 is t=15
+      (1L, 20L, "b", Some(20L), Some(2.0)),   // equal ts matches (>=)
+      (1L, 25L, "late", None, None),          // nothing after -> NULL
+      (2L, 10L, "c", None, None)))            // right at t=9 is before
+  }
+
+  test("forward tie-break picks the LOWEST sequence among equal-ts right rows") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 1.0, 100L), (1L, 10L, 2.0, 200L))
+      .toDF("k", "t", "v", "seq")
+    val got = AsofJoin.forward(l, r, "k", "t",
+        leftCols = Seq("k", "t", "tag"),
+        rightPayload = Seq("v" -> "r_v"),
+        tieBreak = Some("seq"))
+      .head()
+    assert(got.getDouble(3) == 1.0, s"lowest seq must win: $got")
+  }
+
   test("property: random ties vs in-driver reference (dup (key,ts) right rows + tieBreak)") {
     // Seeded-random stand-in for scalacheck (offline cache). Small key
     // and ts domains force heavy (key, ts) collisions on BOTH sides —
