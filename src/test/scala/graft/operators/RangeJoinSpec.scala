@@ -50,6 +50,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(banded(left, right, -37L, 13L) == naive(left, right, -37L, 13L))
   }
 
+  test("null timestamps never match (SQL comparison semantics)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, Some(100L), 7L), (1L, None, 8L)).toDF("k", "lt", "lid")
+    val r = Seq((1L, Some(95L), 0.95), (1L, None, 0.0)).toDF("rk", "rt", "rv")
+    val got = RangeJoin.bucketedInner(l, r, "k", "rk", "lt", "rt", -10L, 0L)
+      .select("lid", "rv").collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    // only the non-null pair within the window survives — a null ts on
+    // either side banded to a null bucket and failed the exact filter,
+    // matching what the naive non-equi join would do
+    assert(got == Set((7L, 0.95)))
+  }
+
   test("q46 stream-stream range join equals the batch join") {
     val got = ScaleQueries.streamRangeJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
