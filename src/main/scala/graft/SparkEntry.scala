@@ -79,7 +79,8 @@ object SparkEntry {
     "q58_training_mix" -> (S.trainingMix _),
     "q59_stream_window_distinct" -> (S.streamWindowDistinct _),
     "q60_resample_fill" -> (S.resampleFill _),
-    "q61_forward_asof" -> (S.forwardAsof _))
+    "q61_forward_asof" -> (S.forwardAsof _),
+    "q62_event_pivot" -> (S.eventPivot _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -138,5 +139,6 @@ object SparkEntry {
     "q57_decontaminate" -> S.decontaminateSql,
     "q58_training_mix" -> S.trainingMixSql,
     "q60_resample_fill" -> S.resampleFillSql,
-    "q61_forward_asof" -> S.forwardAsofSql)
+    "q61_forward_asof" -> S.forwardAsofSql,
+    "q62_event_pivot" -> S.eventPivotSql)
 }

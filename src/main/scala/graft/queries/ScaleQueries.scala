@@ -785,6 +785,41 @@ object ScaleQueries {
       |  ON c.user_id = n.user_id AND c.click_ts_us = n.next_click_ts_us
       |ORDER BY user_id, purchase_ts_us""".stripMargin
 
+  // ---- q62: pivot (wide-format rollup) -------------------------------
+
+  /** The event types, pinned explicitly: `pivot` with an explicit
+    * value list skips the extra distinct-values JOB Spark otherwise
+    * runs to discover columns, and makes the output schema static —
+    * both mandatory at scale (a schema that depends on the data is a
+    * schema that changes under you). */
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily wide-format activity matrix: one row per day, one count
+    * column per event type (`groupBy.pivot.count`). Absent cells are
+    * 0, not NULL (pivot yields NULL for empty cells; the coalesce is
+    * part of the contract). One scan, one shuffle — the pivot is just
+    * an aggregation with a CASE per pinned value. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").withColumn("event_date",
+      to_date(expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")))
+    ev.groupBy(col("event_date").cast("string").as("event_date"))
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .select(col("event_date") +:
+        PivotEventTypes.map(v => coalesce(col(v), lit(0L)).as(s"n_$v")): _*)
+      .orderBy("event_date")
+  }
+
+  val eventPivotSql: String = {
+    val cells = PivotEventTypes.map(v =>
+      s"count(*) FILTER (WHERE event_type = '$v')::BIGINT AS n_$v").mkString(",\n  ")
+    s"""SELECT ts::DATE::VARCHAR AS event_date,
+       |  $cells
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY event_date""".stripMargin
+  }
+
   // ---- q59: streaming windowed approx-distinct (sketch as state) -----
 
   /** Daily distinct-user estimate over the event stream —
