@@ -820,6 +820,71 @@ object ScaleQueries {
        |ORDER BY event_date""".stripMargin
   }
 
+  // ---- q63: BM25 retrieval scoring -----------------------------------
+
+  val Bm25Query = Seq("hash", "join", "stream")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** Okapi BM25 ranking of the corpus against a keyword query — the
+    * retrieval-scoring counterpart of q44's corpus TF-IDF. Corpus
+    * statistics (N, avgdl) are two scalar jobs; per-term df is a
+    * 3-row broadcast; the per-doc work is one token explode + two
+    * aggregations. Ranked by the ROUNDED score for an engine-stable
+    * cutoff (same contract as q44). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.count().toDouble
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= MinTermLen)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
+    val tf = toks.filter(col("term").isInCollection(Bm25Query))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") + lit(Bm25K1) *
+      (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("s", idf * col("tf") * lit(Bm25K1 + 1) / norm)
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val bm25Sql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |  FROM documents),
+       |ft AS (SELECT doc_id, term FROM toks WHERE length(term) >= $MinTermLen),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ft GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |         (SELECT avg(dl) FROM dl) AS avgdl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ft
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term)
+       |SELECT tf.doc_id AS doc_id,
+       |  round(sum(
+       |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |      * tf * ${Bm25K1 + 1} / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl / avgdl))
+       |  ), 6) AS bm25
+       |FROM tf
+       |JOIN df USING (term)
+       |JOIN dl USING (doc_id)
+       |CROSS JOIN stats
+       |GROUP BY tf.doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   // ---- q59: streaming windowed approx-distinct (sketch as state) -----
 
   /** Daily distinct-user estimate over the event stream —
