@@ -112,4 +112,51 @@ object NgramJaccard {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     graft.CachedResult(out, Seq(post, prefix))
   }
+
+  /** Asymmetric CONTAINMENT join: ordered pairs (a, b), a ≠ b, with
+    * `|A∩B| / |A| ≥ threshold` — "A is (mostly) quoted inside B". The
+    * predicate quote/subset detection and decontamination generalize
+    * to; symmetric Jaccard misses it whenever B is much larger than A.
+    *
+    * Filtering is asymmetric too: the contained side keeps its
+    * rarest-first PREFIX (overlap ≥ τ·|A| must collide within A's
+    * first |A| − ⌈τ·|A|⌉ + 1 grams), but the containing side indexes
+    * ALL its grams — no size upper bound exists on B, only the lower
+    * bound |B| ≥ τ·|A| (enforced in the candidate join). Verification
+    * reuses the sorted-array native intersect. */
+  def containmentPairsResult(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): graft.CachedResult = {
+    val spread = graft.Partitioning.spread(docs, col(idCol))
+    val post = postings(spread, idCol, textCol, n)
+      .select(col("id"), Hashing.h60(col("gram")).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
+    val df = post.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefixA = post.join(df, "g")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(asc("df"), asc("g"))))
+      .join(sizes, "id")
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val pa = prefixA.select(col("id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+    val pb = post.join(sizes, "id")
+      .select(col("id").as("doc_b"), col("g"), col("sz").as("sz_b"))
+    val cand = pa.join(pb, Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a"))
+      .select("doc_a", "doc_b").distinct()
+    val garr = post.groupBy("id").agg(sort_array(collect_list(col("g"))).as("gr"))
+    val out = graft.Partitioning.spread(cand, col("doc_a"))
+      .join(garr.toDF("doc_a", "gr_a"), "doc_a")
+      .join(garr.toDF("doc_b", "gr_b"), "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectCount(col("gr_a"), col("gr_b"))
+          .cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("gr_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+    graft.CachedResult(out, Seq(post))
+  }
 }

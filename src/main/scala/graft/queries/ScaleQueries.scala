@@ -820,6 +820,39 @@ object ScaleQueries {
        |ORDER BY event_date""".stripMargin
   }
 
+  // ---- q64: n-gram containment (quote detection) ---------------------
+
+  val ContainGram = 8
+  val ContainThreshold = 0.6
+
+  /** Asymmetric containment join over the documents corpus —
+    * [[graft.dedup.NgramJaccard.containmentPairsResult]] at τ=0.6 on
+    * 8-grams: ordered (quoted, quoting) pairs symmetric Jaccard (q12)
+    * cannot see when the quoting doc is much larger. Oracle is the
+    * brute-force all-pairs SQL, so the prefix+size pruning is also
+    * recall-asserted exact. */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.NgramJaccard.containmentPairsResult(
+        table(spark, dir, "documents"), "doc_id", "text",
+        ContainGram, ContainThreshold)
+      .df.orderBy("doc_a", "doc_b")
+
+  val ngramContainmentSql: String = {
+    import graft.text.Hashing
+    s"""WITH sets AS (
+       |  SELECT doc_id AS id,
+       |         ${Hashing.charNgramsSql("text", ContainGram)} AS sh
+       |  FROM documents)
+       |SELECT a.id AS doc_a, b.id AS doc_b,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+       |    AS containment
+       |FROM sets a JOIN sets b ON a.id <> b.id
+       |WHERE len(a.sh) > 0
+       |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+       |      >= $ContainThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q63: BM25 retrieval scoring -----------------------------------
 
   val Bm25Query = Seq("hash", "join", "stream")

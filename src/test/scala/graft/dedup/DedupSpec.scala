@@ -118,6 +118,31 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got ${got.size}, want ${want.size}")
   }
 
+  test("containment join finds quotes that symmetric jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val quoted = "the quick brown fox jumps over the lazy dog tonight"
+    val big = quoted + " " + ("padding sentence with different words entirely " * 8)
+    val corpus = Seq(
+      (1L, quoted),                    // contained in 2
+      (2L, big),                       // the (much larger) container
+      (3L, "completely unrelated text about database engines instead"))
+      .toDF("doc_id", "text")
+    val res = NgramJaccard.containmentPairsResult(corpus, "doc_id", "text", 8, 0.6)
+    val pairs = res.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    res.release()
+    // 1 is contained in 2 (containment ~1.0) but NOT vice versa...
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c > 0.9 },
+      pairs.toString)
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L }, pairs.toString)
+    // ...and their symmetric jaccard is far below the same threshold
+    val sym = NgramJaccard.similarPairsResult(corpus, "doc_id", "text", 8, 0.6)
+    val symPairs = sym.df.collect()
+    sym.release()
+    assert(symPairs.isEmpty, symPairs.mkString(","))
+  }
+
   test("verify stages carry no forced corpus broadcast; release() frees scratch") {
     // The broadcast-vs-shuffle choice for the per-doc array tables must
     // stay with Catalyst/AQE (size-based), not be hard-coded: at 100 TB
