@@ -133,17 +133,25 @@ object NgramJaccard {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
     val df = post.groupBy("g").agg(count(lit(1)).as("df"))
-    val prefixA = post.join(df, "g")
+    val ranked = post.join(df, "g")
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(asc("df"), asc("g"))))
       .join(sizes, "id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // both candidate sides
+    val pa = ranked
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    val pa = prefixA.select(col("id").as("doc_a"), col("g"), col("sz").as("sz_a"))
-    val pb = post.join(sizes, "id")
-      .select(col("id").as("doc_b"), col("g"), col("sz").as("sz_b"))
+      .select(col("id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+    val pb = ranked.select(col("id").as("doc_b"), col("g"),
+      col("sz").as("sz_b"), col("pos").as("pos_b"))
     val cand = pa.join(pb, Seq("g"))
       .filter(col("doc_a") =!= col("doc_b") &&
-        col("sz_b") >= lit(threshold) * col("sz_a"))
+        col("sz_b") >= lit(threshold) * col("sz_a") &&
+        // positional filter (PPJoin-style) on the CONTAINING side:
+        // with both gram lists in the same global (df, g) order, an
+        // overlap of ceil(τ·|A|) grams forces a collision within B's
+        // first |B| − ⌈τ·|A|⌉ + 1 positions — prunes frequent-gram
+        // matches deep inside large containers before the distinct
+        col("pos_b") <= col("sz_b") - ceil(lit(threshold) * col("sz_a")) + 1)
       .select("doc_a", "doc_b").distinct()
     val garr = post.groupBy("id").agg(sort_array(collect_list(col("g"))).as("gr"))
     val out = graft.Partitioning.spread(cand, col("doc_a"))
@@ -157,6 +165,6 @@ object NgramJaccard {
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
-    graft.CachedResult(out, Seq(post))
+    graft.CachedResult(out, Seq(post, ranked))
   }
 }
