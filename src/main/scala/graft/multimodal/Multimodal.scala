@@ -138,27 +138,39 @@ object Multimodal {
   /** Genuine bytes→pixels/samples decode, partition-at-a-time (same
     * batch shape as [[extractFeatures]]). `mean_signal` is the mean
     * gray level (BMP) / RMS amplitude (WAV) — decode fidelity is
-    * asserted against independently computed values in DecodeSpec. */
+    * asserted against independently computed values in DecodeSpec.
+    *
+    * Magic bytes only ROUTE; the decoder VALIDATES. A payload that
+    * merely starts with 'BM'/'RIFF' (e.g. raw text beginning "BM25…")
+    * fails the decoder's header checks and falls back to "raw" instead
+    * of crashing the job — on arbitrary corpora the dispatch byte is
+    * data, not a type tag. */
   def decodeMedia(media: Dataset[(Long, Array[Byte])]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
+    def raw(id: Long, bytes: Array[Byte]) =
+      DecodedMedia(id, "raw", bytes.length.toLong, 0L, 0L, 0L, 0d)
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
         if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
-          val (w, h, gray) = MediaCodec.decodeBmp(bytes)
-          var sum = 0L
-          gray.foreach(g => sum += (g & 0xff))
-          val mean = if (gray.isEmpty) 0d else sum.toDouble / gray.length
-          DecodedMedia(id, "bmp", bytes.length.toLong, w.toLong, h.toLong, 0L,
-            math.rint(mean * 1e6) / 1e6)
+          try {
+            val (w, h, gray) = MediaCodec.decodeBmp(bytes)
+            var sum = 0L
+            gray.foreach(g => sum += (g & 0xff))
+            val mean = if (gray.isEmpty) 0d else sum.toDouble / gray.length
+            DecodedMedia(id, "bmp", bytes.length.toLong, w.toLong, h.toLong, 0L,
+              math.rint(mean * 1e6) / 1e6)
+          } catch { case scala.util.control.NonFatal(_) => raw(id, bytes) }
         } else if (bytes.length >= 4 &&
             new String(bytes, 0, 4, "US-ASCII") == "RIFF") {
-          val (_, samples) = MediaCodec.decodeWavPcm16(bytes)
-          var sq = 0d
-          samples.foreach(s => sq += s.toDouble * s)
-          val rms = if (samples.isEmpty) 0d else math.sqrt(sq / samples.length)
-          DecodedMedia(id, "wav", bytes.length.toLong, 0L, 0L, samples.length.toLong,
-            math.rint(rms * 1e6) / 1e6)
-        } else DecodedMedia(id, "raw", bytes.length.toLong, 0L, 0L, 0L, 0d)
+          try {
+            val (_, samples) = MediaCodec.decodeWavPcm16(bytes)
+            var sq = 0d
+            samples.foreach(s => sq += s.toDouble * s)
+            val rms = if (samples.isEmpty) 0d else math.sqrt(sq / samples.length)
+            DecodedMedia(id, "wav", bytes.length.toLong, 0L, 0L, samples.length.toLong,
+              math.rint(rms * 1e6) / 1e6)
+          } catch { case scala.util.control.NonFatal(_) => raw(id, bytes) }
+        } else raw(id, bytes)
       }
     }
   }

@@ -190,30 +190,56 @@ object AnalyticsQueries {
     * ≤ 1/accuracy of the row count (Greenwald–Khanna summaries). */
   val ApproxPercentileAccuracy = 10000
 
-  /** Scale path for [[quartilesOutliers]]: `approx_percentile`
-    * (Greenwald–Khanna quantile summaries) replaces exact `percentile`.
-    * Per-buffer state is O(accuracy·log n) instead of O(rows), so the
-    * same two-stage plan — tiny sketch aggregate broadcast back over a
-    * second scan for the Tukey fences — survives any corpus size.
-    * Gated rows-only (sketch outputs are engine-specific; no DuckDB
-    * equivalence); the rank-error bound vs the exact quartiles is
-    * asserted in QuantileSpec. */
-  def quartilesOutliersApprox(spark: SparkSession, dir: String): DataFrame = {
+  /** The Greenwald–Khanna sketch stage of q35, exposed for the spec:
+    * one scan → three approximate quartile values (actual data
+    * elements, rank within 1/accuracy of target). */
+  def approxQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
-    val q = li.agg(expr(
+    li.agg(expr(
         s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), $ApproxPercentileAccuracy)")
         .as("qs"))
       .select(element_at(col("qs"), 1).as("q1"),
         element_at(col("qs"), 2).as("q2"),
         element_at(col("qs"), 3).as("q3"))
-    val out = li.crossJoin(broadcast(q))
-      .filter(col("l_extendedprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
-        col("l_extendedprice") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
-      .agg(count(lit(1)).as("n_outliers"))
-    q.crossJoin(out)
-      .select(r6(col("q1")).as("q1"), r6(col("q2")).as("q2"),
-        r6(col("q3")).as("q3"), col("n_outliers"))
   }
+
+  /** Scale path for [[quartilesOutliers]]: `approx_percentile`
+    * (Greenwald–Khanna quantile summaries) replaces exact `percentile`.
+    * Per-buffer state is O(accuracy·log n) instead of O(rows), so the
+    * same two-stage plan — tiny sketch aggregate broadcast back over a
+    * second scan — survives any corpus size.
+    *
+    * The sketch's returned VALUES are engine-specific, so the output
+    * carries the GK accuracy claim in hash-matchable form: the row
+    * count plus one boolean per quartile asserting the returned
+    * value's exact rank (count of values ≤ it, from the second scan)
+    * is within eps·n+1 of the target rank p·n (eps = 1/accuracy; +1
+    * for the floor/interpolation seam). Oracle = exact count + literal
+    * TRUEs. QuantileSpec additionally asserts the Tukey-fence outlier
+    * count from these quartiles matches the exact q20's at test SF. */
+  def quartilesOutliersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val q = approxQuartiles(spark, dir)
+    val eps = 1.0 / ApproxPercentileAccuracy
+    val c = col("l_extendedprice")
+    val ranks = li.crossJoin(broadcast(q)).agg(
+      count(lit(1)).as("n"),
+      sum(when(c <= col("q1"), 1L).otherwise(0L)).as("le1"),
+      sum(when(c <= col("q2"), 1L).otherwise(0L)).as("le2"),
+      sum(when(c <= col("q3"), 1L).otherwise(0L)).as("le3"))
+    def ok(le: String, p: Double) =
+      (abs(col(le).cast("double") - lit(p) * col("n").cast("double"))
+        <= lit(eps) * col("n").cast("double") + lit(1.0))
+    ranks.select(col("n"),
+      ok("le1", 0.25).as("q1_ok"),
+      ok("le2", 0.50).as("q2_ok"),
+      ok("le3", 0.75).as("q3_ok"))
+  }
+
+  val quartilesOutliersApproxSql: String =
+    """SELECT count(*) AS n,
+      |  TRUE AS q1_ok, TRUE AS q2_ok, TRUE AS q3_ok
+      |FROM lineitem""".stripMargin
 
   // ---- q37: sessionization (session windows) -------------------------
 
@@ -324,17 +350,49 @@ object AnalyticsQueries {
       |  count(DISTINCT (l_returnflag, l_linestatus)) AS nd_flag_status
       |FROM lineitem""".stripMargin
 
+  /** Precision of the q22 sketches (HLL++ relativeSD) and the bound
+    * the gate asserts: the bound is 3.3σ of the configured precision —
+    * a deterministic-given-the-data claim with real margin, not a
+    * lucky draw. (The library default rsd 0.05 breached a 2% bound at
+    * sf0.01 — the bound must be derived from the precision, not
+    * hoped.) */
+  val ApproxDistinctRsd = 0.015
+  val ApproxDistinctRelErr = 0.05
+
   /** HyperLogLog++ approximate distinct — the 100 TB path (single pass,
-    * fixed memory, mergeable sketches). No SQL oracle: DuckDB's approx
-    * sketch differs by construction; the driver records rows>0 and the
-    * ScalaTest asserts <2% error vs exact. */
+    * fixed memory, mergeable sketches). Sketch estimates are
+    * engine-specific (DuckDB's HLL differs by construction), so the
+    * raw estimates can't hash-match an oracle; instead the output
+    * carries the accuracy CLAIM in hash-matchable form — the exact
+    * distinct counts plus one boolean per column asserting the HLL
+    * estimate landed within [[ApproxDistinctRelErr]] of exact. The
+    * oracle recomputes the exact side and literal TRUE. The exact
+    * countDistincts exist only to materialize the claim for the gate;
+    * at 100 TB one ships the estimates alone. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
+    def ok(apx: String, nd: String) =
+      (abs(col(apx).cast("double") - col(nd).cast("double"))
+        <= lit(ApproxDistinctRelErr) * col(nd).cast("double"))
     li.agg(
-      approx_count_distinct(col("l_partkey")).as("apx_part"),
-      approx_count_distinct(col("l_suppkey")).as("apx_supp"),
-      approx_count_distinct(col("l_orderkey")).as("apx_order"))
+      countDistinct(col("l_partkey")).as("nd_part"),
+      countDistinct(col("l_suppkey")).as("nd_supp"),
+      countDistinct(col("l_orderkey")).as("nd_order"),
+      approx_count_distinct(col("l_partkey"), ApproxDistinctRsd).as("apx_part"),
+      approx_count_distinct(col("l_suppkey"), ApproxDistinctRsd).as("apx_supp"),
+      approx_count_distinct(col("l_orderkey"), ApproxDistinctRsd).as("apx_order"))
+      .select(col("nd_part"), col("nd_supp"), col("nd_order"),
+        ok("apx_part", "nd_part").as("part_ok"),
+        ok("apx_supp", "nd_supp").as("supp_ok"),
+        ok("apx_order", "nd_order").as("order_ok"))
   }
+
+  val approxDistinctSql: String =
+    """SELECT count(DISTINCT l_partkey) AS nd_part,
+      |  count(DISTINCT l_suppkey) AS nd_supp,
+      |  count(DISTINCT l_orderkey) AS nd_order,
+      |  TRUE AS part_ok, TRUE AS supp_ok, TRUE AS order_ok
+      |FROM lineitem""".stripMargin
 
   // ---- q23: histogram ------------------------------------------------
 

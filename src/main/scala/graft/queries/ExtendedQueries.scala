@@ -176,7 +176,7 @@ object ExtendedQueries {
     * Structured Streaming — variance/skew/kurtosis per event-time
     * window, checked against a batch SQL oracle. */
   def streamMoments(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     try spark.catalog.dropTempView("stream_moments_result") catch { case _: Throwable => () }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)

@@ -335,6 +335,14 @@ object PipelineQueries {
 
   // ---- q25: IVF approximate nearest neighbor (rows-only check) -------
 
+  /** Deliberately rows-only (no SQL oracle): an ANN query's CONTENT —
+    * which neighbors the probed cells surface and their ranking — is a
+    * property of this engine's index, not a SQL-expressible fact, and
+    * unlike q22/q35/q48/q59 there is no scalar accuracy claim that can
+    * be carried as a hash-matchable column without embedding the exact
+    * KNN (which is q13, already oracle-gated). Recall vs exact KNN is
+    * asserted in IvfIndexSpec; q40 gates the same index against an
+    * exact oracle in the regime where recall is provably 1.0. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16)
@@ -371,7 +379,7 @@ object PipelineQueries {
     * returns the final result table. Complete output mode: every
     * window, same totals as the batch oracle. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file streaming sources take a directory; glob down to the one table
     val src = spark.readStream.schema(schema)
@@ -422,7 +430,7 @@ object PipelineQueries {
     * past the watermark. Oracle: DISTINCT md5(text) in DuckDB (md5 is
     * the cross-engine hash contract, see [[graft.text.Hashing]]). */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -456,7 +464,7 @@ object PipelineQueries {
     * (event_type, user_id, hour) is projected BEFORE dedup so the
     * emitted first-seen row is deterministic under any partitioning. */
   def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -493,12 +501,14 @@ object PipelineQueries {
   /** Top user_ids per event_type from the events STREAM via the
     * Space-Saving sketch ([[graft.streaming.StreamingTopK]]) — bounded
     * state per key regardless of distinct-value cardinality. Gated
-    * rows-only: sketch (count, error) output is approximation-order-
-    * dependent, so there is no engine-independent SQL oracle;
-    * exactness when capacity exceeds the distinct-value count is
-    * asserted in StreamingTopKSpec. */
+    * rows-only — deliberately, and unlike q22/q35/q48/q59 not
+    * convertible to a within-bound oracle: sketch (count, error)
+    * output is approximation-ORDER-dependent (which rows appear, not
+    * just their values, varies with merge order), so there is no
+    * engine-independent SQL oracle; exactness when capacity exceeds
+    * the distinct-value count is asserted in StreamingTopKSpec. */
   def streamTopK(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -56,14 +56,17 @@ object QueryUtil {
   val StreamStatePartitions = 8
 
   /** Run `body` (typically: build + start + await a streaming query)
-    * with `spark.sql.shuffle.partitions` = [[StreamStatePartitions]],
-    * restoring the session value afterwards. The conf is read at query
-    * START and recorded in the checkpoint, so the override must span
-    * planning; results never depend on it. */
-  def withStreamStatePartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, StreamStatePartitions.toString)
-    try body finally spark.conf.set(key, old)
+    * against an ISOLATED child session (`newSession`: own SQLConf and
+    * temp views, shared SparkContext/state) whose
+    * `spark.sql.shuffle.partitions` = [[StreamStatePartitions]]. The
+    * conf is read at query START and recorded in the checkpoint, so it
+    * must span planning; results never depend on it. A child session —
+    * not set/restore on the shared session — because two overlapping
+    * wraps on one session can interleave (B reads A's override as
+    * "old") and leak the override to concurrent batch planning. */
+  def withStreamStatePartitions[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    body(s)
   }
 }

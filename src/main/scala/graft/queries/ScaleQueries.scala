@@ -197,7 +197,7 @@ object ScaleQueries {
     * side, not the whole stream. Emits the raw attribution pairs
     * (append mode); the batch oracle is the same join in SQL. */
   def streamRangeJoin(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -270,11 +270,16 @@ object ScaleQueries {
 
   /** Date-partitioned copy of events for `dir`, written once per JVM
     * (modeling the real workload: partitioning is an ingest-time
-    * layout decision, not per-query work). */
+    * layout decision, not per-query work). The cache tag fingerprints
+    * the SOURCE file's length+mtime, not just its path — regenerating
+    * events.parquet under the same path across JVM runs invalidates
+    * the copy instead of silently serving the stale layout. */
   private def ensurePartitionedEvents(
       spark: SparkSession, dir: String): String = synchronized {
+    val src = new java.io.File(s"$dir/events.parquet")
     val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir))
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.length}:${src.lastModified}"))
     val path = s"${sys.props("java.io.tmpdir")}/graft_part_events_$tag"
     if (!new java.io.File(path, "_SUCCESS").exists) {
       val ev = table(spark, dir, "events").withColumn("event_date",
@@ -295,25 +300,51 @@ object ScaleQueries {
 
   // ---- q48: mergeable HLL sketch cube --------------------------------
 
+  /** Relative-error bound the q48/q59 gates assert on HLL estimates,
+    * and the q59 sketch precision that makes the bound a ≥3σ claim
+    * (the library-default rsd 0.05 breached 5% on one sf0.01 window;
+    * a bound must be derived from configured precision, not hoped).
+    * q48's hll_sketch_agg default (lgK=12, rse≈1.6%) already puts 5%
+    * at ~3σ. */
+  val HllRelErr = 0.05
+  val StreamDistinctRsd = 0.015
+
   /** Per-day HLL sketches of the distinct-user set, then a union-merge
     * across the days — the pre-aggregated "sketch cube" pattern: any
     * day-range's distinct count is answered by merging that range's
     * sketches (KB each) instead of rescanning raw data. The merge is
     * exactly the associative-commutative accumulator shape the
     * reference builds its moments on, applied to cardinality.
-    * Approximate by design → rows-only gate + error-bound spec
-    * (HllCubeSpec: estimate within 5% of exact). */
+    *
+    * The merged estimate is engine-specific, so the output carries the
+    * accuracy claim hash-matchably: exact day/event/user counts plus a
+    * boolean asserting the union-merged estimate landed within
+    * [[HllRelErr]] of the exact distinct-user count; the oracle
+    * recomputes the exact side and literal TRUE. The exact
+    * countDistinct exists only to materialize the claim for the gate. */
   def hllCube(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events").withColumn("event_date",
       to_date(expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")))
     val daily = ev.groupBy("event_date").agg(
       hll_sketch_agg(col("user_id")).as("sk"),
       count(lit(1)).as("n_events"))
-    daily.agg(
+    val cube = daily.agg(
       count(lit(1)).as("n_days"),
       sum(col("n_events")).as("n_events"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("nd_users_est"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("nd_users"))
+    cube.crossJoin(exact).select(
+      col("n_days"), col("n_events"), col("nd_users"),
+      (abs(col("nd_users_est").cast("double") - col("nd_users").cast("double"))
+        <= lit(HllRelErr) * col("nd_users").cast("double")).as("within_bound"))
   }
+
+  val hllCubeSql: String =
+    """SELECT count(DISTINCT ts::DATE) AS n_days,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS nd_users,
+      |  TRUE AS within_bound
+      |FROM events""".stripMargin
 
   // ---- q49: stream-static broadcast enrichment -----------------------
 
@@ -323,7 +354,7 @@ object ScaleQueries {
     * per-nation rollup. State is one row per nation (complete mode);
     * the stream side is never buffered for the join. */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -466,7 +497,7 @@ object ScaleQueries {
     * watermark — the open tail (110 sessions at sf0.01) is correctly
     * withheld, not lost; the oracle encodes the same horizon. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -543,22 +574,43 @@ object ScaleQueries {
 
   // ---- q56: dedup clusters (connected components) --------------------
 
-  /** The q10 near-dup PAIRS collapsed into duplicate CLUSTERS via
+  /** Near-dup PAIRS collapsed into duplicate CLUSTERS via
     * [[graft.operators.ConnectedComponents]] — per cluster: the
     * canonical representative (min doc_id, the doc a dedup pass
     * keeps), member count, and an id checksum proving exact
     * membership. Pairs alone under-dedup (a~b, b~c must collapse to
-    * one kept doc); this is the step that fixes it. The oracle runs
-    * the identical minhash pipeline in SQL and resolves components
-    * with a recursive CTE. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = PipelineQueries.dedupMinhash(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
+    * one kept doc); this is the step that fixes it.
+    *
+    * The pair-input form: a real pipeline computes near-dup pairs
+    * ONCE (q10) and feeds them here, rather than re-running the
+    * detector inside the clustering step. */
+  def dedupClustersFrom(pairs: DataFrame): DataFrame =
     graft.operators.ConnectedComponents
       .components(pairs, "doc_a", "doc_b", partitions = 8)
       .groupBy(col("comp").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"))
       .orderBy("cluster_rep")
+
+  /** Standalone q56: runs the q10 MinHash detector exactly once —
+    * the pair list is persisted and materialized BEFORE component
+    * propagation (the edge list's plan references the pairs twice via
+    * the direction union, and each propagation round re-reads it), and
+    * all MinHash scratch (postings + pairs) is released as soon as
+    * propagation finishes, which is safe because
+    * [[graft.operators.ConnectedComponents.components]] is eager: the
+    * labels it returns are checkpoint-decoupled from the input plan.
+    * The oracle runs the identical minhash pipeline in SQL and
+    * resolves components with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
+      table(spark, dir, "documents"), "doc_id", "text",
+      PipelineQueries.MinhashThreshold)
+    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
+    pairs.count() // materialize: exactly one MinHash evaluation
+    val out = dedupClustersFrom(pairs)
+    pairs.unpersist(blocking = false)
+    minhash.release()
+    out
   }
 
   /** q10's full SQL pipeline as a CTE, then min-label reachability via
@@ -601,8 +653,13 @@ object ScaleQueries {
     * before any shuffle), the benchmark fingerprint set is tiny (eval
     * sets are KBs against a 100 TB corpus) and BROADCASTS into the
     * semi-join, and the final membership test is a left-anti join by
-    * id. No shuffle ever carries the corpus text. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    * id. No shuffle ever carries the corpus text.
+    *
+    * The persisted fingerprint table (two consumers: bench + candidate
+    * sides) rides inside the returned [[graft.CachedResult]] — library
+    * callers `release()` after their final action; the Bench/Verify
+    * harnesses clear the cache between queries. */
+  def decontaminateResult(spark: SparkSession, dir: String): graft.CachedResult = {
     val docs = table(spark, dir, "documents")
     val fp = graft.Partitioning.spread(docs, col("doc_id"))
       .select(col("doc_id").as("id"),
@@ -610,17 +667,21 @@ object ScaleQueries {
       .select(col("id"), graft.text.Hashing.x31(col("gram")).as("h"))
       .filter(col("h") % DecontamModP === 0)
       .distinct()
-      .persist() // two consumers (bench + candidate sides); harness clears
+      .persist()
     val bench = fp.filter(col("id") % BenchMod === 0).select("h").distinct()
     val contaminated = fp.filter(col("id") % BenchMod =!= 0)
       .join(broadcast(bench), Seq("h"))
       .select(col("id").as("doc_id")).distinct()
-    docs.filter(col("doc_id") % BenchMod =!= 0)
+    val out = docs.filter(col("doc_id") % BenchMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
       .orderBy("lang")
+    graft.CachedResult(out, Seq(fp))
   }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateResult(spark, dir).df
 
   val decontaminateSql: String = {
     import graft.text.Hashing
@@ -742,9 +803,13 @@ object ScaleQueries {
 
   /** For each purchase, the user's NEXT click at or after it
     * ([[graft.operators.AsofJoin.forward]] — the mirrored direction of
-    * q38; same union + running-window single-shuffle shape). DuckDB has
-    * no forward ASOF, so the oracle is the correlated-min formulation
-    * joined back on the unique (user, ts) pair. */
+    * q38; same union + running-window single-shuffle shape). The click
+    * side passes `event_id` as the tie-break so equal-(user, ts) click
+    * rows resolve deterministically (lowest event_id wins) instead of
+    * sort-order-dependently — (user_id, ts_us) happens to be unique in
+    * this corpus, but the operator contract shouldn't lean on that.
+    * DuckDB has no forward ASOF, so the oracle is the correlated
+    * ORDER-BY-LIMIT-1 formulation with the same tie-break. */
   def forwardAsof(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
       .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
@@ -752,13 +817,15 @@ object ScaleQueries {
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("value").as("purchase_value"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), col("value"))
+      .select(col("user_id"), col("ts_us"), col("value"),
+        col("event_id").as("click_event_id"))
     graft.operators.AsofJoin.forward(
         purchases, clicks,
         key = "user_id", ts = "ts_us",
         leftCols = Seq("user_id", "ts_us", "event_id", "purchase_value"),
         rightPayload = Seq("ts_us" -> "next_click_ts_us",
-          "value" -> "next_click_value"))
+          "value" -> "next_click_value"),
+        tieBreak = Some("click_event_id"))
       .withColumnRenamed("ts_us", "purchase_ts_us")
       .orderBy("user_id", "purchase_ts_us")
   }
@@ -770,19 +837,17 @@ object ScaleQueries {
       |  FROM events WHERE event_type = 'purchase'),
       |c AS (
       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS click_ts_us,
-      |         value AS click_value
-      |  FROM events WHERE event_type = 'click'),
-      |n AS (
-      |  SELECT p.*,
-      |    (SELECT min(c.click_ts_us) FROM c
-      |     WHERE c.user_id = p.user_id
-      |       AND c.click_ts_us >= p.purchase_ts_us) AS next_click_ts_us
-      |  FROM p)
-      |SELECT n.user_id AS user_id, n.purchase_ts_us, n.event_id,
-      |       n.purchase_value, n.next_click_ts_us,
-      |       c.click_value AS next_click_value
-      |FROM n LEFT JOIN c
-      |  ON c.user_id = n.user_id AND c.click_ts_us = n.next_click_ts_us
+      |         value AS click_value, event_id AS click_event_id
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id AS user_id, p.purchase_ts_us, p.event_id,
+      |       p.purchase_value,
+      |  (SELECT c.click_ts_us FROM c
+      |   WHERE c.user_id = p.user_id AND c.click_ts_us >= p.purchase_ts_us
+      |   ORDER BY c.click_ts_us, c.click_event_id LIMIT 1) AS next_click_ts_us,
+      |  (SELECT c.click_value FROM c
+      |   WHERE c.user_id = p.user_id AND c.click_ts_us >= p.purchase_ts_us
+      |   ORDER BY c.click_ts_us, c.click_event_id LIMIT 1) AS next_click_value
+      |FROM p
       |ORDER BY user_id, purchase_ts_us""".stripMargin
 
   // ---- q62: pivot (wide-format rollup) -------------------------------
@@ -924,12 +989,17 @@ object ScaleQueries {
     * `approx_count_distinct` (HLL++) as STREAMING state: per-window
     * state is one sketch (KB), not the user set, so the same query
     * holds on an unbounded stream where exact distinct state grows
-    * without limit. Complete mode + event-time windows; the estimate
-    * is approximate by design → rows-only gate, with the per-window
-    * error bound asserted against exact batch counts in
-    * ScaleQueriesSpec. */
+    * without limit. Complete mode + event-time windows.
+    *
+    * The per-window estimates are engine-specific, so the output
+    * carries the accuracy claim hash-matchably: for each day, the
+    * stream's exact event count, the exact (batch-computed) distinct
+    * count, and a boolean asserting the STREAMING estimate landed
+    * within [[HllRelErr]] of it. The oracle recomputes the exact side
+    * per day and literal TRUE — so a stream that dropped a window, an
+    * event, or drifted past the bound all fail the hash. */
   def streamWindowDistinct(spark: SparkSession, dir: String): DataFrame =
-    withStreamStatePartitions(spark) {
+    withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -940,7 +1010,7 @@ object ScaleQueries {
     catch { case _: Throwable => () }
     val q = src
       .groupBy(window(col("event_ts"), "1 day"))
-      .agg(approx_count_distinct(col("user_id")).as("nd_users_est"),
+      .agg(approx_count_distinct(col("user_id"), StreamDistinctRsd).as("nd_users_est"),
         count(lit(1)).as("n_events"))
       .select(unix_seconds(col("window.start")).as("day_epoch"),
         col("nd_users_est"), col("n_events"))
@@ -949,8 +1019,25 @@ object ScaleQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(300000)
-    spark.table("stream_window_distinct_result").orderBy("day_epoch")
+    val streamed = spark.table("stream_window_distinct_result")
+    val exact = table(spark, dir, "events")
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .groupBy(window(col("event_ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("nd_users"))
+      .select(unix_seconds(col("window.start")).as("day_epoch"), col("nd_users"))
+    streamed.join(exact, "day_epoch")
+      .select(col("day_epoch"), col("n_events"), col("nd_users"),
+        (abs(col("nd_users_est").cast("double") - col("nd_users").cast("double"))
+          <= lit(HllRelErr) * col("nd_users").cast("double")).as("within_bound"))
+      .orderBy("day_epoch")
     }
+
+  val streamWindowDistinctSql: String =
+    """SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS nd_users,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY 1 ORDER BY day_epoch""".stripMargin
 
   // ---- q55: real media encode→decode round trip ----------------------
 

@@ -11,10 +11,10 @@ class QuantileSpec extends SparkSpec {
     val vals = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
     val n = vals.length
-    val row = AnalyticsQueries.quartilesOutliersApprox(spark, sfDir).head()
+    val q = AnalyticsQueries.approxQuartiles(spark, sfDir).head()
     val eps = 1.0 / AnalyticsQueries.ApproxPercentileAccuracy
     for ((name, p) <- Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)) {
-      val v = row.getAs[Double](name)
+      val v = q.getAs[Double](name)
       // approx_percentile returns an actual data value; its rank must
       // be within eps*n (+1 for the floor/interpolation seam) of target
       val rank = vals.count(_ <= v)
@@ -22,9 +22,18 @@ class QuantileSpec extends SparkSpec {
         s"$name=$v has rank $rank, target ${p * n} (n=$n)")
     }
     // with eps*n < 1 at this SF the fences are effectively exact, so
-    // the outlier count must match the exact query's
+    // the Tukey outlier count from the approx quartiles must match the
+    // exact query's
+    val (q1, q3) = (q.getAs[Double]("q1"), q.getAs[Double]("q3"))
+    val iqr = q3 - q1
+    val outliers = vals.count(v => v < q1 - 1.5 * iqr || v > q3 + 1.5 * iqr)
     val exact = AnalyticsQueries.quartilesOutliers(spark, sfDir).head()
-    assert(row.getAs[Long]("n_outliers") == exact.getAs[Long]("n_outliers"))
+    assert(outliers.toLong == exact.getAs[Long]("n_outliers"))
+    // the gate output itself: row count + all rank claims true
+    val row = AnalyticsQueries.quartilesOutliersApprox(spark, sfDir).head()
+    assert(row.getAs[Long]("n") == n.toLong)
+    for (c <- Seq("q1_ok", "q2_ok", "q3_ok"))
+      assert(row.getAs[Boolean](c), s"$c false")
   }
 
   test("epoch bucketing floors (DuckDB // parity), including pre-1970") {

