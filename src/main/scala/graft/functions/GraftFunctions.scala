@@ -24,5 +24,11 @@ object GraftFunctions {
       exprs => DoubleArrayCosine(exprs(0), exprs(1)))
     SqlShims.registerFunction(spark, "sorted_long_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
+    SqlShims.registerFunction(spark, "double_render_length",
+      exprs => RenderLengthExpression(exprs.head, "double"))
+    SqlShims.registerFunction(spark, "float_render_length",
+      exprs => RenderLengthExpression(exprs.head, "float"))
+    SqlShims.registerFunction(spark, "decimal_render_length",
+      exprs => RenderLengthExpression(exprs.head, "decimal"))
   }
 }

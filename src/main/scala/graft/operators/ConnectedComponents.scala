@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Component label (the min node id reachable) for every node with
-    * at least one edge. Output: (id, comp).
+    * at least one edge, by MIN-LABEL PROPAGATION — O(diameter) rounds;
+    * the right default for near-dup graphs (near-cliques, diameter
+    * 2-3). For unbounded-diameter graphs use [[componentsStar]]
+    * (O(log n)-round alternating star contraction). Output: (id, comp).
     *
     * @param partitions parallelism for the per-round joins — size to
     *   the EDGE LIST, not the cluster (near-dup graphs are orders of
@@ -66,5 +69,87 @@ object ConnectedComponents {
     }
     und.unpersist()
     labels
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14:
+    * the two-phase large-star/small-star algorithm) — O(log n) rounds
+    * in practice (O(log² n) proven) regardless of graph DIAMETER,
+    * where [[components]]' min-label propagation needs O(diameter)
+    * rounds and would crawl on a 10⁶-hop chain.
+    *
+    * Each phase is one groupBy-min + one equi-join on node id over the
+    * current edge list — the same per-round shuffle shape as
+    * [[components]], so the 100 TB notes there carry over. Edges only
+    * ever point big→small; a phase's output is `localCheckpoint`ed
+    * (lineage cut) and the edge list provably never exceeds O(n + m).
+    * Convergence = the small-star phase returns its own input (stars
+    * are fixpoints of both phases), checked with two anti-joins on the
+    * (shrinking) edge list.
+    *
+    * Output: (id, comp) for every node appearing in an edge, comp =
+    * min id of the component — identical contract to [[components]]
+    * (equality on random graphs is spec-asserted). */
+  def componentsStar(
+      edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 50, partitions: Int = 0): DataFrame =
+    componentsStarWithRounds(edges, src, dst, maxIter, partitions)._1
+
+  /** [[componentsStar]] plus the number of alternating rounds run —
+    * exposed so the O(log n) convergence claim is testable. */
+  def componentsStarWithRounds(
+      edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 50, partitions: Int = 0): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val raw = edges.select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
+    // nodes remembered up front: singleton roots (and self-loop-only
+    // nodes) drop out of the edge list but must stay in the output
+    val nodes = raw.select(col("x").as("id"))
+      .union(raw.select(col("y").as("id"))).distinct()
+      .localCheckpoint(true)
+    def rep(df: DataFrame): DataFrame =
+      if (partitions > 0) df.repartition(partitions, col("x")) else df
+
+    // one phase: emit (v, m) edges per the star rule, big→small
+    // large-star: all of Γ(u), keep v > u; small-star: Γ≤(u) ∪ {u}
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val directed =
+        if (large) e.select(col("x").as("u"), col("y").as("v"))
+          .union(e.select(col("y").as("u"), col("x").as("v")))
+        else e.select(greatest(col("x"), col("y")).as("u"),
+          least(col("x"), col("y")).as("v"))
+      val m = directed.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val nbrOut = directed.join(m, "u")
+        .filter(if (large) col("v") > col("u") else col("v") =!= col("m"))
+        .select(col("v").as("x"), col("m").as("y"))
+      val selfOut =
+        if (large) spark.emptyDataset[(Long, Long)].toDF("x", "y")
+        else m.filter(col("u") =!= col("m"))
+          .select(col("u").as("x"), col("m").as("y"))
+      rep(nbrOut.union(selfOut).distinct()).localCheckpoint(true)
+    }
+
+    var e = rep(raw.filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("x"),
+        least(col("x"), col("y")).as("y"))
+      .distinct()).localCheckpoint(true)
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = phase(phase(e, large = true), large = false)
+      // star fixpoint test on distinct edge sets: equal iff both
+      // difference directions are empty (counts checked first — free)
+      converged = next.count() == e.count() &&
+        next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      iter += 1
+    }
+    // converged edges are (child, root) stars; roots label themselves
+    val labeled = e.select(col("x").as("id"), col("y").as("comp"))
+    val roots = nodes.join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    (labeled.union(roots), iter)
   }
 }

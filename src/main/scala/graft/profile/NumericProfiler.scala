@@ -47,26 +47,14 @@ object NumericProfiler {
     case ByteType | ShortType | IntegerType | LongType =>
       Some(length(col(name).cast(StringType)))
     case DoubleType =>
-      Some(doubleLenUdf(col(name)))
+      Some(graft.functions.RenderLength.double_render_length(col(name)))
     case FloatType =>
-      Some(floatLenUdf(col(name)))
+      Some(graft.functions.RenderLength.float_render_length(col(name)))
     case _: DecimalType =>
-      Some(decimalLenUdf(col(name).cast(StringType)))
+      Some(graft.functions.RenderLength.decimal_render_length(col(name).cast(StringType)))
     case DateType | TimestampType | TimestampNTZType => None
     case _ => None
   }
-
-  private val doubleLenUdf =
-    udf((d: java.lang.Double) =>
-      if (d == null) null else Integer.valueOf(ValueRender.doubleAsStr(d).length))
-  private val floatLenUdf =
-    udf((f: java.lang.Float) =>
-      if (f == null) null else Integer.valueOf(ValueRender.floatAsStr(f).length))
-  private val decimalLenUdf =
-    udf((s: String) =>
-      if (s == null) null
-      else Integer.valueOf(
-        ValueRender.bigDecimalAsStr(new java.math.BigDecimal(s)).length))
 
   /** Whole-row completeness predicate: every field non-null and its
     * string rendering non-blank (reference:

@@ -42,6 +42,30 @@ class FunctionsSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)).eval(null).toString == "Aaa-##")
   }
 
+  test("render_length matches the Calcite-parity renderers, codegen and interpreted") {
+    val s = spark
+    import s.implicits._
+    val doubles = Seq(0d, 1d, -1.5d, 1234.5678d, 1e-9d, -0.25d,
+      Double.NaN, 123456789.123456789d)
+    val got = doubles.toDF("d")
+      .select(RenderLength.double_render_length(col("d"))).collect().map(_.getInt(0))
+    assert(got.toSeq == doubles.map(d => graft.profile.ValueRender.doubleAsStr(d).length))
+    val floats = Seq(0f, 2.5f, -3.25f, 1e8f, Float.NaN)
+    val gotF = floats.toDF("f")
+      .select(RenderLength.float_render_length(col("f"))).collect().map(_.getInt(0))
+    assert(gotF.toSeq == floats.map(f => graft.profile.ValueRender.floatAsStr(f).length))
+    val decs = Seq("0.5", "-0.25", "12.34", "3")
+    val gotD = decs.toDF("x")
+      .select(RenderLength.decimal_render_length(col("x"))).collect().map(_.getInt(0))
+    assert(gotD.toSeq == decs.map(x => graft.profile.ValueRender
+      .bigDecimalAsStr(new java.math.BigDecimal(x)).length))
+    // interpreted path + null propagation (nullIntolerant)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(RenderLengthExpression(Literal(0.0d), "double").eval() == 3) // "0E0"
+    assert(RenderLengthExpression(
+      Literal.create(null, org.apache.spark.sql.types.DoubleType), "double").eval() == null)
+  }
+
   test("csv and json sources round-trip with schemas") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
     val orig = spark.read.parquet(s"$sfDir/nation.parquet")

@@ -44,4 +44,45 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (5L, 6L))
     assert(run(edges) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  // ---- alternating star contraction (Kiveris SoCC'14) ----------------
+
+  private def runStar(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val s = spark
+    import s.implicits._
+    val (df, rounds) = ConnectedComponents
+      .componentsStarWithRounds(edges.toDF("s", "d"), "s", "d")
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("star: matches union-find and min-label on random graphs") {
+    val rnd = new Random(29)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 25
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val want = ufComponents(edges)
+      val (got, _) = runStar(edges)
+      assert(got == want, s"trial $trial")
+      assert(got == run(edges), s"trial $trial: star != min-label")
+    }
+  }
+
+  test("star: 10^4-node chain converges in O(log n) rounds, not O(n)") {
+    // min-label propagation needs diameter ≈ 10^4 rounds here; the
+    // alternating algorithm must finish in logarithmic rounds — the
+    // whole point of the upgrade (ConnectedComponents scaladoc).
+    val nChain = 10000L
+    val edges = (0L until nChain).map(i => (i, i + 1))
+    val (got, rounds) = runStar(edges)
+    assert(got.size == nChain + 1 && got.values.forall(_ == 0L))
+    assert(rounds <= 2 * (math.log(nChain.toDouble) / math.log(2)).ceil.toInt,
+      s"chain of $nChain took $rounds alternating rounds")
+  }
+
+  test("star: self-loops, duplicates, singleton roots") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (5L, 6L), (9L, 9L))
+    val (got, _) = runStar(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
 }

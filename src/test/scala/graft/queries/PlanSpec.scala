@@ -149,6 +149,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"as-of fill must not plan a join:\n$p")
   }
 
+  test("q05: length stats run fully codegen — no black-box UDF nodes anywhere") {
+    // the Calcite-parity value renderers are native expressions
+    // (RenderLengthExpression), not Scala UDFs: the whole length scan
+    // stays inside WholeStageCodegen
+    val p = plan("q05_length_stats")
+    Seq("ScalaUDF", "BatchEvalPython", "ArrowEvalPython").foreach { bad =>
+      assert(!p.contains(bad), s"q05 plan contains $bad:\n$p")
+    }
+  }
+
   test("q25: IVF assign/probe has no crossJoin and no assignment window") {
     val p = plan("q25_ann_ivf")
     Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
