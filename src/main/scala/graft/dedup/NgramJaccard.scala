@@ -124,9 +124,17 @@ object NgramJaccard {
     * ALL its grams — no size upper bound exists on B, only the lower
     * bound |B| ≥ τ·|A| (enforced in the candidate join). Verification
     * reuses the sorted-array native intersect. */
-  def containmentPairsResult(
+  /** The candidate stage of [[containmentPairsResult]] — all ordered
+    * pairs surviving the asymmetric prefix + size + positional
+    * filters, BEFORE exact verification. Exposed (package-private) so
+    * the filter-safety property — candidates ⊇ true containment pairs,
+    * i.e. the filters may only prune NON-matches — is testable per
+    * stage (DedupSpec's randomized-corpora property), not just via the
+    * end-to-end result. Returns (candidates, postings, scratch to
+    * release). */
+  private[graft] def containmentCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): graft.CachedResult = {
+      n: Int, threshold: Double): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val spread = graft.Partitioning.spread(docs, col(idCol))
     val post = postings(spread, idCol, textCol, n)
       .select(col("id"), Hashing.h60(col("gram")).as("g"))
@@ -153,6 +161,14 @@ object NgramJaccard {
         // matches deep inside large containers before the distinct
         col("pos_b") <= col("sz_b") - ceil(lit(threshold) * col("sz_a")) + 1)
       .select("doc_a", "doc_b").distinct()
+    (cand, post, Seq(post, ranked))
+  }
+
+  def containmentPairsResult(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): graft.CachedResult = {
+    val (cand, post, scratch) =
+      containmentCandidates(docs, idCol, textCol, n, threshold)
     val garr = post.groupBy("id").agg(sort_array(collect_list(col("g"))).as("gr"))
     val out = graft.Partitioning.spread(cand, col("doc_a"))
       .join(garr.toDF("doc_a", "gr_a"), "doc_a")
@@ -165,6 +181,6 @@ object NgramJaccard {
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
-    graft.CachedResult(out, Seq(post, ranked))
+    graft.CachedResult(out, scratch)
   }
 }

@@ -116,4 +116,158 @@ object MediaCodec {
     while (i < samples.length) { samples(i) = b.getShort(44 + i * 2); i += 1 }
     (sampleRate, samples)
   }
+
+  // ---- PNG (8-bit RGB/RGBA, non-interlaced) --------------------------
+  //
+  // A COMPRESSED container with zero dependencies: PNG's DEFLATE layer
+  // is java.util.zip (Deflater/Inflater/CRC32, in the JDK), so unlike
+  // JPEG/H.264 it is implementable honestly here. Scope: bit depth 8,
+  // color types 2 (RGB) / 6 (RGBA), no interlace — the decoder still
+  // implements ALL FIVE scanline filters (None/Sub/Up/Average/Paeth),
+  // because any conformant encoder may emit them per row.
+  // Layout reference: RFC 2083 (signature; length/type/data/CRC chunks;
+  // IHDR 13 bytes big-endian; IDAT zlib stream of filtered scanlines).
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode 8-bit pixels (row-major, `channels` = 3 RGB or 4 RGBA) as
+    * a non-interlaced PNG. Rows are filter-type-0 (None) — simplest
+    * valid stream; DEFLATE still compresses it for real. */
+  def encodePng(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 3 || channels == 4, s"channels=$channels")
+    require(pixels.length == width * height * channels,
+      s"${pixels.length} != $width*$height*$channels")
+    val stride = width * channels
+    val raw = new Array[Byte](height * (stride + 1))
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = 0 // filter: None
+      System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len, 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)                                    // bit depth
+      .put((if (channels == 3) 2 else 6).toByte)        // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)        // deflate/adaptive/none
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a non-interlaced 8-bit RGB/RGBA PNG to (width, height,
+    * channels, pixels). Validates the signature, every chunk CRC, the
+    * IHDR invariants, and the inflated length; unfilters all five
+    * scanline filter types. Same fail-loudly contract as
+    * [[decodeBmp]]. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= PngSig.length + 12 &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, PngSig.length), PngSig), "not a PNG")
+    val b = ByteBuffer.wrap(bytes) // big-endian by default
+    b.position(PngSig.length)
+    var width, height, channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(b.remaining() >= 12, "truncated PNG (chunk header)")
+      val len = b.getInt()
+      require(len >= 0 && b.remaining() >= len + 8, "truncated PNG (chunk body)")
+      val typBytes = new Array[Byte](4); b.get(typBytes)
+      val typ = new String(typBytes, "US-ASCII")
+      val data = new Array[Byte](len); b.get(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typBytes); crc.update(data)
+      require(b.getInt() == crc.getValue.toInt, s"bad CRC in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          val h = ByteBuffer.wrap(data)
+          width = h.getInt(); height = h.getInt()
+          require(width > 0 && height > 0, "bad dimensions")
+          require(h.get() == 8, "only bit depth 8 supported")
+          channels = h.get() match {
+            case 2 => 3
+            case 6 => 4
+            case ct => throw new IllegalArgumentException(
+              s"only RGB/RGBA color types supported, got $ct")
+          }
+          require(h.get() == 0, "bad compression method")
+          require(h.get() == 0, "bad filter method")
+          require(h.get() == 0, "only non-interlaced supported")
+        case "IDAT" => idat.write(data, 0, len)
+        case "IEND" => sawEnd = true
+        case _      => () // ancillary chunks skipped (CRC still checked)
+      }
+    }
+    require(channels > 0, "missing IHDR")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = width * channels
+    val raw = new Array[Byte](height * (stride + 1))
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val k = inflater.inflate(raw, off, raw.length - off)
+      require(k > 0 || inflater.finished(), "bad IDAT stream")
+      off += k
+    }
+    val extra = inflater.inflate(new Array[Byte](1))
+    inflater.end()
+    require(off == raw.length && extra == 0,
+      s"IDAT length mismatch: got $off want ${raw.length}")
+    // unfilter (RFC 2083 §6): a = left, b = up, c = upper-left
+    val px = new Array[Byte](height * stride)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val ro = y * (stride + 1) + 1
+      val po = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(ro + x) & 0xff
+        val a = if (x >= bpp) px(po + x - bpp) & 0xff else 0
+        val up = if (y > 0) px(po - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) px(po - stride + x - bpp) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + up
+          case 3 => cur + (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - up), math.abs(p - c))
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case other => throw new IllegalArgumentException(s"bad filter $other")
+        }
+        px(po + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, channels, px)
+  }
 }

@@ -175,6 +175,57 @@ object Multimodal {
     }
   }
 
+  // ---- PNG path (compressed container, still dependency-free) --------
+
+  /** Image geometry for [[encodedPng]]: fixed 16-px-wide frames,
+    * capped payloads (oracle-computable geometry, as q55's BMP). */
+  val PngWidth = 16
+  val PngMaxBytes = 240
+
+  /** Deterministic PNG media table: text bytes become real
+    * DEFLATE-compressed PNGs ([[MediaCodec.encodePng]]) — RGB for even
+    * ids, RGBA for odd, so both supported color types flow through the
+    * gate. Pixels = text bytes (capped, zero-padded to full frames),
+    * laid into channels sequentially. */
+  def encodedPng(docs: DataFrame, idCol: String, textCol: String): Dataset[(Long, Array[Byte])] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, text) =>
+        val ch = 3 + (id % 2).toInt
+        val rowB = PngWidth * ch
+        val len = math.min(text.length, PngMaxBytes)
+        val h = math.max(1, (len + rowB - 1) / rowB)
+        // truncate at the cap THEN zero-pad to full frames (copyOf of
+        // the raw text would smuggle real bytes past the cap when the
+        // frame is larger than it)
+        val px = new Array[Byte](PngWidth * h * ch)
+        System.arraycopy(text, 0, px, 0, len)
+        (id, MediaCodec.encodePng(PngWidth, h, ch, px))
+      }
+  }
+
+  /** Features from a real PNG decode: geometry from the parsed IHDR,
+    * `pix_sum` the unsigned sum of every decoded pixel byte — a
+    * CONTENT check (a decoder that mis-unfiltered or mis-inflated any
+    * byte fails it), not just header math. */
+  final case class DecodedPng(
+      media_id: Long, w: Long, h: Long, channels: Long,
+      pix_bytes: Long, pix_sum: Long)
+
+  def decodePngFeatures(media: Dataset[(Long, Array[Byte])]): Dataset[DecodedPng] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (w, h, ch, px) = MediaCodec.decodePng(bytes)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+        DecodedPng(id, w.toLong, h.toLong, ch.toLong, px.length.toLong, sum)
+      }
+    }
+  }
+
   /** Resize stub: metadata-only transform (a real one maps pixels);
     * shows the pruning-friendly layout — bytes column untouched. */
   def resize(media: Dataset[MediaRecord], maxDim: Int): DataFrame =

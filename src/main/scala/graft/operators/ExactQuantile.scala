@@ -130,6 +130,34 @@ object ExactQuantile {
         assert(found, s"rank ${t.rank} not found in refinement bins")
         out
       }
+      // stall guard: a range a few ulps wide (massive duplicates over
+      // a handful of representable doubles) can land entirely in one
+      // bin — equal-width splitting makes no progress there. Such a
+      // range has fewer distinct VALUES than bins, so resolve it with
+      // one bounded distinct-value histogram instead.
+      val (stalled, progressing) = active.partition(t =>
+        t.lo < t.hi && (t.hi - t.lo) / buckets == 0 && t.cnt > collectMax)
+      if (stalled.nonEmpty) {
+        stalled.groupBy(t => (t.lo, t.hi)).foreach { case ((lo, hi), ts) =>
+          val hist = vals.filter(col("v") >= lo && col("v") <= hi)
+            .groupBy("v").agg(count(col("v")).as("c"))
+            .orderBy("v").collect()
+            .map(r => (r.getDouble(0), r.getLong(1)))
+          scans += 1
+          ts.foreach { t =>
+            var cum = 0L
+            val it = hist.iterator
+            var done = false
+            while (!done && it.hasNext) {
+              val (value, c) = it.next()
+              if (t.offset <= cum + c) { resolved(t.rank) = value; done = true }
+              cum += c
+            }
+            assert(done, s"rank ${t.rank} not found in value histogram")
+          }
+        }
+        active = progressing
+      }
       settle()
     }
 

@@ -190,6 +190,32 @@ object AnalyticsQueries {
     * ≤ 1/accuracy of the row count (Greenwald–Khanna summaries). */
   val ApproxPercentileAccuracy = 10000
 
+  /** q65: the SCALE-TRUE exact quantile — identical semantics and
+    * output to q20 (exact interpolated quartiles + Tukey outliers,
+    * same oracle SQL), computed by
+    * [[graft.operators.ExactQuantile]] histogram refinement instead of
+    * `percentile`'s O(rows) aggregation buffer: a handful of scans
+    * with `buckets` counters per task and ≤ `collectMax` values ever
+    * driver-side, so the same code holds at 10^12 rows where q20's
+    * buffer dies. q20 stays as the one-scan correctness anchor at
+    * test SF; this is the form a 100 TB deployment runs. */
+  def quartilesOutliersScalable(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val qs = graft.operators.ExactQuantile.quantiles(
+      li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    val (q1, q2, q3) = (qs(0), qs(1), qs(2))
+    val iqr = q3 - q1
+    li.filter(col("l_extendedprice") < lit(q1 - 1.5 * iqr) ||
+        col("l_extendedprice") > lit(q3 + 1.5 * iqr))
+      .agg(count(lit(1)).as("n_outliers"))
+      .select(r6(lit(q1)).as("q1"), r6(lit(q2)).as("q2"),
+        r6(lit(q3)).as("q3"), col("n_outliers"))
+  }
+
+  /** Same oracle as q20 — the operator must reproduce DuckDB
+    * `quantile_cont` exactly. */
+  val quartilesOutliersScalableSql: String = quartilesOutliersSql
+
   /** The Greenwald–Khanna sketch stage of q35, exposed for the spec:
     * one scan → three approximate quartile values (actual data
     * elements, rank within 1/accuracy of target). */

@@ -1078,6 +1078,41 @@ object ScaleQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  // ---- q66: PNG encode→decode round trip (compressed container) ------
+
+  /** Documents encoded as REAL non-interlaced PNGs (RGB even ids,
+    * RGBA odd — [[graft.multimodal.Multimodal.encodedPng]]) and parsed
+    * back through the full chunk/CRC/DEFLATE/unfilter path. The oracle
+    * recomputes geometry from first principles AND the pixel-content
+    * sum from the raw text bytes — so a decoder that misread a header,
+    * dropped a chunk, or mis-unfiltered a single byte fails the hash.
+    * This retires the "compressed formats stubbed" caveat for the one
+    * compressed container the JDK can honestly support. */
+  def pngDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val enc = graft.multimodal.Multimodal.encodedPng(docs, "doc_id", "text")
+    graft.multimodal.Multimodal.decodePngFeatures(enc).toDF()
+      .orderBy("media_id")
+  }
+
+  val pngDecodeSql: String = {
+    val (w, cap) = (graft.multimodal.Multimodal.PngWidth,
+      graft.multimodal.Multimodal.PngMaxBytes)
+    s"""WITH d AS (
+       |  SELECT doc_id, (3 + doc_id % 2)::BIGINT AS ch,
+       |         least(octet_length(encode(text)), $cap) AS len, text
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, ch, len, text,
+       |         greatest(1, ceil(len / ($w * ch)::DOUBLE))::BIGINT AS h
+       |  FROM d)
+       |SELECT doc_id AS media_id, $w::BIGINT AS w, h, ch AS channels,
+       |  (h * $w * ch)::BIGINT AS pix_bytes,
+       |  coalesce(list_sum(list_transform(range(1, len + 1),
+       |    i -> ord(substring(text, i::INT, 1)))), 0)::BIGINT AS pix_sum
+       |FROM g ORDER BY media_id""".stripMargin
+  }
+
   val labelCentroidsSql: String = {
     val coords = (1 to CentroidDims)
       .map(k => s"round(avg(embedding[$k]::DOUBLE), 6) AS c$k").mkString(",\n  ")

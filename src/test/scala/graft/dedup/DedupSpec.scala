@@ -143,6 +143,58 @@ class DedupSpec extends SparkSpec {
     assert(symPairs.isEmpty, symPairs.mkString(","))
   }
 
+  test("containment filters never prune a true pair (100 random corpora)") {
+    // the safety property of the asymmetric prefix + size + positional
+    // filters: they may only discard NON-matches, so the candidate set
+    // must be a superset of the brute-force truth on ANY corpus — here
+    // 100 randomized corpora (planted quotes, shared fragments, noise)
+    // unioned into one table and checked pair-exactly
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(97)
+    val n = 5
+    val tau = 0.6
+    val corpus: Seq[(Long, String)] = (0 until 100).flatMap { c =>
+      val vocab = Vector.tabulate(8)(k => s"w${c}x$k")
+      def sent(len: Int) =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bases = Vector.fill(6)(sent(4 + rnd.nextInt(10)))
+      val quotes = Vector.fill(4) {
+        val b = bases(rnd.nextInt(bases.size))
+        val frag = b.substring(0, math.max(n, rnd.nextInt(b.length)))
+        if (rnd.nextBoolean()) frag + " " + sent(3) else sent(2) + " " + frag
+      }
+      (bases ++ quotes).zipWithIndex.map { case (t, i) => (c * 100L + i, t) }
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val (cand, _, scratch) =
+      NgramJaccard.containmentCandidates(df, "doc_id", "text", n, tau)
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = NgramJaccard.containmentPairsResult(df, "doc_id", "text", n, tau)
+    val outSet = out.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.release()
+    scratch.foreach(_.unpersist(blocking = false))
+    // brute-force truth over ALL ordered pairs, raw (unhashed) grams
+    val grams: Array[(Long, Set[String])] = corpus.map { case (id, t) =>
+      id -> (0 to t.length - n).map(i => t.substring(i, i + n)).toSet
+    }.toArray
+    val truth = (for {
+      (a, ga) <- grams; (b, gb) <- grams
+      if a != b && ga.intersect(gb).size.toDouble / ga.size >= tau
+    } yield (a, b)).toSet
+    assert(truth.size > 100, s"corpus planted only ${truth.size} true pairs")
+    val pruned = truth -- candSet
+    assert(pruned.isEmpty,
+      s"filters pruned ${pruned.size} true pairs, e.g. ${pruned.take(5)}")
+    assert(outSet == truth,
+      s"verified output drifted: missing ${(truth -- outSet).take(5)}, " +
+        s"extra ${(outSet -- truth).take(5)}")
+    // pruning effectiveness, reported for the record
+    val allPairs = corpus.size.toLong * (corpus.size - 1)
+    info(f"candidates ${candSet.size}%,d of $allPairs%,d ordered pairs " +
+      f"(${100.0 * candSet.size / allPairs}%.2f%%), ${truth.size}%,d true")
+  }
+
   test("verify stages carry no forced corpus broadcast; release() frees scratch") {
     // The broadcast-vs-shuffle choice for the per-doc array tables must
     // stay with Catalyst/AQE (size-based), not be hard-coded: at 100 TB

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import scala.util.Random
+
+/** The bounded-memory exact quantile (q65's operator): exactness vs a
+  * driver-side sort, and the memory-bound CLAIM itself — refinement
+  * must never collect more than `collectMax` values even when forced
+  * through multiple passes by a tiny budget. */
+class ExactQuantileSpec extends SparkSpec {
+
+  /** Reference: interpolated quantile over a sorted array
+    * (percentile / quantile_cont semantics). */
+  private def refQuantile(sorted: Array[Double], p: Double): Double = {
+    val h = 1.0 + p * (sorted.length - 1)
+    val (lo, hi) = (math.floor(h).toInt, math.ceil(h).toInt)
+    sorted(lo - 1) + (h - lo) * (sorted(hi - 1) - sorted(lo - 1))
+  }
+
+  private val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+
+  test("matches driver-side sort on random data, duplicates, and skew") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(41)
+    val datasets = Seq(
+      Array.fill(5000)(rnd.nextDouble() * 1000 - 500),          // uniform
+      Array.fill(5000)((rnd.nextInt(20) * 7).toDouble),         // heavy dups
+      Array.fill(5000)(math.exp(rnd.nextGaussian() * 3)),       // skewed
+      Array(42.0),                                              // singleton
+      Array.fill(3000)(13.25))                                  // constant
+    for ((data, i) <- datasets.zipWithIndex) {
+      val df = data.toSeq.toDF("x")
+      val got = ExactQuantile.quantiles(df, "x", ps, buckets = 64)
+      val sorted = data.sorted
+      ps.zip(got).foreach { case (p, g) =>
+        val want = refQuantile(sorted, p)
+        assert(math.abs(g - want) <= math.abs(want) * 1e-12 + 1e-12,
+          s"dataset $i p=$p: got $g want $want")
+      }
+    }
+  }
+
+  test("per-pass memory stays under collectMax even with a tiny budget") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(43)
+    val data = Array.fill(20000)(rnd.nextDouble() * 1e6)
+    val df = data.toSeq.toDF("x")
+    // 8 buckets + collectMax 64 forces log_8(20000/64) ≈ 3 refinement
+    // passes; the claim: never more than collectMax values collected
+    val (got, stats) = ExactQuantile.quantilesWithStats(
+      df, "x", Seq(0.25, 0.5, 0.75), buckets = 8, collectMax = 64)
+    assert(stats.maxCollected <= 64,
+      s"collected ${stats.maxCollected} > collectMax")
+    assert(stats.scans <= 8, s"took ${stats.scans} scans")
+    val sorted = data.sorted
+    Seq(0.25, 0.5, 0.75).zip(got).foreach { case (p, g) =>
+      assert(math.abs(g - refQuantile(sorted, p)) <= 1e-6, s"p=$p")
+    }
+  }
+
+  test("empty and all-null inputs yield NaN") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[Double].toDF("x")
+    assert(ExactQuantile.quantiles(empty, "x", Seq(0.5)).forall(_.isNaN))
+    val nulls = Seq[Option[Double]](None, None).toDF("x")
+    assert(ExactQuantile.quantiles(nulls, "x", Seq(0.5)).forall(_.isNaN))
+  }
+
+  test("q65 equals q20 (buffer-exact) on the bench corpus") {
+    val a = graft.queries.AnalyticsQueries.quartilesOutliers(spark, sfDir).head()
+    val b = graft.queries.AnalyticsQueries.quartilesOutliersScalable(spark, sfDir).head()
+    for (c <- Seq("q1", "q2", "q3"))
+      assert(a.getAs[Double](c) == b.getAs[Double](c), c)
+    assert(a.getAs[Long]("n_outliers") == b.getAs[Long]("n_outliers"))
+  }
+}
