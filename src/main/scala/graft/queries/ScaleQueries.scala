@@ -1113,6 +1113,45 @@ object ScaleQueries {
        |FROM g ORDER BY media_id""".stripMargin
   }
 
+  // ---- q67: batch bounded-state top-K (Space-Saving Aggregator) ------
+
+  val BatchTopK = 5
+  /** Above the distinct user count at gate/bench SF → the sketch runs
+    * EXACT (errors 0), which is what makes q67 oracle-checkable; at
+    * larger domains the same query returns bounded-error heavy
+    * hitters from the same fixed-size state (TopKAggregateSpec). */
+  val BatchTopKCapacity = 4096
+
+  /** Top users per event type via the Space-Saving `Aggregator`
+    * ([[graft.operators.TopKAggregate]]) — bounded partial state
+    * regardless of the value domain, vs q07's exact one-row-per-
+    * distinct-value intermediate. The err column rides through the
+    * gate and must be exactly 0 (literal in the oracle): proof the
+    * sketch ran in its exact regime, not a lucky ranking. */
+  def batchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val agg = udaf(graft.operators.TopKAggregate
+      .topKAgg(BatchTopK, BatchTopKCapacity), org.apache.spark.sql.Encoders.STRING)
+    table(spark, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy("event_type").agg(agg(col("uid")).as("top"))
+      .select(col("event_type"), explode(col("top")).as("e"))
+      .select(col("event_type"), col("e.value").as("user_id"),
+        col("e.cnt").as("cnt"), col("e.err").as("err"), col("e.rank").as("rank"))
+      .orderBy("event_type", "rank")
+  }
+
+  val batchTopKSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, user_id::VARCHAR AS user_id, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rank
+       |  FROM c)
+       |SELECT event_type, user_id, cnt, 0::BIGINT AS err, rank::INT AS rank
+       |FROM r WHERE rank <= $BatchTopK
+       |ORDER BY event_type, rank""".stripMargin
+
   val labelCentroidsSql: String = {
     val coords = (1 to CentroidDims)
       .map(k => s"round(avg(embedding[$k]::DOUBLE), 6) AS c$k").mkString(",\n  ")
