@@ -887,15 +887,22 @@ object ScaleQueries {
 
   // ---- q64: n-gram containment (quote detection) ---------------------
 
-  val ContainGram = 8
+  /** 12-char grams (~2 words): the same selectivity lesson as q12's
+    * n=9 and q57's n=24 — prefix filtering prunes only when grams are
+    * rare, and on this small-vocabulary corpus 8-grams are so shared
+    * that the inverted index admitted 45% of ALL ordered pairs as
+    * candidates (11.4M at sf0.1; 12-grams: 1.0M, same verified pairs
+    * from n≥10 up, q64 6.6 s → ~1.5 s). Quotes shorter than ~12 chars
+    * are below detection interest anyway. */
+  val ContainGram = 12
   val ContainThreshold = 0.6
 
   /** Asymmetric containment join over the documents corpus —
     * [[graft.dedup.NgramJaccard.containmentPairsResult]] at τ=0.6 on
-    * 8-grams: ordered (quoted, quoting) pairs symmetric Jaccard (q12)
-    * cannot see when the quoting doc is much larger. Oracle is the
-    * brute-force all-pairs SQL, so the prefix+size pruning is also
-    * recall-asserted exact. */
+    * [[ContainGram]]-grams: ordered (quoted, quoting) pairs symmetric
+    * Jaccard (q12) cannot see when the quoting doc is much larger.
+    * Oracle is the brute-force all-pairs SQL, so the prefix+size
+    * pruning is also recall-asserted exact. */
   def ngramContainment(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.NgramJaccard.containmentPairsResult(
         table(spark, dir, "documents"), "doc_id", "text",
