@@ -28,6 +28,30 @@ object VectorOps {
     SqlShims.column(NearestCells(SqlShims.expression(vec),
       centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 
+  /** Random-hyperplane sign sketch (Charikar STOC'02 SimHash for
+    * cosine): bit p of the returned long = 1 iff `vec · planes(p) ≥ 0`.
+    * One narrow codegen projection per row — the plane matrix rides as
+    * a codegen reference object exactly like [[NearestCells]]'
+    * centroids. */
+  def hyperplane_sign_bits(vec: Column, planes: Array[Array[Double]]): Column =
+    SqlShims.column(HyperplaneSignBits(SqlShims.expression(vec),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** Also called from generated code. */
+  def signBits(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val r = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < r.length) { dot += vec.getDouble(i) * r(i); i += 1 }
+      if (dot >= 0.0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
   /** Top-p cells by cosine; ties broken by ascending cell index
     * (first-max-wins, matching IvfIndex.train's assignment loop).
     * Also called from generated code. */
@@ -101,4 +125,29 @@ case class NearestCells(
     copy(child = newChild)
 
   override def prettyName: String = "nearest_cells"
+}
+
+/** `planes` as Seq-of-Seq for case-class equality (see [[NearestCells]]). */
+case class HyperplaneSignBits(
+    child: Expression,
+    planes: IndexedSeq[IndexedSeq[Double]]) extends UnaryExpression {
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.signBits(v.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planeMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.signBits($v, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBits =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sign_bits"
 }

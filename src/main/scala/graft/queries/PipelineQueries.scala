@@ -333,6 +333,60 @@ object PipelineQueries {
        |WHERE list_cosine_similarity(a.e, b2.e) >= $EconCos
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q68: hyperplane-LSH near-dup (stateless banded cosine) --------
+
+  /** Embedding dimension of the testdata corpus (all SFs). */
+  val EmbDim = 64
+
+  /** The q40 economical corpus deduplicated by the THIRD blocking
+    * family: random-hyperplane LSH ([[graft.similarity.CosineLsh]]) —
+    * stateless/append-only banding (bucket keys depend only on the
+    * vector, no trained centroids), with the same exact-cosine verify
+    * at τ=[[EconCos]]. The oracle regenerates the plane matrix, sign
+    * sketches, band keys, candidate join, and verify in SQL from the
+    * same md5-derived constants, so the whole approximate pipeline is
+    * hash-gated (recall vs the q40 exact pair set is additionally
+    * asserted in SimilaritySpec). */
+  def neardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = groupedEmbeddings(table(spark, dir, "embeddings"))
+    graft.similarity.CosineLsh.nearDuplicatesResult(
+        corpus, "vec_id", "embedding", EmbDim, EconCos)
+      .df.orderBy("doc_a", "doc_b")
+  }
+
+  val neardupLshSql: String = {
+    import graft.similarity.CosineLsh._
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT vec_id AS gid, e AS be FROM v WHERE vec_id % $EconGroupSize = 0),
+       |m AS (SELECT v.vec_id,
+       |        list_transform(range(1, len(v.e)+1),
+       |                       i -> $EconAlpha*b.be[i] + $EconBeta*v.e[i]) AS e
+       |      FROM v JOIN b ON v.vec_id - v.vec_id % $EconGroupSize = b.gid),
+       |planes AS (
+       |  SELECT p.range AS p, d.range AS d,
+       |    ${planeComponentSql("p.range", "d.range")} AS r
+       |  FROM range($NumPlanes) p, range($EmbDim) d),
+       |dots AS (
+       |  SELECT m.vec_id, pl.p, sum(m.e[pl.d + 1] * pl.r) AS dot
+       |  FROM m CROSS JOIN planes pl
+       |  GROUP BY m.vec_id, pl.p),
+       |bands AS (
+       |  SELECT vec_id, p // $BandBits AS band,
+       |    sum(CASE WHEN dot >= 0 THEN 1 << (p % $BandBits) ELSE 0 END)::BIGINT AS key
+       |  FROM dots GROUP BY vec_id, p // $BandBits),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS doc_a, c.vec_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id)
+       |SELECT cand.doc_a, cand.doc_b,
+       |  round(list_cosine_similarity(ma.e, mb.e), 6) AS cos
+       |FROM cand
+       |JOIN m ma ON ma.vec_id = cand.doc_a
+       |JOIN m mb ON mb.vec_id = cand.doc_b
+       |WHERE list_cosine_similarity(ma.e, mb.e) >= $EconCos
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q25: IVF approximate nearest neighbor (rows-only check) -------
 
   /** Deliberately rows-only (no SQL oracle): an ANN query's CONTENT —

@@ -48,6 +48,18 @@ object Hashing {
 
   def x31Sql(e: String): String = s"(${h60Sql(e)} % $P31)"
 
+  /** Driver-side scalar twin of [[x31]] — bit-identical to the Column
+    * and SQL forms (md5 hex, first 15 chars, mod P31). Used to derive
+    * deterministic cross-engine constants (e.g. LSH hyperplane
+    * components) that both the Scala operator and the generated
+    * oracle recompute from the same strings. */
+  def x31Jvm(s: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % P31
+  }
+
   // ---- affine MinHash functions --------------------------------------
 
   /** i-th MinHash function applied to an x31 value. */

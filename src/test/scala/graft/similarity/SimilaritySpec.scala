@@ -108,6 +108,51 @@ class SimilaritySpec extends SparkSpec {
     } finally corpus.unpersist()
   }
 
+  test("q68 hyperplane LSH: high recall with real pruning on the clustered corpus") {
+    import graft.queries.PipelineQueries._
+    val corpus = groupedEmbeddings(emb).cache()
+    try {
+      val n = corpus.count()
+      val cands = CosineLsh.candidatePairs(corpus, "vec_id", "embedding", EmbDim).cache()
+      try {
+        val nCands = cands.count()
+        val allPairs = n * (n - 1) / 2
+        // banding must actually prune (stateless LSH's value) ...
+        assert(nCands <= allPairs / 2,
+          s"no pruning: $nCands candidates vs $allPairs pairs")
+        val exact = CosineKnn.nearDuplicatePairs(corpus, "vec_id", "embedding", EconCos)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val verified = CosineKnn.verifyPairs(cands, corpus, "vec_id", "embedding", EconCos)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // ... at high-but-sub-1.0 recall (probabilistic by design,
+        // deterministic given the corpus) with exact precision
+        assert(verified.subsetOf(exact), "verify stage must be exact")
+        val recall = verified.size.toDouble / exact.size
+        assert(exact.nonEmpty && recall >= 0.85,
+          s"recall $recall: ${verified.size} of ${exact.size}")
+        info(f"recall $recall%.3f, candidates $nCands of $allPairs pairs")
+      } finally cands.unpersist()
+    } finally corpus.unpersist()
+  }
+
+  test("LSH plane matrix is deterministic and matches the SQL formula") {
+    val m1 = CosineLsh.planes(8)
+    val m2 = CosineLsh.planes(8)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    // spot: the JVM scalar hash behind the components equals the
+    // Column-form x31 used everywhere else
+    val s = spark
+    import s.implicits._
+    val got = Seq("hp:0:0", "hp:7:3").toDF("s")
+      .select(graft.text.Hashing.x31(org.apache.spark.sql.functions.col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(graft.text.Hashing.x31Jvm("hp:0:0"),
+      graft.text.Hashing.x31Jvm("hp:7:3")))
+  }
+
   test("assign is a pure projection: no exchange, no window, no join in its plan") {
     val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8)
     val p = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
