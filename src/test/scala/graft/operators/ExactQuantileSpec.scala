@@ -61,6 +61,26 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
+  test("ulp-narrow duplicate flood resolves via the distinct-value fallback") {
+    // all mass inside a one-ulp range with count >> collectMax:
+    // equal-width refinement cannot split it (width underflows to 0),
+    // so the stall guard must resolve through the bounded
+    // distinct-value histogram instead of looping or collecting 6000
+    val s = spark
+    import s.implicits._
+    val a = 12345.6789
+    val b = math.nextUp(a)
+    val data = Array.fill(3000)(a) ++ Array.fill(3000)(b)
+    val df = scala.util.Random.shuffle(data.toSeq).toDF("x")
+    val (got, stats) = ExactQuantile.quantilesWithStats(
+      df, "x", Seq(0.25, 0.5, 0.75), buckets = 8, collectMax = 100)
+    val sorted = data.sorted
+    Seq(0.25, 0.5, 0.75).zip(got).foreach { case (p, g) =>
+      assert(g == refQuantile(sorted, p), s"p=$p")
+    }
+    assert(stats.maxCollected <= 100, s"collected ${stats.maxCollected}")
+  }
+
   test("empty and all-null inputs yield NaN") {
     val s = spark
     import s.implicits._
