@@ -157,8 +157,10 @@ object AnalyticsQueries {
     * MEMORY BOUND: Spark's exact `percentile` buffers EVERY value of
     * the column in its aggregation buffer — O(rows) driver-side after
     * the final merge. Correct and oracle-comparable at test SF;
-    * unusable at 100 TB. The scale path is [[quartilesOutliersApprox]]
-    * (bounded-memory sketch, same shape). */
+    * unusable at 100 TB. Scale paths: [[quartilesOutliersApprox]]
+    * (bounded-memory sketch, q35) and [[quartilesOutliersScalable]]
+    * (bounded-memory EXACT histogram refinement, q65 — same answers
+    * as this query at any scale). */
   def quartilesOutliers(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val q = li.agg(

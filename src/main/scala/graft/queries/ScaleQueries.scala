@@ -393,8 +393,12 @@ object ScaleQueries {
     * order totals) — the grouped form of q20. Same memory caveat as
     * q20 (exact `percentile` buffers each GROUP's values; the grouped
     * buffers are each smaller than the global one, but still O(group
-    * rows)) — the bounded-state twin is `approx_percentile` with
-    * identical plan shape, already gated via q35. */
+    * rows)). Bounded-state twins: `approx_percentile` with identical
+    * plan shape (gated via q35), and for exact answers at scale,
+    * [[graft.operators.ExactQuantile]] run per group (group count is
+    * small and fixed here, so k refinement passes filter on the
+    * group column and prune at the scan — the q65 machinery applies
+    * unchanged). */
   def groupQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     o.groupBy(col("o_orderpriority"))
