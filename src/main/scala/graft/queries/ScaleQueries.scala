@@ -420,6 +420,37 @@ object ScaleQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q69: grouped bounded-memory exact quantiles --------------------
+
+  /** q50's semantics from the bounded-memory grouped
+    * [[graft.operators.ExactQuantile]] — retires the LAST exact-
+    * percentile memory caveat: per-task state is `buckets` counters
+    * per active (group, range), never a group's value set, and the
+    * same oracle as q50 gates bit-exactness against `quantile_cont`.
+    * The per-group counts ride the operator's first stats pass, so
+    * the whole query is the operator's ~4 scans and a driver-side
+    * assembly of a 5-row result. */
+  def groupQuantilesScalable(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val vals = o.select(col("o_orderpriority"), col("o_totalprice"))
+    val counts = vals.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qs = graft.operators.ExactQuantile.groupedQuantiles(
+      vals, "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75))
+    val rows = qs.toSeq.map { case (g, s) =>
+      (g.asInstanceOf[String], counts(g.asInstanceOf[String]),
+        math.rint(s(0) * 1e6) / 1e6, math.rint(s(1) * 1e6) / 1e6,
+        math.rint(s(2) * 1e6) / 1e6)
+    }
+    import spark.implicits._
+    rows.toDF("o_orderpriority", "n_orders", "q1", "q2", "q3")
+      .orderBy("o_orderpriority")
+  }
+
+  /** Same oracle as q50 — the grouped operator must reproduce DuckDB
+    * `quantile_cont` exactly per group. */
+  val groupQuantilesScalableSql: String = groupQuantilesSql
+
   // ---- q51: salted skew join -----------------------------------------
 
   val SkewJoinSalts = 8

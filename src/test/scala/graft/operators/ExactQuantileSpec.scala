@@ -90,6 +90,41 @@ class ExactQuantileSpec extends SparkSpec {
     assert(ExactQuantile.quantiles(nulls, "x", Seq(0.5)).forall(_.isNaN))
   }
 
+  test("grouped quantiles match per-group driver-side sorts, memory-bounded") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(47)
+    val data = Seq.tabulate(12000) { i =>
+      val g = s"g${i % 7}"
+      (g, rnd.nextDouble() * (1 + i % 7) * 100)
+    }
+    val df = data.toDF("g", "x")
+    val (got, stats) = ExactQuantile.groupedQuantilesWithStats(
+      df, "g", "x", Seq(0.25, 0.5, 0.75), buckets = 16, collectMax = 128)
+    assert(stats.maxCollected <= 128)
+    val byGroup = data.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).toArray.sorted }
+    assert(got.keySet == byGroup.keySet.map(identity[Any]))
+    byGroup.foreach { case (g, sorted) =>
+      Seq(0.25, 0.5, 0.75).zip(got(g)).foreach { case (p, v) =>
+        val want = refQuantile(sorted, p)
+        assert(math.abs(v - want) <= math.abs(want) * 1e-12 + 1e-12, s"$g p=$p")
+      }
+    }
+  }
+
+  test("q69 equals q50 (buffer-exact grouped) on the bench corpus") {
+    val a = graft.queries.ScaleQueries.groupQuantiles(spark, sfDir).collect()
+    val b = graft.queries.ScaleQueries.groupQuantilesScalable(spark, sfDir).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      assert(x.getAs[Long]("n_orders") == y.getAs[Long]("n_orders"))
+      for (c <- Seq("q1", "q2", "q3"))
+        assert(x.getAs[Double](c) == y.getAs[Double](c), s"${x.getString(0)} $c")
+    }
+  }
+
   test("q65 equals q20 (buffer-exact) on the bench corpus") {
     val a = graft.queries.AnalyticsQueries.quartilesOutliers(spark, sfDir).head()
     val b = graft.queries.AnalyticsQueries.quartilesOutliersScalable(spark, sfDir).head()
