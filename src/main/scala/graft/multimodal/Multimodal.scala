@@ -226,6 +226,76 @@ object Multimodal {
     }
   }
 
+  // ---- real resize / frame-sample (on the containers we decode) ------
+
+  /** Nearest-neighbor grayscale downscale by integer factor `f`:
+    * out(y, x) = in(y·f, x·f) — the standard decimating resize. */
+  def downsampleGray(w: Int, h: Int, gray: Array[Byte], f: Int): (Int, Int, Array[Byte]) = {
+    require(f >= 1 && gray.length == w * h)
+    val w2 = (w + f - 1) / f
+    val h2 = (h + f - 1) / f
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) { out(y * w2 + x) = gray(y * f * w + x * f); x += 1 }
+      y += 1
+    }
+    (w2, h2, out)
+  }
+
+  /** Every f-th sample (audio frame-sampling / decimation; no
+    * anti-alias filter — deterministic and oracle-computable). */
+  def decimate(samples: Array[Short], f: Int): Array[Short] = {
+    require(f >= 1)
+    val n2 = (samples.length + f - 1) / f
+    val out = new Array[Short](n2)
+    var i = 0
+    while (i < n2) { out(i) = samples(i * f); i += 1 }
+    out
+  }
+
+  val ResizeFactor = 2
+  val DecimateFactor = 4
+
+  /** Raw EXACT integers out of the decode→transform chain — rounding
+    * conventions (JVM rint = half-even, SQL round = half-up) must not
+    * touch gate-crossing values, so derived signals (mean/RMS) are
+    * computed and rounded in the Column layer where both engines
+    * share semantics. */
+  final case class ResampledMedia(
+      media_id: Long, fmt: String, out_w: Long, out_h: Long,
+      out_samples: Long, sum_gray: Long, sum_sq: Long)
+
+  /** REAL decode → resize / frame-sample over the q55 containers:
+    * BMPs downscale ×[[ResizeFactor]] (nearest neighbor), WAVs
+    * decimate ×[[DecimateFactor]]; emits the exact gray sum of the
+    * RESIZED image / squared-sample sum of the DECIMATED audio — both
+    * recomputable from the source text bytes from first principles,
+    * so the q70 oracle gates the whole decode→transform chain
+    * content-exactly. Raw payloads pass through with zero geometry. */
+  def resampleMedia(media: Dataset[(Long, Array[Byte])]): Dataset[ResampledMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+          val (w, h, gray) = MediaCodec.decodeBmp(bytes)
+          val (w2, h2, g2) = downsampleGray(w, h, gray, ResizeFactor)
+          var sum = 0L
+          g2.foreach(g => sum += (g & 0xff))
+          ResampledMedia(id, "bmp", w2.toLong, h2.toLong, 0L, sum, 0L)
+        } else if (bytes.length >= 4 &&
+            new String(bytes, 0, 4, "US-ASCII") == "RIFF") {
+          val (_, samples) = MediaCodec.decodeWavPcm16(bytes)
+          val dec = decimate(samples, DecimateFactor)
+          var sq = 0L
+          dec.foreach(s => sq += s.toLong * s)
+          ResampledMedia(id, "wav", 0L, 0L, dec.length.toLong, 0L, sq)
+        } else ResampledMedia(id, "raw", 0L, 0L, 0L, 0L, 0L)
+      }
+    }
+  }
+
   /** Resize stub: metadata-only transform (a real one maps pixels);
     * shows the pruning-friendly layout — bytes column untouched. */
   def resize(media: Dataset[MediaRecord], maxDim: Int): DataFrame =

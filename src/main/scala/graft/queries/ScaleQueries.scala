@@ -1194,6 +1194,62 @@ object ScaleQueries {
        |FROM r WHERE rank <= $BatchTopK
        |ORDER BY event_type, rank""".stripMargin
 
+  // ---- q70: real media resize / frame-sample -------------------------
+
+  /** q55's containers pushed through REAL pixel/sample transforms —
+    * BMP nearest-neighbor ×2 downscale, WAV ×4 decimation
+    * ([[graft.multimodal.Multimodal.resampleMedia]]): the oracle
+    * recomputes the resized image's mean gray and the decimated
+    * audio's RMS from the source text bytes from first principles, so
+    * any error in decode, pixel selection, or sample selection fails
+    * the hash. Signals are derived from exact integer sums in the
+    * Column layer (rounding conventions are engine-shared there;
+    * JVM rint is not). */
+  def mediaResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val enc = graft.multimodal.Multimodal.encodedMedia(docs, "doc_id", "text")
+    graft.multimodal.Multimodal.resampleMedia(enc).toDF()
+      .select(col("media_id"), col("fmt"), col("out_w"), col("out_h"),
+        col("out_samples"),
+        r6(when(col("fmt") === "bmp",
+            col("sum_gray").cast("double") / (col("out_w") * col("out_h")))
+          .when(col("fmt") === "wav",
+            sqrt(col("sum_sq").cast("double") / col("out_samples")))
+          .otherwise(lit(0d))).as("sig"))
+      .orderBy("media_id")
+  }
+
+  val mediaResampleSql: String = {
+    val (bmax, wmax) = (graft.multimodal.Multimodal.BmpMaxBytes,
+      graft.multimodal.Multimodal.WavMaxSamples)
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    least(octet_length(encode(text)), $bmax) AS len_b,
+       |    least(octet_length(encode(text)), $wmax) AS len_w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, text, len_b, len_w,
+       |    ceil(greatest(1, ceil(len_b / 16.0)) / 2.0)::BIGINT AS h2,
+       |    ceil(len_w / 4.0)::BIGINT AS n2
+       |  FROM d)
+       |SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'raw' END AS fmt,
+       |  (CASE doc_id % 3 WHEN 0 THEN 8 ELSE 0 END)::BIGINT AS out_w,
+       |  (CASE doc_id % 3 WHEN 0 THEN h2 ELSE 0 END)::BIGINT AS out_h,
+       |  (CASE doc_id % 3 WHEN 1 THEN n2 ELSE 0 END)::BIGINT AS out_samples,
+       |  round(CASE doc_id % 3
+       |    WHEN 0 THEN
+       |      list_sum(list_transform(range(0, 8 * h2),
+       |        k -> CASE WHEN (2*(k//8))*16 + 2*(k%8) < len_b
+       |             THEN ord(substring(text, (2*(k//8))*16 + 2*(k%8) + 1, 1))
+       |             ELSE 0 END))::DOUBLE / (8 * h2)
+       |    WHEN 1 THEN
+       |      sqrt(list_sum(list_transform(range(0, n2),
+       |        k -> pow((ord(substring(text, 4*k + 1, 1)) - 128) * 256, 2)))::DOUBLE / n2)
+       |    ELSE 0 END, 6) AS sig
+       |FROM g ORDER BY media_id""".stripMargin
+  }
+
   val labelCentroidsSql: String = {
     val coords = (1 to CentroidDims)
       .map(k => s"round(avg(embedding[$k]::DOUBLE), 6) AS c$k").mkString(",\n  ")

@@ -105,6 +105,52 @@ class DecodeSpec extends SparkSpec {
     assert(dw == w && dh == h && dch == ch && back.sameElements(px))
   }
 
+  test("downsample and decimate pick exactly the nearest-neighbor elements") {
+    // hand-checkable 4x3 image, factor 2: out(y,x) = in(2y, 2x)
+    val gray = Array.tabulate(12)(i => i.toByte) // w=4, h=3
+    val (w2, h2, g2) = Multimodal.downsampleGray(4, 3, gray, 2)
+    assert(w2 == 2 && h2 == 2)
+    assert(g2.toSeq == Seq[Byte](0, 2, 8, 10))
+    // non-divisible width keeps the ceil column
+    val (w3, h3, g3) = Multimodal.downsampleGray(5, 1, Array.tabulate(5)(_.toByte), 2)
+    assert(w3 == 3 && h3 == 1 && g3.toSeq == Seq[Byte](0, 2, 4))
+    val dec = Multimodal.decimate(Array.tabulate(10)(_.toShort), 4)
+    assert(dec.toSeq == Seq[Short](0, 4, 8))
+    assert(Multimodal.decimate(Array.empty[Short], 4).isEmpty)
+  }
+
+  test("resample pipeline: sums match source bytes through decode+transform") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "abcdefgh" * 40),   // bmp (320 chars, capped at 240)
+      (1L, "xyz" * 50),        // wav
+      (2L, "raw passthrough")) // raw
+      .toDF("doc_id", "text")
+    val enc = Multimodal.encodedMedia(docs, "doc_id", "text")
+    val got = Multimodal.resampleMedia(enc).collect()
+      .map(r => r.media_id -> r).toMap
+    // bmp: gray = first 240 bytes zero-padded to 16x15; downscale by 2
+    val text0 = ("abcdefgh" * 40).getBytes("UTF-8").take(240)
+    val h = 15
+    var want0 = 0L
+    for (y2 <- 0 until (h + 1) / 2; x2 <- 0 until 8) {
+      val idx = 2 * y2 * 16 + 2 * x2
+      want0 += (if (idx < text0.length) text0(idx) & 0xff else 0)
+    }
+    assert(got(0L).fmt == "bmp" && got(0L).out_w == 8 &&
+      got(0L).out_h == 8 && got(0L).sum_gray == want0)
+    // wav: samples from first 150 bytes, decimated by 4
+    val text1 = ("xyz" * 50).getBytes("UTF-8")
+    val want1 = text1.indices.filter(_ % 4 == 0).map { i =>
+      val s16 = ((text1(i) & 0xff) - 128) * 256L
+      s16 * s16
+    }.sum
+    assert(got(1L).fmt == "wav" && got(1L).out_samples == 38 &&
+      got(1L).sum_sq == want1)
+    assert(got(2L).fmt == "raw" && got(2L).sum_gray == 0 && got(2L).sum_sq == 0)
+  }
+
   test("corrupt PNGs fail loudly: bad magic, flipped CRC, truncated stream") {
     val px = Array.fill(16 * 2 * 3)(7.toByte)
     val good = MediaCodec.encodePng(16, 2, 3, px)
