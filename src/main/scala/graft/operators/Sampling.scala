@@ -54,4 +54,14 @@ object Sampling {
     * independent of sample membership via a different salt. */
   def isTrain(idCol: Column, trainFraction: Double): Column =
     bucket(idCol, "split") < lit(thresholdHex(trainFraction))
+
+  /** Epoch-salted deterministic shuffle key — the training-order
+    * primitive: ordering by it is a reproducible global permutation
+    * of the corpus (same epoch → identical order on any cluster or
+    * engine; next epoch → an independent fresh permutation, no state
+    * carried). At scale `ORDER BY shuffle_key` is a range-partitioned
+    * sort over a 16-byte key per row, and the epoch never rewrites
+    * data — the permutation is recomputed from ids. */
+  def shuffleKey(idCol: Column, epoch: Int): Column =
+    md5(concat(idCol.cast("string"), lit(s":epoch:$epoch")))
 }

@@ -1250,6 +1250,34 @@ object ScaleQueries {
        |FROM g ORDER BY media_id""".stripMargin
   }
 
+  // ---- q71: deterministic training order (epoch shuffle) -------------
+
+  val ShuffleEpoch = 1
+  val ShuffleHead = 200
+
+  /** The first [[ShuffleHead]] documents of epoch-[[ShuffleEpoch]]
+    * training order ([[graft.operators.Sampling.shuffleKey]]) — the
+    * reproducible corpus shuffle every SGD data loader needs. The
+    * ORDER ITSELF is the deliverable and the gate: the driver compares
+    * rows in sequence, so any permutation drift between engines fails
+    * the hash. The sort+limit plans as TakeOrderedAndProject
+    * (distributed partial top-K), not a global sort. */
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.operators.Sampling.shuffleKey(col("doc_id"), ShuffleEpoch)
+          .as("shuffle_key"))
+      .orderBy("shuffle_key")
+      .limit(ShuffleHead)
+  }
+
+  val trainingOrderSql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  md5(doc_id::VARCHAR || ':epoch:$ShuffleEpoch') AS shuffle_key
+       |FROM documents
+       |ORDER BY shuffle_key
+       |LIMIT $ShuffleHead""".stripMargin
+
   val labelCentroidsSql: String = {
     val coords = (1 to CentroidDims)
       .map(k => s"round(avg(embedding[$k]::DOUBLE), 6) AS c$k").mkString(",\n  ")

@@ -57,4 +57,28 @@ class SamplingSpec extends SparkSpec {
     // would be train (0.3 < 0.8 prefix) — independence keeps it ~0.8
     assert(math.abs(frac - 0.8) < 0.03, frac.toString)
   }
+
+  test("epoch shuffle is a deterministic permutation; epochs are independent") {
+    val df = ids(2000)
+    val all = df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    def order(epoch: Int): Seq[Long] = df
+      .orderBy(Sampling.shuffleKey(col("id"), epoch))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val e1 = order(1)
+    // permutation: every id exactly once, in a non-trivial order;
+    // deterministic across runs
+    assert(e1.sorted == all && e1 != all)
+    assert(e1 == order(1))
+    // a new epoch reshuffles nearly everything
+    val e2 = order(2)
+    assert(e2.sorted == all)
+    val samePos = e1.zip(e2).count { case (a, b) => a == b }
+    assert(samePos < 20, s"$samePos ids kept their position across epochs")
+  }
+
+  test("q71 training-order head plans as TakeOrderedAndProject, not a global sort") {
+    val p = graft.queries.ScaleQueries.trainingOrder(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
