@@ -25,6 +25,12 @@ class FunctionsSpec extends SparkSpec {
       "SELECT sorted_long_intersect_count(array(1L,3L,5L), array(2L,3L,5L,9L)) AS n")
       .head().getInt(0)
     assert(ic == 2)
+    val rl = spark.sql(
+      "SELECT double_render_length(0.0d), float_render_length(2.5f), " +
+        "decimal_render_length('0.5')").head()
+    assert(rl.getInt(0) == 3) // "0E0"
+    assert(rl.getInt(1) == graft.profile.ValueRender.floatAsStr(2.5f).length)
+    assert(rl.getInt(2) == 2) // ".5"
   }
 
   test("pattern_mask works inside whole-stage codegen and interpreted eval") {

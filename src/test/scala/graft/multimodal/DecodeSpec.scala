@@ -151,6 +151,35 @@ class DecodeSpec extends SparkSpec {
     assert(got(2L).fmt == "raw" && got(2L).sum_gray == 0 && got(2L).sum_sq == 0)
   }
 
+  test("PNG ancillary chunks are skipped (CRC still checked); wrong color types rejected") {
+    val px = Array.fill(4 * 2 * 3)(9.toByte)
+    val good = MediaCodec.encodePng(4, 2, 3, px)
+    // splice a tEXt chunk (valid CRC) after IHDR: sig(8) + IHDR chunk(12+13)
+    val ihdrEnd = 8 + 12 + 13
+    val data = "comment".getBytes("US-ASCII")
+    val t = "tEXt".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    val spliced = good.take(ihdrEnd) ++ chunk ++ good.drop(ihdrEnd)
+    val (w, h, ch, back) = MediaCodec.decodePng(spliced)
+    assert(w == 4 && h == 2 && ch == 3 && back.sameElements(px))
+    // corrupt the spliced chunk's CRC → rejected even though ancillary
+    val bad = spliced.clone()
+    bad(ihdrEnd + chunk.length - 1) = (bad(ihdrEnd + chunk.length - 1) ^ 1).toByte
+    intercept[IllegalArgumentException] { MediaCodec.decodePng(bad) }
+    // grayscale (color type 0) is out of scope and must say so — flip
+    // the IHDR color-type byte AND recompute its CRC, so the rejection
+    // is the color-type check, not an incidental CRC failure
+    val gray = good.clone()
+    gray(8 + 8 + 9) = 0.toByte // IHDR color-type byte
+    val ic = new java.util.zip.CRC32()
+    ic.update(gray, 12, 4 + 13) // IHDR type + data
+    java.nio.ByteBuffer.wrap(gray, 8 + 8 + 13, 4).putInt(ic.getValue.toInt)
+    val err = intercept[IllegalArgumentException] { MediaCodec.decodePng(gray) }
+    assert(err.getMessage.contains("color type"), err.getMessage)
+  }
+
   test("corrupt PNGs fail loudly: bad magic, flipped CRC, truncated stream") {
     val px = Array.fill(16 * 2 * 3)(7.toByte)
     val good = MediaCodec.encodePng(16, 2, 3, px)
