@@ -57,14 +57,18 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("star: matches union-find and min-label on random graphs") {
     val rnd = new Random(29)
-    for (trial <- 1 to 3) {
-      val n = 40 + trial * 25
-      val edges = Seq.fill(n * 2)(
+    // density regimes: sparse forests (many components), near the
+    // connectivity threshold, and dense (one giant component) — the
+    // contraction must agree with union-find in all of them
+    val shapes = Seq((60, 30), (65, 65), (90, 180), (50, 400))
+    for (((n, m), trial) <- shapes.zipWithIndex) {
+      val edges = Seq.fill(m)(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
       val want = ufComponents(edges)
-      val (got, _) = runStar(edges)
-      assert(got == want, s"trial $trial")
+      val (got, rounds) = runStar(edges)
+      assert(got == want, s"trial $trial (n=$n m=$m)")
       assert(got == run(edges), s"trial $trial: star != min-label")
+      assert(rounds <= 15, s"trial $trial took $rounds rounds")
     }
   }
 
