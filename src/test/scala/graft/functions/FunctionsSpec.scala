@@ -83,6 +83,12 @@ class FunctionsSpec extends SparkSpec {
     val want = orig.orderBy("n_nationkey").collect().toSeq
     assert(csv.orderBy("n_nationkey").collect().toSeq == want)
     assert(json.orderBy("n_nationkey").collect().toSeq == want)
+    // ORC ships in Spark core — columnar alternative with the same
+    // pushdown/pruning surface as parquet
+    orig.write.mode("overwrite").orc(s"$dir/nation_orc")
+    val orc = spark.read.orc(s"$dir/nation_orc")
+    assert(orc.orderBy("n_nationkey").collect().toSeq == want)
+    assert(orc.schema == orig.schema)
   }
 
   test("nearest_cells picks top-p centroids by cosine, ties to lowest cell") {

@@ -149,6 +149,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"as-of fill must not plan a join:\n$p")
   }
 
+  test("no batch query plans a black-box UDF node (ScalaUDF/Python) anywhere") {
+    // the whole-surface regression net for the design rule "custom
+    // logic is native codegen expressions": a Scala UDF sneaking into
+    // any query shows up here. Streaming queries are skipped (building
+    // their result DataFrame runs the stream); a few queries do eager
+    // driver-side work on construction, which is fine in a test.
+    val batch = SparkEntry.queries.keys.filterNot(_.contains("stream")).toSeq.sorted
+    batch.foreach { q =>
+      val p = plan(q)
+      Seq("ScalaUDF", "BatchEvalPython", "ArrowEvalPython").foreach { bad =>
+        assert(!p.contains(bad), s"$q plan contains $bad")
+      }
+    }
+  }
+
   test("q05: length stats run fully codegen — no black-box UDF nodes anywhere") {
     // the Calcite-parity value renderers are native expressions
     // (RenderLengthExpression), not Scala UDFs: the whole length scan
