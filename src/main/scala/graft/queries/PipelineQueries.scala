@@ -351,6 +351,10 @@ object PipelineQueries {
     * asserted in SimilaritySpec). */
   def neardupLsh(spark: SparkSession, dir: String): DataFrame = {
     val corpus = groupedEmbeddings(table(spark, dir, "embeddings"))
+    // persisted sketch scratch rides inside the CachedResult; the
+    // Bench/Verify harnesses clear the cache between queries, and
+    // library callers get release() via nearDuplicatesResult directly
+    // (same contract as q11's SimHash)
     graft.similarity.CosineLsh.nearDuplicatesResult(
         corpus, "vec_id", "embedding", EmbDim, EconCos)
       .df.orderBy("doc_a", "doc_b")
@@ -556,13 +560,19 @@ object PipelineQueries {
 
   /** Top user_ids per event_type from the events STREAM via the
     * Space-Saving sketch ([[graft.streaming.StreamingTopK]]) — bounded
-    * state per key regardless of distinct-value cardinality. Gated
-    * rows-only — deliberately, and unlike q22/q35/q48/q59 not
-    * convertible to a within-bound oracle: sketch (count, error)
-    * output is approximation-ORDER-dependent (which rows appear, not
-    * just their values, varies with merge order), so there is no
-    * engine-independent SQL oracle; exactness when capacity exceeds
-    * the distinct-value count is asserted in StreamingTopKSpec. */
+    * state per key regardless of distinct-value cardinality.
+    *
+    * Oracle-gated in the EXACT REGIME (the q67 trick): capacity 4096
+    * exceeds the distinct-user count at gate/bench SF, so the sketch
+    * holds plain exact counts and the emitted ranking — including the
+    * err column pinned to literal 0 in the oracle — is
+    * hash-comparable against exact SQL. On larger domains the same
+    * query degrades gracefully to bounded-error heavy hitters from
+    * the same fixed-size state (the overflow bounds are
+    * StreamingTopKSpec/TopKAggregateSpec territory; sketch rows there
+    * are approximation-order-dependent, hence no oracle in that
+    * regime). Single-file source → one micro-batch, so the
+    * update-mode memory sink holds exactly the final emission. */
   def streamTopK(spark: SparkSession, dir: String): DataFrame =
     withStreamStatePartitions(spark) { spark =>
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -570,7 +580,7 @@ object PipelineQueries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     try spark.catalog.dropTempView("stream_topk_result") catch { case _: Throwable => () }
     val topk = graft.streaming.StreamingTopK.topK(
-      src, "event_type", "user_id", k = 5, capacity = 256)
+      src, "event_type", "user_id", k = 5, capacity = 4096)
     val q = topk.toDF().writeStream
       .format("memory").queryName("stream_topk_result")
       .outputMode("update")
@@ -579,4 +589,16 @@ object PipelineQueries {
     q.awaitTermination(300000)
     spark.table("stream_topk_result").orderBy("key", "rank")
   }
+
+  val streamTopKSql: String =
+    """WITH c AS (
+      |  SELECT event_type AS key, user_id::VARCHAR AS value, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY key ORDER BY cnt DESC, value) AS rank
+      |  FROM c)
+      |SELECT key, value, cnt, 0::BIGINT AS err, rank::INT AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY key, rank""".stripMargin
 }

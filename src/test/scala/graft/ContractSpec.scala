@@ -17,11 +17,12 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // q22/q35/q48/q59 were made oracle-checkable in round 4 by emitting
     // the accuracy claim as hash-matchable columns (exact side + a
-    // within-bound boolean); only genuinely engine-specific CONTENT
-    // (ANN neighbor sets, sketch-derived rankings) stays rows-only.
+    // within-bound boolean), and q34 by running its Space-Saving
+    // sketch in the exact regime (capacity > domain, err pinned 0);
+    // only genuinely engine-specific CONTENT (ANN neighbor sets)
+    // stays rows-only.
     val documented = Set(
-      "q25_ann_ivf",           // ANN top-k (recall spec-gated)
-      "q34_stream_topk")       // Space-Saving sketch (spec-gated)
+      "q25_ann_ivf")           // ANN top-k (recall spec-gated)
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale documented entries: ${documented -- rowsOnly}")
