@@ -81,6 +81,33 @@ class ExactQuantileSpec extends SparkSpec {
     assert(stats.maxCollected <= 100, s"collected ${stats.maxCollected}")
   }
 
+  test("config fuzz: exact across bucket counts, budgets, and distributions") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(53)
+    val dists: Seq[Array[Double]] = Seq(
+      Array.fill(4000)(rnd.nextDouble()),                      // uniform
+      Array.fill(4000)((rnd.nextInt(5) * 1000).toDouble),      // 5 values
+      Array.fill(4000)(rnd.nextGaussian() * 1e-8),             // tiny scale
+      Array.tabulate(4000)(i => i.toDouble) ++ Array(1e12)     // outlier
+    )
+    val configs = Seq((4, 16), (8, 64), (32, 32), (256, 8), (13, 100))
+    for ((data, di) <- dists.zipWithIndex) {
+      val df = data.toSeq.toDF("x")
+      val sorted = data.sorted
+      for (((b, cm), ci) <- configs.zipWithIndex) {
+        val (got, stats) = ExactQuantile.quantilesWithStats(
+          df, "x", Seq(0.1, 0.5, 0.9), buckets = b, collectMax = cm)
+        assert(stats.maxCollected <= cm, s"dist $di cfg $ci: ${stats.maxCollected}")
+        Seq(0.1, 0.5, 0.9).zip(got).foreach { case (p, g) =>
+          val want = refQuantile(sorted, p)
+          assert(math.abs(g - want) <= math.abs(want) * 1e-12 + 1e-300,
+            s"dist $di cfg ($b,$cm) p=$p: got $g want $want")
+        }
+      }
+    }
+  }
+
   test("empty and all-null inputs yield NaN") {
     val s = spark
     import s.implicits._
