@@ -195,7 +195,10 @@ object MediaCodec {
     while (!sawEnd) {
       require(b.remaining() >= 12, "truncated PNG (chunk header)")
       val len = b.getInt()
-      require(len >= 0 && b.remaining() >= len + 8, "truncated PNG (chunk body)")
+      // Long arithmetic: a hostile len near Int.MaxValue would overflow
+      // `len + 8` and defeat the truncation check before the allocation.
+      require(len >= 0 && b.remaining().toLong >= len.toLong + 8L,
+        "truncated PNG (chunk body)")
       val typBytes = new Array[Byte](4); b.get(typBytes)
       val typ = new String(typBytes, "US-ASCII")
       val data = new Array[Byte](len); b.get(data)
@@ -269,5 +272,70 @@ object MediaCodec {
       y += 1
     }
     (width, height, channels, px)
+  }
+
+  // ---- JPEG (grayscale, via javax.imageio — ships in the JDK) --------
+  //
+  // The one LOSSY compressed format the JVM supports with zero added
+  // dependencies: the JDK bundles a JPEG reader/writer (headless-safe;
+  // no AWT display needed). Unlike BMP/WAV/PNG the round trip is not
+  // bit-exact, so the oracle gate for JPEG carries exact GEOMETRY plus
+  // a within-bound accuracy claim on the decoded mean (the q22/q48
+  // pattern for approximate operators) — per-pixel sums are a property
+  // of the codec's quantizer, not a recomputable fact.
+
+  /** Encode a grayscale image (one byte per pixel, row-major top-down)
+    * as a real baseline JPEG at the given quality (0..1). */
+  def encodeJpegGray(width: Int, height: Int, gray: Array[Byte],
+      quality: Float): Array[Byte] = {
+    require(gray.length == width * height, s"${gray.length} != $width*$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode a JPEG to (width, height, gray bytes) — luminance channel,
+    * row-major top-down. Fails loudly on undecodable input (ImageIO
+    * returns null or throws on corrupt streams), same contract as
+    * [[decodeBmp]]. */
+  def decodeJpegGray(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff, "not a JPEG")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable JPEG")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.getDataElements(0, 0, w, h, null)
+          .asInstanceOf[Array[Byte]]
+      else {
+        // ITU-R BT.601 luma, the JPEG color model's Y channel
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val l = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff))
+            out(y * w + x) = math.min(255, math.round(l)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    (w, h, gray)
   }
 }

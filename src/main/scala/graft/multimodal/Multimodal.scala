@@ -170,6 +170,16 @@ object Multimodal {
             DecodedMedia(id, "wav", bytes.length.toLong, 0L, 0L, samples.length.toLong,
               math.rint(rms * 1e6) / 1e6)
           } catch { case scala.util.control.NonFatal(_) => raw(id, bytes) }
+        } else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+            (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) {
+          try {
+            val (w, h, gray) = MediaCodec.decodeJpegGray(bytes)
+            var sum = 0L
+            gray.foreach(g => sum += (g & 0xff))
+            val mean = if (gray.isEmpty) 0d else sum.toDouble / gray.length
+            DecodedMedia(id, "jpeg", bytes.length.toLong, w.toLong, h.toLong, 0L,
+              math.rint(mean * 1e6) / 1e6)
+          } catch { case scala.util.control.NonFatal(_) => raw(id, bytes) }
         } else raw(id, bytes)
       }
     }
@@ -226,6 +236,59 @@ object Multimodal {
     }
   }
 
+  // ---- JPEG path (lossy compressed container, JDK imageio) ----------
+
+  /** Image geometry for [[jpegRoundTrip]] — same frame layout as the
+    * PNG path (16-px rows, capped payloads) so geometry stays
+    * oracle-computable from byte lengths alone. */
+  val JpegWidth = 16
+  val JpegMaxBytes = 240
+  val JpegQuality = 0.95f
+
+  /** Accuracy bound for the q72 gate: the decoded image's mean gray
+    * must sit within this many gray levels of the source mean. JPEG is
+    * LOSSY — per-pixel values are quantizer properties, not
+    * recomputable facts — but the block DC terms survive quantization
+    * at quality 0.95, so the image MEAN is stable well under 1 level
+    * even on high-frequency text-byte noise (JpegSpec measures it);
+    * 2.0 is ≥4× the observed worst case. */
+  val JpegMeanTol = 2.0
+
+  /** One row per document: exact source geometry/sum plus the
+    * `mean_ok` within-bound claim from a REAL lossy round trip
+    * (encode at [[JpegQuality]] → ImageIO decode → mean compare). */
+  final case class JpegRoundTrip(
+      media_id: Long, w: Long, h: Long, src_sum: Long, mean_ok: Boolean)
+
+  /** Text bytes → real baseline JPEG → real decode → geometry + mean
+    * bound. Geometry and `src_sum` are exact and oracle-recomputable;
+    * the codec's lossy content rides the gate as the within-bound
+    * boolean (the q22/q48 pattern for non-recomputable values). */
+  def jpegRoundTrip(docs: DataFrame, idCol: String, textCol: String): Dataset[JpegRoundTrip] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = math.min(text.length, JpegMaxBytes)
+          val h = math.max(1, (len + JpegWidth - 1) / JpegWidth)
+          // truncate at the cap THEN zero-pad (see encodedPng)
+          val px = new Array[Byte](JpegWidth * h)
+          System.arraycopy(text, 0, px, 0, len)
+          var srcSum = 0L
+          px.foreach(b => srcSum += (b & 0xff))
+          val jpeg = MediaCodec.encodeJpegGray(JpegWidth, h, px, JpegQuality)
+          val (dw, dh, dec) = MediaCodec.decodeJpegGray(jpeg)
+          var decSum = 0L
+          dec.foreach(b => decSum += (b & 0xff))
+          val ok = dw == JpegWidth && dh == h &&
+            math.abs(decSum.toDouble / (dw.toLong * dh) -
+              srcSum.toDouble / (JpegWidth.toLong * h)) <= JpegMeanTol
+          JpegRoundTrip(id, dw.toLong, dh.toLong, srcSum, ok)
+        }
+      }
+  }
+
   // ---- real resize / frame-sample (on the containers we decode) ------
 
   /** Nearest-neighbor grayscale downscale by integer factor `f`:
@@ -276,22 +339,27 @@ object Multimodal {
     * content-exactly. Raw payloads pass through with zero geometry. */
   def resampleMedia(media: Dataset[(Long, Array[Byte])]): Dataset[ResampledMedia] = {
     import media.sparkSession.implicits._
+    def raw(id: Long) = ResampledMedia(id, "raw", 0L, 0L, 0L, 0L, 0L)
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
         if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
-          val (w, h, gray) = MediaCodec.decodeBmp(bytes)
-          val (w2, h2, g2) = downsampleGray(w, h, gray, ResizeFactor)
-          var sum = 0L
-          g2.foreach(g => sum += (g & 0xff))
-          ResampledMedia(id, "bmp", w2.toLong, h2.toLong, 0L, sum, 0L)
+          try {
+            val (w, h, gray) = MediaCodec.decodeBmp(bytes)
+            val (w2, h2, g2) = downsampleGray(w, h, gray, ResizeFactor)
+            var sum = 0L
+            g2.foreach(g => sum += (g & 0xff))
+            ResampledMedia(id, "bmp", w2.toLong, h2.toLong, 0L, sum, 0L)
+          } catch { case scala.util.control.NonFatal(_) => raw(id) }
         } else if (bytes.length >= 4 &&
             new String(bytes, 0, 4, "US-ASCII") == "RIFF") {
-          val (_, samples) = MediaCodec.decodeWavPcm16(bytes)
-          val dec = decimate(samples, DecimateFactor)
-          var sq = 0L
-          dec.foreach(s => sq += s.toLong * s)
-          ResampledMedia(id, "wav", 0L, 0L, dec.length.toLong, 0L, sq)
-        } else ResampledMedia(id, "raw", 0L, 0L, 0L, 0L, 0L)
+          try {
+            val (_, samples) = MediaCodec.decodeWavPcm16(bytes)
+            val dec = decimate(samples, DecimateFactor)
+            var sq = 0L
+            dec.foreach(s => sq += s.toLong * s)
+            ResampledMedia(id, "wav", 0L, 0L, dec.length.toLong, 0L, sq)
+          } catch { case scala.util.control.NonFatal(_) => raw(id) }
+        } else raw(id)
       }
     }
   }

@@ -1,17 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+import scala.jdk.CollectionConverters._
 
 /** EXACT interpolated quantiles with bounded per-task (and driver)
   * memory — the scale-true replacement for `percentile`, whose
   * aggregation buffer holds EVERY value of its column/group (the
-  * documented weakness of q20/q50).
+  * documented weakness of the one-scan q20/q50 forms).
   *
   * Iterative histogram refinement (the classic distributed selection
   * algorithm — range narrowing by counting):
   *
-  *  1. one scan → per-group (count, min, max);
+  *  1. one scan → per-group (count, NaN count, finite min/max);
   *  2. refinement scans: bucket the ACTIVE value ranges into `buckets`
   *     equal-width bins — one `groupBy(range, bucket)` per scan for ALL
   *     unresolved (group, rank) targets at once — and descend into the
@@ -24,21 +26,34 @@ import org.apache.spark.sql.functions._
   *  3. final scan: collect the surviving candidate sets — each at most
   *     `collectMax` values — and index the exact rank.
   *
+  * Active (group, range) targets ride a BROADCAST-JOINED range table
+  * keyed by group — not literal predicates — so the expression tree is
+  * constant-size no matter how many groups are active: per-domain
+  * quantiles over 10⁴+ groups plan exactly like 5 groups
+  * (ExactQuantileSpec pins the scan count). Driver state is O(groups)
+  * for the stats pass plus the surviving candidates in the final pass
+  * (≤ `collectMax` per active range; for many small groups each
+  * group's whole value set is below `collectMax`, so the final pass
+  * collects about the rows a single `percentile` buffer would have
+  * held for ONE group — bounded per range, spec-asserted).
+  *
   * State: `buckets` counters per active range per task (KBs),
-  * `collectMax` doubles on the driver at the end. Passes: 1 +
-  * ceil(log_buckets(n / collectMax)) + 1 — at 10^12 rows with the
+  * ≤ `collectMax` doubles per range on the driver at the end. Passes:
+  * 1 + ceil(log_buckets(n / collectMax)) + 1 — at 10^12 rows with the
   * defaults that is 4 scans, each narrower than the last (refinement
   * filters push down to parquet row-group stats). Interpolation
   * follows `percentile` / DuckDB `quantile_cont`: rank h = 1 + p·(n−1),
   * result = v_⌊h⌋ + (h−⌊h⌋)·(v_⌈h⌉ − v_⌊h⌋) over 1-based order
-  * statistics. Nulls are ignored (as `percentile` does); NaNs are the
-  * caller's responsibility (no total order).
+  * statistics.
   *
-  * The GROUPED form targets LOW-CARDINALITY strata (the q50 shape:
-  * priorities, languages, sources): the refinement predicate chains
-  * one branch per active (group, range), so group counts in the
-  * hundreds are fine, web-scale group cardinalities are not — use
-  * `approx_percentile` there.
+  * Nulls are ignored (as `percentile` does). NaN ORDERS LAST (the
+  * largest value) — the ordering Spark `percentile`, Spark sorts, and
+  * DuckDB `quantile_cont` all share — so a rank landing past the
+  * finite values returns NaN, and a rank interpolating INTO the NaN
+  * tail returns NaN (spec-pinned in ExactQuantileSpec; a 100 TB
+  * numeric column will contain NaNs). Null GROUP KEYS are rejected
+  * loudly (the range table joins by group key; SQL null-equality would
+  * silently drop them).
   */
 object ExactQuantile {
 
@@ -65,36 +80,51 @@ object ExactQuantile {
       buckets: Int = 4096, collectMax: Int = 65536): Map[Any, Seq[Double]] =
     groupedQuantilesWithStats(df, groupCol, valueCol, ps, buckets, collectMax)._1
 
-  /** Exact quantiles per group-key value. Group keys must be usable as
-    * Spark literals (string/numeric/date — the refinement predicates
-    * embed them). Returns an empty map for an empty input. */
+  /** Exact quantiles per group-key value. Group keys must be non-null
+    * and join-comparable (string/numeric/date/...). Returns an empty
+    * map for an empty input. */
   def groupedQuantilesWithStats(
       df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double],
       buckets: Int = 4096, collectMax: Int = 65536): (Map[Any, Seq[Double]], Stats) = {
     require(ps.forall(p => p >= 0 && p <= 1), s"percentiles out of [0,1]: $ps")
+    val spark = df.sparkSession
     val v = col(valueCol).cast("double")
-    val vals = df.filter(v.isNotNull)
+    val rows = df.filter(v.isNotNull)
       .select(col(groupCol).as("g"), v.as("v"))
-    val groupStats = vals.groupBy("g").agg(
-      count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx")
-    ).collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // finite values only below; NaNs are counted here and order LAST
+    val vals = rows.filter(!isnan(col("v")))
+    val groupStats = rows.groupBy("g").agg(
+      count(col("v")).as("n"),
+      count(when(isnan(col("v")), lit(1))).as("nNan"),
+      min(when(!isnan(col("v")), col("v"))).as("mn"),
+      max(when(!isnan(col("v")), col("v"))).as("mx")
+    ).collect().map(r => (r.get(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+      if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
     var scans = 1
     var maxCollected = 0
     if (groupStats.isEmpty) return (Map.empty, Stats(scans, 0))
+    require(groupStats.forall(_._1 != null),
+      s"null group key in $groupCol: the range table joins by group key")
 
-    // per group: 1-based continuous ranks for floor(h)/ceil(h)
-    val hsByGroup: Map[Any, Seq[Double]] = groupStats.map { case (g, n, _, _) =>
+    // per group: 1-based continuous ranks for floor(h)/ceil(h), over
+    // the TOTAL count (NaNs included — they hold the top ranks)
+    val hsByGroup: Map[Any, Seq[Double]] = groupStats.map { case (g, n, _, _, _) =>
       g -> ps.map(p => 1.0 + p * (n - 1).toDouble)
     }.toMap
 
     final case class Target(g: Any, rank: Long, lo: Double, hi: Double,
         offset: Long, cnt: Long)
-    var active = groupStats.flatMap { case (g, n, mn, mx) =>
+    val resolved = scala.collection.mutable.Map[(Any, Long), Double]()
+    var active = groupStats.flatMap { case (g, n, nNan, mn, mx) =>
+      val nFinite = n - nNan
       hsByGroup(g)
         .flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong))
-        .distinct.map(r => Target(g, r, mn, mx, r, n))
+        .distinct.flatMap { r =>
+          if (r > nFinite) { resolved((g, r)) = Double.NaN; None }
+          else Some(Target(g, r, mn, mx, r, nFinite))
+        }
     }.toBuffer
-    val resolved = scala.collection.mutable.Map[(Any, Long), Double]()
 
     def settle(): Unit = {
       val (done, rest) = active.partition(t => t.lo == t.hi)
@@ -103,34 +133,37 @@ object ExactQuantile {
     }
     settle()
 
-    // range index over (group, lo, hi) triples. The branches are
-    // mutually exclusive BY CONSTRUCTION — same-group ranges are
-    // disjoint (refinement bins are strictly value-ordered, dedup'd
-    // when equal) and different groups never share rows — so no
-    // first-match guard is needed. That also matters structurally: a
-    // guard of the form `acc === -1` would reference the accumulated
-    // expression twice per level and grow the tree 2^|ranges| (OOMs
-    // the planner at ~40 ranges); this chain is linear.
-    def rangeIdxExpr(ranges: Seq[(Any, Double, Double)]): Column =
-      ranges.zipWithIndex.foldLeft(lit(-1)) {
-        case (acc, ((g, lo, hi), i)) =>
-          when(col("g") === lit(g) && col("v") >= lo && col("v") <= hi, i)
-            .otherwise(acc)
-      }
+    // (group, lo, hi) range table, broadcast-joined to the values by
+    // group key. Same-group ranges are disjoint BY CONSTRUCTION
+    // (refinement bins are strictly value-ordered, dedup'd when equal)
+    // and different groups never share rows, so the between-filter
+    // keeps at most one joined row per value — and the plan is the
+    // same one join whether 5 groups are active or 10⁵ (a literal
+    // when-chain would grow the expression tree per range and choke
+    // the planner in the thousands).
+    val gType = rows.schema("g").dataType
+    val rangeSchema = StructType(Seq(
+      StructField("g", gType),
+      StructField("rix", IntegerType, nullable = false),
+      StructField("lo", DoubleType, nullable = false),
+      StructField("hi", DoubleType, nullable = false)))
+    def inRanges(ranges: Seq[(Any, Double, Double)]): DataFrame = {
+      val rdf = spark.createDataFrame(
+        ranges.zipWithIndex.map { case ((g, lo, hi), i) =>
+          Row(g, i, lo, hi) }.asJava, rangeSchema)
+      vals.join(broadcast(rdf), Seq("g"))
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+    }
 
     while (active.exists(_.cnt > collectMax)) {
       val ranges = active.map(t => (t.g, t.lo, t.hi)).distinct.toSeq
-      val widths = ranges.map { case (_, lo, hi) =>
-        math.max((hi - lo) / buckets, java.lang.Double.MIN_VALUE) }
-      val bucketExpr = ranges.indices.foldLeft(lit(-1L): Column) {
-        case (acc, i) =>
-          when(col("rix") === i,
-            least(floor((col("v") - ranges(i)._2) / widths(i)).cast("long"),
-              lit(buckets - 1L))).otherwise(acc)
-      }
-      val bins = vals.select(col("g"), col("v"), rangeIdxExpr(ranges).as("rix"))
-        .filter(col("rix") >= 0)
-        .select(col("v"), col("rix"), bucketExpr.as("b"))
+      val rangeIx = ranges.zipWithIndex.toMap
+      val width = greatest((col("hi") - col("lo")) / buckets,
+        lit(java.lang.Double.MIN_VALUE))
+      val bins = inRanges(ranges)
+        .select(col("v"), col("rix"),
+          least(floor((col("v") - col("lo")) / width).cast("long"),
+            lit(buckets - 1L)).as("b"))
         .groupBy("rix", "b")
         .agg(count(col("v")).as("c"), min(col("v")).as("bmn"),
           max(col("v")).as("bmx"))
@@ -140,7 +173,7 @@ object ExactQuantile {
         .toMap
       scans += 1
       active = active.map { t =>
-        val rix = ranges.indexOf((t.g, t.lo, t.hi))
+        val rix = rangeIx((t.g, t.lo, t.hi))
         var cum = 0L
         var out = t
         var b = 0L
@@ -163,31 +196,31 @@ object ExactQuantile {
       // stall guard: a range a few ulps wide (massive duplicates over
       // a handful of representable doubles) can land entirely in one
       // bin — equal-width splitting makes no progress there. Such a
-      // range has fewer distinct VALUES than bins, so resolve it with
-      // one bounded distinct-value histogram instead.
+      // range has fewer distinct VALUES than bins, so resolve ALL
+      // stalled ranges with one bounded distinct-value histogram scan.
       val (stalled, progressing) = active.partition(t =>
         t.lo < t.hi && (t.hi - t.lo) / buckets == 0 && t.cnt > collectMax)
       if (stalled.nonEmpty) {
-        stalled.groupBy(t => (t.g, t.lo, t.hi)).foreach { case ((g, lo, hi), ts) =>
-          val hist = vals
-            .filter(col("g") === lit(g) && col("v") >= lo && col("v") <= hi)
-            .groupBy("v").agg(count(col("v")).as("c"))
-            .orderBy("v").collect()
-            .map(r => (r.getDouble(0), r.getLong(1)))
-          scans += 1
-          ts.foreach { t =>
-            var cum = 0L
-            val it = hist.iterator
-            var done = false
-            while (!done && it.hasNext) {
-              val (value, c) = it.next()
-              if (t.offset <= cum + c) {
-                resolved((t.g, t.rank)) = value; done = true
-              }
-              cum += c
+        val sRanges = stalled.map(t => (t.g, t.lo, t.hi)).distinct.toSeq
+        val sIx = sRanges.zipWithIndex.toMap
+        val hist = inRanges(sRanges)
+          .groupBy("rix", "v").agg(count(col("v")).as("c"))
+          .orderBy("rix", "v").collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+          .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))).toMap
+        scans += 1
+        stalled.foreach { t =>
+          var cum = 0L
+          val it = hist(sIx((t.g, t.lo, t.hi))).iterator
+          var done = false
+          while (!done && it.hasNext) {
+            val (value, c) = it.next()
+            if (t.offset <= cum + c) {
+              resolved((t.g, t.rank)) = value; done = true
             }
-            assert(done, s"group $g rank ${t.rank} not found in value histogram")
+            cum += c
           }
+          assert(done, s"group ${t.g} rank ${t.rank} not found in value histogram")
         }
         active = progressing
       }
@@ -198,13 +231,14 @@ object ExactQuantile {
       // final: collect each surviving candidate set (≤ collectMax each)
       // in ONE scan and index the exact within-range rank
       val ranges = active.map(t => (t.g, t.lo, t.hi)).distinct.toSeq
-      val byRange = vals.select(col("v"), rangeIdxExpr(ranges).as("rix"))
-        .filter(col("rix") >= 0)
-        .collect().map(r => r.getInt(1) -> r.getDouble(0))
+      val rangeIx = ranges.zipWithIndex.toMap
+      val byRange = inRanges(ranges)
+        .select(col("rix"), col("v"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1))
         .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).sorted }
       scans += 1
       active.foreach { t =>
-        val xs = byRange(ranges.indexOf((t.g, t.lo, t.hi)))
+        val xs = byRange(rangeIx((t.g, t.lo, t.hi)))
         maxCollected = math.max(maxCollected, xs.length)
         assert(xs.length == t.cnt,
           s"candidate count drifted: ${xs.length} vs ${t.cnt}")
@@ -214,9 +248,16 @@ object ExactQuantile {
 
     val out = hsByGroup.map { case (g, hs) =>
       g -> hs.map { h =>
-        val (rlo, rhi) = (math.floor(h).toLong, math.ceil(h).toLong)
-        val (vlo, vhi) = (resolved((g, rlo)), resolved((g, rhi)))
-        vlo + (h - rlo) * (vhi - vlo)
+        val rlo = math.floor(h).toLong
+        val rhi = math.ceil(h).toLong
+        val vlo = resolved((g, rlo))
+        // exact-rank hit takes v_⌊h⌋ directly: 0·(NaN−v) must not turn
+        // a finite order statistic into NaN when the NEXT rank is NaN
+        if (h == rlo.toDouble) vlo
+        else {
+          val vhi = resolved((g, rhi))
+          vlo + (h - rlo) * (vhi - vlo)
+        }
       }
     }
     (out, Stats(scans, maxCollected))

@@ -149,19 +149,25 @@ object AnalyticsQueries {
 
   // ---- q20: exact quartiles + IQR outliers ---------------------------
 
-  /** Exact interpolated quartiles (percentile) + Tukey-fence outlier
-    * count — the reference's declared-TODO surface
-    * (jar/ProfileJob.java:68-70). Two-stage: tiny quartile aggregate
-    * broadcast back over the scan.
+  /** Exact interpolated quartiles + Tukey-fence outlier count — the
+    * reference's declared-TODO surface (jar/ProfileJob.java:68-70).
+    * Runs the bounded-memory [[quartilesOutliersScalable]] plan: as of
+    * round 5 no query in the surface executes `percentile`'s O(rows)
+    * aggregation buffer (PlanSpec sweeps the whole surface for it).
+    * The one-scan `percentile` variant survives as
+    * [[quartilesOutliersOneScan]], a spec-side cross-check only. */
+  def quartilesOutliers(spark: SparkSession, dir: String): DataFrame =
+    quartilesOutliersScalable(spark, dir)
+
+  /** SPEC-SIDE CROSS-CHECK ONLY (ExactQuantileSpec): the one-scan
+    * `percentile` formulation q20 ran through round 4. Two-stage: tiny
+    * quartile aggregate broadcast back over the scan.
     *
     * MEMORY BOUND: Spark's exact `percentile` buffers EVERY value of
     * the column in its aggregation buffer — O(rows) driver-side after
-    * the final merge. Correct and oracle-comparable at test SF;
-    * unusable at 100 TB. Scale paths: [[quartilesOutliersApprox]]
-    * (bounded-memory sketch, q35) and [[quartilesOutliersScalable]]
-    * (bounded-memory EXACT histogram refinement, q65 — same answers
-    * as this query at any scale). */
-  def quartilesOutliers(spark: SparkSession, dir: String): DataFrame = {
+    * the final merge. Correct at test SF; unusable at 100 TB, which is
+    * why the shipped q20 is [[quartilesOutliersScalable]]. */
+  def quartilesOutliersOneScan(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val q = li.agg(
       expr("percentile(l_extendedprice, 0.25)").as("q1"),
@@ -192,15 +198,14 @@ object AnalyticsQueries {
     * ≤ 1/accuracy of the row count (Greenwald–Khanna summaries). */
   val ApproxPercentileAccuracy = 10000
 
-  /** q65: the SCALE-TRUE exact quantile — identical semantics and
-    * output to q20 (exact interpolated quartiles + Tukey outliers,
-    * same oracle SQL), computed by
+  /** q65 (and, since round 5, q20): the SCALE-TRUE exact quantile —
+    * exact interpolated quartiles + Tukey outliers, computed by
     * [[graft.operators.ExactQuantile]] histogram refinement instead of
     * `percentile`'s O(rows) aggregation buffer: a handful of scans
     * with `buckets` counters per task and ≤ `collectMax` values ever
-    * driver-side, so the same code holds at 10^12 rows where q20's
-    * buffer dies. q20 stays as the one-scan correctness anchor at
-    * test SF; this is the form a 100 TB deployment runs. */
+    * driver-side, so the same code holds at 10^12 rows where the
+    * one-scan buffer dies. [[quartilesOutliersOneScan]] stays as the
+    * spec-side `percentile` cross-check at test SF. */
   def quartilesOutliersScalable(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val qs = graft.operators.ExactQuantile.quantiles(

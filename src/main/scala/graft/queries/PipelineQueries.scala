@@ -393,25 +393,35 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  // ---- q25: IVF approximate nearest neighbor (rows-only check) -------
+  // ---- q25: IVF nearest neighbor, exhaustive-probe gate regime -------
 
-  /** Deliberately rows-only (no SQL oracle): an ANN query's CONTENT —
-    * which neighbors the probed cells surface and their ranking — is a
-    * property of this engine's index, not a SQL-expressible fact, and
-    * unlike q22/q35/q48/q59 there is no scalar accuracy claim that can
-    * be carried as a hash-matchable column without embedding the exact
-    * KNN (which is q13, already oracle-gated). Recall vs exact KNN is
-    * asserted in IvfIndexSpec; q40 gates the same index against an
-    * exact oracle in the regime where recall is provably 1.0. */
+  val AnnNlist = 16
+
+  /** The full IVF pipeline (train → assign → probe → cell join → top-k
+    * merge) run in its EXACT regime: `nprobe = nlist` probes every
+    * cell, so the index must surface precisely the brute-force top-k —
+    * q13's oracle gates the whole machinery hash-exactly (the q34
+    * pattern: pin the engine-specific part by gating the regime where
+    * the approximate operator is provably exact). A header mis-read,
+    * a dropped cell, a mis-ranked merge, or a centroid-assignment bug
+    * all fail the hash. The APPROXIMATE regime (nprobe < nlist) stays
+    * spec-gated: recall vs exact KNN in SimilaritySpec, and q40 gates
+    * the same index against an exact oracle where recall is provably
+    * 1.0. At production scale nprobe is the knob; the plan shape
+    * (broadcast probes, cell-keyed join, per-query top-k window) is
+    * identical at any nprobe — PlanSpec asserts it. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 16)
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = AnnNlist)
     val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
     val queries = emb.filter(col("vec_id") < KnnQueries)
     IvfIndex.search(assigned, "vec_id", "embedding", queries, centroids,
-        KnnK, nprobe = 4)
+        KnnK, nprobe = AnnNlist)
       .orderBy("query_id", "rank")
   }
+
+  /** Same oracle as q13 — exhaustive probing must equal brute force. */
+  val annIvfSql: String = knnCosineSql
 
   // ---- q26: multimodal feature extraction ----------------------------
 

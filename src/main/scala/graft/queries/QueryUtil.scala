@@ -37,6 +37,16 @@ object QueryUtil {
 
   def r6(c: Column): Column = round(c, 6)
 
+  /** DuckDB accessor for the `i1`-th (1-based) BYTE of a hex-encoded
+    * blob expression `hexExpr` (e.g. `hex(encode(text))`), as an INT in
+    * 0..255. Byte-safe replacement for `ord(substring(text, i, 1))`,
+    * which indexes CHARACTERS and returns CODEPOINTS — on non-ASCII
+    * text the two diverge from the Spark side's `cast(text AS binary)`
+    * byte view. DuckDB `hex` emits uppercase digits. */
+  def byteAtSql(hexExpr: String, i1: String): String =
+    s"(16*(strpos('0123456789ABCDEF', substring($hexExpr, (2*($i1)-1)::INT, 1))-1)" +
+      s" + (strpos('0123456789ABCDEF', substring($hexExpr, (2*($i1))::INT, 1))-1))"
+
   /** A literal comparable with a parquet timestamp column regardless of
     * whether Spark mapped it to TIMESTAMP or TIMESTAMP_NTZ. */
   def tsLit(df: DataFrame, colName: String, value: String): Column =

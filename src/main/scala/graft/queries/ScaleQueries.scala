@@ -390,16 +390,19 @@ object ScaleQueries {
   // ---- q50: per-group exact quantiles --------------------------------
 
   /** Exact interpolated per-group quartiles (order-priority strata of
-    * order totals) — the grouped form of q20. Same memory caveat as
-    * q20 (exact `percentile` buffers each GROUP's values; the grouped
-    * buffers are each smaller than the global one, but still O(group
-    * rows)). Bounded-state twins: `approx_percentile` with identical
-    * plan shape (gated via q35), and for exact answers at scale,
-    * [[graft.operators.ExactQuantile]] run per group (group count is
-    * small and fixed here, so k refinement passes filter on the
-    * group column and prune at the scan — the q65 machinery applies
-    * unchanged). */
-  def groupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    * order totals) — the grouped form of q20. Runs the bounded-memory
+    * [[groupQuantilesScalable]] plan (round 5; PlanSpec sweeps the
+    * surface for `percentile` nodes). The one-scan grouped
+    * `percentile` form survives as [[groupQuantilesOneScan]], a
+    * spec-side cross-check only. */
+  def groupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    groupQuantilesScalable(spark, dir)
+
+  /** SPEC-SIDE CROSS-CHECK ONLY (ExactQuantileSpec): the one-scan
+    * grouped `percentile` formulation q50 ran through round 4. Memory
+    * caveat as the old q20: exact `percentile` buffers each GROUP's
+    * values — O(group rows) per buffer, unusable at scale. */
+  def groupQuantilesOneScan(spark: SparkSession, dir: String): DataFrame = {
     val o = table(spark, dir, "orders")
     o.groupBy(col("o_orderpriority"))
       .agg(
@@ -438,12 +441,15 @@ object ScaleQueries {
     val qs = graft.operators.ExactQuantile.groupedQuantiles(
       vals, "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75))
     val rows = qs.toSeq.map { case (g, s) =>
-      (g.asInstanceOf[String], counts(g.asInstanceOf[String]),
-        math.rint(s(0) * 1e6) / 1e6, math.rint(s(1) * 1e6) / 1e6,
-        math.rint(s(2) * 1e6) / 1e6)
+      (g.asInstanceOf[String], counts(g.asInstanceOf[String]), s(0), s(1), s(2))
     }
     import spark.implicits._
+    // Round in the Column layer (half-up, matching the oracle's
+    // round(…, 6)) — JVM math.rint is half-even and would flip the hash
+    // gate on a quantile landing exactly on a .5e-6 boundary.
     rows.toDF("o_orderpriority", "n_orders", "q1", "q2", "q3")
+      .select(col("o_orderpriority"), col("n_orders"),
+        r6(col("q1")).as("q1"), r6(col("q2")).as("q2"), r6(col("q3")).as("q3"))
       .orderBy("o_orderpriority")
   }
 
@@ -1142,16 +1148,17 @@ object ScaleQueries {
       graft.multimodal.Multimodal.PngMaxBytes)
     s"""WITH d AS (
        |  SELECT doc_id, (3 + doc_id % 2)::BIGINT AS ch,
-       |         least(octet_length(encode(text)), $cap) AS len, text
+       |         least(octet_length(encode(text)), $cap) AS len,
+       |         hex(encode(text)) AS hx
        |  FROM documents),
        |g AS (
-       |  SELECT doc_id, ch, len, text,
+       |  SELECT doc_id, ch, len, hx,
        |         greatest(1, ceil(len / ($w * ch)::DOUBLE))::BIGINT AS h
        |  FROM d)
        |SELECT doc_id AS media_id, $w::BIGINT AS w, h, ch AS channels,
        |  (h * $w * ch)::BIGINT AS pix_bytes,
        |  coalesce(list_sum(list_transform(range(1, len + 1),
-       |    i -> ord(substring(text, i::INT, 1)))), 0)::BIGINT AS pix_sum
+       |    i -> ${byteAtSql("hx", "i")})), 0)::BIGINT AS pix_sum
        |FROM g ORDER BY media_id""".stripMargin
   }
 
@@ -1223,12 +1230,12 @@ object ScaleQueries {
     val (bmax, wmax) = (graft.multimodal.Multimodal.BmpMaxBytes,
       graft.multimodal.Multimodal.WavMaxSamples)
     s"""WITH d AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id, hex(encode(text)) AS hx,
        |    least(octet_length(encode(text)), $bmax) AS len_b,
        |    least(octet_length(encode(text)), $wmax) AS len_w
        |  FROM documents),
        |g AS (
-       |  SELECT doc_id, text, len_b, len_w,
+       |  SELECT doc_id, hx, len_b, len_w,
        |    ceil(greatest(1, ceil(len_b / 16.0)) / 2.0)::BIGINT AS h2,
        |    ceil(len_w / 4.0)::BIGINT AS n2
        |  FROM d)
@@ -1241,12 +1248,50 @@ object ScaleQueries {
        |    WHEN 0 THEN
        |      list_sum(list_transform(range(0, 8 * h2),
        |        k -> CASE WHEN (2*(k//8))*16 + 2*(k%8) < len_b
-       |             THEN ord(substring(text, (2*(k//8))*16 + 2*(k%8) + 1, 1))
+       |             THEN ${byteAtSql("hx", "(2*(k//8))*16 + 2*(k%8) + 1")}
        |             ELSE 0 END))::DOUBLE / (8 * h2)
        |    WHEN 1 THEN
        |      sqrt(list_sum(list_transform(range(0, n2),
-       |        k -> pow((ord(substring(text, 4*k + 1, 1)) - 128) * 256, 2)))::DOUBLE / n2)
+       |        k -> pow((${byteAtSql("hx", "4*k + 1")} - 128) * 256, 2)))::DOUBLE / n2)
        |    ELSE 0 END, 6) AS sig
+       |FROM g ORDER BY media_id""".stripMargin
+  }
+
+  // ---- q72: JPEG lossy round trip (JDK imageio) ----------------------
+
+  /** Documents through a REAL lossy JPEG round trip
+    * ([[graft.multimodal.Multimodal.jpegRoundTrip]]): encode at
+    * quality 0.95 via the JDK's bundled codec, decode with ImageIO,
+    * gate exact geometry + source mean hash-exactly and the decoded
+    * mean as a within-bound boolean — per-pixel JPEG output is a
+    * quantizer property, not a recomputable fact, so the accuracy
+    * claim rides the gate instead (the q22/q48 pattern). This shrinks
+    * the honest-stub surface to codecs the JVM genuinely lacks
+    * (H.264 etc.). */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.multimodal.Multimodal.jpegRoundTrip(docs, "doc_id", "text").toDF()
+      .select(col("media_id"), col("w"), col("h"),
+        r6(col("src_sum").cast("double") / (col("w") * col("h"))).as("src_mean"),
+        col("mean_ok"))
+      .orderBy("media_id")
+  }
+
+  val jpegDecodeSql: String = {
+    val (w, cap) = (graft.multimodal.Multimodal.JpegWidth,
+      graft.multimodal.Multimodal.JpegMaxBytes)
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         least(octet_length(encode(text)), $cap) AS len
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, hx, len,
+       |         greatest(1, ceil(len / $w.0))::BIGINT AS h
+       |  FROM d)
+       |SELECT doc_id AS media_id, $w::BIGINT AS w, h,
+       |  round(coalesce(list_sum(list_transform(range(1, len + 1),
+       |    i -> ${byteAtSql("hx", "i")})), 0)::DOUBLE / ($w * h), 6) AS src_mean,
+       |  TRUE AS mean_ok
        |FROM g ORDER BY media_id""".stripMargin
   }
 

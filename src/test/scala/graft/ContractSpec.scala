@@ -17,12 +17,13 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // q22/q35/q48/q59 were made oracle-checkable in round 4 by emitting
     // the accuracy claim as hash-matchable columns (exact side + a
-    // within-bound boolean), and q34 by running its Space-Saving
-    // sketch in the exact regime (capacity > domain, err pinned 0);
-    // only genuinely engine-specific CONTENT (ANN neighbor sets)
-    // stays rows-only.
-    val documented = Set(
-      "q25_ann_ivf")           // ANN top-k (recall spec-gated)
+    // within-bound boolean), q34 by running its Space-Saving sketch in
+    // the exact regime (capacity > domain, err pinned 0), and in round
+    // 5 q25 closed the set: its IVF search runs with nprobe = nlist
+    // (exhaustive ⇒ provably equals brute force ⇒ q13's oracle), with
+    // the approximate regime still recall-spec-gated. Every query is
+    // now oracle-gated.
+    val documented = Set.empty[String]
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale documented entries: ${documented -- rowsOnly}")

@@ -140,8 +140,71 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
-  test("q69 equals q50 (buffer-exact grouped) on the bench corpus") {
-    val a = graft.queries.ScaleQueries.groupQuantiles(spark, sfDir).collect()
+  test("10^4 distinct groups resolve in the same scan count as 5 groups") {
+    // the broadcast-joined range table: scan count is a function of
+    // group SIZE vs collectMax, never of group COUNT — a literal
+    // predicate chain would grow the expression tree per group and
+    // choke the planner around a few thousand
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(59)
+    val big = Seq.tabulate(80000) { i => (s"d${i % 10000}", rnd.nextDouble() * 100) }
+      .toDF("g", "x")
+    val small = Seq.tabulate(40) { i => (s"d${i % 5}", rnd.nextDouble() * 100) }
+      .toDF("g", "x")
+    val ps3 = Seq(0.25, 0.5, 0.75)
+    val (gotBig, statsBig) = ExactQuantile.groupedQuantilesWithStats(
+      big, "g", "x", ps3, buckets = 16, collectMax = 128)
+    val (_, statsSmall) = ExactQuantile.groupedQuantilesWithStats(
+      small, "g", "x", ps3, buckets = 16, collectMax = 128)
+    assert(gotBig.size == 10000)
+    assert(statsBig.scans == statsSmall.scans,
+      s"scan count grew with group count: ${statsBig.scans} vs ${statsSmall.scans}")
+    assert(statsBig.maxCollected <= 128)
+    // spot-check correctness on a handful of groups vs driver sort
+    val byGroup = big.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (g <- Seq("d0", "d1234", "d9999"); (p, v) <- ps3.zip(gotBig(g))) {
+      val want = refQuantile(byGroup(g), p)
+      assert(math.abs(v - want) <= math.abs(want) * 1e-12 + 1e-12, s"$g p=$p")
+    }
+  }
+
+  test("NaN orders last, matching Spark percentile (pinned behavior)") {
+    // a 100 TB numeric column will contain NaNs; the operator's
+    // contract: NaN is the LARGEST value (Spark sort order, DuckDB
+    // quantile_cont order) — low ranks stay finite and exact, ranks
+    // landing in or interpolating into the NaN tail return NaN
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(61)
+    val finite = Array.fill(900)(rnd.nextDouble() * 100)
+    val data = finite ++ Array.fill(100)(Double.NaN)
+    val df = scala.util.Random.shuffle(data.toSeq).toDF("x")
+    val ps5 = Seq(0.0, 0.5, 0.85, 0.95, 1.0)
+    val got = ExactQuantile.quantiles(df, "x", ps5, buckets = 16)
+    // reference: java sort puts NaN last; refQuantile then interpolates
+    val sorted = data.sorted
+    ps5.zip(got).foreach { case (p, g) =>
+      val want = refQuantile(sorted, p)
+      if (want.isNaN) assert(g.isNaN, s"p=$p: got $g want NaN")
+      else assert(math.abs(g - want) <= math.abs(want) * 1e-12 + 1e-12,
+        s"p=$p: got $g want $want")
+    }
+    // and the engine cross-check: Spark's own percentile agrees
+    val sparkPct = df.agg(
+      org.apache.spark.sql.functions.expr(
+        s"percentile(x, array(${ps5.mkString(",")}))")).head()
+      .getSeq[Double](0)
+    ps5.indices.foreach { i =>
+      val (a, b) = (got(i), sparkPct(i))
+      assert((a.isNaN && b.isNaN) || math.abs(a - b) <= math.abs(b) * 1e-12 + 1e-12,
+        s"p=${ps5(i)}: ExactQuantile $a vs percentile $b")
+    }
+  }
+
+  test("q69/q50 equal the one-scan grouped percentile cross-check on the bench corpus") {
+    val a = graft.queries.ScaleQueries.groupQuantilesOneScan(spark, sfDir).collect()
     val b = graft.queries.ScaleQueries.groupQuantilesScalable(spark, sfDir).collect()
     assert(a.length == b.length && a.nonEmpty)
     a.zip(b).foreach { case (x, y) =>
@@ -152,8 +215,8 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
-  test("q65 equals q20 (buffer-exact) on the bench corpus") {
-    val a = graft.queries.AnalyticsQueries.quartilesOutliers(spark, sfDir).head()
+  test("q65/q20 equal the one-scan percentile cross-check on the bench corpus") {
+    val a = graft.queries.AnalyticsQueries.quartilesOutliersOneScan(spark, sfDir).head()
     val b = graft.queries.AnalyticsQueries.quartilesOutliersScalable(spark, sfDir).head()
     for (c <- Seq("q1", "q2", "q3"))
       assert(a.getAs[Double](c) == b.getAs[Double](c), c)

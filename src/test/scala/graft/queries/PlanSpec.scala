@@ -164,6 +164,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no batch query executes the O(rows)-buffer exact percentile anywhere") {
+    // `percentile` buffers every value of the column in its aggregation
+    // buffer — a scale-killer. Since round 5 the exact-quantile surface
+    // (q20/q50/q65/q69) runs ExactQuantile histogram refinement; the
+    // one-scan percentile forms are spec-side cross-checks only.
+    // approx_percentile (bounded GK sketch, q35) is allowed.
+    val batch = SparkEntry.queries.keys.filterNot(_.contains("stream")).toSeq.sorted
+    batch.foreach { q =>
+      val p = plan(q)
+      assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty,
+        s"$q plan contains an exact percentile node")
+    }
+  }
+
   test("q05: length stats run fully codegen — no black-box UDF nodes anywhere") {
     // the Calcite-parity value renderers are native expressions
     // (RenderLengthExpression), not Scala UDFs: the whole length scan
