@@ -41,6 +41,17 @@ object Bench {
     // so the min is a contention-robust point estimate of steady-state
     // cost; a clean full run stays ~2 min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // contention self-diagnosis: this VM has documented multi-minute
+    // whole-system stalls. 5-min load ≥ 2 at either end of the run means
+    // another workload shared the machine and the totals read high; the
+    // per-rep times show WHICH reps a stall hit (uniform inflation across
+    // CPU-heavy queries = contention signature, not a plan regression).
+    def loadAvg(): Seq[Double] =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val loadStart = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -58,15 +69,20 @@ object Bench {
       }
       // incremental stderr progress: a timeout still leaves per-query evidence
       System.err.println(f"[bench] $name%-24s $dt%8.2f s${err.map(" ERR " + _).getOrElse("")}")
-      (name, dt, err)
+      (name, dt, err, runs.map(_._1))
     }
+    val loadEnd = loadAvg()
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = ok.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
+    val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, _, rts) =>
+      "\"" + k + "\":[" + rts.map(t => f"$t%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"rep_times":$repsJson}"""
     println(json)
     // Also persist to a file: sbt prefixes stdout with [info], which broke
     // the driver's JSON parse in rounds 1 and 2 ("parsed": null). A bare

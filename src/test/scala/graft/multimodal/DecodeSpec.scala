@@ -222,4 +222,57 @@ class DecodeSpec extends SparkSpec {
       }
     }
   }
+
+  test("JPEG round-trip: geometry exact, decoded mean within the gate bound") {
+    val rnd = new Random(71)
+    var worst = 0.0
+    // the three hardest contents for a lossy codec: high-frequency
+    // noise, sharp step edges, smooth gradient — across geometries
+    val contents = Seq[Int => Int](
+      _ => rnd.nextInt(256),                   // noise
+      i => if (i % 16 < 8) 0 else 255,         // edges
+      i => i % 256)                            // gradient
+    for (h <- Seq(1, 3, 15); (gen, ci) <- contents.zipWithIndex) {
+      val w = Multimodal.JpegWidth
+      val gray = Array.tabulate(w * h)(i => gen(i).toByte)
+      val jpeg = MediaCodec.encodeJpegGray(w, h, gray, Multimodal.JpegQuality)
+      assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8, "not a JPEG stream")
+      val (dw, dh, dec) = MediaCodec.decodeJpegGray(jpeg)
+      assert(dw == w && dh == h, s"geometry drifted: $dw x $dh vs $w x $h (c$ci)")
+      assert(dec.length == w * h)
+      val srcMean = gray.map(_ & 0xff).sum.toDouble / gray.length
+      val decMean = dec.map(_ & 0xff).sum.toDouble / dec.length
+      val err = math.abs(decMean - srcMean)
+      worst = math.max(worst, err)
+      assert(err <= Multimodal.JpegMeanTol, s"mean drift $err (c$ci h=$h)")
+    }
+    // the tolerance claim in the q72 scaladoc: observed worst case is
+    // well inside the bound, not riding its edge
+    assert(worst <= Multimodal.JpegMeanTol / 2, s"tolerance margin thin: $worst")
+  }
+
+  test("corrupt JPEGs fail loudly: bad magic, truncated stream") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeJpegGray("BM25 is not a JPEG".getBytes)
+    }
+    val good = MediaCodec.encodeJpegGray(16, 4,
+      Array.tabulate(64)(_.toByte), 0.9f)
+    intercept[Exception] {
+      MediaCodec.decodeJpegGray(good.take(good.length / 2)) // truncated
+    }
+  }
+
+  test("decodeMedia routes JPEG payloads and falls back raw on corrupt ones") {
+    val s = spark
+    import s.implicits._
+    val jpeg = MediaCodec.encodeJpegGray(16, 2,
+      Array.tabulate(32)(i => (i * 8).toByte), 0.95f)
+    // 0xFFD8FF prefix on garbage: must not crash the job — raw fallback
+    val liar = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "definitely not a jpeg body".getBytes
+    val media = Seq((1L, jpeg), (2L, liar)).toDS()
+    val out = Multimodal.decodeMedia(media).collect().sortBy(_.media_id)
+    assert(out(0).fmt == "jpeg" && out(0).w == 16 && out(0).h == 2)
+    assert(out(1).fmt == "raw" && out(1).n_bytes == liar.length.toLong)
+  }
 }
