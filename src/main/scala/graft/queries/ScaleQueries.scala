@@ -1295,6 +1295,43 @@ object ScaleQueries {
        |FROM g ORDER BY media_id""".stripMargin
   }
 
+  // ---- q73: Bloom-pruned fact join (shuffle-volume cut) --------------
+
+  val BloomFpp = 0.01
+
+  /** Events joined to the BUILDING-segment customers through
+    * [[graft.operators.BloomPrune.prunedJoin]] — the q51 regime (fact
+    * side forced SMJ, dim not broadcastable as rows) with the join's
+    * selectivity harvested BEFORE the shuffle: a Bloom filter of the
+    * ~20%-of-customers dim keys prunes the event scan in pure codegen,
+    * so the exchange carries only rows that might match. The result is
+    * EXACTLY the plain join (no false negatives; false positives die
+    * in the join), so the plain-join oracle gates it hash-exactly;
+    * PlanSpec asserts the probe sits under the scan, before the
+    * exchange. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val cust = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    graft.operators.BloomPrune.prunedJoin(
+        ev.hint("merge"), cust, factKey = "user_id", dimKey = "c_custkey",
+        fpp = BloomFpp)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy("c_nationkey")
+  }
+
+  val bloomPrunedJoinSql: String =
+    s"""SELECT c_nationkey,
+       |  count(*)::BIGINT AS n_events,
+       |  ${moneySumSql("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   // ---- q71: deterministic training order (epoch shuffle) -------------
 
   val ShuffleEpoch = 1

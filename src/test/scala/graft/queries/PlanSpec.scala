@@ -188,6 +188,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q73: bloom probe prunes the fact BELOW its shuffle; join stays SMJ") {
+    val qe = SparkEntry.queries("q73_bloom_pruned_join")(spark, sfDir).queryExecution
+    val root = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val p = root.toString
+    assert(p.contains("SortMergeJoin"), s"expected the forced non-broadcast join:\n$p")
+    assert(p.contains("bloom_might_contain_long"), s"bloom probe missing from plan:\n$p")
+    // the point of the operator: the probe must sit in the SUBTREE of the
+    // fact's shuffle, so pruned rows never enter the exchange
+    val shuffles = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.exists(_.toString.contains("bloom_might_contain_long")),
+      s"bloom probe must be under the fact shuffle (prune before exchange):\n$p")
+  }
+
   test("q25: IVF assign/probe has no crossJoin and no assignment window") {
     val p = plan("q25_ann_ivf")
     Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
