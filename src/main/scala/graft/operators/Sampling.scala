@@ -64,4 +64,42 @@ object Sampling {
     * data — the permutation is recomputed from ids. */
   def shuffleKey(idCol: Column, epoch: Int): Column =
     md5(concat(idCol.cast("string"), lit(s":epoch:$epoch")))
+
+  // ---- weighted sampling without replacement (A-ES) ------------------
+
+  /** 2^60 as a double (exact: power of two). */
+  private val Pow60 = 1152921504606846976.0d
+
+  /** Efraimidis–Spirakis A-ES priority for weighted sampling WITHOUT
+    * replacement: `u^(1/w)` with `u` uniform in [0,1) — taking the K
+    * LARGEST priorities yields a sample where inclusion probability
+    * is proportional to weight (Efraimidis & Spirakis, IPL 97(5),
+    * 2006 — the standard distributed weighted-reservoir scheme).
+    *
+    * `u` comes from the 60-bit md5 prefix (`Hashing.h60`) of
+    * `id:salt`, so the sample is DETERMINISTIC: same corpus → same
+    * sample on any engine, cluster, or partitioning — the property
+    * every training-mix pipeline needs and `rand()`-based sampling
+    * cannot give. long→double rounding is IEEE round-to-nearest in
+    * both engines and /2^60 is exact, so `u` is bit-identical
+    * cross-engine; the priority is rounded to 12 decimals on both
+    * sides before ranking so a last-ulp `pow` difference cannot flip
+    * an order (ties broken by id — the q61/q71 convention).
+    *
+    * At 100 TB: a pure projection plus one global top-K
+    * (TakeOrderedAndProject — per-partition heaps of K, no sort, no
+    * shuffle of non-winners). */
+  def weightedPriority(idCol: Column, weightCol: Column, salt: String): Column = {
+    val u = graft.text.Hashing.h60(
+      concat(idCol.cast("string"), lit(":" + salt))).cast("double") / lit(Pow60)
+    round(pow(u, lit(1.0d) / weightCol.cast("double")), 12)
+  }
+
+  /** DuckDB rendering of [[weightedPriority]] — generated from the
+    * same h60 primitive so the engines cannot drift. */
+  def weightedPrioritySql(idExpr: String, weightExpr: String, salt: String): String = {
+    val u = s"(${graft.text.Hashing.h60Sql(s"($idExpr)::VARCHAR || ':$salt'")}::DOUBLE" +
+      s" / $Pow60)"
+    s"round(pow($u, 1.0 / ($weightExpr)::DOUBLE), 12)"
+  }
 }

@@ -1332,6 +1332,102 @@ object ScaleQueries {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  // ---- q74: z-order layout + min/max data skipping -------------------
+
+  val ZFiles = 16
+  val ZPartLo = 40L; val ZPartHi = 119L
+  val ZSuppLo = 2L; val ZSuppHi = 5L
+
+  /** Lineitem re-laid-out on the (l_partkey, l_suppkey) Morton curve
+    * (write-once per dir, like q39/q47), then a conjunctive range
+    * predicate over BOTH keys answered through the file-level
+    * [min,max] skipping index: the driver drops every file whose
+    * rectangle can't intersect the predicate before any data (or
+    * parquet footer) is read, and the surviving files still run the
+    * exact row predicate. Sorting by either key alone would cluster
+    * only that key — the z layout makes per-file ranges selective on
+    * both at once (ZOrderSpec asserts each single-dimension filter
+    * skips files here and that a linear layout skips none on its
+    * secondary dimension). Result is provably the plain filter's, so
+    * the full-scan oracle gates it hash-exact. */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureZorderedLineitem(spark, dir)
+    graft.sources.ZOrderLayout
+      .skippingScan(spark, stats, "l_partkey", "l_suppkey",
+        ZPartLo, ZPartHi, ZSuppLo, ZSuppHi)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Z-ordered lineitem layout + stats index for `dir`, built once per
+    * JVM (ingest-time work; the q47 mtime+length fingerprint rule). */
+  private val zStatsCache =
+    scala.collection.mutable.Map.empty[String, Seq[graft.sources.ZOrderLayout.FileStats]]
+
+  private def ensureZorderedLineitem(
+      spark: SparkSession, dir: String): Seq[graft.sources.ZOrderLayout.FileStats] =
+    synchronized {
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.length}:${src.lastModified}:$ZFiles"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_lineitem_$tag"
+      zStatsCache.getOrElseUpdate(path, {
+        val Z = graft.sources.ZOrderLayout
+        if (new java.io.File(path, "_SUCCESS").exists)
+          Z.collectStats(spark, path, "l_partkey", "l_suppkey")
+        else
+          Z.writeZOrdered(table(spark, dir, "lineitem")
+              .select("l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice"),
+            path, "l_partkey", "l_suppkey", ZFiles)
+      })
+    }
+
+  val zorderScanSql: String =
+    s"""SELECT l_returnflag,
+       |  count(*)::BIGINT AS n_rows,
+       |  ${moneySumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN $ZPartLo AND $ZPartHi
+       |  AND l_suppkey BETWEEN $ZSuppLo AND $ZSuppHi
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q75: deterministic weighted sample (A-ES top-K) ---------------
+
+  val WeightedSampleK = 200
+  val WeightedSampleSalt = "wsample"
+
+  /** Weighted sample WITHOUT replacement of the corpus, inclusion
+    * probability ∝ document length: rank by the deterministic A-ES
+    * priority `u^(1/w)` ([[graft.operators.Sampling.weightedPriority]])
+    * and keep the top K. The whole selection is a projection plus one
+    * TakeOrderedAndProject — no shuffle of non-winners, reproducible
+    * bit-for-bit on any engine (the oracle recomputes the identical
+    * priorities from the same md5 primitive and must select the same
+    * docs in the same order). The training-mix use: upweight long/rare
+    * documents in a size-bounded sample instead of uniform keep/drop. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.operators.Sampling
+          .weightedPriority(col("doc_id"), col("n_chars"), WeightedSampleSalt)
+          .as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WeightedSampleK)
+  }
+
+  val weightedSampleSql: String = {
+    val pri = graft.operators.Sampling
+      .weightedPrioritySql("doc_id", "n_chars", WeightedSampleSalt)
+    s"""SELECT doc_id, lang, n_chars, $pri AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id
+       |LIMIT $WeightedSampleK""".stripMargin
+  }
+
   // ---- q71: deterministic training order (epoch shuffle) -------------
 
   val ShuffleEpoch = 1

@@ -76,6 +76,42 @@ class SamplingSpec extends SparkSpec {
     assert(samePos < 20, s"$samePos ids kept their position across epochs")
   }
 
+  test("weighted A-ES sample: inclusion tracks weight, deterministic, top-K plan") {
+    val s = spark
+    import s.implicits._
+    // weights 1..400: under A-ES with K=100 of n=400, heavy items must
+    // dominate the sample (E[w | selected] >> E[w])
+    val df = (1L to 400L).map(i => (i, i)).toDF("id", "w")
+      .select(col("id"), col("w"),
+        Sampling.weightedPriority(col("id"), col("w"), "t").as("p"))
+    val top = df.orderBy(col("p").desc, col("id")).limit(100)
+    val sel = top.collect().map(_.getLong(1))
+    val meanSel = sel.sum.toDouble / sel.length
+    assert(meanSel > 250.0, s"weighted sample mean weight $meanSel ~ uniform 200.5")
+    // determinism: a second evaluation selects the identical set in order
+    val again = df.orderBy(col("p").desc, col("id")).limit(100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == top.collect().map(_.getLong(0)).toSeq)
+    // priority matches a driver-side recomputation of u^(1/w) exactly
+    val rows = df.collect()
+    rows.foreach { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r.getLong(0)}:t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val want = BigDecimal(math.pow(h.toDouble / 1152921504606846976.0d,
+        1.0 / r.getLong(1))).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == want, s"id ${r.getLong(0)}")
+    }
+    // heavier weight → first-order stochastic dominance on selection:
+    // every weight decile above the median is selected at >= the rate
+    // of the decile below it minus noise; cheapest check: top decile
+    // selected strictly more often than bottom decile
+    val topDec = sel.count(_ > 360)
+    val botDec = sel.count(_ <= 40)
+    assert(topDec > botDec, s"top-decile $topDec <= bottom-decile $botDec")
+  }
+
   test("q71 training-order head plans as TakeOrderedAndProject, not a global sort") {
     val p = graft.queries.ScaleQueries.trainingOrder(spark, sfDir)
       .queryExecution.executedPlan.toString
