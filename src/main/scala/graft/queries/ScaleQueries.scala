@@ -1428,6 +1428,158 @@ object ScaleQueries {
        |LIMIT $WeightedSampleK""".stripMargin
   }
 
+  // ---- q76: edit-distance fuzzy self-join (FastSS) -------------------
+
+  /** Customer names at Levenshtein distance ≤ 1 — record linkage via
+    * [[graft.dedup.EditDistanceJoin]]'s deletion-neighborhood index
+    * (O(n·L) candidates, never the O(n²) pair scan the brute-force
+    * oracle runs). The digit-dense `Customer#%09d` names make a dense
+    * truth set: every pair of numbers differing in one digit. */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.EditDistanceJoin
+      .selfJoinEd1(table(spark, dir, "customer"), "c_custkey", "c_name")
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .orderBy("id_a", "id_b")
+
+  val fuzzyNameJoinSql: String =
+    """SELECT a.c_custkey::BIGINT AS id_a, b.c_custkey::BIGINT AS id_b
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q77: repetition signals (Gopher-style quality filters) --------
+
+  /** A doc is "repetitive" when its top word exceeds 12% of all words
+    * — compared in exact integer arithmetic (25·T > 3·W) so the flag
+    * can never straddle a float rounding seam cross-engine. */
+  val RepTopWordNum = 25; val RepTopWordDen = 3
+
+  /** Per-language repetition profile of the corpus — the Gopher-class
+    * quality signals (Rae et al. 2021 §A1.1: duplicate-word fraction,
+    * top-word fraction, top-bigram fraction) that catch boilerplate
+    * and degenerate generations before training. Word stats are one
+    * explode + two aggregations; bigrams ride an exploded position
+    * sequence with `element_at` (pure codegen — no HOF lambda, no
+    * UDF). Docs with one word carry zero bigrams via the left join.
+    * At 100 TB this composes into the q58 quality→mix pass: all
+    * signals are per-doc aggregates of one tokenization. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val wc = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("c"))
+    val ws = wc.groupBy("doc_id", "lang").agg(
+      sum("c").as("W"), count(lit(1)).as("D"), max("c").as("T"))
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("d"), col("w"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("w"), col("d")),
+        element_at(col("w"), col("d") + 1)).as("bigram"))
+    val bs = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("NB"), max("c").as("TB"))
+    ws.join(bs, Seq("doc_id"), "left").na.fill(0L, Seq("NB", "TB"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        r6(avg((col("W") - col("D")).cast("double") / col("W")))
+          .as("dup_word_frac"),
+        r6(avg(col("T").cast("double") / col("W"))).as("top_word_frac"),
+        r6(avg(when(col("NB") === 0, lit(0d))
+          .otherwise(col("TB").cast("double") / col("NB"))))
+          .as("top_bigram_frac"),
+        sum(when(col("T") * RepTopWordNum > col("W") * RepTopWordDen, 1L)
+          .otherwise(0L)).as("n_repetitive"))
+      .orderBy("lang")
+  }
+
+  val repetitionSignalsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |), wc AS (
+       |  SELECT doc_id, lang, unnest(w) AS word FROM t
+       |), wcc AS (
+       |  SELECT doc_id, lang, word, count(*) AS c FROM wc GROUP BY 1, 2, 3
+       |), ws AS (
+       |  SELECT doc_id, lang, sum(c) AS W, count(*) AS D, max(c) AS T
+       |  FROM wcc GROUP BY 1, 2
+       |), bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)),
+       |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |  FROM t
+       |), bcc AS (
+       |  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+       |), bs AS (
+       |  SELECT doc_id, sum(c) AS NB, max(c) AS TB FROM bcc GROUP BY 1
+       |)
+       |SELECT lang,
+       |  count(*)::BIGINT AS n_docs,
+       |  round(avg((W - D)::DOUBLE / W), 6) AS dup_word_frac,
+       |  round(avg(T::DOUBLE / W), 6) AS top_word_frac,
+       |  round(avg(CASE WHEN coalesce(NB, 0) = 0 THEN 0.0
+       |    ELSE coalesce(TB, 0)::DOUBLE / NB END), 6) AS top_bigram_frac,
+       |  sum(CASE WHEN T * $RepTopWordNum > W * $RepTopWordDen
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
+       |FROM ws LEFT JOIN bs USING (doc_id)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---- q78: equi-depth histogram (ExactQuantile reuse) ---------------
+
+  val EquiDepthBuckets = 10
+
+  /** Equi-depth (equal-count) histogram of event values: decile
+    * boundaries from the bounded-memory [[graft.operators.ExactQuantile]]
+    * (the q65 plan — never `percentile`'s O(rows) buffer, never a
+    * global `ntile` sort), then bucket assignment as a pure codegen
+    * when-chain over the boundary literals and one aggregation.
+    * Equi-WIDTH histograms (q23/q33) mislead on skewed data — the
+    * optimizer/monitoring shape at 100 TB is equi-depth, and this is
+    * its scale-true construction: boundaries cost a handful of
+    * counter-bounded scans, assignment is one more.
+    *
+    * Boundaries are rounded to 6 decimals on BOTH engines before the
+    * compare (the q65 gate proves the rounded quantiles agree), so
+    * bucket membership can never straddle an interpolation ulp. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val ps = (1 until EquiDepthBuckets).map(_.toDouble / EquiDepthBuckets)
+    val qs = graft.operators.ExactQuantile.quantiles(ev, "value", ps)
+      .map(q => BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bucket = qs.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(col("value") > lit(t), 1).otherwise(0)
+    }
+    ev.groupBy(bucket.cast("long").as("bucket")).agg(
+        count(lit(1)).as("n_rows"),
+        r6(min(col("value"))).as("min_v"),
+        r6(max(col("value"))).as("max_v"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy("bucket")
+  }
+
+  val equiDepthHistogramSql: String = {
+    val ps = (1 until EquiDepthBuckets)
+      .map(i => (i.toDouble / EquiDepthBuckets).toString).mkString(",")
+    s"""WITH b AS (
+       |  SELECT list_transform(quantile_cont(value, [$ps]),
+       |    t -> round(t, 6)) AS qs
+       |  FROM events
+       |)
+       |SELECT (1 + list_sum(list_transform(b.qs,
+       |    t -> CASE WHEN e.value > t THEN 1 ELSE 0 END)))::BIGINT AS bucket,
+       |  count(*)::BIGINT AS n_rows,
+       |  round(min(e.value), 6) AS min_v,
+       |  round(max(e.value), 6) AS max_v,
+       |  ${moneySumSql("e.value")} AS sum_value
+       |FROM events e CROSS JOIN b
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
+
   // ---- q71: deterministic training order (epoch shuffle) -------------
 
   val ShuffleEpoch = 1

@@ -222,4 +222,27 @@ class ExactQuantileSpec extends SparkSpec {
       assert(a.getAs[Double](c) == b.getAs[Double](c), c)
     assert(a.getAs[Long]("n_outliers") == b.getAs[Long]("n_outliers"))
   }
+
+  test("q78 equi-depth property: bucket counts within 1 of n/K on distinct data") {
+    val s = spark
+    import s.implicits._
+    // distinct values, shuffled deterministically — every decile must
+    // receive floor(n/10) or ceil(n/10) rows
+    val n = 1003
+    val rnd = new scala.util.Random(7L)
+    val df = rnd.shuffle((1 to n).toVector).map(_.toDouble * 1.25).toDF("value")
+    val ps = (1 until 10).map(_.toDouble / 10)
+    val qs = ExactQuantile.quantiles(df, "value", ps)
+      .map(q => BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bucket = qs.foldLeft(org.apache.spark.sql.functions.lit(1)) { (acc, t) =>
+      acc + org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("value") > t, 1).otherwise(0)
+    }
+    val counts = df.groupBy(bucket.as("b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (1 to 10).toSet, counts.toString)
+    counts.values.foreach { c =>
+      assert(math.abs(c - n / 10.0) <= 1.0, s"bucket count $c vs ${n / 10.0}")
+    }
+  }
 }
