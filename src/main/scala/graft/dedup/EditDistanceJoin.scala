@@ -33,24 +33,39 @@ object EditDistanceJoin {
 
   /** All pairs (idA < idB) with `levenshtein(strA, strB) <= 1` from a
     * self-join of `df` — exact, via the deletion-neighborhood index.
-    * Distinct-before-verify keeps one row per candidate pair no matter
-    * how many variants it shared. */
+    *
+    * Shuffle economy: the equi-join key is `xxhash64(variant)` — 8
+    * bytes instead of an L-char string — which is safe because every
+    * candidate is re-verified with the exact `levenshtein` BEFORE the
+    * dedup, so a hash collision only costs one wasted comparison, never
+    * a wrong pair. Verification runs pre-`distinct` (codegen'd
+    * levenshtein on the joined rows is cheaper than shuffling the
+    * strings), so the final distinct dedups two longs, nothing more. */
   def selfJoinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val v = df
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .withColumn("__d", explode(sequence(lit(0), length(col("__s")))))
+      // Run dedup: deleting any character of a run of equal characters
+      // yields the same variant (think the zero-run in "Customer#000001234"
+      // — without this, each name emits k identical index rows and the
+      // join multiplies k_a * k_b duplicates per candidate pair). Keep
+      // only the FIRST deletion of each run — a codegen filter, no
+      // shuffle, and provably the same variant set.
+      .filter(col("__d") <= 1 ||
+        col("__s").substr(col("__d") - 1, lit(1)) =!=
+          col("__s").substr(col("__d"), lit(1)))
       .select(col("__id"), col("__s"),
-        when(col("__d") === 0, col("__s"))
+        xxhash64(when(col("__d") === 0, col("__s"))
           .otherwise(concat(
             col("__s").substr(lit(1), col("__d") - 1),
-            col("__s").substr(col("__d") + 1, length(col("__s")))))
-          .as("__variant"))
-    val a = v.select(col("__variant"), col("__id").as("id_a"), col("__s").as("s_a"))
-    val b = v.select(col("__variant"), col("__id").as("id_b"), col("__s").as("s_b"))
-    a.join(b, "__variant")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "s_a", "s_b")
+            col("__s").substr(col("__d") + 1, length(col("__s"))))))
+          .as("__vh"))
+    val a = v.select(col("__vh"), col("__id").as("id_a"), col("__s").as("s_a"))
+    val b = v.select(col("__vh"), col("__id").as("id_b"), col("__s").as("s_b"))
+    a.join(b, "__vh")
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("s_a"), col("s_b")) <= 1)
+      .select("id_a", "id_b")
       .distinct()
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
   }
 }

@@ -17,18 +17,27 @@ import org.apache.spark.sql.graft.SqlShims
   */
 object GraftFunctions {
 
-  def registerAll(spark: SparkSession): Unit = {
-    SqlShims.registerFunction(spark, "pattern_mask",
-      exprs => PatternMaskExpression(exprs.head))
-    SqlShims.registerFunction(spark, "double_array_cosine",
-      exprs => DoubleArrayCosine(exprs(0), exprs(1)))
-    SqlShims.registerFunction(spark, "sorted_long_intersect_count",
-      exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
-    SqlShims.registerFunction(spark, "double_render_length",
-      exprs => RenderLengthExpression(exprs.head, "double"))
-    SqlShims.registerFunction(spark, "float_render_length",
-      exprs => RenderLengthExpression(exprs.head, "float"))
-    SqlShims.registerFunction(spark, "decimal_render_length",
-      exprs => RenderLengthExpression(exprs.head, "decimal"))
-  }
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Name → expression builder for every SQL-exposed native function.
+    * One list, two consumers: [[registerAll]] (existing sessions) and
+    * [[GraftExtensions]] (config-driven cluster wiring). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "pattern_mask" ->
+      ((exprs: Seq[Expression]) => PatternMaskExpression(exprs.head)),
+    "double_array_cosine" ->
+      ((exprs: Seq[Expression]) => DoubleArrayCosine(exprs(0), exprs(1))),
+    "sorted_long_intersect_count" ->
+      ((exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
+    "double_render_length" ->
+      ((exprs: Seq[Expression]) => RenderLengthExpression(exprs.head, "double")),
+    "float_render_length" ->
+      ((exprs: Seq[Expression]) => RenderLengthExpression(exprs.head, "float")),
+    "decimal_render_length" ->
+      ((exprs: Seq[Expression]) => RenderLengthExpression(exprs.head, "decimal")))
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      SqlShims.registerFunction(spark, name, builder)
+    }
 }
