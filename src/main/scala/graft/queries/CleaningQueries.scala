@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.{ParagraphDedup, PiiRedaction}
+import QueryUtil._
+
+/** Corpus-cleaning stage queries: PII scrubbing (q79) and
+  * paragraph-level boilerplate dedup (q80).
+  *
+  * The synthetic `documents` text is clean word salad, so — exactly as
+  * the media queries (q55/q66/q70/q72) synthesize real containers
+  * in-pipeline — both queries first inject deterministic dirt derived
+  * from `doc_id`, with the IDENTICAL construction in the oracle SQL.
+  * The gate then checks the full clean→dirty→clean round trip, not
+  * just "some regex ran".
+  */
+object CleaningQueries {
+
+  // ---- q79: PII detect + redact ---------------------------------------
+
+  /** One synthetic PII item per doc by `doc_id % 5`: email / phone /
+    * host ip / national-id / none. Patterns are mutually exclusive by
+    * construction (see [[graft.text.PiiRedaction]] scaladoc), so the
+    * expected per-kind counts are exact. */
+  private def dirtyPii(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 5
+    table(spark, dir, "documents").withColumn("dirty",
+      when(m === 0, concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+      .when(m === 1, concat(col("text"),
+        lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .when(m === 2, concat(col("text"),
+        lit(" from host 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string")))
+      .when(m === 3, concat(col("text"),
+        lit(" id 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text")))
+  }
+
+  /** Per-source PII scrub report: counts per kind (pre-redaction),
+    * characters removed, and the residual self-check (matches of any
+    * pattern AFTER redaction — must be 0 everywhere). Detection,
+    * redaction, and the residual audit are all codegen regex work on
+    * ONE scan of the corpus. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val d = dirtyPii(spark, dir)
+      .withColumn("clean", PiiRedaction.redact(col("dirty")))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(PiiRedaction.piiCount(col("dirty"), "email")).as("n_emails"),
+        sum(PiiRedaction.piiCount(col("dirty"), "phone")).as("n_phones"),
+        sum(PiiRedaction.piiCount(col("dirty"), "ip")).as("n_ips"),
+        sum(PiiRedaction.piiCount(col("dirty"), "national_id")).as("n_ids"),
+        sum(length(col("dirty")) - length(col("clean"))).as("chars_removed"),
+        sum(PiiRedaction.residual(col("clean"))).as("n_residual"))
+      .orderBy("source")
+  }
+
+  /** The injection, verbatim in DuckDB. (Single line per branch: this
+    * fragment is embedded in a stripMargin string, where a
+    * continuation line starting with `||` would lose a pipe.) */
+  private val dirtyPiiSql: String =
+    "CASE doc_id % 5" +
+      " WHEN 0 THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'" +
+      " WHEN 1 THEN text || ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')" +
+      " || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')" +
+      " WHEN 2 THEN text || ' from host 10.' || (doc_id % 256)::VARCHAR" +
+      " || '.0.' || (doc_id % 100)::VARCHAR" +
+      " WHEN 3 THEN text || ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')" +
+      " ELSE text END"
+
+  val piiRedactionSql: String = {
+    val Seq(email, ip, natId, phone) = PiiRedaction.Patterns.map(_._2)
+    def esc(p: String) = p.replace("'", "''")
+    val clean = PiiRedaction.Patterns.foldLeft("dirty") {
+      case (acc, (_, p, r)) => s"regexp_replace($acc, '${esc(p)}', '$r', 'g')"
+    }
+    s"""WITH d AS (
+       |  SELECT source, $dirtyPiiSql AS dirty FROM documents
+       |), c AS (
+       |  SELECT source, dirty, $clean AS clean FROM d
+       |)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  sum(len(regexp_extract_all(dirty, '${esc(email)}')))::BIGINT AS n_emails,
+       |  sum(len(regexp_extract_all(dirty, '${esc(phone)}')))::BIGINT AS n_phones,
+       |  sum(len(regexp_extract_all(dirty, '${esc(ip)}')))::BIGINT AS n_ips,
+       |  sum(len(regexp_extract_all(dirty, '${esc(natId)}')))::BIGINT AS n_ids,
+       |  sum(length(dirty) - length(clean))::BIGINT AS chars_removed,
+       |  sum(len(regexp_extract_all(clean, '${esc(email)}'))
+       |    + len(regexp_extract_all(clean, '${esc(ip)}'))
+       |    + len(regexp_extract_all(clean, '${esc(natId)}'))
+       |    + len(regexp_extract_all(clean, '${esc(phone)}')))::BIGINT AS n_residual
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---- q80: paragraph-level boilerplate dedup --------------------------
+
+  /** Three boilerplate paragraphs (newsletter / copyright / cookies),
+    * appended by `doc_id % 4` (one clean class). Each survives only in
+    * the first document carrying it. */
+  private val Boiler = Seq(
+    "subscribe to our newsletter for updates and follow the channel for more content every day",
+    "all rights reserved unauthorized reproduction of this material is strictly prohibited by the publisher",
+    "click here to accept cookies and continue reading the full article on our site")
+
+  private def dirtyParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 4
+    table(spark, dir, "documents").withColumn("dirty",
+      when(m === 0, concat_ws("\n", col("text"), lit(Boiler(0))))
+      .when(m === 1, concat_ws("\n", col("text"), lit(Boiler(1)), lit(Boiler(2))))
+      .when(m === 2, concat_ws("\n", col("text"), lit(Boiler(2))))
+      .otherwise(col("text")))
+  }
+
+  /** Per-document dedup report: paragraph counts before/after the
+    * corpus-wide keep-first pass plus the md5 of the reassembled clean
+    * document — the strongest possible gate (any dropped, duplicated,
+    * reordered, or mis-joined paragraph flips the hash). See
+    * [[graft.text.ParagraphDedup]] for why this is winners+semi-join,
+    * not a window over the (viral-key-skewed) paragraph column. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    ParagraphDedup.keepFirst(dirtyParagraphs(spark, dir), "doc_id", "dirty")
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val paragraphDedupSql: String = {
+    val b = Boiler.map(_.replace("'", "''"))
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN text || chr(10) || '${b(0)}'
+       |      WHEN 1 THEN text || chr(10) || '${b(1)}' || chr(10) || '${b(2)}'
+       |      WHEN 2 THEN text || chr(10) || '${b(2)}'
+       |      ELSE text END AS dirty
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, u.idx, u.para
+       |  FROM d, LATERAL (
+       |    SELECT unnest(string_split(dirty, chr(10))) AS para,
+       |           generate_subscripts(string_split(dirty, chr(10)), 1) AS idx) u
+       |), k AS (
+       |  SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+       |  FROM p
+       |)
+       |SELECT doc_id,
+       |  count(*) AS n_paras,
+       |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY idx), ''))
+       |    AS clean_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}
