@@ -44,7 +44,11 @@ object PipelineQueries {
         "doc_id", "text", MinhashThreshold)
       .orderBy("doc_a", "doc_b")
 
-  val dedupMinhashSql: String = {
+  /** The full MinHash pipeline as SQL CTEs ending in `verified
+    * (doc_a, doc_b, est_jaccard, jaccard)` — shared by the q10 oracle
+    * and the q81 incremental oracle (which is by construction the same
+    * pipeline restricted to delta-touching pairs). */
+  private val minhashVerifiedCte: String = {
     val n = MinHashLSH.NumHashes
     val sigMins = (0 until n)
       .map(i => s"min(${Hashing.affineSql(i, "x")}) AS h$i").mkString(",\n    ")
@@ -81,12 +85,49 @@ object PipelineQueries {
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
        |  FROM est e
        |  JOIN sets a ON a.id = e.doc_a
-       |  JOIN sets b ON b.id = e.doc_b)
+       |  JOIN sets b ON b.id = e.doc_b)""".stripMargin
+  }
+
+  val dedupMinhashSql: String =
+    s"""$minhashVerifiedCte
        |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
        |  round(jaccard, 6) AS jaccard
        |FROM verified WHERE jaccard >= $MinhashThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q81: incremental near-dup (delta shard vs indexed corpus) ------
+
+  /** The crawl-append dedup: docs with `doc_id % 10 == 0` play the
+    * incoming shard, the rest the already-indexed corpus. See
+    * [[graft.dedup.MinHashLSH.incrementalNearDuplicatesResult]] for the
+    * cost shape (∝ delta + collisions, never ∝ corpus). `pair_type`
+    * tags whether the duplicate was found against the corpus or inside
+    * the shard itself. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    MinHashLSH.incrementalNearDuplicatesResult(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", MinhashThreshold)
+      .df
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0,
+          lit("delta_delta")).otherwise(lit("base_delta")))
+      .orderBy("doc_a", "doc_b")
   }
+
+  /** The full-corpus pipeline restricted to delta-touching pairs — the
+    * equivalence the incremental operator guarantees. */
+  val dedupIncrementalSql: String =
+    s"""$minhashVerifiedCte
+       |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
+       |  round(jaccard, 6) AS jaccard,
+       |  CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0 THEN 'delta_delta'
+       |       ELSE 'base_delta' END AS pair_type
+       |FROM verified
+       |WHERE jaccard >= $MinhashThreshold
+       |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- q11: SimHash near-dup -----------------------------------------
 

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+import graft.SparkSpec
+
+/** [[MinHashLSH.incrementalNearDuplicatesResult]]: delta-vs-corpus
+  * dedup must equal the full-corpus run restricted to delta-touching
+  * pairs, and its verification must aggregate only candidate docs. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  private def fullRestricted(
+      deltaPred: Long => Boolean): Set[(Long, Long, Double, Double)] =
+    MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .filter(t => deltaPred(t._1) || deltaPred(t._2))
+      .toSet
+
+  private def incremental(
+      deltaPred: org.apache.spark.sql.Column): Set[(Long, Long, Double, Double)] = {
+    val res = MinHashLSH.incrementalNearDuplicatesResult(
+      docs.filter(!deltaPred), docs.filter(deltaPred),
+      "doc_id", "text", 0.5)
+    val got = res.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    res.release()
+    got
+  }
+
+  test("incremental == full corpus restricted to delta-touching pairs") {
+    val got = incremental(col("doc_id") % 10 === 0)
+    val want = fullRestricted(_ % 10 == 0)
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty, "fixture has no delta-touching pairs — weak test")
+  }
+
+  test("holds for a different (larger) delta split, including est values") {
+    val got = incremental(col("doc_id") % 3 === 1)
+    val want = fullRestricted(_ % 3 == 1)
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+  }
+
+  test("empty delta yields no pairs without touching the corpus pairwise") {
+    val got = incremental(col("doc_id") < 0)
+    assert(got.isEmpty)
+  }
+
+  test("verification set-build aggregates only AFTER the candidate semi-join") {
+    val res = MinHashLSH.incrementalNearDuplicatesResult(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 0.5)
+    val plan = res.df.queryExecution.optimizedPlan
+    // every collect_list aggregate (the per-doc shingle-set build) must
+    // sit ABOVE a left-semi join — i.e. the corpus postings are
+    // restricted to candidate ids before the heavy aggregation
+    val setBuilds = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]))
+        && a.toString.contains("collect_list") => a
+    }
+    assert(setBuilds.nonEmpty, "expected a collect_list set-build aggregate")
+    setBuilds.foreach { a =>
+      val hasSemiBelow = a.child.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty
+      assert(hasSemiBelow,
+        s"set-build aggregate is not restricted by a semi-join:\n$a")
+    }
+    res.release()
+  }
+}
