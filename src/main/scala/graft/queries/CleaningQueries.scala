@@ -129,6 +129,79 @@ object CleaningQueries {
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
 
+  // ---- q82: resilient JSON ingest (quarantine + schema evolution) -----
+
+  /** JSON-lines rendering of `documents` written once per JVM into two
+    * shards — v1 (even ids: old schema `doc_id, lang, text`) and v2
+    * (odd ids: evolved schema with `quality`) — with every
+    * `doc_id % 17 == 0` line corrupted (prefixed junk ⇒ invalid JSON).
+    * Same mtime+length fingerprint rule as the q47 layout: ingest-time
+    * work, not per-query work. */
+  private def ensureJsonShards(spark: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.length}:${src.lastModified}"))
+      val root = s"${sys.props("java.io.tmpdir")}/graft_json_docs_$tag"
+      val (v1, v2) = (s"$root/v1", s"$root/v2")
+      if (!new java.io.File(v1, "_SUCCESS").exists ||
+          !new java.io.File(v2, "_SUCCESS").exists) {
+        val docs = table(spark, dir, "documents")
+        def corrupted(line: org.apache.spark.sql.Column) =
+          when(col("doc_id") % 17 === 0, concat(lit("x"), line)).otherwise(line)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(corrupted(to_json(struct(
+            col("doc_id"), col("lang"), col("text")))).as("value"))
+          .write.mode("overwrite").text(v1)
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality", col("doc_id") % 7)
+          .select(corrupted(to_json(struct(
+            col("doc_id"), col("lang"), col("text"), col("quality")))).as("value"))
+          .write.mode("overwrite").text(v2)
+      }
+      (v1, v2)
+    }
+
+  /** Ingest report over the two JSON shards: per-language row counts,
+    * quarantined-line count (corrupt rows parse no fields, so they land
+    * in the `_corrupt` group), evolved-column presence, and recovered
+    * content size. The oracle never parses JSON — it derives the same
+    * numbers from `documents` plus the injection arithmetic, so a
+    * parser that dropped, duplicated, or mis-quarantined any line
+    * fails the gate. */
+  def jsonIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = ensureJsonShards(spark, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("lang", "string")
+      .add("text", "string").add("quality", "long")
+    graft.sources.JsonIngest.readResilient(spark, schema, v1, v2)
+      .groupBy(coalesce(col("lang"), lit("_corrupt")).as("lang_group"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col(graft.sources.JsonIngest.CorruptCol)).as("n_corrupt"),
+        count(col("quality")).as("n_evolved"),
+        coalesce(sum(col("quality")), lit(0L)).as("sum_quality"),
+        coalesce(sum(length(col("text"))), lit(0L)).cast("long").as("sum_text_len"))
+      .orderBy("lang_group")
+  }
+
+  val jsonIngestSql: String =
+    """WITH r AS (
+      |  SELECT CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS corrupt,
+      |    CASE WHEN doc_id % 17 <> 0 AND doc_id % 2 = 1
+      |         THEN doc_id % 7 END AS quality,
+      |    CASE WHEN doc_id % 17 <> 0 THEN length(text) END AS tlen
+      |  FROM documents)
+      |SELECT coalesce(lang, '_corrupt') AS lang_group,
+      |  count(*) AS n_rows,
+      |  sum(corrupt)::BIGINT AS n_corrupt,
+      |  count(quality) AS n_evolved,
+      |  coalesce(sum(quality), 0)::BIGINT AS sum_quality,
+      |  coalesce(sum(tlen), 0)::BIGINT AS sum_text_len
+      |FROM r GROUP BY 1 ORDER BY lang_group""".stripMargin
+
   val paragraphDedupSql: String = {
     val b = Boiler.map(_.replace("'", "''"))
     s"""WITH d AS (
