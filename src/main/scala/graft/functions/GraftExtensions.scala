@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       plan,
       allow = session.conf.getOption(GraftExtensions.AllowCartesianKey)
         .exists(_.equalsIgnoreCase("true"))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SqlShims
 
 /** Backward as-of join — for each left row, the single latest right row
   * with `rightTs <= leftTs` on the same key (the time-series "most
@@ -62,6 +63,54 @@ object AsofJoin {
       tieBreak: Option[String] = None): DataFrame =
     asof(left, right, key, ts, leftCols, rightPayload, tieBreak,
       lookBack = false)
+
+  /** [[backward]] on the NATIVE physical operator
+    * ([[graft.plans.AsofJoinExec]]) instead of the union+window
+    * composition: same semantics and oracle, but planned like a
+    * sort-merge join (co-located hash exchanges + per-partition sorted
+    * merge holding ONE candidate row of state). See the plan node's
+    * scaladoc for the comparison. Duplicate right (key, ts) ties:
+    * pre-sort the right side if a deterministic winner is needed.
+    *
+    * @param rightPayload right columns to attach, as (src -> outName) */
+  def backwardNative(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      leftCols: Seq[String],
+      rightPayload: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    graft.plans.AsofJoinStrategyRegistration.ensure(spark)
+    val lp = left.queryExecution.analyzed
+    // Self-join hygiene the analyzer would normally do for us
+    // (DeduplicateRelations runs on built-in Joins, not hand-spliced
+    // nodes): when both sides derive from one DataFrame they SHARE
+    // exprIds, and downstream column pruning then satisfies every
+    // "right" reference from the left child and prunes the right
+    // subtree to an empty schema. Re-alias the right output with fresh
+    // exprIds whenever the two outputs intersect.
+    val rpRaw = right.queryExecution.analyzed
+    val rp =
+      if (lp.outputSet.intersect(rpRaw.outputSet).isEmpty) rpRaw
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rpRaw.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rpRaw)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"as-of: no column $n in ${p.output.map(_.name)}"))
+    val join = graft.plans.AsofJoinPlan(lp, rp,
+      Seq(attr(lp, key)), Seq(attr(rp, key)), attr(lp, ts), attr(rp, ts))
+    val projected = Project(
+      leftCols.map(c => attr(lp, c)) ++
+        rightPayload.map { case (src, out) =>
+          Alias(attr(rp, src).withNullability(true), out)()
+        },
+      join)
+    SqlShims.ofRows(spark, projected)
+  }
 
   private def asof(
       left: DataFrame, right: DataFrame,

@@ -352,6 +352,29 @@ object AnalyticsQueries {
       .orderBy("user_id", "purchase_ts_us")
   }
 
+  /** q38's as-of query on the NATIVE physical operator
+    * ([[graft.plans.AsofJoinExec]]: custom logical node + strategy +
+    * exec with SMJ-style requirements and an O(1)-state merge) instead
+    * of the union+window composition. Same semantics, same DuckDB
+    * `ASOF LEFT JOIN` oracle — the gate proves the engine operator
+    * end-to-end on real data. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    graft.operators.AsofJoin.backwardNative(
+        purchases, clicks,
+        key = "user_id", ts = "ts_us",
+        leftCols = Seq("user_id", "ts_us", "event_id", "purchase_value"),
+        rightPayload = Seq("ts_us" -> "click_ts_us", "value" -> "click_value"))
+      .withColumnRenamed("ts_us", "purchase_ts_us")
+      .orderBy("user_id", "purchase_ts_us")
+  }
+
   val asofJoinSql: String =
     """WITH p AS (
       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS purchase_ts_us,
