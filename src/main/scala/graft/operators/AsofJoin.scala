@@ -77,7 +77,29 @@ object AsofJoin {
       left: DataFrame, right: DataFrame,
       key: String, ts: String,
       leftCols: Seq[String],
-      rightPayload: Seq[(String, String)]): DataFrame = {
+      rightPayload: Seq[(String, String)]): DataFrame =
+    native(left, right, key, ts, leftCols, rightPayload, forward = false)
+
+  /** [[forward]] on the native physical operator: for each left row
+    * the single EARLIEST right row with `rightTs >= leftTs` on the
+    * same key. Same planning shape as [[backwardNative]]; the merge
+    * holds no candidate state at all — the match is the un-consumed
+    * head of the right iterator. Duplicate right (key, ts) ties take
+    * the physically-FIRST row in sort order (mirror of backward's
+    * last): pre-sort the right side for a deterministic winner. */
+  def forwardNative(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      leftCols: Seq[String],
+      rightPayload: Seq[(String, String)]): DataFrame =
+    native(left, right, key, ts, leftCols, rightPayload, forward = true)
+
+  private def native(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      leftCols: Seq[String],
+      rightPayload: Seq[(String, String)],
+      forward: Boolean): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
@@ -102,7 +124,8 @@ object AsofJoin {
       p.output.find(_.name == n).getOrElse(
         sys.error(s"as-of: no column $n in ${p.output.map(_.name)}"))
     val join = graft.plans.AsofJoinPlan(lp, rp,
-      Seq(attr(lp, key)), Seq(attr(rp, key)), attr(lp, ts), attr(rp, ts))
+      Seq(attr(lp, key)), Seq(attr(rp, key)), attr(lp, ts), attr(rp, ts),
+      forward)
     val projected = Project(
       leftCols.map(c => attr(lp, c)) ++
         rightPayload.map { case (src, out) =>

@@ -40,11 +40,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * [[graft.operators.AsofJoin.backwardNative]]) and cluster-wide via
   * [[graft.functions.GraftExtensions]].
   *
-  * Scope (documented, spec-pinned): backward direction; duplicate
-  * right (key, time) rows resolve to the physically-last in sort
-  * order, so callers needing a deterministic winner among exact ties
-  * pre-sort with a tie-break column — same contract as the window
-  * composition's `tieBreak`.
+  * Scope (documented, spec-pinned): both directions — backward (last
+  * right at-or-before, `forward = false`) and forward (first right
+  * at-or-after, `forward = true`). Duplicate right (key, time) rows
+  * resolve to the physically-LAST in sort order backward and the
+  * physically-FIRST forward, so callers needing a deterministic winner
+  * among exact ties pre-sort with a tie-break column — same contract
+  * as the window composition's `tieBreak`. NULL semantics follow SQL
+  * equality, not the natural row ordering (which sorts NULLs first and
+  * would let them compare): a left row with a NULL key or time emits
+  * unmatched; right rows with NULL key or time are skipped, never
+  * match candidates.
   */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -52,7 +58,8 @@ case class AsofJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
@@ -68,8 +75,8 @@ case class AsofJoinPlan(
 /** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -80,7 +87,8 @@ case class AsofJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -134,10 +142,13 @@ case class AsofJoinExec(
       // drain the left side (a real bug this operator shipped without,
       // caught by the -Wconf shadowing warning)
       val rBuf = rIter.buffered
+      val fwd = forward
 
       new Iterator[InternalRow] {
-        // the single held candidate: last right row seen whose key
-        // equals heldKey (a copy -- projections reuse their buffers)
+        // backward only — the single held candidate: last right row
+        // seen whose key equals heldKey (a copy -- projections reuse
+        // their buffers). Forward needs no held state: the match is
+        // the un-consumed head of the right iterator.
         private var heldKey: UnsafeRow = _
         private var held: UnsafeRow = _
 
@@ -146,26 +157,61 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
+          val lTimeRow = lTimeProj(lRow)
+          // SQL equality semantics, not natural-order semantics: a
+          // NULL left key matches nothing and a NULL left time has no
+          // position — emit unmatched without advancing the right side
+          // (null keys/times sort FIRST, so these rows lead the
+          // partition and the merge state is still empty).
+          if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+            return resultProj(joined(lRow, nullRight))
+          }
           if (held != null && keyOrd.compare(heldKey, lKey) != 0) {
             held = null; heldKey = null
           }
-          // discard right rows with smaller keys
-          while (rBuf.hasNext &&
-              keyOrd.compare(rKeyProj(rBuf.head), lKey) < 0) {
-            rBuf.next()
-          }
-          // consume same-key right rows at-or-before the left time;
-          // the LAST one consumed is the as-of match
-          val lTime = lTimeProj(lRow).copy()
+          // discard right rows that can never match any left row: NULL
+          // key or time (never candidates under SQL equality), or keys
+          // below the current left key
           while (rBuf.hasNext && {
               val h = rBuf.head
-              keyOrd.compare(rKeyProj(h), lKey) == 0 &&
-                timeOrd.compare(rTimeProj(h), lTime) <= 0
+              val hk = rKeyProj(h)
+              hk.anyNull || rTimeProj(h).isNullAt(0) ||
+                keyOrd.compare(hk, lKey) < 0
             }) {
-            held = rBuf.next().copy().asInstanceOf[UnsafeRow]
-            if (heldKey == null) heldKey = lKey.copy()
+            rBuf.next()
           }
-          resultProj(joined(lRow, if (held != null) held else nullRight))
+          val lTime = lTimeRow.copy()
+          if (fwd) {
+            // forward: drop same-key rows strictly BEFORE the left
+            // time (left times ascend, so they can't match later left
+            // rows either); the head — if still same-key — is the
+            // earliest at-or-after, i.e. the match. It is NOT consumed:
+            // it may also match subsequent left rows.
+            while (rBuf.hasNext && {
+                val h = rBuf.head
+                keyOrd.compare(rKeyProj(h), lKey) == 0 &&
+                  timeOrd.compare(rTimeProj(h), lTime) < 0
+              }) {
+              rBuf.next()
+            }
+            val m =
+              if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0)
+                rBuf.head
+              else nullRight
+            resultProj(joined(lRow, m))
+          } else {
+            // backward: consume same-key right rows at-or-before the
+            // left time; the LAST one consumed is the as-of match
+            while (rBuf.hasNext && {
+                val h = rBuf.head
+                keyOrd.compare(rKeyProj(h), lKey) == 0 &&
+                  timeOrd.compare(rTimeProj(h), lTime) <= 0
+              }) {
+              held = rBuf.next().copy().asInstanceOf[UnsafeRow]
+              if (heldKey == null) heldKey = lKey.copy()
+            }
+            resultProj(joined(lRow, if (held != null) held else nullRight))
+          }
         }
       }
     }

@@ -891,6 +891,53 @@ object ScaleQueries {
       |FROM p
       |ORDER BY user_id, purchase_ts_us""".stripMargin
 
+  // ---- q84: forward as-of on the NATIVE operator ---------------------
+
+  /** q61's direction on the native physical operator
+    * ([[graft.operators.AsofJoin.forwardNative]] →
+    * [[graft.plans.AsofJoinExec]] with `forward = true`), over a
+    * DIFFERENT event pair than q38/q61/q83 — for each signup, the
+    * user's first view at or after it — so the native exec is
+    * oracle-checked on a second data shape (different key skew and
+    * left/right cardinality ratio than the purchase/click slice).
+    * (user_id, ts_us) is unique per event type in this corpus, so no
+    * tie-break is needed; the native tie contract (physically-first
+    * wins forward) is spec-pinned on crafted data in AsofNativeSpec. */
+  def forwardAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    graft.operators.AsofJoin.forwardNative(
+        signups, views,
+        key = "user_id", ts = "ts_us",
+        leftCols = Seq("user_id", "ts_us", "event_id"),
+        rightPayload = Seq("ts_us" -> "next_view_ts_us",
+          "value" -> "next_view_value"))
+      .withColumnRenamed("ts_us", "signup_ts_us")
+      .orderBy("user_id", "signup_ts_us")
+  }
+
+  val forwardAsofNativeSql: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS signup_ts_us, event_id
+      |  FROM events WHERE event_type = 'signup'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS view_ts_us,
+      |         value AS view_value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT s.user_id AS user_id, s.signup_ts_us, s.event_id,
+      |  (SELECT v.view_ts_us FROM v
+      |   WHERE v.user_id = s.user_id AND v.view_ts_us >= s.signup_ts_us
+      |   ORDER BY v.view_ts_us LIMIT 1) AS next_view_ts_us,
+      |  (SELECT v.view_value FROM v
+      |   WHERE v.user_id = s.user_id AND v.view_ts_us >= s.signup_ts_us
+      |   ORDER BY v.view_ts_us LIMIT 1) AS next_view_value
+      |FROM s
+      |ORDER BY user_id, signup_ts_us""".stripMargin
+
   // ---- q62: pivot (wide-format rollup) -------------------------------
 
   /** The event types, pinned explicitly: `pivot` with an explicit

@@ -51,6 +51,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("signature aggregate runs once per input: cached, not re-planned per scan") {
+    // The 32-min signature aggregate feeds three scans (band keys + both
+    // estimate joins). Persisted, every consumer reads the cache — the
+    // optimized plan must contain NO h0-producing Aggregate (all are
+    // behind InMemoryRelation leaves), in both the full and the
+    // incremental pipeline. Round-5 regression: the un-persisted plan
+    // carried 3 such aggregates per input and q81 paid 12.5 s.
+    val full = MinHashLSH.nearDuplicatesResult(docs, "doc_id", "text", 0.5)
+    val inc = MinHashLSH.incrementalNearDuplicatesResult(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 0.5)
+    for ((name, res) <- Seq("full" -> full, "incremental" -> inc)) {
+      val plan = res.df.queryExecution.optimizedPlan
+      val sigAggs = plan.collect {
+        case a: Aggregate if a.aggregateExpressions.exists(_.name == "h0") => a
+      }
+      assert(sigAggs.isEmpty,
+        s"$name pipeline re-plans the signature aggregate " +
+          s"${sigAggs.size}x instead of reading the cache:\n${sigAggs.headOption}")
+      val cachedSigs = plan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if m.output.exists(_.name == "h0") => m
+      }
+      assert(cachedSigs.nonEmpty,
+        s"$name pipeline has no cached signature relation in its plan")
+      res.release()
+    }
+  }
+
   test("verification set-build aggregates only AFTER the candidate semi-join") {
     val res = MinHashLSH.incrementalNearDuplicatesResult(
       docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
