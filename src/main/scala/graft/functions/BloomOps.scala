@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.SqlShims
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType, LongType, ShortType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Native membership probe against a pre-built Bloom filter — the
@@ -27,7 +28,21 @@ case class BloomMightContainLong(
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = bf.mightContainLong(v.asInstanceOf[Long])
+  /** Integral keys ONLY — a silent `cast("long")` on a double/decimal
+    * key would probe a TRUNCATED value while the join compares the
+    * exact one: the probe could miss a real partner (false negative =
+    * wrong answers). Rejecting at analysis time keeps the
+    * no-false-negative contract a type-level fact. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral key column (probed as long), " +
+        s"got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    bf.mightContainLong(v.asInstanceOf[Number].longValue)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = ctx.addReferenceObj("bloomFilter", bf,
@@ -42,9 +57,10 @@ case class BloomMightContainLong(
 }
 
 object BloomOps {
-  /** Column wrapper: true iff `key` (integral, probed as long) might be
-    * in the filter serialized in `bits`. No false negatives. */
+  /** Column wrapper: true iff `key` (integral — enforced at analysis
+    * time, probed as long) might be in the filter serialized in
+    * `bits`. No false negatives. */
   def mightContainLong(key: Column, bits: Array[Byte]): Column =
     SqlShims.column(BloomMightContainLong(
-      SqlShims.expression(key.cast("long")), bits.toIndexedSeq))
+      SqlShims.expression(key), bits.toIndexedSeq))
 }

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 
 /** Cluster-wide wiring for the engine, the way a Spark deployment
   * actually enables a library: one line of config instead of per-session
@@ -61,14 +61,39 @@ object GraftExtensions {
     * library has that shape. */
   private def scalarSide(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L)
 
-  private[functions] def checkNoCartesian(plan: LogicalPlan, allow: Boolean): Unit =
-    if (!allow) plan.foreach {
-      case j @ Join(left, right, Inner | Cross, None, _)
-          if !scalarSide(left) && !scalarSide(right) =>
-        throw new IllegalStateException(
-          s"[graft] unconditioned ${j.joinType} join (cartesian product) " +
-            s"rejected at analysis time: neither side is provably <= 1 row. " +
-            s"Add a join condition, or SET $AllowCartesianKey=true to opt in.")
-      case _ => ()
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** The check runs on the ANALYZED plan — before predicate pushdown —
+    * so a standard equi-join spelled `FROM a, b WHERE a.x = b.x` (or
+    * `df.join(df2).where(...)`) still looks like Filter-over-
+    * Join(Inner, None). Spark's own CheckCartesianProducts avoids that
+    * false positive by running after pushdown; here the same effect is
+    * had by carrying ancestor Filter conjuncts down the walk: a join is
+    * conditioned if any conjunct above it references both children
+    * (exactly the predicates PushPredicateThroughJoin would turn into
+    * the join condition). Conjuncts are keyed by expression id, so
+    * re-aliasing projections between the filter and the join fall back
+    * to rejection — conservative in the safe direction. */
+  private[functions] def checkNoCartesian(plan: LogicalPlan, allow: Boolean): Unit = {
+    def visit(p: LogicalPlan, above: Seq[Expression]): Unit = p match {
+      case Filter(cond, child) => visit(child, above ++ conjuncts(cond))
+      case j @ Join(left, right, Inner | Cross, cond, _) =>
+        val conditioned = cond.isDefined || above.exists { c =>
+          c.references.intersect(left.outputSet).nonEmpty &&
+            c.references.intersect(right.outputSet).nonEmpty
+        }
+        if (!conditioned && !scalarSide(left) && !scalarSide(right))
+          throw new IllegalStateException(
+            s"[graft] unconditioned ${j.joinType} join (cartesian product) " +
+              s"rejected at analysis time: neither side is provably <= 1 row. " +
+              s"Add a join condition, or SET $AllowCartesianKey=true to opt in.")
+        visit(left, above)
+        visit(right, above)
+      case other => other.children.foreach(visit(_, above))
     }
+    if (!allow) visit(plan, Nil)
+  }
 }

@@ -30,9 +30,22 @@ object BloomPrune {
 
   /** Serialized Bloom filter of `keys` (integral column, probed as
     * long). `fpp` trades filter size for pruning waste: false
-    * positives survive pruning only to die in the join. */
-  def buildFilter(dim: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
-    val n = dim.count()
+    * positives survive pruning only to die in the join.
+    *
+    * Sizing: `expectedNumItems` should come from the caller (a catalog
+    * row count, the known dim cardinality) — oversizing only costs
+    * filter bytes, undersizing only raises the effective fpp; neither
+    * affects correctness. When absent, the optimizer's row-count
+    * estimate is used if it exists, and only as a last resort does the
+    * build pay an extra `count()` pass over the dim (the one pass the
+    * aggregate itself already pays — doubling dim scans purely for
+    * sizing is what the estimate path avoids). */
+  def buildFilter(
+      dim: DataFrame, keyCol: String, fpp: Double = 0.01,
+      expectedNumItems: Option[Long] = None): Array[Byte] = {
+    val n = expectedNumItems
+      .orElse(dim.queryExecution.optimizedPlan.stats.rowCount.map(_.longValue))
+      .getOrElse(dim.count())
     val bf = dim.stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)

@@ -59,17 +59,31 @@ object ZOrderLayout {
   /** Bits each dimension is scaled to before interleaving. */
   val ScaleBits = 16
 
-  /** Scale `x` from `[lo, hi]` onto `[0, 2^ScaleBits)` in pure long
-    * arithmetic. Raw interleaving breaks when the dimensions have
-    * unequal bit widths (a 4-bit key's bits all land below a 8-bit
-    * key's, so file z-ranges never constrain the narrow key — exactly
-    * what a first cut of this spec measured); scaling to a common
-    * width first is what makes the curve alternate meaningfully, and
-    * is what the production OPTIMIZE ZORDER implementations do. */
+  /** Scale `x` from `[lo, hi]` onto `[0, 2^ScaleBits)`. Raw
+    * interleaving breaks when the dimensions have unequal bit widths
+    * (a 4-bit key's bits all land below a 8-bit key's, so file
+    * z-ranges never constrain the narrow key — exactly what a first
+    * cut of this spec measured); scaling to a common width first is
+    * what makes the curve alternate meaningfully, and is what the
+    * production OPTIMIZE ZORDER implementations do.
+    *
+    * The arithmetic is DOUBLE, not long: `(x - lo) * 65535` in long
+    * overflows once the domain is wider than ~1.4e14 (epoch-micros
+    * timestamps), silently scrambling the layout — skipping stays
+    * correct (real per-file min/max + the reapplied row predicate)
+    * but the clustering benefit evaporates. In double the ratio
+    * `(x-lo)/(hi-lo)` is computed from exactly-representable or
+    * gracefully-rounded operands at any domain width; beyond 2^53 the
+    * scaled value loses low-bit precision, which only coarsens the
+    * curve, never breaks it. Clamped to the mask against boundary
+    * rounding. */
   private def scaled(x: Column, lo: Long, hi: Long): Column = {
     val mask = (1L << ScaleBits) - 1
     if (hi <= lo) lit(0L)
-    else ((x.cast("long") - lit(lo)) * lit(mask)) / lit(hi - lo)
+    else least(
+      floor((x.cast("double") - lit(lo.toDouble)) /
+        lit(hi.toDouble - lo.toDouble) * lit(mask.toDouble)).cast("long"),
+      lit(mask))
   }
 
   /** Z-value over dimensions scaled to a common [[ScaleBits]] width —
@@ -80,12 +94,17 @@ object ZOrderLayout {
       b: Column, bLo: Long, bHi: Long): Column =
     zvalue(scaled(a, aLo, aHi), scaled(b, bLo, bHi))
 
-  /** JVM twin of [[zvalueScaled]]. */
+  /** JVM twin of [[zvalueScaled]] — same double scaling, same clamp,
+    * bit-for-bit agreement with the Column path at any domain width. */
   def zvalueScaledJvm(
       a: Long, aLo: Long, aHi: Long, b: Long, bLo: Long, bHi: Long): Long = {
     val mask = (1L << ScaleBits) - 1
     def sc(x: Long, lo: Long, hi: Long): Long =
-      if (hi <= lo) 0L else (x - lo) * mask / (hi - lo)
+      if (hi <= lo) 0L
+      else math.min(
+        math.floor((x.toDouble - lo.toDouble) /
+          (hi.toDouble - lo.toDouble) * mask.toDouble).toLong,
+        mask)
     zvalueJvm(sc(a, aLo, aHi), sc(b, bLo, bHi))
   }
 

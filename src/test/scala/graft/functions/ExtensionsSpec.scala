@@ -80,6 +80,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("guard allows equi-joins written as comma syntax or join-then-where") {
+    withExtendedSession { s =>
+      // comma-syntax SQL analyzes to Filter over Join(Inner, None) —
+      // the join condition only appears in the WHERE clause until the
+      // optimizer pushes it down. The guard must see through that.
+      assert(s.sql(
+        "SELECT count(*) FROM range(10) a, range(10) b WHERE a.id = b.id")
+        .collect().head.getLong(0) == 10L)
+      // three-way comma join: the INNER Join(a, b) is conditioned by a
+      // WHERE conjunct two levels up
+      assert(s.sql(
+        """SELECT count(*) FROM range(10) a, range(10) b, range(10) c
+          |WHERE a.id = b.id AND b.id = c.id""".stripMargin)
+        .collect().head.getLong(0) == 10L)
+      // DataFrame join-then-where — same analyzed shape as comma syntax
+      val a = s.range(10).toDF("x")
+      val b = s.range(10).toDF("y")
+      assert(a.join(b).where(org.apache.spark.sql.functions.col("x") ===
+        org.apache.spark.sql.functions.col("y")).count() == 10L)
+      // but a WHERE that touches only ONE side does not condition the
+      // join — still a cartesian, still rejected
+      val e = intercept[Exception] {
+        s.sql("SELECT count(*) FROM range(10) a, range(10) b WHERE a.id > 3")
+          .collect()
+      }
+      assert(e.getMessage.contains("cartesian"))
+    }
+  }
+
   test("sessions without the extension are unaffected") {
     // the shared test session has no check rule: cartesians still run
     assert(spark.sql("SELECT count(*) FROM range(3) a JOIN range(3) b")

@@ -48,6 +48,28 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrderLayout.zvalueScaledJvm(199, 0, 199, 9, 0, 9) == (1L << 32) - 1)
   }
 
+  test("scaled zvalue survives epoch-micros-wide domains (no long overflow)") {
+    // domain width ~1.7e18: the old (x-lo)*65535 long arithmetic
+    // overflowed past ~1.4e14 and scrambled the layout silently
+    val lo = 0L
+    val hi = 1700000000000000000L // ~2026 in epoch micros
+    val xs = Seq(lo, hi / 4, hi / 2, (hi / 4) * 3, hi)
+    val df = spark.createDataFrame(xs.map(x => (x, 5L))).toDF("a", "b")
+      .select(col("a"),
+        ZOrderLayout.zvalueScaled(col("a"), lo, hi, col("b"), 0L, 9L).as("z"))
+    val got = df.orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (x, z) =>
+      assert(z == ZOrderLayout.zvalueScaledJvm(x, lo, hi, 5L, 0L, 9L), s"x=$x")
+      assert(z >= 0L, s"negative z for x=$x — overflow")
+    }
+    // scaling is monotone across the domain and hits the full 16-bit
+    // range at the extremes (clamped, not wrapped)
+    val scaledA = got.map { case (x, _) =>
+      ZOrderLayout.zvalueScaledJvm(x, lo, hi, 0L, 0L, 9L) }
+    assert(scaledA.toSeq == scaledA.sorted.toSeq)
+    assert(ZOrderLayout.zvalueScaledJvm(hi, lo, hi, 9L, 0L, 9L) == (1L << 32) - 1)
+  }
+
   test("skipping scan equals the plain filter exactly, across predicates") {
     for ((pLo, pHi, sLo, sHi) <- Seq((40L, 119L, 2L, 5L), (0L, 10L, 0L, 9L),
         (150L, 199L, 7L, 9L), (500L, 600L, 3L, 4L))) {
