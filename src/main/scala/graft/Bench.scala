@@ -82,7 +82,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"rep_times":$repsJson}"""
+    // machine-readable contention verdict: load >= 2 at the START means
+    // another workload shared the machine — the totals read high and
+    // MUST NOT set a performance baseline (per-rep times show which reps
+    // a stall hit). START only: the bench's own 32 threads push the END
+    // load to ~10 on a perfectly quiet box, so the end value can only
+    // diagnose, never convict. Self-stamped so no artifact consumer has
+    // to reconstruct the run's load after the fact.
+    val contended = loadStart.take(2).exists(_ >= 2.0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"rep_times":$repsJson}"""
     println(json)
     // Also persist to a file: sbt prefixes stdout with [info], which broke
     // the driver's JSON parse in rounds 1 and 2 ("parsed": null). A bare

@@ -85,7 +85,7 @@ object MinHashLSH {
   /** Candidates verified with exact Jaccard over shingle postings;
     * keeps pairs with jaccard ≥ threshold.
     *
-    * The returned plan reads a persisted postings table; callers making
+    * The returned plan reads a persisted signature table; callers making
     * repeated library calls should prefer [[nearDuplicatesResult]] and
     * `release()` after the final action (see [[graft.CachedResult]]). */
   def nearDuplicates(
@@ -98,16 +98,19 @@ object MinHashLSH {
   def nearDuplicatesResult(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): graft.CachedResult = {
-    // repartition first (tiny input split, heavy per-row hashing) and
-    // cache: the DAG reads postings twice (signatures + band keys)
+    // repartition first: tiny input split, heavy per-row hashing
     val spread = graft.Partitioning.spread(docs, col(idCol))
     val post = postings(spread, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The signature table is tiny (one 33-column row per doc) but its
+    // Persist policy (A/B-measured round 7, all variants within noise
+    // locally — so the 100 TB argument decides): persist ONLY the
+    // signature table. It is tiny (one 33-column row per doc) yet its
     // aggregate is the heaviest map-side work in the pipeline (explode ×
-    // 32 affine mins over every posting). The DAG reads it three times —
-    // band keys + both estimate joins — so persist it too, or each scan
-    // re-runs the aggregate (measured: q81 at 12.5 s vs ~6 s persisted).
+    // 32 affine mins over every posting), and the DAG reads it three
+    // times (band keys + both estimate joins). The postings table is the
+    // opposite trade: read twice (signatures + verify sets) but
+    // O(total shingles) — materializing a multiple of the corpus size
+    // to MEMORY_AND_DISK is exactly what a 100 TB run cannot afford,
+    // while recomputing it costs one extra scan + codegen'd hashing.
     val sig = signatures(post)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidates(sig)
@@ -142,7 +145,7 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
-    graft.CachedResult(out, Seq(post, sig))
+    graft.CachedResult(out, Seq(sig))
   }
 
   /** Incremental near-dup: all pairs touching a NEW shard (`delta`)
@@ -176,14 +179,14 @@ object MinHashLSH {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val basePost = postings(
       graft.Partitioning.spread(base, col(idCol)), idCol, textCol, k)
-      .persist(MEMORY_AND_DISK)
     val deltaPost = postings(
       graft.Partitioning.spread(delta, col(idCol)), idCol, textCol, k)
-      .persist(MEMORY_AND_DISK)
     // Each side's signature aggregate feeds three scans (band keys +
     // both estimate joins via the union) — persist per side so the
     // 32-min aggregate runs once per input, not 3×. One 33-column row
     // per doc, so the cache cost is negligible next to the recompute.
+    // Postings are deliberately NOT persisted — same O(total shingles)
+    // materialization argument as nearDuplicatesResult.
     val baseSig = signatures(basePost).persist(MEMORY_AND_DISK)
     val deltaSig = signatures(deltaPost).persist(MEMORY_AND_DISK)
     val baseBk = bandKeys(baseSig)
@@ -230,6 +233,6 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
-    graft.CachedResult(out, Seq(basePost, deltaPost, baseSig, deltaSig))
+    graft.CachedResult(out, Seq(baseSig, deltaSig))
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Cluster-wide wiring for the engine, the way a Spark deployment
   * actually enables a library: one line of config instead of per-session
@@ -22,16 +23,27 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
   *     no Scala call sites at all. (A `registerAll(spark)` path is kept
   *     in [[GraftFunctions]] for notebook sessions that already exist.)
   *
-  *  2. '''A cartesian-product check rule''' — at 100 TB an accidental
+  *  2. '''A cartesian-product guard''' — at 100 TB an accidental
   *     unconditioned join is a cluster-killer that Spark accepts
   *     silently (`spark.sql.crossJoin.enabled` defaults to true since
-  *     3.0). The rule fails such plans at ANALYSIS time — before any
-  *     job runs — unless either side is provably at most one row
-  *     (`LogicalPlan.maxRows`, which covers the legitimate pattern of
-  *     joining a global-aggregate scalar against every row) or the
-  *     session opts in via `SET graft.plan.allowCartesian=true`.
-  *     Analysis-time rejection is the cheapest possible guard: no
-  *     strategy, no runtime check, no plan rewrite.
+  *     3.0). The guard is an OPTIMIZER-stage rule, not an analysis-time
+  *     check rule, for a structural reason: Datasets are analyzed
+  *     eagerly, so `df.join(df2)` alone produces an analyzed
+  *     `Join(Inner, None)` *before* a later `.where(...)` can attach the
+  *     condition — an analysis-time check cannot tell that intermediate
+  *     apart from a real cartesian. The optimizer only runs when an
+  *     action executes the FINAL plan, after `PushPredicateThroughJoin`
+  *     has folded WHERE-clause equi-predicates into the join condition
+  *     (user-injected optimizer rules are appended after the built-in
+  *     operator-optimization rules of the same batch) — so comma-syntax
+  *     SQL, `join(...).where(...)`, and three-way comma joins all look
+  *     conditioned by the time the guard sees them, while a filter that
+  *     touches only one side has been pushed BELOW the join, correctly
+  *     leaving it bare. Plans a session never executes are never
+  *     rejected; `df.explain()` of a true cartesian fails fast, before
+  *     any job runs. Escapes: a provably ≤1-row side
+  *     (`LogicalPlan.maxRows` — the legitimate broadcast-a-scalar
+  *     pattern) or `SET graft.plan.allowCartesian=true`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -42,10 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
-    ext.injectCheckRule(session => plan => GraftExtensions.checkNoCartesian(
-      plan,
-      allow = session.conf.getOption(GraftExtensions.AllowCartesianKey)
-        .exists(_.equalsIgnoreCase("true"))))
+    ext.injectOptimizerRule(session => new Rule[LogicalPlan] {
+      override val ruleName = "graft.NoCartesianProduct"
+      override def apply(plan: LogicalPlan): LogicalPlan = {
+        GraftExtensions.checkNoCartesian(
+          plan,
+          allow = session.conf.getOption(GraftExtensions.AllowCartesianKey)
+            .exists(_.equalsIgnoreCase("true")))
+        plan
+      }
+    })
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
@@ -66,34 +84,28 @@ object GraftExtensions {
     case other     => Seq(other)
   }
 
-  /** The check runs on the ANALYZED plan — before predicate pushdown —
-    * so a standard equi-join spelled `FROM a, b WHERE a.x = b.x` (or
-    * `df.join(df2).where(...)`) still looks like Filter-over-
-    * Join(Inner, None). Spark's own CheckCartesianProducts avoids that
-    * false positive by running after pushdown; here the same effect is
-    * had by carrying ancestor Filter conjuncts down the walk: a join is
-    * conditioned if any conjunct above it references both children
-    * (exactly the predicates PushPredicateThroughJoin would turn into
-    * the join condition). Conjuncts are keyed by expression id, so
-    * re-aliasing projections between the filter and the join fall back
-    * to rejection — conservative in the safe direction. */
+  /** Runs on the OPTIMIZED plan (see the class doc for why analysis
+    * time is structurally too early). A join is conditioned iff some
+    * conjunct of its own condition references both children — the same
+    * bar Spark's `CheckCartesianProducts` applies when
+    * `spark.sql.crossJoin.enabled` is false. A condition touching only
+    * one side (`a.join(b, a.x > 1)`) is still a filtered cartesian and
+    * is rejected. Throws on the first offender; returns silently on
+    * clean plans. */
   private[functions] def checkNoCartesian(plan: LogicalPlan, allow: Boolean): Unit = {
-    def visit(p: LogicalPlan, above: Seq[Expression]): Unit = p match {
-      case Filter(cond, child) => visit(child, above ++ conjuncts(cond))
+    if (allow) return
+    plan.foreach {
       case j @ Join(left, right, Inner | Cross, cond, _) =>
-        val conditioned = cond.isDefined || above.exists { c =>
+        val conditioned = cond.toSeq.flatMap(conjuncts).exists { c =>
           c.references.intersect(left.outputSet).nonEmpty &&
             c.references.intersect(right.outputSet).nonEmpty
         }
         if (!conditioned && !scalarSide(left) && !scalarSide(right))
           throw new IllegalStateException(
             s"[graft] unconditioned ${j.joinType} join (cartesian product) " +
-              s"rejected at analysis time: neither side is provably <= 1 row. " +
+              s"rejected before execution: neither side is provably <= 1 row. " +
               s"Add a join condition, or SET $AllowCartesianKey=true to opt in.")
-        visit(left, above)
-        visit(right, above)
-      case other => other.children.foreach(visit(_, above))
+      case _ => ()
     }
-    if (!allow) visit(plan, Nil)
   }
 }

@@ -119,16 +119,12 @@ object AnalyticsQueries {
     * incrementally). Window start exported as epoch seconds for an
     * engine-neutral hashable type. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long of
-    // epoch nanos (spark.sql.legacy.parquet.nanosAsLong — set by
-    // Verify/Bench/tests). Hour bucketing in exact integer math.
+    // Hour bucketing in exact integer math, dispatched on the fixture's
+    // actual ts type (epoch-nanos long OR timestamp[us] —
+    // QueryUtil.eventHourEpoch floors either to the hour).
     val ev = table(spark, dir, "events")
-    // FLOOR division to the hour (see ProfileQueries: `div` truncates
-    // toward zero, diverging from date_trunc's floor for pre-1970 ts;
-    // exact long arithmetic — epoch NANOS exceed double's 53 bits)
     ev.groupBy(
-        (expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * lit(3600L))
-          .as("hour_epoch"),
+        eventHourEpoch(ev).as("hour_epoch"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -291,9 +287,7 @@ object AnalyticsQueries {
     * Structured Streaming with a watermark (state = open sessions per
     * user, closed at watermark + gap). */
   def sessionization(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      // exact nanos→micros floor (see eventsHourly re: div vs floor)
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    val ev = eventsEventTs(spark, dir)
     ev.groupBy(col("user_id"), session_window(col("event_ts"), SessionGap))
       .agg(
         count(lit(1)).as("n_events"),
@@ -336,8 +330,7 @@ object AnalyticsQueries {
     * data at every SF (probed), so no tie-break is needed; DuckDB's
     * native ASOF LEFT JOIN is the oracle. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = eventsTsUs(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("value").as("purchase_value"))
@@ -359,8 +352,7 @@ object AnalyticsQueries {
     * `ASOF LEFT JOIN` oracle — the gate proves the engine operator
     * end-to-end on real data. */
   def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = eventsTsUs(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("value").as("purchase_value"))

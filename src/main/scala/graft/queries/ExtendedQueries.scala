@@ -181,8 +181,7 @@ object ExtendedQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // floor (not truncate) nanos→micros — same seam as q19/q30
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withColumn("event_ts", QueryUtil.eventTs(schema, "ts"))
     val agg = graft.streaming.StreamingProfile.windowedMoments(
         src, "event_ts", "event_type", "value", "1 hour", "10 minutes")
       .select(

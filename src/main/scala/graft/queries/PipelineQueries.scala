@@ -495,9 +495,7 @@ object PipelineQueries {
     // file streaming sources take a directory; glob down to the one table
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // floor (not truncate) nanos→micros: same pre-1970 seam as the
-      // hour bucketing in AnalyticsQueries.eventsHourly
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withColumn("event_ts", QueryUtil.eventTs(schema, "ts"))
     // memory-sink table name must be fresh if re-run in one session
     try spark.catalog.dropTempView("events_stream_result") catch { case _: Throwable => () }
     val agg = graft.streaming.StreamingProfile.windowedStats(
@@ -581,13 +579,9 @@ object PipelineQueries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     try spark.catalog.dropTempView("stream_dedup_wm_result") catch { case _: Throwable => () }
     val deduped = src.select(
-        // floor nanos→micros, as in q30 (pre-1970 seam)
-        expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)").as("event_ts"),
+        QueryUtil.eventTs(schema, "ts").as("event_ts"),
         col("event_type"), col("user_id"),
-        // exact integer hour bucketing, as in q19 (epoch nanos exceed
-        // double's 53 bits)
-        (expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * lit(3600L))
-          .as("hour_epoch"))
+        QueryUtil.eventHourEpoch(schema, "ts").as("hour_epoch"))
       .withWatermark("event_ts", "35 days")
       .dropDuplicatesWithinWatermark("event_type", "user_id", "hour_epoch")
       .select("event_type", "user_id", "hour_epoch")

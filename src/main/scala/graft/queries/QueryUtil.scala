@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for the driver-facing query surface.
   *
@@ -51,6 +52,78 @@ object QueryUtil {
     * whether Spark mapped it to TIMESTAMP or TIMESTAMP_NTZ. */
   def tsLit(df: DataFrame, colName: String, value: String): Column =
     lit(value).cast(df.schema(colName).dataType)
+
+  // ---- schema-driven event-time access --------------------------------
+  //
+  // The events fixture has shipped `ts` as BOTH parquet TIMESTAMP(NANOS)
+  // (which Spark reads as a LONG of epoch nanos under
+  // spark.sql.legacy.parquet.nanosAsLong) and plain timestamp[us] (which
+  // Spark 4 maps to TIMESTAMP_NTZ for isAdjustedToUTC=false files, or
+  // TIMESTAMP for UTC-adjusted ones). Any real deployment faces the same
+  // drift: event-time arithmetic must dispatch on the SCHEMA, never
+  // assume a physical type. These helpers are that dispatch; every
+  // query/stream touching `ts` goes through them. The DuckDB oracle side
+  // (`epoch_us(ts::TIMESTAMP)`) is type-proof already.
+
+  /** SQL expression string for `ts` as exact epoch MICROS (long).
+    *
+    *  - long epoch-nanos → `(ts - pmod(ts, 1000)) div 1000`: FLOOR
+    *    division in exact integer math (`div` truncates toward zero;
+    *    the pmod form floors, matching DuckDB for pre-1970 instants;
+    *    nanos exceed double's 53-bit mantissa so no double detour);
+    *  - TIMESTAMP → `unix_micros(ts)` (micros are the storage type);
+    *  - TIMESTAMP_NTZ → `unix_micros(cast(ts as timestamp))`: the naive
+    *    wall time interpreted in the session zone. Every graft entry
+    *    point (Verify/Bench/ProfileMain/tests) pins
+    *    spark.sql.session.timeZone=UTC, which makes this the
+    *    naive-as-UTC epoch — exactly DuckDB's `epoch_us(ts)`.
+    */
+  def eventTsUsExpr(schema: StructType, c: String): String =
+    schema(c).dataType match {
+      case LongType         => s"(($c - pmod($c, 1000)) div 1000)"
+      case TimestampType    => s"unix_micros($c)"
+      case TimestampNTZType => s"unix_micros(cast($c as timestamp))"
+      case dt => throw new IllegalArgumentException(
+        s"event-time column `$c` has unsupported type ${dt.simpleString}" +
+          " (expected epoch-nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
+  /** `ts` as exact epoch micros (LONG column), whatever type the
+    * parquet carries. */
+  def eventTsUs(df: DataFrame, c: String = "ts"): Column =
+    eventTsUs(df.schema, c)
+  /** Schema variant, for streaming sources built from a probed schema. */
+  def eventTsUs(schema: StructType, c: String): Column =
+    expr(eventTsUsExpr(schema, c))
+
+  /** `ts` as a TIMESTAMP column (micros precision, floor from nanos). */
+  def eventTs(df: DataFrame, c: String = "ts"): Column =
+    eventTs(df.schema, c)
+  /** Schema variant, for streaming sources built from a probed schema. */
+  def eventTs(schema: StructType, c: String): Column =
+    expr(s"timestamp_micros(${eventTsUsExpr(schema, c)})")
+
+  /** `ts` floored to the hour, as epoch SECONDS (long) — the
+    * engine-neutral hashable window key of q19. */
+  def eventHourEpoch(df: DataFrame, c: String = "ts"): Column =
+    eventHourEpoch(df.schema, c)
+  /** Schema variant, for streaming sources built from a probed schema. */
+  def eventHourEpoch(schema: StructType, c: String): Column = {
+    val us = eventTsUsExpr(schema, c)
+    expr(s"((($us) - pmod($us, 3600000000)) div 3600000000) * 3600")
+  }
+
+  /** The events table with an exact epoch-micros `ts_us` LONG column. */
+  def eventsTsUs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.withColumn("ts_us", eventTsUs(ev))
+  }
+
+  /** The events table with a micros-precision TIMESTAMP `event_ts`. */
+  def eventsEventTs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.withColumn("event_ts", eventTs(ev))
+  }
 
   /** Streaming state partitions for the gated streaming queries.
     *

@@ -31,9 +31,7 @@ object ScaleQueries {
     * nested loop (plan-asserted) — then per-purchase aggregation and a
     * left join back so zero-click purchases survive with 0s. */
   def rangeJoinActivity(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      // exact nanos→micros floor (same seam as eventsHourly/asofJoin)
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = eventsTsUs(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us").as("purchase_ts_us"), col("event_id"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -201,8 +199,7 @@ object ScaleQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // floor (not truncate) nanos→micros, same seam as eventsStream
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withColumn("event_ts", eventTs(schema, "ts"))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_ts").as("p_ts"), col("event_id"))
       .withWatermark("p_ts", "1 minute")
@@ -282,8 +279,8 @@ object ScaleQueries {
         s"$dir:${src.length}:${src.lastModified}"))
     val path = s"${sys.props("java.io.tmpdir")}/graft_part_events_$tag"
     if (!new java.io.File(path, "_SUCCESS").exists) {
-      val ev = table(spark, dir, "events").withColumn("event_date",
-        to_date(expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")))
+      val ev0 = table(spark, dir, "events")
+      val ev = ev0.withColumn("event_date", to_date(eventTs(ev0)))
       graft.sources.PartitionedTables.writePartitioned(ev, path, "event_date")
     }
     path
@@ -323,8 +320,8 @@ object ScaleQueries {
     * recomputes the exact side and literal TRUE. The exact
     * countDistinct exists only to materialize the claim for the gate. */
   def hllCube(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events").withColumn("event_date",
-      to_date(expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")))
+    val ev0 = table(spark, dir, "events")
+    val ev = ev0.withColumn("event_date", to_date(eventTs(ev0)))
     val daily = ev.groupBy("event_date").agg(
       hll_sketch_agg(col("user_id")).as("sk"),
       count(lit(1)).as("n_events"))
@@ -542,8 +539,7 @@ object ScaleQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // floor nanos→micros, as q37
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withColumn("event_ts", eventTs(schema, "ts"))
       .withWatermark("event_ts", "0 seconds")
     try spark.catalog.dropTempView("stream_sessions_result")
     catch { case _: Throwable => () }
@@ -807,8 +803,7 @@ object ScaleQueries {
     * Days before a user's first event stay NULL (left-outer). DuckDB's
     * native ASOF LEFT JOIN is the oracle. */
   def resampleFill(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = eventsTsUs(spark, dir)
       .select(col("user_id"), col("ts_us"), col("value"))
     val grid = ev.select("user_id").distinct()
       .select(col("user_id"),
@@ -852,8 +847,7 @@ object ScaleQueries {
     * DuckDB has no forward ASOF, so the oracle is the correlated
     * ORDER-BY-LIMIT-1 formulation with the same tie-break. */
   def forwardAsof(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = eventsTsUs(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("value").as("purchase_value"))
@@ -904,8 +898,7 @@ object ScaleQueries {
     * tie-break is needed; the native tie contract (physically-first
     * wins forward) is spec-pinned on crafted data in AsofNativeSpec. */
   def forwardAsofNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = eventsTsUs(spark, dir)
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts_us"), col("event_id"))
     val views = ev.filter(col("event_type") === "view")
@@ -953,8 +946,8 @@ object ScaleQueries {
     * part of the contract). One scan, one shuffle — the pivot is just
     * an aggregation with a CASE per pinned value. */
   def eventPivot(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events").withColumn("event_date",
-      to_date(expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")))
+    val ev0 = table(spark, dir, "events")
+    val ev = ev0.withColumn("event_date", to_date(eventTs(ev0)))
     ev.groupBy(col("event_date").cast("string").as("event_date"))
       .pivot("event_type", PivotEventTypes)
       .agg(count(lit(1)))
@@ -1098,8 +1091,7 @@ object ScaleQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // floor nanos→micros, as q30
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withColumn("event_ts", eventTs(schema, "ts"))
       .withWatermark("event_ts", "1 hour")
     try spark.catalog.dropTempView("stream_window_distinct_result")
     catch { case _: Throwable => () }
@@ -1115,8 +1107,7 @@ object ScaleQueries {
       .start()
     q.awaitTermination(300000)
     val streamed = spark.table("stream_window_distinct_result")
-    val exact = table(spark, dir, "events")
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    val exact = eventsEventTs(spark, dir)
       .groupBy(window(col("event_ts"), "1 day"))
       .agg(countDistinct(col("user_id")).as("nd_users"))
       .select(unix_seconds(col("window.start")).as("day_epoch"), col("nd_users"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkSpec
 
 /** [[GraftExtensions]]: the `spark.sql.extensions` config path must hand
-  * a SQL-only session the native functions AND the analysis-time
+  * a SQL-only session the native functions AND the optimizer-stage
   * cartesian guard — exercised on a real second session sharing the
   * test SparkContext (which is exactly how extensions load on a
   * cluster: per-session, from config, no Scala call sites). */
@@ -46,7 +46,7 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("cartesian guard rejects unconditioned joins at analysis time") {
+  test("cartesian guard rejects unconditioned joins before execution") {
     withExtendedSession { s =>
       val e = intercept[Exception] {
         s.sql("SELECT * FROM range(10) a JOIN range(10) b").collect()
@@ -84,7 +84,8 @@ class ExtensionsSpec extends SparkSpec {
     withExtendedSession { s =>
       // comma-syntax SQL analyzes to Filter over Join(Inner, None) —
       // the join condition only appears in the WHERE clause until the
-      // optimizer pushes it down. The guard must see through that.
+      // optimizer pushes it down. The guard runs post-pushdown, so it
+      // sees the folded join condition, not the bare Join.
       assert(s.sql(
         "SELECT count(*) FROM range(10) a, range(10) b WHERE a.id = b.id")
         .collect().head.getLong(0) == 10L)

@@ -8,9 +8,7 @@ import graft.SparkSpec
   * semantics, engine-grade plan. */
 class AsofNativeSpec extends SparkSpec {
 
-  private def events = spark.read
-    .parquet(s"$sfDir/events.parquet")
-    .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+  private def events = graft.queries.QueryUtil.eventsTsUs(spark, sfDir)
 
   private def purchases = events.filter(col("event_type") === "purchase")
     .select(col("user_id"), col("ts_us"), col("event_id"),

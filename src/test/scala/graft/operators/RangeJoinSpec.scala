@@ -67,8 +67,7 @@ class RangeJoinSpec extends SparkSpec {
     val got = ScaleQueries.streamRangeJoin(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toSet
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = graft.queries.QueryUtil.eventsTsUs(spark, sfDir)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us").as("pts"), col("event_id"))
     val c = ev.filter(col("event_type") === "click")

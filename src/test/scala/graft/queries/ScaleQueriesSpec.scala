@@ -25,8 +25,7 @@ class ScaleQueriesSpec extends SparkSpec {
     // batch q37 result restricted to sessions whose close (last event +
     // gap) precedes the final watermark (max event time)
     val batch = AnalyticsQueries.sessionization(spark, sfDir)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("(ts - pmod(ts, 1000)) div 1000"))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
     val horizon = ev.agg(max(col("ts_us"))).head().getLong(0)
     val gapUs = 12L * 3600 * 1000000
     // session close (last event + gap) is not in q37's output;
@@ -53,8 +52,7 @@ class ScaleQueriesSpec extends SparkSpec {
     // streaming estimate's accuracy claim
     val got = ScaleQueries.streamWindowDistinct(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    val exact = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    val exact = QueryUtil.eventsEventTs(spark, sfDir)
       .groupBy(window(col("event_ts"), "1 day"))
       .agg(countDistinct(col("user_id")).as("nd"), count(lit(1)).as("n"))
       .select(unix_seconds(col("window.start")).as("day"), col("nd"), col("n"))
