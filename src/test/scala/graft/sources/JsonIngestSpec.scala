@@ -52,4 +52,33 @@ class JsonIngestSpec extends SparkSpec {
     assert(df.filter(col(JsonIngest.CorruptCol).isNotNull).count() == 1)
     df.unpersist()
   }
+
+  test("corrupt-column-only scans are rejected by Spark; the two workarounds hold") {
+    // Spark guards against queries whose column pruning leaves ONLY the
+    // corrupt column: the parser then never attempts the data columns,
+    // so every line would look "parsed" and the corrupt filter would be
+    // vacuous — the guard turns a silent wrong answer into a loud
+    // AnalysisException. This spec pins the guard (so an upgrade that
+    // changes the behavior is caught) and both documented workarounds.
+    val p = writeLines(Seq(
+      """{"id": 1, "name": "a"}""",
+      """not json at all"""))
+    val raw = JsonIngest.readResilient(spark, schema, p)
+    // corrupt-only scan: filter + count prunes to _corrupt alone
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      raw.filter(col(JsonIngest.CorruptCol).isNotNull).count()
+    }
+    assert(e.getMessage.toLowerCase.contains("corrupt"),
+      s"unexpected guard message: ${e.getMessage}")
+    // workaround 1: cache the parsed frame — the scan then reads the
+    // materialized columns, not the raw JSON
+    val cached = raw.cache()
+    try assert(cached.filter(col(JsonIngest.CorruptCol).isNotNull).count() == 1)
+    finally cached.unpersist()
+    // workaround 2: keep a real data column in the projection so the
+    // parse is genuine, count from that shape
+    val withData = raw.select(col("id"), col(JsonIngest.CorruptCol))
+      .filter(col(JsonIngest.CorruptCol).isNotNull).collect()
+    assert(withData.length == 1 && withData.head.isNullAt(0))
+  }
 }
