@@ -434,6 +434,45 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q86: semantic dedup (SemDeDup keep-policy) --------------------
+
+  /** SemDeDup over the q40 economical corpus: the q40 candidate→verify
+    * machinery (IVF cells, exact-cosine verify at τ=[[EconCos]])
+    * followed by [[graft.similarity.SemDedup.verdicts]]'s keep-first
+    * policy — per vector, the count of lower-id semantic duplicates
+    * and the keep/drop verdict. The oracle derives the same verdicts
+    * from the exact all-pairs set; equivalence holds because on this
+    * corpus the blocked candidates provably reach recall 1.0 — the
+    * very fact q40's hash gate pins (SemDedupSpec additionally asserts
+    * it against brute force on raw slices). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = groupedEmbeddings(table(spark, dir, "embeddings"))
+    val centroids = IvfIndex.train(
+      corpus, "vec_id", "embedding", nlist = EconNlist, spreadInit = true)
+    val cands = IvfIndex.nearDupCandidates(
+      corpus, "vec_id", "embedding", centroids, nprobe = EconProbe)
+    val pairs = CosineKnn.verifyPairs(cands, corpus, "vec_id", "embedding", EconCos)
+    graft.similarity.SemDedup.verdicts(corpus, "vec_id", pairs)
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT vec_id AS gid, e AS be FROM v WHERE vec_id % $EconGroupSize = 0),
+       |m AS (SELECT v.vec_id,
+       |        list_transform(range(1, len(v.e)+1),
+       |                       i -> $EconAlpha*b.be[i] + $EconBeta*v.e[i]) AS e
+       |      FROM v JOIN b ON v.vec_id - v.vec_id % $EconGroupSize = b.gid),
+       |p AS (
+       |  SELECT b2.vec_id AS vid, count(*) AS nd
+       |  FROM m a JOIN m b2 ON a.vec_id < b2.vec_id
+       |  WHERE list_cosine_similarity(a.e, b2.e) >= $EconCos
+       |  GROUP BY b2.vec_id)
+       |SELECT m.vec_id, coalesce(p.nd, 0)::BIGINT AS n_dups,
+       |  coalesce(p.nd, 0) = 0 AS kept
+       |FROM m LEFT JOIN p ON m.vec_id = p.vid
+       |ORDER BY vec_id""".stripMargin
+
   // ---- q25: IVF nearest neighbor, exhaustive-probe gate regime -------
 
   val AnnNlist = 16

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{SnapshotDiff, Validation}
+import QueryUtil._
+
+/** Data-quality operators over the warehouse tables: declarative
+  * validation suites, keyed snapshot reconciliation, distribution-drift
+  * detection (PSI), and robust rate-anomaly detection — the monitoring
+  * layer a 100 TB ingest pipeline runs beside every load.
+  *
+  * Oracle conventions as everywhere (SURVEY §7.3): fixed-scale
+  * rounding, identical aliases, explicit total ORDER BY; every
+  * synthetic mutation (diff deltas, drift shifts, rate spikes) is a
+  * single-IEEE-op function of the data so DuckDB reproduces it
+  * bit-for-bit.
+  */
+object QualityQueries {
+
+  // ---- q87: declarative validation suite -----------------------------
+
+  val PriceLo = 0.0
+  val PriceHi = 450000.0
+  val StatusDomain = Seq("F", "O", "P")
+  val PriorityDomain = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+
+  /** Seven-constraint suite over `orders` (+ `customer` as the FK
+    * dimension), compiled by [[graft.operators.Validation]] into one
+    * aggregate scan (5 row checks + the uniqueness distinct) and one
+    * broadcast anti-join. Two constraints FAIL on this data by design
+    * (the price range cap and the 3-value priority domain) so the
+    * report exercises both verdicts. */
+  def validationSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+    Validation.validate(o,
+      rowChecks = Seq(
+        Validation.notNull("o_custkey"),
+        Validation.notNull("o_orderdate"),
+        Validation.inRange("o_totalprice", PriceLo, PriceHi),
+        Validation.inSet("o_orderstatus", StatusDomain),
+        Validation.inSet("o_orderpriority", PriorityDomain)),
+      uniqueChecks = Seq(Validation.UniqueCheck("o_orderkey")),
+      fkChecks = Seq(Validation.FkCheck("o_custkey", cust, "c_custkey")))
+  }
+
+  val validationSuiteSql: String = {
+    val status = StatusDomain.map(s => s"'$s'").mkString(", ")
+    val prio = PriorityDomain.map(s => s"'$s'").mkString(", ")
+    s"""WITH agg AS (
+       |  SELECT
+       |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn_cust,
+       |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn_date,
+       |    sum(CASE WHEN o_totalprice IS NOT NULL
+       |             AND (o_totalprice < $PriceLo OR o_totalprice > $PriceHi)
+       |        THEN 1 ELSE 0 END)::BIGINT AS v_range,
+       |    sum(CASE WHEN o_orderstatus IS NOT NULL
+       |             AND o_orderstatus NOT IN ($status)
+       |        THEN 1 ELSE 0 END)::BIGINT AS v_set_status,
+       |    sum(CASE WHEN o_orderpriority IS NOT NULL
+       |             AND o_orderpriority NOT IN ($prio)
+       |        THEN 1 ELSE 0 END)::BIGINT AS v_set_prio,
+       |    (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS v_unique
+       |  FROM orders),
+       |fk AS (
+       |  SELECT count(*)::BIGINT AS v FROM orders o
+       |  WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+       |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       |SELECT check_name, violations, violations = 0 AS passed FROM (
+       |  SELECT 'not_null:o_custkey' AS check_name, v_nn_cust AS violations FROM agg
+       |  UNION ALL SELECT 'not_null:o_orderdate', v_nn_date FROM agg
+       |  UNION ALL SELECT 'range:o_totalprice', v_range FROM agg
+       |  UNION ALL SELECT 'set:o_orderstatus', v_set_status FROM agg
+       |  UNION ALL SELECT 'set:o_orderpriority', v_set_prio FROM agg
+       |  UNION ALL SELECT 'unique:o_orderkey', v_unique FROM agg
+       |  UNION ALL SELECT 'fk:o_custkey', v FROM fk)
+       |ORDER BY check_name""".stripMargin
+  }
+
+  // ---- q88: snapshot diff (CDC reconciliation) -----------------------
+
+  val DiffAddedMod = 103   // keys missing from base  → "added" in current
+  val DiffRemovedMod = 101 // keys missing from current → "removed"
+  val DiffChangedMod = 97  // keys price-bumped in current → "changed"
+  val DiffPriceBump = 1.5
+
+  /** Digest over the engine-deterministic renderings only: strings and
+    * a cent-quantized BIGINT for the price — never a raw double→string
+    * cast (whose text form is engine-specific). */
+  private def orderDigest: Column = SnapshotDiff.rowDigest(Seq(
+    col("o_orderstatus"), col("o_orderpriority"),
+    floor(col("o_totalprice") * lit(100d)).cast("long")))
+
+  /** Two deterministic snapshots derived from `orders` — base drops the
+    * `%$DiffAddedMod` keys (so current "adds" them), current drops the
+    * `%$DiffRemovedMod` keys and bumps the `%$DiffChangedMod` prices —
+    * reconciled by [[SnapshotDiff.summarize]]: digests shuffle, payloads
+    * don't. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val base = o.filter(col("o_orderkey") % DiffAddedMod =!= 0)
+    val current = o.filter(col("o_orderkey") % DiffRemovedMod =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % DiffChangedMod === 0,
+          col("o_totalprice") + lit(DiffPriceBump))
+        .otherwise(col("o_totalprice")))
+    SnapshotDiff.summarize(base, current, "o_orderkey", orderDigest)
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |    md5(concat_ws('|', o_orderstatus, o_orderpriority,
+       |      floor(o_totalprice * 100)::BIGINT)) AS d
+       |  FROM orders WHERE o_orderkey % $DiffAddedMod <> 0),
+       |cur AS (
+       |  SELECT o_orderkey AS key,
+       |    md5(concat_ws('|', o_orderstatus, o_orderpriority,
+       |      floor((CASE WHEN o_orderkey % $DiffChangedMod = 0
+       |             THEN o_totalprice + $DiffPriceBump
+       |             ELSE o_totalprice END) * 100)::BIGINT)) AS d
+       |  FROM orders WHERE o_orderkey % $DiffRemovedMod <> 0),
+       |j AS (
+       |  SELECT coalesce(base.key, cur.key) AS key,
+       |    CASE WHEN base.d IS NULL THEN 'added'
+       |         WHEN cur.d IS NULL THEN 'removed'
+       |         WHEN base.d <> cur.d THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM base FULL OUTER JOIN cur ON base.key = cur.key)
+       |SELECT status, count(*)::BIGINT AS n_rows,
+       |  min(key) AS min_key, max(key) AS max_key
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  // ---- q89: distribution drift (PSI) ---------------------------------
+
+  val DriftBuckets = 10
+  val DriftScaleMod = 4    // every 4th key's price scaled ×1.2 in current
+  val DriftScale = 1.2
+  val DriftDropMod = 5     // every 5th 1-URGENT row dropped in current
+
+  /** Population-stability-index drift report between a reference
+    * snapshot (`orders` as-is) and a deterministically shifted current
+    * one: a CONTINUOUS feature (`o_totalprice`, binned by the
+    * reference's exact deciles from
+    * [[graft.operators.ExactQuantile]] — the q78 equi-depth
+    * construction, bounded memory at any scale) and a CATEGORICAL one
+    * (`o_orderpriority`, categories as-is). One row per (feature,
+    * bucket) with both sides' counts, fractions, and the signed PSI
+    * term `(q−p)·ln(q/p)`; Σ psi_term per feature is the headline PSI
+    * (> 0.1 = drifting, > 0.25 = severe, the industry convention).
+    *
+    * Scale: both sides are tagged and unioned BEFORE one aggregation,
+    * so each side is scanned once and partial aggregation collapses to
+    * the ~15 bucket rows map-side; the decile boundaries cost
+    * ExactQuantile's counter-bounded scans. The window totals run over
+    * the 15-row aggregate, not the data. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val ref = o
+    val cur = o
+      .filter(!(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % DriftDropMod === 0))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % DriftScaleMod === 0,
+          col("o_totalprice") * lit(DriftScale))
+        .otherwise(col("o_totalprice")))
+
+    val ps = (1 until DriftBuckets).map(_.toDouble / DriftBuckets)
+    val qs = graft.operators.ExactQuantile.quantiles(ref, "o_totalprice", ps)
+      .map(q => BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val contBucket = qs.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(col("o_totalprice") > lit(t), 1).otherwise(0)
+    }
+
+    def tagged(df: DataFrame, isRef: Int): DataFrame =
+      df.select(
+          lit("o_totalprice").as("feature"),
+          format_string("d%02d", contBucket).as("bucket"),
+          lit(isRef.toLong).as("r"), lit(1L - isRef).as("c"))
+        .unionByName(df.select(
+          lit("o_orderpriority").as("feature"),
+          col("o_orderpriority").as("bucket"),
+          lit(isRef.toLong).as("r"), lit(1L - isRef).as("c")))
+
+    val g = tagged(ref, 1).unionByName(tagged(cur, 0))
+      .groupBy("feature", "bucket")
+      .agg(sum("r").as("n_ref"), sum("c").as("n_cur"))
+    val w = Window.partitionBy("feature")
+    val pRef = col("n_ref").cast("double") / sum("n_ref").over(w)
+    val pCur = col("n_cur").cast("double") / sum("n_cur").over(w)
+    g.select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
+        r6(pRef).as("p_ref"), r6(pCur).as("p_cur"),
+        r6((pCur - pRef) * log(pCur / pRef)).as("psi_term"))
+      .orderBy("feature", "bucket")
+  }
+
+  val psiDriftSql: String = {
+    val ps = (1 until DriftBuckets)
+      .map(i => (i.toDouble / DriftBuckets).toString).mkString(",")
+    val curPrice = s"CASE WHEN o_orderkey % $DriftScaleMod = 0 " +
+      s"THEN o_totalprice * $DriftScale ELSE o_totalprice END"
+    def bucketOf(p: String) =
+      s"printf('d%02d', (1 + list_sum(list_transform(b.qs, " +
+        s"q -> CASE WHEN $p > q THEN 1 ELSE 0 END)))::INT)"
+    s"""WITH b AS (
+       |  SELECT list_transform(quantile_cont(o_totalprice, [$ps]),
+       |    t -> round(t, 6)) AS qs
+       |  FROM orders),
+       |ref AS (SELECT o_totalprice AS p, o_orderpriority AS pr FROM orders),
+       |cur AS (
+       |  SELECT $curPrice AS p, o_orderpriority AS pr FROM orders
+       |  WHERE NOT (o_orderpriority = '1-URGENT'
+       |             AND o_orderkey % $DriftDropMod = 0)),
+       |t AS (
+       |  SELECT 'o_totalprice' AS feature, ${bucketOf("ref.p")} AS bucket,
+       |    1 AS r, 0 AS c FROM ref CROSS JOIN b
+       |  UNION ALL SELECT 'o_totalprice', ${bucketOf("cur.p")}, 0, 1
+       |    FROM cur CROSS JOIN b
+       |  UNION ALL SELECT 'o_orderpriority', pr, 1, 0 FROM ref
+       |  UNION ALL SELECT 'o_orderpriority', pr, 0, 1 FROM cur),
+       |g AS (
+       |  SELECT feature, bucket, sum(r)::BIGINT AS n_ref,
+       |    sum(c)::BIGINT AS n_cur
+       |  FROM t GROUP BY 1, 2)
+       |SELECT feature, bucket, n_ref, n_cur,
+       |  round(n_ref::DOUBLE / sum(n_ref) OVER (PARTITION BY feature), 6) AS p_ref,
+       |  round(n_cur::DOUBLE / sum(n_cur) OVER (PARTITION BY feature), 6) AS p_cur,
+       |  round((n_cur::DOUBLE / sum(n_cur) OVER (PARTITION BY feature)
+       |         - n_ref::DOUBLE / sum(n_ref) OVER (PARTITION BY feature))
+       |    * ln((n_cur::DOUBLE / sum(n_cur) OVER (PARTITION BY feature))
+       |         / (n_ref::DOUBLE / sum(n_ref) OVER (PARTITION BY feature))), 6)
+       |    AS psi_term
+       |FROM g ORDER BY feature, bucket""".stripMargin
+  }
+
+  // ---- q90: robust rate-anomaly detection (median + MAD) -------------
+
+  val SpikeEvery = 50   // every 50th hour's count spiked …
+  val SpikeFactor = 5   // … ×5 (the injected incident)
+  val MadZ = 3.5        // |0.6745·(x−med)/mad| > 3.5 → anomalous
+  val MadScale = 0.6745
+
+  /** Hourly event-rate anomaly detection per event type, on the robust
+    * median/MAD z-score (outlier-proof where mean/stddev is not — the
+    * spike itself would inflate a stddev-based threshold). A
+    * deterministic ×[[SpikeFactor]] spike is injected every
+    * [[SpikeEvery]]th hour so the detector provably fires.
+    *
+    * Scale: raw events collapse to the (type, hour) aggregate in one
+    * scan — the series table is bounded by time span × type domain, so
+    * it is persisted and the two grouped-median passes
+    * ([[graft.operators.ExactQuantile.groupedQuantiles]]: bounded
+    * memory, never a per-group value buffer) run over the tiny
+    * aggregate, not the raw events. `mad = 0` degenerates to
+    * "anomalous iff ≠ median" (the standard fallback). The persisted
+    * scratch is released by the harness cache clear, as q10/q68. */
+  def rateAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = table(spark, dir, "events")
+    val hourly = ev
+      .groupBy(col("event_type"), eventHourEpoch(ev).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cnt",
+        (col("n") * when(expr(s"pmod(hr div 3600, $SpikeEvery) = 0"),
+          SpikeFactor).otherwise(1)).cast("double"))
+      .drop("n")
+      .persist()
+
+    val med = graft.operators.ExactQuantile
+      .groupedQuantiles(hourly, "event_type", "cnt", Seq(0.5))
+      .toSeq.map { case (g, s) => (g.asInstanceOf[String], s.head) }
+      .toDF("event_type", "med")
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    val mad = graft.operators.ExactQuantile
+      .groupedQuantiles(dev, "event_type", "dev", Seq(0.5))
+      .toSeq.map { case (g, s) => (g.asInstanceOf[String], s.head) }
+      .toDF("event_type", "mad")
+
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("anom",
+        when(col("mad") === 0d, col("cnt") =!= col("med"))
+          .otherwise(lit(MadScale) * col("dev") / col("mad") > MadZ))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        r6(min(col("med"))).as("median"),
+        r6(min(col("mad"))).as("mad"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
+  val rateAnomaliesSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hr,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |h2 AS (
+       |  SELECT event_type, hr,
+       |    (n * CASE WHEN (hr // 3600) % $SpikeEvery = 0
+       |         THEN $SpikeFactor ELSE 1 END)::DOUBLE AS cnt
+       |  FROM h),
+       |m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+       |      FROM h2 GROUP BY 1),
+       |d AS (SELECT h2.event_type, cnt, med, abs(cnt - med) AS dev
+       |      FROM h2 JOIN m USING (event_type)),
+       |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+       |       FROM d GROUP BY 1)
+       |SELECT d.event_type, count(*)::BIGINT AS n_hours,
+       |  round(min(med), 6) AS median, round(min(mad), 6) AS mad,
+       |  sum(CASE WHEN CASE WHEN mad = 0 THEN cnt <> med
+       |           ELSE ($MadScale * dev) / mad > $MadZ END
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+       |FROM d JOIN md USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Behavioral / time-series analytics over the events and orders
+  * tables: ordered funnel conversion, cohort retention, and rolling
+  * window aggregates — the product-analytics surface of the engine.
+  *
+  * Time arithmetic is integer epoch math on [[QueryUtil.eventTsUs]]
+  * (schema-driven, engine-neutral) — never calendar functions whose
+  * week/era conventions differ between engines.
+  */
+object SeriesQueries {
+
+  // ---- q91: ordered funnel conversion --------------------------------
+
+  /** Strictly-ordered three-stage funnel over each user's event
+    * stream: first `view`, then the first `click` AFTER it, then the
+    * first `purchase` after that. Per stage: users reaching it and the
+    * conversion rate from the previous stage.
+    *
+    * Implementation is three chained per-user conditional MIN
+    * aggregates — each stage joins the previous stage's (user,
+    * first-ts) table and aggregates again. All three shuffles hash on
+    * `user_id`, so a real cluster reuses the exchange
+    * (ReusedExchange / co-partitioned joins); nothing holds a user's
+    * full event list in memory, which is what makes this shape safe
+    * for users with millions of events — the sort-the-array-per-user
+    * formulation is not. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+    def firstOf(tpe: String, after: Option[DataFrame]): DataFrame = {
+      val base = ev.filter(col("event_type") === tpe)
+      val scoped = after match {
+        case None => base.select(col("user_id"), col("ts_us"))
+        case Some(prev) => base.join(prev, "user_id")
+          .filter(col("ts_us") > col("prev_ts"))
+          .select(col("user_id"), col("ts_us"))
+      }
+      scoped.groupBy("user_id").agg(min("ts_us").as("prev_ts"))
+    }
+    val s1 = firstOf("view", None)
+    val s2 = firstOf("click", Some(s1))
+    val s3 = firstOf("purchase", Some(s2))
+    val counts = Seq(("1_view", s1), ("2_click", s2), ("3_purchase", s3))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+    val w = Window.orderBy("stage")
+    counts
+      .withColumn("prev_n", lag("n_users", 1).over(w))
+      .select(col("stage"), col("n_users"),
+        r6(when(col("prev_n").isNull, 1d)
+          .otherwise(col("n_users").cast("double") / col("prev_n")))
+          .as("conversion"))
+      .orderBy("stage")
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1),
+      |c AS (
+      |  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM s1
+      |  UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
+      |  UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3)
+      |SELECT stage, n_users,
+      |  round(CASE WHEN lag(n_users) OVER (ORDER BY stage) IS NULL THEN 1.0
+      |    ELSE n_users::DOUBLE / lag(n_users) OVER (ORDER BY stage) END, 6)
+      |    AS conversion
+      |FROM c ORDER BY stage""".stripMargin
+
+  // ---- q92: cohort retention -----------------------------------------
+
+  val RetentionMaxWeeks = 8
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Weekly cohort retention: users cohorted by the integer epoch-week
+    * of their FIRST event of any type, then counted once per
+    * (cohort, offset) for each later week they were active, offsets
+    * 0..[[RetentionMaxWeeks]].
+    *
+    * Two aggregates: per-user first-ts (one shuffle on user), then a
+    * distinct-collapse on (cohort, offset, user) — the distinct is the
+    * retention semantic (active-week, not event count) and partial
+    * aggregation collapses each user's events map-side. Integer
+    * epoch-week arithmetic, not `date_trunc('week', …)`, because week
+    * epochs are engine conventions (ISO Monday vs epoch-aligned) —
+    * `ts div weekMicros` is the same number everywhere. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div $WeekUs").as("week"))
+    val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") <= RetentionMaxWeeks)
+      .select(col("cohort_week"), col("week_offset"), col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) // $WeekUs AS week
+       |  FROM events),
+       |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+       |SELECT cohort_week, week - cohort_week AS week_offset,
+       |  count(DISTINCT e.user_id)::BIGINT AS n_users
+       |FROM e JOIN f USING (user_id)
+       |WHERE week - cohort_week <= $RetentionMaxWeeks
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q93: rolling window aggregates --------------------------------
+
+  val RollingDays = 7
+  private val DayUs = 86400L * 1000000L
+
+  /** Daily revenue series with a [[RollingDays]]-day RANGE-frame moving
+    * average and an exact running total: the monitoring dashboard
+    * query. The raw table collapses to one row per day FIRST (one
+    * scan + one shuffle); the windows then run over the bounded daily
+    * series — a few thousand rows for a decade — so the unpartitioned
+    * ordered window is a deliberate, safe choice (a per-year partition
+    * would break frames at year boundaries for nothing). The RANGE
+    * frame (not ROWS) makes calendar gaps correct: a missing day still
+    * ages out of the 7-day window.
+    *
+    * Exactness: daily revenue is cent-quantized ([[QueryUtil.moneySum]]),
+    * the running total sums exact cent BIGINTs in the window (order-
+    * independent), and only the final projection returns to DOUBLE. */
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val day = expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs")
+    val daily = o.groupBy(day.as("day")).agg(
+      sum(floor(col("o_totalprice") * lit(100d)).cast("long")).as("cents"),
+      count(lit(1)).as("n_orders"))
+    val wAvg = Window.orderBy("day").rangeBetween(-(RollingDays - 1), 0)
+    val wCum = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, 0)
+    // moving average from the EXACT windowed cent sum and day count —
+    // never avg() over per-row doubles, whose summation order is an
+    // engine convention
+    daily.select(
+        col("day"), col("n_orders"),
+        (col("cents").cast("double") / 100d).as("revenue"),
+        r6(sum(col("cents")).over(wAvg).cast("double") /
+          (count(lit(1)).over(wAvg) * 100).cast("double")).as("avg_7d"),
+        (sum(col("cents")).over(wCum).cast("double") / 100d).as("cum_revenue"))
+      .orderBy("day")
+  }
+
+  val rollingRevenueSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
+       |    sum(floor(o_totalprice * 100)::BIGINT) AS cents,
+       |    count(*)::BIGINT AS n_orders
+       |  FROM orders GROUP BY 1)
+       |SELECT day, n_orders,
+       |  (cents::DOUBLE / 100) AS revenue,
+       |  round(sum(cents) OVER (ORDER BY day
+       |      RANGE BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW)::DOUBLE
+       |    / (count(*) OVER (ORDER BY day
+       |      RANGE BETWEEN ${RollingDays - 1} PRECEDING AND CURRENT ROW) * 100)::DOUBLE,
+       |    6) AS avg_7d,
+       |  (sum(cents) OVER (ORDER BY day
+       |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / 100)
+       |    AS cum_revenue
+       |FROM daily ORDER BY day""".stripMargin
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Behavioral claims of the q87-q90 quality surface on sf0.001 — the
+  * hash gates pin exact values; these pin the PROPERTIES the values
+  * must have (drift positivity, detector firing, report completeness). */
+class QualityQueriesSpec extends SparkSpec {
+
+  test("q87: range and priority-domain checks fail, the rest pass") {
+    val rep = QualityQueries.validationSuite(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rep.size == 7)
+    assert(!rep("range:o_totalprice"))
+    assert(!rep("set:o_orderpriority"))
+    assert(rep("not_null:o_custkey") && rep("not_null:o_orderdate") &&
+      rep("set:o_orderstatus") && rep("unique:o_orderkey") && rep("fk:o_custkey"))
+  }
+
+  test("q88: diff statuses reconcile to the snapshot sizes") {
+    val o = QueryUtil.table(spark, sfDir, "orders")
+    val n = o.count()
+    val nBase = o.filter(s"o_orderkey % ${QualityQueries.DiffAddedMod} != 0").count()
+    val nCur = o.filter(s"o_orderkey % ${QualityQueries.DiffRemovedMod} != 0").count()
+    val got = QualityQueries.snapshotDiff(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every status present, and the identities n_base/n_cur decompose
+    assert(got.keySet == Set("added", "removed", "changed", "unchanged"))
+    assert(got("added") + got("removed") + got("changed") + got("unchanged")
+      >= math.max(nBase, nCur))
+    assert(nBase == got("removed") + got("changed") + got("unchanged"))
+    assert(nCur == got("added") + got("changed") + got("unchanged"))
+    assert(got("changed") > 0)
+    assert(n >= nBase && n >= nCur)
+  }
+
+  test("q89: PSI terms are non-negative, buckets complete, drift detected") {
+    val rows = QualityQueries.psiDrift(spark, sfDir).collect()
+    val byFeature = rows.groupBy(_.getString(0))
+    // 10 decile buckets + the 5 priority categories
+    assert(byFeature("o_totalprice").map(_.getString(1)).sorted.toSeq ==
+      (1 to 10).map(i => f"d$i%02d"))
+    assert(byFeature("o_orderpriority").length == 5)
+    // (q-p) and ln(q/p) share sign => every PSI term >= 0 (up to rounding)
+    assert(rows.forall(_.getDouble(6) >= -1e-9))
+    // the injected shifts are detectable: both features drift
+    val psi = byFeature.map { case (f, rs) => f -> rs.map(_.getDouble(6)).sum }
+    assert(psi("o_totalprice") > 0.01, psi.toString)
+    assert(psi("o_orderpriority") > 0.0005, psi.toString)
+    // n_ref accounts for every order (price side counts all rows)
+    val n = QueryUtil.table(spark, sfDir, "orders").count()
+    assert(byFeature("o_totalprice").map(_.getLong(2)).sum == n)
+  }
+
+  test("q90: the injected spike fires the robust detector in every type") {
+    val rows = QualityQueries.rateAnomalies(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)               // n_hours
+      assert(r.getDouble(2) >= 0 && r.getDouble(3) >= 0) // median, mad
+      assert(r.getLong(4) > 0, s"no anomalies for ${r.getString(0)}")
+      assert(r.getLong(4) < r.getLong(1), "detector flags a strict minority")
+    }
+  }
+}

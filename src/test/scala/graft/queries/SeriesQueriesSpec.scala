@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SeriesQueriesSpec extends SparkSpec {
+
+  test("q91: funnel stages are monotonically narrowing, conversions in (0,1]") {
+    val rows = SeriesQueries.funnel(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val ns = rows.map(_.getLong(1))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.toSeq.toString)
+    assert(ns(2) > 0, "funnel bottoms out at zero — fixture too small")
+    val conv = rows.map(_.getDouble(2))
+    assert(conv(0) == 1.0)
+    assert(conv.forall(c => c > 0 && c <= 1.0))
+  }
+
+  test("q91: click-before-view users do not count as converted") {
+    // user 1: view@10 -> click@20 (converts); user 2: click@5, view@10 (does not)
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L),
+      (2L, "click", 5L), (2L, "view", 10L)
+    ).toDF("user_id", "event_type", "ts_us")
+    // mirror funnel's chained-min logic directly on the crafted frame
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy("user_id").agg(min("ts_us").as("prev_ts"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts_us" > $"prev_ts")
+      .groupBy("user_id").agg(min("ts_us").as("prev_ts"))
+    assert(s2.select("user_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("q92: offset-0 rows cover every user; counts never exceed cohort size") {
+    val ret = SeriesQueries.cohortRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohortSize = ret.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    assert(cohortSize.nonEmpty)
+    // every (cohort, offset>0) count is bounded by the cohort's size
+    ret.filter(_._2 > 0).foreach { case (cw, off, n) =>
+      assert(n <= cohortSize(cw), s"cohort $cw offset $off: $n")
+    }
+    // offset-0 totals = number of distinct users with any event
+    val users = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(cohortSize.values.sum == users)
+    assert(ret.forall(_._2 <= SeriesQueries.RetentionMaxWeeks))
+  }
+
+  test("q93: rolling average equals the hand-rolled window on collected days") {
+    val rows = SeriesQueries.rollingRevenue(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 30)
+    val byDay = rows.map(t => t._1 -> t._2).toMap
+    // spot-check every 100th day against a driver-side recompute
+    rows.zipWithIndex.filter(_._2 % 100 == 0).map(_._1).foreach {
+      case (day, _, avg7, _) =>
+        val window = (day - (SeriesQueries.RollingDays - 1) to day)
+          .flatMap(byDay.get)
+        val expect = BigDecimal(window.sum / window.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(avg7 - expect) < 2e-6, s"day $day: $avg7 vs $expect")
+    }
+    // cumulative revenue is non-decreasing (prices are positive)
+    assert(rows.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+  }
+}
