@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class CurationQueriesSpec extends SparkSpec {
+
+  test("q94: packing is gapless — each doc starts where the previous ended") {
+    val rows = CurationQueries.sequencePacking(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length > 100)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between doc ${a._1} and ${b._1}")
+    case _ => }
+    rows.foreach { case (id, nTok, pos, sc, ec) =>
+      assert(sc == pos / CurationQueries.PackBudget)
+      assert(ec >= sc, s"doc $id")
+      // a doc spans ceil(len/budget)+1 chunks at most
+      assert(ec - sc <= nTok / CurationQueries.PackBudget + 1)
+    }
+  }
+
+  test("q95: clip fractions track the percentiles; clipping pulls the mean inward") {
+    val r = CurationQueries.winsorize(spark, sfDir).collect().head
+    val n = r.getLong(0).toDouble
+    val (lo, hi) = (r.getLong(1) / n, r.getLong(2) / n)
+    // exact p01/p99 boundaries: ~1% clipped each side (interpolation ±1 row)
+    assert(lo > 0 && lo <= 0.011, s"low clip fraction $lo")
+    assert(hi > 0 && hi <= 0.011, s"high clip fraction $hi")
+    assert(r.getDouble(3) < r.getDouble(4)) // p01 < p99
+    // clipping a right-skewed price distribution moves the mean down, a little
+    assert(math.abs(r.getDouble(6) - r.getDouble(5)) <
+      0.05 * math.abs(r.getDouble(5)))
+  }
+
+  test("q96: row conservation — base − deletes + inserts") {
+    val o = QueryUtil.table(spark, sfDir, "orders")
+    import org.apache.spark.sql.functions.col
+    val n = o.count()
+    val k = col("o_orderkey")
+    val nDel = o.filter(k % CurationQueries.CdcDelMod === 0).count()
+    val nIns = o.filter(k % CurationQueries.CdcInsMod === 0).count()
+    val got = CurationQueries.cdcApply(spark, sfDir).collect()
+    assert(got.map(_.getLong(1)).sum == n - nDel + nIns)
+    assert(got.map(_.getString(0)).sorted.toSeq == Seq("F", "O", "P"))
+  }
+}
