@@ -291,6 +291,72 @@ object QualityQueries {
       .orderBy("event_type")
   }
 
+  // ---- q97: streaming validation -------------------------------------
+
+  val StreamValueHi = 400.0
+  val StreamTypeDomain = Seq("click", "purchase", "signup", "view")
+
+  /** The q87 validation suite's row-local checks run AS A STREAM —
+    * constraint violation counts as a global streaming aggregate over
+    * the events file stream (complete mode, AvailableNow). This is
+    * validation-at-ingest: the same `Validation.RowCheck` compilation
+    * (each check one `sum(when(...))` in ONE aggregate), the same
+    * bounded state (one long per check — streaming state is the report
+    * itself), no second batch pass over landed data. Two checks fail
+    * by design (the 400-cap on `value` and the 4-value type domain —
+    * `error` rows violate it); `user_id` nulls pass at zero.
+    * QualityQueriesSpec pins stream == batch compilation. */
+  def streamValidation(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val checks = streamChecks
+      val aggs = checks.map(rc =>
+        sum(when(rc.violation, lit(1L)).otherwise(lit(0L))).as(rc.name))
+      val entries = checks.map(rc =>
+        struct(lit(rc.name).as("check_name"),
+          coalesce(col(s"`${rc.name}`"), lit(0L)).as("violations")))
+      val report = src.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.check_name"), col("e.violations"),
+          (col("e.violations") === 0L).as("passed"))
+      try spark.catalog.dropTempView("stream_validation_result")
+      catch { case _: Throwable => () }
+      val q = report.writeStream
+        .format("memory").queryName("stream_validation_result")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      spark.table("stream_validation_result").orderBy("check_name")
+    }
+
+  /** Shared by the streaming query and the spec's batch twin. */
+  private[queries] def streamChecks: Seq[Validation.RowCheck] = Seq(
+    Validation.notNull("user_id"),
+    Validation.inRange("value", 0.0, StreamValueHi),
+    Validation.inSet("event_type", StreamTypeDomain))
+
+  val streamValidationSql: String = {
+    val types = StreamTypeDomain.map(s => s"'$s'").mkString(", ")
+    s"""WITH agg AS (
+       |  SELECT
+       |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn,
+       |    sum(CASE WHEN value IS NOT NULL
+       |             AND (value < 0.0 OR value > $StreamValueHi)
+       |        THEN 1 ELSE 0 END)::BIGINT AS v_range,
+       |    sum(CASE WHEN event_type IS NOT NULL
+       |             AND event_type NOT IN ($types)
+       |        THEN 1 ELSE 0 END)::BIGINT AS v_set
+       |  FROM events)
+       |SELECT check_name, violations, violations = 0 AS passed FROM (
+       |  SELECT 'not_null:user_id' AS check_name, v_nn AS violations FROM agg
+       |  UNION ALL SELECT 'range:value', v_range FROM agg
+       |  UNION ALL SELECT 'set:event_type', v_set FROM agg)
+       |ORDER BY check_name""".stripMargin
+  }
+
   val rateAnomaliesSql: String =
     s"""WITH h AS (
        |  SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hr,

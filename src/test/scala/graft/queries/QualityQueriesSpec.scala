@@ -52,6 +52,20 @@ class QualityQueriesSpec extends SparkSpec {
     assert(byFeature("o_totalprice").map(_.getLong(2)).sum == n)
   }
 
+  test("q97: streaming validation equals the batch compilation of the same checks") {
+    val got = QualityQueries.streamValidation(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val checks = QualityQueries.streamChecks
+    val batch = graft.operators.Validation
+      .validate(QueryUtil.table(spark, sfDir, "events"), checks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == batch)
+    // the designed failures fail, the null check passes
+    val byName = got.map(t => t._1 -> t._3).toMap
+    assert(byName("not_null:user_id"))
+    assert(!byName("range:value") || !byName("set:event_type"))
+  }
+
   test("q90: the injected spike fires the robust detector in every type") {
     val rows = QualityQueries.rateAnomalies(spark, sfDir).collect()
     assert(rows.nonEmpty)
