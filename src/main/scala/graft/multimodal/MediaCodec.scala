@@ -338,4 +338,81 @@ object MediaCodec {
       }
     (w, h, gray)
   }
+
+  // ---- GIF (multi-frame, JDK imageio) --------------------------------
+  //
+  // The animated-GIF container is the JVM's one real MULTI-FRAME
+  // format — the closest native stand-in for video, so the
+  // frame-extraction / frame-sampling pipeline stage can run against a
+  // genuine container instead of a stub. GIF is palette-indexed: an
+  // 8-bit grayscale frame has ≤256 distinct values, the writer builds
+  // an exact gray palette, and the round trip is LOSSLESS — per-frame
+  // pixel sums are oracle-recomputable facts (the PNG/q66 pattern, not
+  // JPEG's within-bound claim).
+
+  /** Encode grayscale frames (each one byte/pixel, row-major top-down,
+    * same geometry) as a real multi-frame GIF via the JDK's bundled
+    * writer (`prepareWriteSequence`/`writeToSequence`). */
+  def encodeGifGray(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    frames.foreach(f => require(f.length == width * height,
+      s"${f.length} != $width*$height"))
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val p = writer.getDefaultWriteParam
+      // the JDK writer defaults to interlaced output, and its interlace
+      // row mapping corrupts frames at some small heights (3-4 rows:
+      // rows land shifted with zero gaps) — force non-interlaced, which
+      // is also what a pipeline wants (sequential row access)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      frames.foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, width, height, f)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode every frame of a GIF to (width, height, frames) — gray
+    * bytes per frame, row-major top-down. Fails loudly on corrupt
+    * input (bad magic, truncation), same contract as the other
+    * decoders. */
+  def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    require(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a', "not a GIF")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      require(n >= 1, "no frames in GIF")
+      val frames = (0 until n).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // indexed model with a gray palette: r == g == b == gray
+            gray(y * w + x) = ((img.getRGB(x, y) >> 16) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        gray
+      }
+      val head = reader.read(0)
+      (head.getWidth, head.getHeight, frames)
+    } finally { reader.dispose(); iis.close() }
+  }
 }

@@ -289,6 +289,63 @@ object Multimodal {
       }
   }
 
+  // ---- multi-frame GIF: real frame extraction + sampling -------------
+
+  val GifFrameW = 16
+  val GifFrameH = 8
+  val GifFrameBytes: Int = GifFrameW * GifFrameH // 128
+  val GifMaxFrames = 4
+
+  /** One row per document: the REAL multi-frame pipeline — frame
+    * count, every-2nd-frame sample sums, and the lossless round-trip
+    * verdict. */
+  final case class GifFrames(
+      media_id: Long, w: Long, h: Long, n_frames: Long, n_sampled: Long,
+      sampled_sum: Long, all_sum: Long, lossless: Boolean)
+
+  /** Text bytes → up to [[GifMaxFrames]] 16×8 grayscale frames → a
+    * real multi-frame GIF ([[MediaCodec.encodeGifGray]]) → full decode
+    * ([[MediaCodec.decodeGifFrames]]) → every-2nd-frame sampling. GIF's
+    * gray palette makes the round trip LOSSLESS, so the sampled and
+    * total pixel sums are exact facts the oracle recomputes from the
+    * source bytes (zero-padding contributes zero); `lossless` pins
+    * frame-exact equality of the decode. This is the frame-extraction/
+    * frame-sampling stage of a video pipeline run against the JVM's
+    * one genuine multi-frame container. */
+  def gifFrameSample(docs: DataFrame, idCol: String, textCol: String): Dataset[GifFrames] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = math.min(text.length, GifFrameBytes * GifMaxFrames)
+          val nF = math.max(1, (len + GifFrameBytes - 1) / GifFrameBytes)
+          val frames = (0 until nF).map { f =>
+            val px = new Array[Byte](GifFrameBytes)
+            val off = f * GifFrameBytes
+            val n = math.max(0, math.min(GifFrameBytes, len - off))
+            if (n > 0) System.arraycopy(text, off, px, 0, n)
+            px
+          }
+          val gif = MediaCodec.encodeGifGray(GifFrameW, GifFrameH, frames)
+          val (dw, dh, dec) = MediaCodec.decodeGifFrames(gif)
+          val lossless = dw == GifFrameW && dh == GifFrameH &&
+            dec.length == nF &&
+            frames.zip(dec).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+          var all = 0L
+          var sampled = 0L
+          dec.zipWithIndex.foreach { case (f, i) =>
+            var s = 0L
+            f.foreach(b => s += (b & 0xff))
+            all += s
+            if (i % 2 == 0) sampled += s
+          }
+          GifFrames(id, dw.toLong, dh.toLong, dec.length.toLong,
+            (dec.length + 1L) / 2L, sampled, all, lossless)
+        }
+      }
+  }
+
   // ---- real resize / frame-sample (on the containers we decode) ------
 
   /** Nearest-neighbor grayscale downscale by integer factor `f`:

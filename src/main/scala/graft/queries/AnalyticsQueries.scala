@@ -128,20 +128,26 @@ object AnalyticsQueries {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        r6(avg(col("value"))).as("avg_value"),
-        moneySum(col("value")).as("sum_value"))
+        // mean via exact integer micro-units, not avg() over doubles:
+        // 2-decimal value data makes exact means land on the .5e-6
+        // half-up edge constantly, where float rounding is engine-
+        // specific (QueryUtil.centMean6 scaladoc; measured at sf0.1
+        // round 7: 1 row in 3600 flips)
+        sum(floor(col("value") * lit(100d)).cast("long")).as("cents"))
       .select(col("hour_epoch"), col("event_type"), col("n_events"),
-        col("avg_value"), col("sum_value"))
+        centMean6("cents", "n_events").as("avg_value"),
+        (col("cents").cast("double") / lit(100d)).as("sum_value"))
       .orderBy("hour_epoch", "event_type")
   }
 
   val eventsHourlySql: String =
-    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
-      |  event_type, count(*) AS n_events,
-      |  round(avg(value), 6) AS avg_value,
-      |  (sum(floor(value * 100)::BIGINT)::DOUBLE / 100) AS sum_value
-      |FROM events
-      |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+    s"""SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       |  event_type, count(*) AS n_events,
+       |  ${centMean6Sql("sum(floor(value * 100)::BIGINT)", "count(*)")}
+       |    AS avg_value,
+       |  (sum(floor(value * 100)::BIGINT)::DOUBLE / 100) AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
 
   // ---- q20: exact quartiles + IQR outliers ---------------------------
 

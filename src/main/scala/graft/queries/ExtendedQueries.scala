@@ -187,8 +187,28 @@ object ExtendedQueries {
       .select(
         unix_seconds(col("window_start")).as("hour_epoch"),
         col("event_type"), col("n"),
-        r6(col("mean")).as("mean"),
-        r6(col("var_pop")).as("var_pop"),
+        // mean and var_pop via exact integer micro-units — both are
+        // terminating decimals of the 2-decimal data and land on the
+        // .5e-6 rounding edge where float rounding is engine-specific
+        // (QueryUtil.centMean6 scaladoc). The Pébay aggregator stays in
+        // the gate through `var_ok`: its float variance must agree with
+        // the exact one to 1e-6 (the q72 within-bound pattern) — a
+        // broken merge flips the boolean and fails the hash.
+        QueryUtil.centMean6("sum_cents", "n").as("mean"),
+        expr("(2 * (n * sum_cents2 - sum_cents * sum_cents) * 100 + n * n)" +
+          " div (2 * n * n) / 1000000.0").as("var_pop"),
+        // tolerance: floor-cent quantization shifts each value by up to
+        // a cent DOWN (doubles store 2-decimal values a hair under), so
+        // the floored variance drifts from the raw one by
+        // O(2·std·0.01) — 2% relative + 0.1 absolute covers it while a
+        // broken Pébay merge (wrong by orders) still flips the gate
+        {
+          val exactVar =
+            (col("n") * col("sum_cents2") - col("sum_cents") * col("sum_cents"))
+              .cast("double") / (col("n") * col("n")).cast("double") / lit(10000d)
+          (abs(col("var_pop") - exactVar) <=
+            lit(0.02) * exactVar + lit(0.1)).as("var_ok")
+        },
         r6(col("min")).as("vmin"),
         r6(col("max")).as("vmax"))
     val q = agg.writeStream
@@ -201,12 +221,18 @@ object ExtendedQueries {
   }
 
   val streamMomentsSql: String =
-    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
-      |  event_type, count(value) AS n,
-      |  round(avg(value), 6) AS mean,
-      |  round(var_pop(value), 6) AS var_pop,
-      |  round(min(value), 6) AS vmin,
-      |  round(max(value), 6) AS vmax
-      |FROM events
-      |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+    s"""WITH c AS (
+       |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       |    event_type, count(value) AS n,
+       |    sum(floor(value * 100)::BIGINT) AS sc,
+       |    sum(floor(value * 100)::BIGINT * floor(value * 100)::BIGINT) AS sc2,
+       |    round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+       |  FROM events GROUP BY 1, 2)
+       |SELECT hour_epoch, event_type, n,
+       |  ${QueryUtil.centMean6Sql("sc", "n")} AS mean,
+       |  ((2 * (n * sc2 - sc * sc) * 100 + n * n) // (2 * n * n))::DOUBLE
+       |    / 1000000.0 AS var_pop,
+       |  TRUE AS var_ok,
+       |  vmin, vmax
+       |FROM c ORDER BY hour_epoch, event_type""".stripMargin
 }

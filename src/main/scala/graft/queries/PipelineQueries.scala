@@ -542,7 +542,8 @@ object PipelineQueries {
       .select(
         unix_seconds(col("window_start")).as("hour_epoch"),
         col("event_type"), col("n_events"),
-        r6(col("avg_value")).as("avg_value"),
+        // gate mean via exact integer micro-units (QueryUtil.centMean6)
+        QueryUtil.centMean6("sum_cents", "n_events").as("avg_value"),
         r6(col("stddev_value")).as("stddev_value"),
         r6(col("min_value")).as("min_value"),
         r6(col("max_value")).as("max_value"))
@@ -556,14 +557,15 @@ object PipelineQueries {
   }
 
   val eventsStreamSql: String =
-    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
-      |  event_type, count(*) AS n_events,
-      |  round(avg(value), 6) AS avg_value,
-      |  round(stddev_pop(value), 6) AS stddev_value,
-      |  round(min(value), 6) AS min_value,
-      |  round(max(value), 6) AS max_value
-      |FROM events
-      |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+    s"""SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       |  event_type, count(*) AS n_events,
+       |  ${QueryUtil.centMean6Sql("sum(floor(value * 100)::BIGINT)", "count(*)")}
+       |    AS avg_value,
+       |  round(stddev_pop(value), 6) AS stddev_value,
+       |  round(min(value), 6) AS min_value,
+       |  round(max(value), 6) AS max_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
 
   // ---- q36: streaming exact dedup ------------------------------------
 

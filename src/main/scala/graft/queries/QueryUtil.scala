@@ -38,6 +38,23 @@ object QueryUtil {
 
   def r6(c: Column): Column = round(c, 6)
 
+  /** Exact 6-decimal half-up mean of a CENT sum: `round(cents/(100·n),
+    * 6)` computed wholly in integer space — `(2·cents·10⁴ + n) div
+    * (2·n)` micro-units, then ONE exact double division. Money-valued
+    * means land on the .5e-6 edge constantly (cents/n is a terminating
+    * decimal), and there float rounding is engine-specific twice over:
+    * the engines' sums differ by an ulp, and Spark's `round` rounds
+    * the SHORTEST-STRING decimal of the double (BigDecimal.valueOf)
+    * while DuckDB rounds its true binary value. Integer arithmetic has
+    * no edge. Columns must be LONG; micro-unit magnitudes stay exact
+    * (< 2⁵³) for cent sums up to ~10¹⁴. */
+  def centMean6(centsCol: String, nCol: String): Column =
+    expr(s"((2 * $centsCol * 10000 + $nCol) div (2 * $nCol)) / 1000000.0")
+
+  /** DuckDB rendering of [[centMean6]]. */
+  def centMean6Sql(cents: String, n: String): String =
+    s"(((2 * ($cents) * 10000 + ($n)) // (2 * ($n)))::DOUBLE / 1000000.0)"
+
   /** DuckDB accessor for the `i1`-th (1-based) BYTE of a hex-encoded
     * blob expression `hexExpr` (e.g. `hex(encode(text))`), as an INT in
     * 0..255. Byte-safe replacement for `ord(substring(text, i, 1))`,

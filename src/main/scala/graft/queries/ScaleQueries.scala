@@ -1342,6 +1342,48 @@ object ScaleQueries {
        |FROM g ORDER BY media_id""".stripMargin
   }
 
+  // ---- q99: multi-frame GIF frame extraction + sampling --------------
+
+  /** Documents through the REAL multi-frame pipeline
+    * ([[graft.multimodal.Multimodal.gifFrameSample]]): bytes → up to 4
+    * 16×8 frames → a genuine animated GIF (JDK imageio writer) → full
+    * decode → every-2nd-frame sample. The gray-palette round trip is
+    * lossless, so frame counts and BOTH pixel sums are recomputed by
+    * the oracle from the source bytes — any encoder/decoder/sampler
+    * drift fails the hash; `lossless` additionally pins frame-exact
+    * decode equality. Frame-sampling for video-shaped media, on the
+    * one multi-frame container the JVM actually ships. */
+  def gifFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.multimodal.Multimodal.gifFrameSample(docs, "doc_id", "text").toDF()
+      .orderBy("media_id")
+  }
+
+  val gifFramesSql: String = {
+    val fb = graft.multimodal.Multimodal.GifFrameBytes
+    val (w, h) = (graft.multimodal.Multimodal.GifFrameW,
+      graft.multimodal.Multimodal.GifFrameH)
+    val cap = fb * graft.multimodal.Multimodal.GifMaxFrames
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         least(octet_length(encode(text)), $cap) AS len
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, hx, len,
+       |         greatest(1, ceil(len / $fb.0))::BIGINT AS nf
+       |  FROM d)
+       |SELECT doc_id AS media_id, $w::BIGINT AS w, $h::BIGINT AS h,
+       |  nf AS n_frames, ((nf + 1) // 2)::BIGINT AS n_sampled,
+       |  coalesce(list_sum(list_transform(range(0, len::INT),
+       |    k -> CASE WHEN (k // $fb) % 2 = 0
+       |         THEN ${byteAtSql("hx", "k + 1")} ELSE 0 END)), 0)::BIGINT
+       |    AS sampled_sum,
+       |  coalesce(list_sum(list_transform(range(1, len::INT + 1),
+       |    i -> ${byteAtSql("hx", "i")})), 0)::BIGINT AS all_sum,
+       |  TRUE AS lossless
+       |FROM g ORDER BY media_id""".stripMargin
+  }
+
   // ---- q73: Bloom-pruned fact join (shuffle-volume cut) --------------
 
   val BloomFpp = 0.01

@@ -119,6 +119,78 @@ object SeriesQueries {
        |WHERE week - cohort_week <= $RetentionMaxWeeks
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q98: per-group OLS regression ---------------------------------
+
+  /** Per-event-type ordinary-least-squares trend of `value` over time
+    * (is the metric drifting up or down, and how linearly?): slope,
+    * intercept, and R² from the five classical moment sums — computed
+    * in EXACT integer space so the gate is hash-stable:
+    *
+    *  - x = epoch-hour index, centered by the GLOBAL minimum hour
+    *    (one cheap pre-aggregate): x ≤ series span in hours, so the
+    *    `n·Σx² − (Σx)²` cancellation that destroys float precision on
+    *    raw epoch values never bites;
+    *  - y = cent-quantized value (exact long);
+    *  - all five sums are exact int64 aggregates (order-independent,
+    *    any partitioning); the closed-form slope/intercept/R² then
+    *    evaluates in doubles with THE SAME operation order as the
+    *    oracle SQL — deterministic IEEE on both engines.
+    *
+    * One scan, one aggregate; the x-offset pre-pass is an O(1)-output
+    * aggregate. The reference's descriptive-stats surface extended to
+    * bivariate: this is `corr` (q27) upgraded to the full regression
+    * line. */
+  def groupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+    val xh = expr("ts_us div 3600000000")
+    val minXh = ev.agg(min(xh)).first().getLong(0)
+    val prepared = ev.select(col("event_type"),
+      (xh - lit(minXh)).as("x"),
+      floor(col("value") * lit(100d)).cast("long").as("y"))
+    val agg = prepared.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
+      sum("y").as("sy"), sum(expr("y * y")).as("syy"),
+      sum(expr("x * y")).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sxx, sy, syy, sxy) = (col("sx").cast("double"),
+      col("sxx").cast("double"), col("sy").cast("double"),
+      col("syy").cast("double"), col("sxy").cast("double"))
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slopeC = num / den
+    agg.select(col("event_type"), col("n"),
+        r6(slopeC / lit(100d)).as("slope_per_hour"),
+        r6(((sy - slopeC * sx) / n) / lit(100d)).as("intercept"),
+        r6((num * num) / (den * (n * syy - sy * sy))).as("r2"))
+      .orderBy("event_type")
+  }
+
+  val groupRegressionSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS xh,
+      |    floor(value * 100)::BIGINT AS y
+      |  FROM events),
+      |m AS (SELECT min(xh) AS x0 FROM e),
+      |p AS (SELECT event_type, xh - x0 AS x, y FROM e CROSS JOIN m),
+      |a AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+      |    sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy,
+      |    sum(x * y)::BIGINT AS sxy
+      |  FROM p GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) / 100, 6)
+      |    AS slope_per_hour,
+      |  round(((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+      |    / n::DOUBLE) / 100, 6) AS intercept,
+      |  round(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |      * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+      |    / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+      |FROM a ORDER BY event_type""".stripMargin
+
   // ---- q93: rolling window aggregates --------------------------------
 
   val RollingDays = 7

@@ -275,4 +275,48 @@ class DecodeSpec extends SparkSpec {
     assert(out(0).fmt == "jpeg" && out(0).w == 16 && out(0).h == 2)
     assert(out(1).fmt == "raw" && out(1).n_bytes == liar.length.toLong)
   }
+
+  test("GIF multi-frame round-trip is lossless, frames in order") {
+    val rnd = new scala.util.Random(7)
+    for (nFrames <- Seq(1, 2, 4, 7); (w, h) <- Seq((16, 8), (5, 3))) {
+      val frames = (0 until nFrames).map { _ =>
+        val a = new Array[Byte](w * h); rnd.nextBytes(a); a
+      }
+      val gif = MediaCodec.encodeGifGray(w, h, frames)
+      val (dw, dh, dec) = MediaCodec.decodeGifFrames(gif)
+      assert(dw == w && dh == h && dec.length == nFrames)
+      frames.zip(dec).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), s"${w}x$h n=$nFrames")
+      }
+    }
+  }
+
+  test("corrupt GIFs fail loudly: bad magic, truncation") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeGifFrames("PNG is not a GIF either".getBytes)
+    }
+    val good = MediaCodec.encodeGifGray(8, 8,
+      Seq(Array.tabulate(64)(_.toByte), Array.tabulate(64)(i => (255 - i).toByte)))
+    intercept[Exception] {
+      MediaCodec.decodeGifFrames(good.take(20)) // header only
+    }
+  }
+
+  test("gifFrameSample: sums recompute from source bytes; zero-pad contributes 0") {
+    val s = spark
+    import s.implicits._
+    val text = Array.tabulate(300)(i => ((i * 7) % 256).toByte) // 3 frames, last padded
+    val docs = Seq((5L, new String(text.map(b => (((b & 0xff) % 94) + 32).toChar)))).toDF("doc_id", "text")
+    val out = Multimodal.gifFrameSample(docs, "doc_id", "text").collect().head
+    val bytes = docs.select("text").as[String].head().getBytes("UTF-8")
+    val len = math.min(bytes.length, 512)
+    val all = bytes.take(len).map(_ & 0xff).map(_.toLong).sum
+    val sampled = bytes.take(len).zipWithIndex
+      .filter { case (_, k) => (k / 128) % 2 == 0 }.map(_._1 & 0xff).map(_.toLong).sum
+    assert(out.lossless)
+    assert(out.n_frames == math.max(1, (len + 127) / 128))
+    assert(out.all_sum == all)
+    assert(out.sampled_sum == sampled)
+    assert(out.n_sampled == (out.n_frames + 1) / 2)
+  }
 }

@@ -33,11 +33,14 @@ class StreamProfileMainSpec extends SparkSpec {
       assert(s.getLong(2) == b.getLong(2), s"n drift: $s vs $b")
       // moments merged incrementally across state updates vs one batch
       // pass: identical up to float merge order — compare at 1e-9 rel
-      for (i <- 3 to 8) {
-        val (x, y) = (s.getDouble(i), b.getDouble(i))
+      val momentCols = Seq("mean", "var_pop", "skew_pop", "kurt_pop", "min", "max")
+      momentCols.foreach { c =>
+        val (x, y) = (s.getAs[Double](c), b.getAs[Double](c))
         assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
-          s"moment $i drift: $x vs $y in $s")
+          s"moment $c drift: $x vs $y in $s")
       }
+      // the exact cent sum is integer state — must agree exactly
+      assert(s.getAs[Long]("sum_cents") == b.getAs[Long]("sum_cents"))
     }
   }
 

@@ -49,6 +49,40 @@ class SeriesQueriesSpec extends SparkSpec {
     assert(ret.forall(_._2 <= SeriesQueries.RetentionMaxWeeks))
   }
 
+  test("q98: regression matches a driver-side recompute; r2 ~ corr^2") {
+    val rows = SeriesQueries.groupRegression(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+    val xh0 = ev.agg(min(expr("ts_us div 3600000000"))).first().getLong(0)
+    val data = ev.select(col("event_type"),
+        (expr("ts_us div 3600000000") - xh0).as("x"),
+        floor(col("value") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val pts = data(r.getString(0)).map(t => (t._2.toDouble, t._3.toDouble))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100
+      assert(math.abs(r.getDouble(2) - slope) < 1e-4,
+        s"${r.getString(0)}: ${r.getDouble(2)} vs $slope")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0000001) // r2 range
+    }
+    // r2 should equal corr(x, y)^2 computed by Spark's one-pass corr
+    val corrByType = ev.select(col("event_type"),
+        (expr("ts_us div 3600000000") - xh0).cast("double").as("x"),
+        floor(col("value") * 100).cast("double").as("y"))
+      .groupBy("event_type").agg(corr("x", "y").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val c2 = corrByType(r.getString(0)) * corrByType(r.getString(0))
+      assert(math.abs(r.getDouble(4) - c2) < 1e-4,
+        s"${r.getString(0)}: r2 ${r.getDouble(4)} vs corr^2 $c2")
+    }
+  }
+
   test("q93: rolling average equals the hand-rolled window on collected days") {
     val rows = SeriesQueries.rollingRevenue(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
