@@ -1,0 +1,60 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.NgramLM
+
+/** Exact duplicate-passage detection — the windowed-hash practical form
+  * of exact-substring training-data dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"): every
+  * sliding W-token window is hashed, and a window is DUPLICATED when
+  * its hash occurs at least twice anywhere in the corpus (within one
+  * document or across documents). Per-document duplication profiles
+  * drive span-level filtering, where whole-doc dedup (MinHash/SimHash)
+  * cannot see a viral passage embedded in otherwise-unique pages.
+  *
+  * Scale shape (100 TB): text explodes ONCE into `(hash, doc_id)` pairs
+  * — two narrow columns — which collapse map-side to per-(hash, doc)
+  * counts before the single hash-keyed shuffle; corpus-wide hash totals
+  * and the per-doc roll-up both derive from that one aggregate. Nothing
+  * is O(n²) and no driver state exists. (A true suffix-array dedup
+  * finds arbitrary-length repeats but is a single-machine construction;
+  * the fixed-W windowed form is the standard distributed variant.)
+  */
+object DupPassages {
+
+  /** Per-(window-hash, doc) occurrence counts: `(k, id, c)`. The md5 of
+    * the space-rejoined window is engine-reproducible (lowercase hex in
+    * both Spark and DuckDB). Docs shorter than `w` tokens yield no
+    * rows. */
+  def windowCounts(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    docs
+      .select(col(idCol), NgramLM.tokens(col(textCol)).as("a"))
+      .filter(size(col("a")) >= w)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(a) - $w + 1)," +
+          s" i -> md5(array_join(slice(a, i, $w), ' ')))")).as("k"))
+      .groupBy(col("k"), col(idCol))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-document duplication profile:
+    * `(id, n_windows, n_dup_windows, n_crossdoc_windows)` where a dup
+    * window's hash occurs ≥2 times corpus-wide and a cross-doc window's
+    * hash occurs in ≥2 distinct documents. One hash-keyed shuffle
+    * serves both statistics; `nd` is a plain `count` because
+    * [[windowCounts]] is already distinct per (hash, doc). */
+  def perDocStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val wc = windowCounts(docs, idCol, textCol, w)
+    val kc = wc.groupBy("k").agg(
+      sum(col("c")).as("cnt"), count(lit(1)).as("nd"))
+    wc.join(kc, "k")
+      .groupBy(idCol)
+      .agg(
+        sum(col("c")).as("n_windows"),
+        sum(when(col("cnt") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_crossdoc_windows"))
+  }
+}

@@ -162,4 +162,137 @@ object CurationQueries {
        |SELECT st AS o_orderstatus, count(*)::BIGINT AS n_rows,
        |  ${moneySumSql("p")} AS sum_price
        |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q100: n-gram LM perplexity filter (CCNet) ---------------------
+
+  /** Reference-slice selector: every 5th document stands in for the
+    * in-domain corpus the production filter would train on. */
+  val LmRefMod = 5
+
+  /** Keep threshold in micronats per bigram (≈ 3.5 nats/token): the
+    * corpus scores span ~3.19–3.96 nats, so the filter provably both
+    * keeps and drops. */
+  val LmKeepMicronats = 3500000L
+
+  /** CCNet-style perplexity filter over `documents`
+    * ([[graft.text.NgramLM]]): train an add-one-smoothed word-bigram LM
+    * on the `doc_id % `[[LmRefMod]]` == 0` reference slice, score EVERY
+    * document by exact integer-micronat NLL, and keep the
+    * low-perplexity tail. Scoring is two broadcast joins plus one
+    * narrow per-doc aggregate — corpus text never reshuffles; sub-2-
+    * token docs surface with zero bigrams and `keep = false`. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.NgramLM
+    val docs = table(spark, dir, "documents")
+    val model = NgramLM.train(
+      docs.filter(col("doc_id") % LmRefMod === 0), "doc_id", "text")
+    val scores = NgramLM.scoreMicronats(docs, model, "doc_id", "text")
+    docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micronats"), lit(0L)).as("nll_micronats"),
+        when(col("n_bigrams") > 0,
+          expr("nll_micronats div n_bigrams")).otherwise(lit(0L))
+          .as("nll_per_bigram"),
+        (col("n_bigrams") > 0 &&
+          expr("nll_micronats div n_bigrams") < LmKeepMicronats).as("keep"))
+      .na.fill(Map("keep" -> false))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS a
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) u
+       |  WHERE len(a) >= 2),
+       |refbg AS (SELECT w1, w2 FROM bg WHERE doc_id % $LmRefMod = 0),
+       |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM refbg GROUP BY w1, w2),
+       |c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+       |v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM
+       |  (SELECT w1 AS w FROM refbg UNION SELECT w2 FROM refbg)),
+       |terms AS (
+       |  SELECT b.doc_id,
+       |    round(1000000.0 * (ln((coalesce(c1.c1, 0) + (SELECT v FROM v))::DOUBLE)
+       |                     - ln((coalesce(c2.c2, 0) + 1)::DOUBLE)))::BIGINT AS t
+       |  FROM bg b
+       |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+       |  LEFT JOIN c1 ON b.w1 = c1.w1),
+       |s AS (
+       |  SELECT doc_id, count(*)::BIGINT AS nb, sum(t)::BIGINT AS nll
+       |  FROM terms GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  coalesce(s.nb, 0)::BIGINT AS n_bigrams,
+       |  coalesce(s.nll, 0)::BIGINT AS nll_micronats,
+       |  (CASE WHEN coalesce(s.nb, 0) > 0 THEN s.nll // s.nb ELSE 0 END)::BIGINT
+       |    AS nll_per_bigram,
+       |  coalesce(s.nb > 0 AND (s.nll // s.nb) < $LmKeepMicronats, FALSE) AS keep
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q101: duplicate-passage detection (windowed hash) -------------
+
+  /** Window width in tokens. 8 is small enough that the synthetic
+    * corpus's injected near-duplicate pairs share windows, large enough
+    * that random text never collides (vocab^8 keyspace). */
+  val PassageW = 8
+
+  /** Exact duplicate-passage profile over `documents`
+    * ([[graft.dedup.DupPassages]]): per doc, how many of its sliding
+    * [[PassageW]]-token windows occur elsewhere (corpus-wide ≥2 of the
+    * same hash; cross-doc = in ≥2 distinct docs), plus an integer
+    * per-mille duplication rate (`div` — no float leaves the engine).
+    * Docs shorter than [[PassageW]] tokens report zero windows. */
+  def dupPassages(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DupPassages
+    val docs = table(spark, dir, "documents")
+    docs.select(col("doc_id"))
+      .join(DupPassages.perDocStats(docs, "doc_id", "text", PassageW),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_crossdoc_windows"), lit(0L)).as("n_crossdoc_windows"),
+        when(col("n_windows") > 0,
+          expr("(1000 * n_dup_windows) div n_windows")).otherwise(lit(0L))
+          .as("dup_permille"))
+      .na.fill(Map("dup_permille" -> 0L))
+      .orderBy("doc_id")
+  }
+
+  val dupPassagesSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, md5(array_to_string(a[i:i+${PassageW - 1}], ' ')) AS k
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(generate_series(1, len(a) - ${PassageW - 1})) AS i) u
+       |  WHERE len(a) >= $PassageW),
+       |wc AS (
+       |  SELECT k, doc_id, count(*)::BIGINT AS c FROM win GROUP BY k, doc_id),
+       |kc AS (
+       |  SELECT k, sum(c)::BIGINT AS cnt, count(*)::BIGINT AS nd
+       |  FROM wc GROUP BY k),
+       |per AS (
+       |  SELECT wc.doc_id,
+       |    sum(wc.c)::BIGINT AS n_windows,
+       |    sum(CASE WHEN kc.cnt >= 2 THEN wc.c ELSE 0 END)::BIGINT
+       |      AS n_dup_windows,
+       |    sum(CASE WHEN kc.nd >= 2 THEN wc.c ELSE 0 END)::BIGINT
+       |      AS n_crossdoc_windows
+       |  FROM wc JOIN kc USING (k) GROUP BY wc.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       |  coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       |  coalesce(p.n_crossdoc_windows, 0)::BIGINT AS n_crossdoc_windows,
+       |  (CASE WHEN coalesce(p.n_windows, 0) > 0
+       |        THEN (1000 * p.n_dup_windows) // p.n_windows
+       |        ELSE 0 END)::BIGINT AS dup_permille
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }
