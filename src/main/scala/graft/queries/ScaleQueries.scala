@@ -1741,4 +1741,59 @@ object ScaleQueries {
        |GROUP BY label
        |ORDER BY label""".stripMargin
   }
+
+  // ---- q103: count-min-sketch point-frequency estimates --------------
+
+  val CmsEps = 0.002   // est ≤ exact + eps·N with prob ≥ CmsConf
+  val CmsConf = 0.99
+  val CmsSeed = 42
+  val CmsProbes = 12
+
+  /** Point-frequency estimation from a mergeable count-min sketch
+    * (Cormode & Muthukrishnan 2005, Spark's built-in
+    * `count_min_sketch` aggregate): ONE map-side-combined aggregate
+    * reduces the events stream to a ~KB-sized counter grid; any key's
+    * frequency is then answerable without ever materializing the
+    * per-user groupBy table. At [[CmsEps]] the width (~1000 counters)
+    * is BELOW the distinct-user count, so collisions are real and the
+    * estimate genuinely approximate.
+    *
+    * Gate shape (the q22/q48 convention): per probe key, the exact
+    * count rides the row and the sketch's guarantee rides a boolean —
+    * `exact ≤ est ≤ exact + eps·N` (CMS never underestimates; the
+    * oracle pins the boolean TRUE). The probe set is the
+    * [[CmsProbes]] smallest distinct user ids — deterministic in both
+    * engines. The spec additionally pins mergeability: per-day
+    * sketches union into the same estimates as the global sketch. */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val skBytes = ev.agg(count_min_sketch(col("user_id"),
+        lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val bound = math.ceil(CmsEps * cms.totalCount()).toLong
+
+    val probes = ev.select("user_id").distinct()
+      .orderBy("user_id").limit(CmsProbes).collect().map(_.getLong(0))
+    val est = probes.map(u => u -> cms.estimateCount(u)).toMap
+    val estDf = spark.createDataFrame(
+      probes.toSeq.map(u => (u, est(u)))).toDF("user_id", "est")
+
+    ev.join(broadcast(estDf), Seq("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), first(col("est")).as("e"))
+      .select(col("user_id"), col("n_events"),
+        (col("e") >= col("n_events") &&
+          col("e") <= col("n_events") + lit(bound)).as("est_ok"))
+      .orderBy("user_id")
+  }
+
+  val cmsFreqSql: String =
+    s"""WITH p AS (
+       |  SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT $CmsProbes)
+       |SELECT e.user_id, count(*)::BIGINT AS n_events, TRUE AS est_ok
+       |FROM events e JOIN p USING (user_id)
+       |GROUP BY e.user_id
+       |ORDER BY e.user_id""".stripMargin
 }
