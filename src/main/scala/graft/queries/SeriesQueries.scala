@@ -246,4 +246,71 @@ object SeriesQueries {
        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / 100)
        |    AS cum_revenue
        |FROM daily ORDER BY day""".stripMargin
+
+  // ---- q104: frequent session sequences (contiguous trigrams) --------
+
+  /** Session gap in micros — same 12 h the q37 `session_window` uses. */
+  val SeqGapUs = 43200000000L
+  val SeqTopK = 20
+
+  /** Top-[[SeqTopK]] contiguous event-type trigrams within user
+    * sessions — the sequence-mining counterpart of the q91 funnel
+    * (free-form path discovery vs a fixed stage order). Sessionize by
+    * the lag/cumsum construction, form trigrams with `lead` guarded to
+    * stay inside one session, count globally.
+    *
+    * Every window shares PARTITION BY user_id with the same ordering,
+    * so Catalyst plans ONE exchange + ONE sort for the whole stack;
+    * per-user state is bounded by that user's events; the trigram
+    * count is an ordinary map-side-combined aggregate. Ordered by
+    * (count desc, trigram asc) so the top-K cutoff is engine-stable. */
+  def frequentSequences(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val sess = ev
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_us") - col("prev") > SeqGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("sess"), 2).over(w))
+      .filter(col("s3") === col("sess")) // 3 events inside one session
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("seq3"))
+      .groupBy("seq3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("seq3"))
+      .limit(SeqTopK)
+  }
+
+  val frequentSequencesSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM e),
+       |m AS (
+       |  SELECT *, CASE WHEN prev IS NULL OR us - prev > $SeqGapUs
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM l),
+       |s AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM m),
+       |t AS (
+       |  SELECT sess,
+       |    event_type AS t1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t3,
+       |    lead(sess, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS s3
+       |  FROM s)
+       |SELECT t1 || '>' || t2 || '>' || t3 AS seq3, count(*)::BIGINT AS n
+       |FROM t WHERE s3 = sess
+       |GROUP BY 1
+       |ORDER BY n DESC, seq3 ASC
+       |LIMIT $SeqTopK""".stripMargin
 }

@@ -100,4 +100,32 @@ class SeriesQueriesSpec extends SparkSpec {
     // cumulative revenue is non-decreasing (prices are positive)
     assert(rows.sliding(2).forall(p => p(0)._4 <= p(1)._4))
   }
+
+  test("q104: top sequences are well-formed, counts descending, K-capped") {
+    val rows = SeriesQueries.frequentSequences(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= SeriesQueries.SeqTopK)
+    assert(rows.forall(_._1.split(">").length == 3))
+    assert(rows.sliding(2).forall(p => p.head._2 >= p.last._2))
+    assert(rows.forall(_._2 > 0))
+  }
+
+  test("q104: trigrams never cross a session gap (crafted stream)") {
+    import spark.implicits._
+    // user 1: events A B C | gap | D E F  — the B>C>D and C>D>E windows
+    // straddle the gap and must be excluded
+    val h = SeriesQueries.SeqGapUs // 12 h
+    val df = Seq(
+      (1L, 0L * h / 10, "A"), (2L, 1L * h / 10, "B"), (3L, 2L * h / 10, "C"),
+      (4L, 2L * h, "D"), (5L, 2L * h + h / 10, "E"), (6L, 2L * h + 2 * h / 10, "F"))
+      .toDF("event_id", "us", "event_type")
+      .select(col("event_id"), lit(1L).as("user_id"),
+        (col("us") * 1000L).as("ts"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("seq104").toFile
+    dir.deleteOnExit()
+    df.write.parquet(s"$dir/events.parquet")
+    val got = SeriesQueries.frequentSequences(spark, dir.toString).collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("A>B>C", "D>E>F"), got.toString)
+  }
 }
