@@ -14,13 +14,18 @@ import graft.text.NgramLM
   * drive span-level filtering, where whole-doc dedup (MinHash/SimHash)
   * cannot see a viral passage embedded in otherwise-unique pages.
   *
-  * Scale shape (100 TB): text explodes ONCE into `(hash, doc_id)` pairs
-  * — two narrow columns — which collapse map-side to per-(hash, doc)
-  * counts before the single hash-keyed shuffle; corpus-wide hash totals
-  * and the per-doc roll-up both derive from that one aggregate. Nothing
-  * is O(n²) and no driver state exists. (A true suffix-array dedup
-  * finds arbitrary-length repeats but is a single-machine construction;
-  * the fixed-W windowed form is the standard distributed variant.)
+  * Scale shape (100 TB): text explodes into `(hash, doc_id)` pairs —
+  * two narrow columns — which collapse map-side to per-(hash, doc)
+  * counts before any shuffle; corpus-wide hash totals and the per-doc
+  * roll-up both derive from that aggregate. Nothing is O(n²) and no
+  * driver state exists. The physical plan deliberately RECOMPUTES the
+  * explode on each side of the hash-total join rather than persisting
+  * it: the per-window intermediate is O(corpus tokens) (~30 B/token —
+  * far beyond any cache at 100 TB), the recompute is one scan + split
+  * + md5, and Spark has no cross-branch CTE reuse to exploit anyway.
+  * (A true suffix-array dedup finds arbitrary-length repeats but is a
+  * single-machine construction; the fixed-W windowed form is the
+  * standard distributed variant.)
   */
 object DupPassages {
 

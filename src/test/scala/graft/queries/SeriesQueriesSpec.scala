@@ -110,6 +110,21 @@ class SeriesQueriesSpec extends SparkSpec {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("q104 plan: one exchange+sort serves the whole window stack; scan pruned") {
+    val df = SeriesQueries.frequentSequences(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // exchange 1: user_id for all three windows; exchange 2: the
+    // trigram-count partial->final aggregate. A third means a window
+    // stopped sharing the partitioning.
+    assert(nExchanges == 2, s"expected 2 exchanges, got $nExchanges:\n${plan.take(1800)}")
+    assert("\\bSort \\[".r.findAllIn(plan).length == 1,
+      "all windows must share one sort")
+    assert(plan.contains("TakeOrderedAndProject"), "top-K must not global-sort")
+    // column pruning: value/props never leave the scan
+    assert(!plan.contains("value#") && !plan.contains("props#"), "scan unpruned")
+  }
+
   test("q104: trigrams never cross a session gap (crafted stream)") {
     import spark.implicits._
     // user 1: events A B C | gap | D E F  — the B>C>D and C>D>E windows
