@@ -235,4 +235,74 @@ object ExtendedQueries {
        |  TRUE AS var_ok,
        |  vmin, vmax
        |FROM c ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---- q105: streaming per-window quantile sketch --------------------
+
+  /** GK accuracy: rank error ≤ n/[[SqAccuracy]] per window. */
+  val SqAccuracy = 100
+
+  /** Per-hour streaming p50/p95 via `percentile_approx` — the
+    * Greenwald–Khanna sketch as MERGEABLE streaming state: each window
+    * holds an O(accuracy·log n) summary instead of its raw values, so
+    * state is bounded no matter how hot an hour gets (the streaming
+    * counterpart of q35's batch rank-error claim; q31 holds moments,
+    * this holds distributions).
+    *
+    * Gate shape: exact per-window counts ride the row; the sketch's
+    * rank guarantee rides booleans — the batch side recomputes each
+    * returned quantile's true rank (one gate-only aggregate joined by
+    * window) and pins `|rank − p·n| ≤ 2·n/accuracy + 2` (2× the GK
+    * bound: the ≤-rank of a tied element can legitimately sit at the
+    * top of its tie run). A broken sketch merge is off by orders and
+    * flips the boolean. */
+  def streamQuantiles(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+    try spark.catalog.dropTempView("stream_quantiles_result") catch { case _: Throwable => () }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", QueryUtil.eventTs(schema, "ts"))
+    val agg = src.withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(col("value")).as("n"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(SqAccuracy)).as("qs"))
+      .select(unix_seconds(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"),
+        element_at(col("qs"), 1).as("p50"), element_at(col("qs"), 2).as("p95"))
+    val q = agg.writeStream
+      .format("memory").queryName("stream_quantiles_result")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    val got = spark.table("stream_quantiles_result")
+
+    // gate-only exact side: the true <=-rank of each returned quantile
+    val ev = QueryUtil.table(spark, dir, "events")
+    val ranks = ev
+      .withColumn("hour_epoch", QueryUtil.eventHourEpoch(ev))
+      .join(broadcast(got.select("hour_epoch", "event_type", "p50", "p95")),
+        Seq("hour_epoch", "event_type"))
+      .groupBy("hour_epoch", "event_type")
+      .agg(
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"))
+    val tol = lit(2.0 / SqAccuracy)
+    got.join(ranks, Seq("hour_epoch", "event_type"))
+      .select(col("hour_epoch"), col("event_type"), col("n"),
+        (abs(col("le50") - col("n") * lit(0.5)) <=
+          col("n") * tol + lit(2.0)).as("p50_ok"),
+        (abs(col("le95") - col("n") * lit(0.95)) <=
+          col("n") * tol + lit(2.0)).as("p95_ok"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  val streamQuantilesSql: String =
+    s"""SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       |  event_type, count(value)::BIGINT AS n,
+       |  TRUE AS p50_ok, TRUE AS p95_ok
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour_epoch, event_type""".stripMargin
 }

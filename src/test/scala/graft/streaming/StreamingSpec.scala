@@ -126,4 +126,21 @@ class StreamingSpec extends SparkSpec {
         s"unexpected emissions: $got")
     } finally q.stop()
   }
+
+  test("q105: stream quantile sketch matches batch windows, ranks in bound") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.ExtendedQueries.streamQuantiles(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // every window's sketch quantile passed the exact-rank gate
+    assert(got.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      got.filterNot(r => r.getBoolean(3) && r.getBoolean(4)).mkString(";"))
+    // windows and counts equal the batch grouping exactly
+    val ev = graft.queries.QueryUtil.table(spark, sfDir, "events")
+    val batch = ev.groupBy(
+        graft.queries.QueryUtil.eventHourEpoch(ev).as("h"), col("event_type"))
+      .agg(count(col("value")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      == batch)
+  }
 }
