@@ -305,4 +305,66 @@ object ExtendedQueries {
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---- q107: content-addressed dataset fingerprints -------------------
+
+  /** Order-independent dataset fingerprints for reproducibility audits
+    * (the "which exact corpus trained this model" question): each row
+    * renders to an engine-stable string (ints, strings, floor-cents —
+    * never a raw double), md5-hashes, and folds via `bit_xor` of the
+    * top 60 bits — commutative/associative, so the fingerprint is
+    * independent of partitioning and row order and combines map-side
+    * at any scale. A modular sum rides along as a second independent
+    * fold (xor alone is blind to duplicated row PAIRS; the mod-sum is
+    * not — jointly they pin content, the mod-sum wrapping only beyond
+    * ~9·10⁹ rows per partition-free sum). One scan + one scalar
+    * aggregate per table; nothing shuffles but the partial fold
+    * states. */
+  def datasetFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val fpMod = 1000000007L
+    def fp(name: String, df: DataFrame,
+        render: org.apache.spark.sql.Column): DataFrame = {
+      val h = expr("cast(conv(substring(md5(cast(r as string)), 1, 15), 16, 10) as bigint)")
+      df.select(render.as("r")).select(h.as("h"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("fp_xor"),
+          sum(col("h") % fpMod).as("fp_modsum"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("fp_xor"), col("fp_modsum"))
+    }
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    val d = table(spark, dir, "documents")
+    fp("documents", d, concat_ws("|", col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), md5(col("text"))))
+      .unionByName(fp("lineitem", l, concat_ws("|", col("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_extendedprice") * 100).cast("long"),
+        floor(col("l_quantity")).cast("long"))))
+      .unionByName(fp("orders", o, concat_ws("|", col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long"))))
+      .orderBy("table_name")
+  }
+
+  val datasetFingerprintsSql: String = {
+    val mod = 1000000007L
+    def one(name: String, from: String, render: String) =
+      s"""SELECT '$name' AS table_name, count(*)::BIGINT AS n_rows,
+         |  bit_xor(('0x' || substring(md5($render), 1, 15))::BIGINT) AS fp_xor,
+         |  sum(('0x' || substring(md5($render), 1, 15))::BIGINT % $mod)::BIGINT
+         |    AS fp_modsum
+         |FROM $from""".stripMargin
+    Seq(
+      one("documents", "documents",
+        "concat_ws('|', doc_id, lang, source, n_chars, md5(text))"),
+      one("lineitem", "lineitem",
+        "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus," +
+          " floor(l_extendedprice * 100)::BIGINT, floor(l_quantity)::BIGINT)"),
+      one("orders", "orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority," +
+          " floor(o_totalprice * 100)::BIGINT)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
 }

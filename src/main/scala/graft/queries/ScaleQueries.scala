@@ -1796,4 +1796,75 @@ object ScaleQueries {
        |FROM events e JOIN p USING (user_id)
        |GROUP BY e.user_id
        |ORDER BY e.user_id""".stripMargin
+
+  // ---- q106: temperature-based mixture sampling (alpha = 0.5) --------
+
+  /** Target corpus fraction after resampling. */
+  val TempBudgetDen = 2 // Budget = 1/2
+
+  /** Temperature-based language rebalancing — the multilingual
+    * pretraining sampler (mT5/UniMax lineage): sample language `l`
+    * with probability ∝ n_l^α (α = 0.5), so dominant languages are
+    * downweighted and tail languages upweighted relative to natural
+    * frequency, at a total budget of 1/[[TempBudgetDen]] of the
+    * corpus.
+    *
+    * Engine-exactness: the weight is the INTEGER sqrt
+    * (`floor(sqrt(n_l))` — `sqrt` is IEEE-correctly-rounded in both
+    * engines and never floors across an integer except at perfect
+    * squares, where it is exact), so the per-language threshold
+    * `min(65536, (65536·N·w_l) div (TempBudgetDen·S·n_l))` with
+    * `S = Σ w` is PURE integer arithmetic — no float ever crosses an
+    * engine boundary. Selection reuses the 16-bit md5 bucket of
+    * [[graft.operators.Sampling]], with the threshold rendered to the
+    * same 4-hex-digit string in-engine (`format_string`/`printf`
+    * '%04x'). One count aggregate + one broadcast of ≤|langs| rows +
+    * one filtered scan — the corpus never reshuffles. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val counts = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = counts.agg(sum("n_docs"), sum("w")).head
+    val (n, s) = (tot.getLong(0), tot.getLong(1))
+    val thr = least(lit(65536L),
+      expr(s"(65536 * ${n}L * w) div ($TempBudgetDen * ${s}L * n_docs)"))
+    val withThr = counts.withColumn("thr", thr)
+      .withColumn("thr_hex", when(col("thr") >= 65536L, lit("g000"))
+        .otherwise(format_string("%04x", col("thr"))))
+    docs.join(broadcast(withThr), Seq("lang"))
+      .withColumn("sampled",
+        graft.operators.Sampling.bucket(col("doc_id"), "temp") < col("thr_hex"))
+      .groupBy("lang")
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("w")).as("w"),
+        first(col("thr")).as("thr"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH c AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    floor(sqrt(count(*)))::BIGINT AS w
+       |  FROM documents GROUP BY lang),
+       |t AS (SELECT sum(n_docs)::BIGINT AS n, sum(w)::BIGINT AS s FROM c),
+       |r AS (
+       |  SELECT lang, n_docs, w,
+       |    least(65536, (65536 * t.n * w) // ($TempBudgetDen * t.s * n_docs))
+       |      ::BIGINT AS thr
+       |  FROM c, t),
+       |d AS (
+       |  SELECT d.lang, d.doc_id, r.n_docs, r.w, r.thr,
+       |    substr(md5(d.doc_id::VARCHAR || ':temp'), 1, 4) <
+       |      (CASE WHEN r.thr >= 65536 THEN 'g000'
+       |            ELSE printf('%04x', r.thr) END) AS sampled
+       |  FROM documents d JOIN r USING (lang))
+       |SELECT lang, any_value(n_docs) AS n_docs, any_value(w) AS w,
+       |  any_value(thr) AS thr,
+       |  sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       |  sum(CASE WHEN sampled THEN doc_id ELSE 0 END)::BIGINT AS id_checksum
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 }
