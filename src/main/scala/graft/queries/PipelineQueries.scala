@@ -535,6 +535,39 @@ object PipelineQueries {
     * must equal brute force. */
   val pqAnnSql: String = knnCosineSql
 
+  // ---- q108: incremental ANN index maintenance -----------------------
+
+  val AnnDeltaMod = 4 // vec_id % 4 == 0 arrives as the append batch
+
+  /** The operational append pattern for a deployed ANN index: the
+    * coarse quantizer trains ONCE on the base corpus and is FROZEN;
+    * an arriving delta batch is indexed by pure assignment (one
+    * codegen projection over the delta ONLY — work ∝ append size,
+    * never a retrain over the full corpus), and queries search the
+    * merged index. Centroids drift from what a full retrain would
+    * give, which costs cell balance, not correctness: searched in the
+    * exhaustive-probe gate regime (nprobe = nlist, the q25
+    * convention), the merged index provably equals brute force over
+    * base ∪ delta — q13's oracle verbatim. The economical regime and
+    * the assignment-equality contract (frozen-centroid assignment of
+    * the union == union of assignments) live in the spec. */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % AnnDeltaMod =!= 0)
+    val delta = emb.filter(col("vec_id") % AnnDeltaMod === 0)
+    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = AnnNlist)
+    val merged = IvfIndex.assign(base, "vec_id", "embedding", centroids)
+      .unionByName(IvfIndex.assign(delta, "vec_id", "embedding", centroids))
+    val queries = emb.filter(col("vec_id") < KnnQueries)
+    IvfIndex.search(merged, "vec_id", "embedding", queries, centroids,
+        KnnK, nprobe = AnnNlist)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Same oracle as q13 — exhaustive probing over the merged index
+    * must equal brute force over the full corpus. */
+  val annIncrementalSql: String = knnCosineSql
+
   // ---- q26: multimodal feature extraction ----------------------------
 
   def multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -168,4 +168,39 @@ class SimilaritySpec extends SparkSpec {
     val c2 = IvfIndex.train(emb, "vec_id", "embedding", nlist = 4, iters = 2)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
+
+  test("q108: frozen-centroid append — union assignment splits, result is exact") {
+    import graft.queries.{PipelineQueries => L, QueryUtil}
+    import org.apache.spark.sql.functions._
+    val emb = QueryUtil.table(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % L.AnnDeltaMod =!= 0)
+    val delta = emb.filter(col("vec_id") % L.AnnDeltaMod === 0)
+    val cents = IvfIndex.train(base, "vec_id", "embedding", nlist = L.AnnNlist)
+
+    // the incremental contract: assigning base and delta separately
+    // under frozen centroids equals assigning the union in one pass
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      IvfIndex.assign(df, "vec_id", "embedding", cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(base) ++ cells(delta) == cells(emb))
+
+    // exhaustive-probe regime over the merged index == brute force
+    val inc = L.annIncremental(spark, sfDir).collect().map(_.toSeq)
+    val exact = L.knnCosine(spark, sfDir).collect().map(_.toSeq)
+    assert(inc.toSeq == exact.toSeq)
+
+    // economical regime on the merged index still finds most true
+    // neighbors (recall floor; nprobe 6 of 16 mirrors SimilaritySpec's
+    // measured regime on this corpus)
+    val merged = IvfIndex.assign(base, "vec_id", "embedding", cents)
+      .unionByName(IvfIndex.assign(delta, "vec_id", "embedding", cents))
+    val econ = IvfIndex.search(merged, "vec_id", "embedding",
+        emb.filter(col("vec_id") < L.KnnQueries), cents, L.KnnK, nprobe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = exact.map(s => (s(0).asInstanceOf[Long], s(2).asInstanceOf[Long])).toSet
+    val recall = truth.count(econ.contains).toDouble / truth.size
+    assert(recall >= 0.5, s"economical recall $recall")
+  }
 }
