@@ -163,6 +163,141 @@ object CurationQueries {
        |  ${moneySumSql("p")} AS sum_price
        |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q109: leakage-free train/val/test split -----------------------
+
+  /** 16-bit bucket thresholds: train < [[SplitTrainThr]] ≤ val <
+    * [[SplitValThr]] ≤ test (≈ 80 / 10 / 10 of the 65536 keyspace). */
+  val SplitTrainThr = 52429L
+  val SplitValThr = 58983L
+
+  /** Deterministic train/val/test split of `documents` with the
+    * anti-leakage invariant every eval pipeline needs: the split key is
+    * the GROUP a document belongs to — here `source/lang`, the
+    * domain × language-edition shard of a multilingual crawl (the
+    * URL-host key of a web pipeline) — so correlated documents land in
+    * the SAME split by construction and near-identical same-site
+    * content can never sit in both train and test. The report also
+    * scores the naive row-id-keyed split on the same corpus:
+    * `leaked_groups_naive` counts groups that straddle splits under it
+    * (≈ every multi-doc group), while `leaked_groups` is pinned 0.
+    *
+    * Scale shape: split assignment is a pure per-row projection (one
+    * md5 of a short key); the audit is one group-keyed aggregate over
+    * (group, split) pairs. No global state — any executor splits any
+    * shard independently, which is what makes hash-splits the only
+    * split that survives reprocessing at 100 TB. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < format_string("%04x", lit(SplitTrainThr)), "train")
+        .when(bucket < format_string("%04x", lit(SplitValThr)), "val")
+        .otherwise("test")
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("source"), lit("/"), col("lang")).as("grp"))
+      .withColumn("split", splitOf(Sampling.bucket(col("grp"), "split")))
+      .withColumn("naive_split", splitOf(Sampling.bucket(col("doc_id"), "split")))
+    val leaks = docs.groupBy("grp").agg(
+        countDistinct(col("split")).as("ns"),
+        countDistinct(col("naive_split")).as("nn"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaked_groups"),
+        sum(when(col("nn") > 1, 1L).otherwise(0L)).as("leaked_groups_naive"))
+    docs.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("doc_id")).as("id_checksum"))
+      .crossJoin(leaks)
+      .orderBy("split")
+  }
+
+  val leakageSplitSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source || '/' || lang AS grp,
+       |    CASE WHEN substr(md5(source || '/' || lang || ':split'), 1, 4)
+       |           < printf('%04x', $SplitTrainThr) THEN 'train'
+       |         WHEN substr(md5(source || '/' || lang || ':split'), 1, 4)
+       |           < printf('%04x', $SplitValThr) THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 4)
+       |           < printf('%04x', $SplitTrainThr) THEN 'train'
+       |         WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 4)
+       |           < printf('%04x', $SplitValThr) THEN 'val'
+       |         ELSE 'test' END AS naive_split
+       |  FROM documents),
+       |l AS (
+       |  SELECT sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS leaked_groups,
+       |    sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END)::BIGINT AS leaked_groups_naive
+       |  FROM (SELECT grp, count(DISTINCT split) AS ns,
+       |          count(DISTINCT naive_split) AS nn
+       |        FROM d GROUP BY grp))
+       |SELECT split, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT grp)::BIGINT AS n_groups,
+       |  sum(doc_id)::BIGINT AS id_checksum,
+       |  l.leaked_groups, l.leaked_groups_naive
+       |FROM d CROSS JOIN l
+       |GROUP BY split, l.leaked_groups, l.leaked_groups_naive
+       |ORDER BY split""".stripMargin
+
+  // ---- q110: length-bucketed dynamic batching ------------------------
+
+  /** Token-length bucket width / cap (buckets 1..[[BatchBucketCap]];
+    * the last bucket is open-ended). */
+  val BatchBucketW = 16L
+  val BatchBucketCap = 8L
+
+  /** Length-bucketed batching layout — the padding-waste killer for
+    * training on variable-length documents: group documents into
+    * [[BatchBucketW]]-token length buckets and pad each batch to its
+    * longest member, instead of padding the whole corpus to the global
+    * max. The report gives per-bucket padded-token waste plus the
+    * unbucketed global row (`bucket = 0`) for contrast; the measured
+    * per-mille waste drops roughly an order of magnitude. All integer
+    * arithmetic (counts, maxes, exact sums) — hash-exact anywhere.
+    *
+    * Scale shape: one scan + one ≤[[BatchBucketCap]]-group aggregate
+    * (map-side combined); the global row aggregates the bucket rows,
+    * never re-scans. In a real run the bucket id doubles as the
+    * repartition key so each training shard holds one bucket. */
+  def lengthBatching(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(TextStats.nTokens(col("text")).as("n_tok"))
+      .withColumn("bucket",
+        least(expr(s"(greatest(n_tok, 1) + ${BatchBucketW - 1}) div $BatchBucketW"),
+          lit(BatchBucketCap)))
+    val per = docs.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("pad_to"),
+        sum("n_tok").as("sum_tok"))
+    val global = per.agg(lit(0L).as("bucket"), sum("n_docs").as("n_docs"),
+      max("pad_to").as("pad_to"), sum("sum_tok").as("sum_tok"))
+    global.unionByName(per)
+      .select(col("bucket"), col("n_docs"), col("pad_to"), col("sum_tok"),
+        expr("n_docs * pad_to - sum_tok").as("waste_tok"),
+        expr("(1000 * (n_docs * pad_to - sum_tok)) div (n_docs * pad_to)")
+          .as("waste_pm"))
+      .orderBy("bucket")
+  }
+
+  val lengthBatchingSql: String =
+    s"""WITH t AS (
+       |  SELECT least((greatest(${TextStats.nTokensSql("text")}, 1)
+       |      + ${BatchBucketW - 1}) // $BatchBucketW, $BatchBucketCap) AS bucket,
+       |    ${TextStats.nTokensSql("text")} AS n_tok
+       |  FROM documents),
+       |per AS (
+       |  SELECT bucket, count(*)::BIGINT AS n_docs, max(n_tok)::BIGINT AS pad_to,
+       |    sum(n_tok)::BIGINT AS sum_tok
+       |  FROM t GROUP BY bucket),
+       |u AS (
+       |  SELECT 0::BIGINT AS bucket, sum(n_docs)::BIGINT AS n_docs,
+       |    max(pad_to)::BIGINT AS pad_to, sum(sum_tok)::BIGINT AS sum_tok
+       |  FROM per
+       |  UNION ALL SELECT bucket, n_docs, pad_to, sum_tok FROM per)
+       |SELECT bucket, n_docs, pad_to, sum_tok,
+       |  (n_docs * pad_to - sum_tok)::BIGINT AS waste_tok,
+       |  ((1000 * (n_docs * pad_to - sum_tok)) // (n_docs * pad_to))::BIGINT
+       |    AS waste_pm
+       |FROM u ORDER BY bucket""".stripMargin
+
   // ---- q100: n-gram LM perplexity filter (CCNet) ---------------------
 
   /** Reference-slice selector: every 5th document stands in for the

@@ -32,6 +32,50 @@ class CurationQueriesSpec extends SparkSpec {
       0.05 * math.abs(r.getDouble(5)))
   }
 
+  test("q109: group split never leaks; naive row split does; docs conserved") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val rows = CurationQueries.leakageSplit(spark, sfDir).collect()
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // each (source, lang) group sits wholly inside one split
+    rows.foreach(r => assert(r.getLong(4) == 0L, s"leaked: $r"))
+    // the row-id-keyed strawman provably leaks multi-doc groups
+    assert(rows.head.getLong(5) > 0)
+    // per-split group counts partition the group universe
+    val nGroups = docs
+      .select(concat(col("source"), lit("/"), col("lang"))).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nGroups)
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // train holds the bulk (80% of keyspace; small-group-count noise ok)
+    val train = rows.find(_.getString(0) == "train").get.getLong(1).toDouble
+    assert(train / rows.map(_.getLong(1)).sum > 0.6)
+  }
+
+  test("q110: bucketed padding beats global padding; integer invariants hold") {
+    val rows = CurationQueries.lengthBatching(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val global = rows.find(_._1 == 0L).get
+    val buckets = rows.filter(_._1 > 0L)
+    assert(buckets.nonEmpty && buckets.forall(_._1 <= CurationQueries.BatchBucketCap))
+    // the global row aggregates the buckets exactly
+    assert(buckets.map(_._2).sum == global._2)
+    assert(buckets.map(_._4).sum == global._4)
+    assert(buckets.map(_._3).max == global._3)
+    rows.foreach { case (b, n, pad, sum, waste, pm) =>
+      assert(waste == n * pad - sum && waste >= 0, s"bucket $b")
+      assert(pm == 1000L * waste / (n * pad), s"bucket $b")
+      // non-terminal buckets pad at most to their bucket cap
+      if (b > 0 && b < CurationQueries.BatchBucketCap)
+        assert(pad <= b * CurationQueries.BatchBucketW)
+    }
+    // the whole point: pad-to-longest-in-bucket wastes far less than
+    // pad-to-global-max
+    val bucketedWaste = buckets.map(_._5).sum.toDouble
+    assert(bucketedWaste < 0.5 * global._5,
+      s"bucketed $bucketedWaste vs global ${global._5}")
+  }
+
   test("q96: row conservation — base − deletes + inserts") {
     val o = QueryUtil.table(spark, sfDir, "orders")
     import org.apache.spark.sql.functions.col
