@@ -228,4 +228,104 @@ object CleaningQueries {
        |    AS clean_md5
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ---- q113: Gopher quality-rule suite -------------------------------
+
+  /** Word-count bounds (Rae et al. 2021, §A1.1 — the canonical
+    * pretraining quality filter) and the stopword list in its common
+    * a/in variant (Dolma/RefinedWeb lineage) — the variant
+    * discriminates English from non-English on this corpus where the
+    * paper's verbatim eight would reject everything. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "a", "in", "that")
+
+  /** The Gopher rule suite over `documents` — per-rule violation
+    * counts plus the `any`-rule roll-up, every signal in exact integer
+    * space (per-mille ratios via `div`, never a float):
+    * word-count ∈ [50, 100k]; mean word length ∈ [3, 10] chars
+    * (`1000·Σchars div n` milli-chars); #/ellipsis symbol-to-word
+    * ratio ≤ 0.1; ≥ 80% of words contain an alphabetic char; ≥ 2
+    * distinct stopwords present (the "real prose" test).
+    *
+    * One scan computes all per-doc flags (shared tokenization
+    * subexpressions), one tiny aggregate, then a 6-way `stack` unpivot
+    * of the single aggregate row — rule cardinality, not corpus size,
+    * bounds everything after the scan. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = trim(col("text"))
+    val words = split(t, "\\s+")
+    val nWords = graft.text.TextStats.nTokens(col("text"))
+    val sumChars = length(regexp_replace(t, "\\s+", ""))
+    val nSym = regexp_count(col("text"), lit("#|\\.\\.\\."))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val nStop = GopherStopwords.map(w =>
+      when(instr(padded, s" $w ") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val flags = table(spark, dir, "documents")
+      .select(nWords.as("nw"), sumChars.cast("long").as("sc"),
+        nSym.cast("long").as("ns"), nAlpha.cast("long").as("na"),
+        nStop.as("nst"))
+      .select(
+        (col("nw") < GopherMinWords || col("nw") > GopherMaxWords).as("f_wc"),
+        (col("nw") > 0 &&
+          !expr("(1000 * sc) div nw").between(3000L, 10000L)).as("f_mwl"),
+        (col("ns") * 10L > col("nw")).as("f_sym"),
+        (col("na") * 5L < col("nw") * 4L).as("f_alpha"),
+        (col("nst") < 2L).as("f_stop"))
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    val agg = flags.agg(count(lit(1)).as("n_docs"),
+      cnt("f_wc").as("c_wc"), cnt("f_mwl").as("c_mwl"),
+      cnt("f_sym").as("c_sym"), cnt("f_alpha").as("c_alpha"),
+      cnt("f_stop").as("c_stop"),
+      sum(when(col("f_wc") || col("f_mwl") || col("f_sym") ||
+        col("f_alpha") || col("f_stop"), 1L).otherwise(0L)).as("c_any"))
+    agg.select(expr(
+        "stack(6, 'word_count', c_wc, 'mean_word_len', c_mwl, " +
+          "'symbol_ratio', c_sym, 'alpha_words', c_alpha, " +
+          "'stopwords', c_stop, 'any', c_any)").as(Seq("rule", "n_fail")),
+        col("n_docs"))
+      .withColumn("fail_pm", expr("(1000 * n_fail) div n_docs"))
+      .orderBy("rule")
+  }
+
+  val gopherRulesSql: String = {
+    val stop = GopherStopwords.map(w =>
+      s"(CASE WHEN strpos(' ' || lower(text) || ' ', ' $w ') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT
+       |    (nw < $GopherMinWords OR nw > $GopherMaxWords) AS f_wc,
+       |    (nw > 0 AND NOT ((1000 * sc) // nw BETWEEN 3000 AND 10000)) AS f_mwl,
+       |    (ns * 10 > nw) AS f_sym,
+       |    (na * 5 < nw * 4) AS f_alpha,
+       |    (nst < 2) AS f_stop
+       |  FROM (
+       |    SELECT ${graft.text.TextStats.nTokensSql("text")} AS nw,
+       |      length(regexp_replace(trim(text), '\\s+', '', 'g')) AS sc,
+       |      len(regexp_extract_all(text, '#|\\.\\.\\.')) AS ns,
+       |      len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> regexp_matches(x, '[A-Za-z]'))) AS na,
+       |      ($stop) AS nst
+       |    FROM documents)),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN f_wc THEN 1 ELSE 0 END)::BIGINT AS c_wc,
+       |    sum(CASE WHEN f_mwl THEN 1 ELSE 0 END)::BIGINT AS c_mwl,
+       |    sum(CASE WHEN f_sym THEN 1 ELSE 0 END)::BIGINT AS c_sym,
+       |    sum(CASE WHEN f_alpha THEN 1 ELSE 0 END)::BIGINT AS c_alpha,
+       |    sum(CASE WHEN f_stop THEN 1 ELSE 0 END)::BIGINT AS c_stop,
+       |    sum(CASE WHEN f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop
+       |      THEN 1 ELSE 0 END)::BIGINT AS c_any
+       |  FROM f),
+       |u AS (
+       |  SELECT 'word_count' AS rule, c_wc AS n_fail, n_docs FROM a
+       |  UNION ALL SELECT 'mean_word_len', c_mwl, n_docs FROM a
+       |  UNION ALL SELECT 'symbol_ratio', c_sym, n_docs FROM a
+       |  UNION ALL SELECT 'alpha_words', c_alpha, n_docs FROM a
+       |  UNION ALL SELECT 'stopwords', c_stop, n_docs FROM a
+       |  UNION ALL SELECT 'any', c_any, n_docs FROM a)
+       |SELECT rule, n_fail, n_docs, (1000 * n_fail) // n_docs AS fail_pm
+       |FROM u ORDER BY rule""".stripMargin
+  }
 }

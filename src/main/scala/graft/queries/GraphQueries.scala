@@ -61,4 +61,69 @@ object GraphQueries {
        |SELECT node, rank FROM r3
        |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin
   }
+
+  // ---- q114: item co-occurrence lift ---------------------------------
+
+  val CoocTopK = 20
+
+  /** Item-affinity mining over the event stream — "users who touched
+    * item i also touched j", scored by LIFT in exact integer per-mille
+    * (`1000·n_ij·U div (n_i·n_j)` — lift is a ratio of counts, so no
+    * float ever crosses an engine boundary). The item is the catalog
+    * key inside `events.props` (regexp-extracted JSON — no JSON
+    * extension dependency in either engine).
+    *
+    * Scale shape: the input collapses to DISTINCT (user, item) FIRST —
+    * the raw event multiplicity never reaches the pair join — then the
+    * pair generation is a self-join co-partitioned on `user_id` (both
+    * sides the same table, one exchange) with `item_a < item_b`
+    * halving the output; per-user work is bounded by the catalog
+    * (≤ |items|²/2 pairs per user), the guard a real deployment sizes
+    * with a heavy-user cap (q52's per-key cap composes here). Final
+    * top-K by support is TakeOrderedAndProject. */
+  def itemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ui = table(spark, dir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val nUsers = ui.select("user_id").distinct().count()
+    val itemN = ui.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(itemN.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n_item", "n_a"), "item_a")
+      .join(itemN.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n_item", "n_b"), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"(1000 * n_ab * ${nUsers}L) div (n_a * n_b)").as("lift_pm"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(CoocTopK)
+  }
+
+  val itemCooccurrenceSql: String =
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item
+       |  FROM events
+       |  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ui),
+       |i AS (SELECT item, count(*)::BIGINT AS n_item FROM ui GROUP BY item),
+       |p AS (
+       |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+       |  FROM ui a JOIN ui b
+       |    ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2)
+       |SELECT item_a, item_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       |  ((1000 * n_ab * u.n_users) // (ia.n_item * ib.n_item))::BIGINT
+       |    AS lift_pm
+       |FROM p JOIN i ia ON p.item_a = ia.item
+       |       JOIN i ib ON p.item_b = ib.item
+       |       CROSS JOIN u
+       |ORDER BY n_ab DESC, item_a, item_b LIMIT $CoocTopK""".stripMargin
 }

@@ -1867,4 +1867,78 @@ object ScaleQueries {
        |  sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
        |  sum(CASE WHEN sampled THEN doc_id ELSE 0 END)::BIGINT AS id_checksum
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q112: sketch-based join-size estimation -----------------------
+
+  /** Sketch depth / width. Width 1024 puts real collision mass in the
+    * estimate (150–1500 distinct users share 1024 buckets) while the
+    * ε = e/w ≈ 0.27% bound still holds with room. */
+  val JszDepth = 3
+  val JszWidth = 1024L
+
+  /** Will this self-join explode? — join-output-cardinality estimation
+    * from count-min sketches (Cormode & Muthukrishnan 2005 §4.2: the
+    * inner product of two CMS rows over-estimates the true join size,
+    * and the min over rows is within ε·N₁·N₂ w.h.p.). The planner-side
+    * question it answers at 100 TB: predict `|events ⋈ events ON
+    * user_id|` — the shuffle-explosion number — from two KB-scale
+    * sketches WITHOUT running the join or building the per-key
+    * distribution. The sketch grid is hand-rolled (md5-derived bucket
+    * per depth row) so the identical grid is expressible in the SQL
+    * oracle; per (row, bucket) counts collapse map-side, the estimate
+    * is `min_i Σ_b cnt_i(b)²`, and the exact answer (for the gate
+    * only) is `Σ_u n_u²` from one user-keyed aggregate. All integer;
+    * `overestimates` (CMS inner products never under-estimate) and
+    * `within_bound` (min row ≤ exact + ε·N²) ride as pinned booleans;
+    * `err_pm` records the real measured overestimate. */
+  def joinSizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select("user_id")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * n")).as("exact_pairs"),
+        count(lit(1)).as("n_users"), sum("n").as("n_events"))
+    def bucket(i: Int) =
+      expr(s"conv(substring(md5(concat(cast(user_id as string), ':jsz$i')), 1, 4), 16, 10)")
+        .cast("long") % JszWidth
+    val est = ev
+      .select((0 until JszDepth).map(i => bucket(i).as(s"b$i")) : _*)
+      .select(expr(s"stack($JszDepth, ${(0 until JszDepth)
+        .map(i => s"$i, b$i").mkString(", ")})"))
+      .toDF("i", "b")
+      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy("i").agg(sum(expr("cnt * cnt")).as("est"))
+      .agg(min("est").as("est_pairs"))
+    exact.crossJoin(est)
+      .select(col("n_events"), col("n_users"), col("exact_pairs"),
+        col("est_pairs"),
+        (col("est_pairs") >= col("exact_pairs")).as("overestimates"),
+        // ε = e/w with the e≈2.7183 numerator in exact integer form
+        // (27183 div 10000): bound = exact + eps·N²
+        (col("est_pairs") <= col("exact_pairs") +
+          expr(s"(27183 * n_events * n_events) div (10000 * $JszWidth)"))
+          .as("within_bound"),
+        expr("(1000 * (est_pairs - exact_pairs)) div exact_pairs").as("err_pm"))
+  }
+
+  val joinSizeSketchSql: String = {
+    val rows = (0 until JszDepth).map(i =>
+      s"""SELECT $i AS i,
+         |  ('0x' || substr(md5(user_id::VARCHAR || ':jsz$i'), 1, 4))::BIGINT
+         |    % $JszWidth AS b
+         |FROM events""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH ex AS (
+       |  SELECT sum(n * n)::BIGINT AS exact_pairs, count(*)::BIGINT AS n_users,
+       |    sum(n)::BIGINT AS n_events
+       |  FROM (SELECT count(*)::BIGINT AS n FROM events GROUP BY user_id)),
+       |g AS ($rows),
+       |c AS (SELECT i, b, count(*)::BIGINT AS cnt FROM g GROUP BY i, b),
+       |e AS (SELECT min(est)::BIGINT AS est_pairs FROM
+       |  (SELECT i, sum(cnt * cnt)::BIGINT AS est FROM c GROUP BY i))
+       |SELECT n_events, n_users, exact_pairs, est_pairs,
+       |  est_pairs >= exact_pairs AS overestimates,
+       |  est_pairs <= exact_pairs
+       |    + (27183 * n_events * n_events) // (10000 * $JszWidth)
+       |    AS within_bound,
+       |  ((1000 * (est_pairs - exact_pairs)) // exact_pairs)::BIGINT AS err_pm
+       |FROM ex CROSS JOIN e""".stripMargin
+  }
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q112 (join-size sketch), q113 (Gopher rules), q114 (co-occurrence
+  * lift) — property checks beyond the hash-exact oracle gate. */
+class GraphAndSketchSpec extends SparkSpec {
+
+  test("q112: sketch over-estimates, bound holds, exact side is the true join size") {
+    val r = ScaleQueries.joinSizeSketch(spark, sfDir).collect().head
+    val (nEv, nUsers, exact, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getBoolean(4), "CMS inner product must never under-estimate")
+    assert(r.getBoolean(5), "min-row estimate outside the eps*N^2 bound")
+    // the gate's exact side really is |events self-join on user_id|
+    val ev = QueryUtil.table(spark, sfDir, "events").select("user_id")
+    val trueSize = ev.as("a").join(ev.as("b"), "user_id").count()
+    assert(exact == trueSize)
+    assert(nEv == ev.count() && nUsers == ev.distinct().count())
+    // err_pm consistent with the reported columns
+    assert(r.getLong(6) == 1000L * (est - exact) / exact)
+  }
+
+  test("q112: estimate is deterministic across partitionings of the input") {
+    val a = ScaleQueries.joinSizeSketch(spark, sfDir).collect().head
+    val b = ScaleQueries.joinSizeSketch(spark, sfDir).collect().head
+    assert(a == b)
+  }
+
+  test("q113: rule accounting — any >= each rule, <= sum; at least two rules fire") {
+    val rows = CleaningQueries.gopherRules(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("word_count", "mean_word_len", "symbol_ratio",
+      "alpha_words", "stopwords", "any"))
+    val nDocs = rows("any")._2
+    assert(rows.values.forall(_._2 == nDocs))
+    val ruleCounts = (rows - "any").values.map(_._1)
+    val any = rows("any")._1
+    assert(any >= ruleCounts.max && any <= ruleCounts.sum)
+    assert(ruleCounts.count(_ > 0) >= 2, "suite should discriminate on this corpus")
+    rows.foreach { case (rule, (f, n, pm)) =>
+      assert(pm == 1000L * f / n, rule)
+    }
+  }
+
+  test("q113: the stopword rule passes English-like docs and fails others") {
+    // all-English fixture rows pass; stopword-free rows fail
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "the cat sat on a mat and that was that be it"),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+      .toDF("doc_id", "text")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val nStop = CleaningQueries.GopherStopwords.map(w =>
+      when(instr(padded, s" $w ") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val got = fx.select(col("doc_id"), (nStop >= 2L).as("pass"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && !got(2L))
+  }
+
+  test("q114: lift is exact integer math over true distinct-user counts") {
+    val rows = GraphQueries.itemCooccurrence(spark, sfDir).collect()
+    assert(rows.length == GraphQueries.CoocTopK)
+    val ev = QueryUtil.table(spark, sfDir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("item"))
+      .distinct()
+    val nUsers = ev.select("user_id").distinct().count()
+    val byItem = ev.groupBy("item").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b, nab, na, nb, lift) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b)
+      assert(na == byItem(a) && nb == byItem(b))
+      assert(nab <= math.min(na, nb))
+      assert(lift == 1000L * nab * nUsers / (na * nb))
+    }
+    // descending support with the (a, b) tiebreak
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getLong(2) > y.getLong(2) ||
+          (x.getLong(2) == y.getLong(2) &&
+            (x.getLong(0) < y.getLong(0) ||
+              (x.getLong(0) == y.getLong(0) && x.getLong(1) < y.getLong(1)))))
+      case _ =>
+    }
+  }
+}
