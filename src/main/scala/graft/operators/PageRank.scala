@@ -40,25 +40,42 @@ object PageRank {
   def run(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val base = (100 - dampingPct) * RankUnit / 100
-    val out = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(out, "src")
-      .select(col("src"), col("dst"), col("deg"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst")))
+    // Shuffle economics: the EDGE table is the big side, so (a) it
+    // persists once and is never joined against anything bigger than
+    // |V|; (b) each iteration first collapses rank/deg to the |V|-row
+    // `rank div deg` table and joins THAT into the edges (AQE turns it
+    // into a broadcast at these sizes; at cluster scale it hash-joins
+    // co-partitioned on src) — so per iteration only the per-node
+    // tables and the one dst-keyed contribution aggregate shuffle. The
+    // loop stays LAZY (plan size linear in iterations) and
+    // materializes in ONE eager localCheckpoint at the end — per-round
+    // eager checkpoints cost a job-scheduling round trip each; a
+    // deep-iteration caller would re-introduce a periodic checkpoint
+    // like [[ConnectedComponents]].
+    val e = edges.persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
       .distinct()
+      .persist()
     var ranks = nodes.withColumn("rank", lit(RankUnit))
     for (_ <- 1 to iterations) {
-      val contrib = withDeg
-        .join(ranks, col("src") === col("node"))
+      val rd = ranks.join(deg, col("node") === col("src"))
+        .select(col("node").as("u"), expr("rank div deg").as("rd"))
+      val contrib = e.join(rd, col("src") === col("u"))
         .groupBy(col("dst").as("n"))
-        .agg(sum(expr("rank div deg")).as("c"))
+        .agg(sum("rd").as("c"))
       ranks = nodes
         .join(contrib, col("node") === col("n"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampingPct * coalesce(c, 0L)) div 100"))
             .as("rank"))
     }
-    ranks
+    val result = ranks.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    result
   }
 
   /** DuckDB mirror of one [[run]] iteration, reading ranks from CTE

@@ -17,27 +17,38 @@ object GraphQueries {
 
   /** Integer-quantized PageRank over the customer↔supplier purchase
     * graph: an (undirected, so both directed arcs) edge wherever a
-    * customer ordered a line item from a supplier, nodes tagged
-    * `C<custkey>` / `S<suppkey>`. Three damped iterations in exact
-    * integer millionths ([[graft.operators.PageRank]]), then the
-    * top-[[PrTopK]] authorities — high-degree suppliers surface
-    * exactly like high-inlink web domains would.
+    * customer ordered a line item from a supplier. Three damped
+    * iterations in exact integer millionths
+    * ([[graft.operators.PageRank]]), then the top-[[PrTopK]]
+    * authorities — high-degree suppliers surface exactly like
+    * high-inlink web domains would.
     *
     * Scale shape: edge construction is one orders⋈lineitem join on the
-    * order key (both sides huge → shuffle join on `l_orderkey`) +
-    * a distinct collapse (map-side combined); the per-iteration cost
-    * is documented on the operator. Final top-K is
-    * TakeOrderedAndProject, never a global sort. */
+    * order key + a distinct collapse (map-side combined); node ids are
+    * packed LONGS (`2·custkey` / `2·suppkey+1` — integer shuffle keys
+    * hash/sort several× cheaper than rendered strings at 10⁸ edges),
+    * with the `C…`/`S…` label rendered only on the final |V|-row
+    * projection; both directed arcs come from one `explode` pass over
+    * the distinct pairs, not a union that would re-derive them. The
+    * per-iteration shuffle story is documented on the operator; final
+    * top-K is TakeOrderedAndProject, never a global sort. */
   def purchasePagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
       .join(table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("C"), col("o_custkey")).as("c"),
-        concat(lit("S"), col("l_suppkey")).as("s"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
     PageRank.run(edges, PrIterations)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
+        col("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(PrTopK)
   }
@@ -45,8 +56,7 @@ object GraphQueries {
   val purchasePagerankSql: String = {
     val it = (p: String) => PageRank.iterationSql(p)
     s"""WITH p AS (
-       |  SELECT DISTINCT 'C' || o_custkey::VARCHAR AS c,
-       |    'S' || l_suppkey::VARCHAR AS s
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |e0 AS (
        |  SELECT c AS src, s AS dst FROM p
@@ -58,7 +68,9 @@ object GraphQueries {
        |r1 AS (${it("r0")}),
        |r2 AS (${it("r1")}),
        |r3 AS (${it("r2")})
-       |SELECT node, rank FROM r3
+       |SELECT CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)::VARCHAR
+       |            ELSE 'S' || (node // 2)::VARCHAR END AS node, rank
+       |FROM r3
        |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin
   }
 
