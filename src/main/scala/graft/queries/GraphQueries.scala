@@ -138,4 +138,83 @@ object GraphQueries {
        |       JOIN i ib ON p.item_b = ib.item
        |       CROSS JOIN u
        |ORDER BY n_ab DESC, item_a, item_b LIMIT $CoocTopK""".stripMargin
+
+  // ---- q116: triangle count / clustering coefficient -----------------
+
+  /** Backbone size: the graph keeps its [[TriEdges]] strongest
+    * co-occurrence edges (deterministic (support desc, a, b) cutoff),
+    * the standard sparsification before exact triangle counting — edge
+    * selection scans the corpus once, everything after is bounded by
+    * the backbone, whatever the corpus size. */
+  val TriEdges = 500
+
+  /** Exact triangle count + global clustering coefficient over the
+    * item co-occurrence backbone: distinct (user, item) collapse →
+    * pair supports (the q114 construction) → top-[[TriEdges]] edges →
+    * the canonical oriented 3-way self-join (edges carry `a < b`, so
+    * each triangle `a<b<c` is produced exactly once) — at backbone
+    * size the joins broadcast; wedges = Σ C(deg, 2) in exact integer
+    * math, clustering = `3000·T div wedges` per-mille. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val ui = table(spark, dir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val edges = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(TriEdges)
+      .select("a", "b")
+      .persist()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).as("wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val out = wedges.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("wedges"),
+        expr("(3000 * n_triangles) div wedges").as("clustering_pm"))
+    val result = out.localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    result
+  }
+
+  val triangleCountSql: String =
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item
+       |  FROM events
+       |  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |p AS (
+       |  SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n_ab
+       |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p ORDER BY n_ab DESC, a, b LIMIT $TriEdges),
+       |tri AS (
+       |  SELECT count(*)::BIGINT AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |deg AS (
+       |  SELECT v, count(*)::BIGINT AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+       |w AS (
+       |  SELECT count(*)::BIGINT AS n_nodes,
+       |    sum((d * (d - 1)) // 2)::BIGINT AS wedges
+       |  FROM deg),
+       |ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+       |SELECT n_nodes, n_edges, n_triangles, wedges,
+       |  ((3000 * n_triangles) // wedges)::BIGINT AS clustering_pm
+       |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin
 }

@@ -1941,4 +1941,62 @@ object ScaleQueries {
        |  ((1000 * (est_pairs - exact_pairs)) // exact_pairs)::BIGINT AS err_pm
        |FROM ex CROSS JOIN e""".stripMargin
   }
+
+  // ---- q115: Misra-Gries heavy hitters -------------------------------
+
+  /** Counter budget. N/16 puts the threshold between the hot keys and
+    * the long tail of [[mgKey]] at every SF. */
+  val MgK = 16
+
+  /** Deterministic power-law key over events: 70% of rows land on the
+    * 5 event types, the rest spread over per-user subkeys — the
+    * hot-domain/long-tail shape a crawl shard shows (the corpus itself
+    * is uniform everywhere, so the skew is synthesized, q90-style). */
+  def mgKey = when(col("user_id") % 10 < 7, col("event_type"))
+    .otherwise(concat(col("event_type"), lit(":"), col("user_id")))
+  def mgKeySql: String =
+    "CASE WHEN user_id % 10 < 7 THEN event_type " +
+      "ELSE event_type || ':' || user_id::VARCHAR END"
+
+  /** Heavy hitters over the skewed key via
+    * [[graft.operators.MisraGries]] — ONE pass builds the ≤[[MgK]]-
+    * counter summary (mergeable map-side, driver-sized result), whose
+    * guarantee "contains every key with count > N/k, each count within
+    * N/k of truth" the gate then pins: the output rows are the TRUE
+    * heavy hitters (candidates ∩ exact counts > N/k — deterministic
+    * even though near-threshold candidate membership is merge-order-
+    * dependent), `in_candidates` and `mg_within_bound` ride as pinned
+    * TRUE booleans. The exact-count side exists for the gate; a
+    * production use reads the summary alone. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MisraGries
+    import spark.implicits._
+    val keyed = table(spark, dir, "events").select(mgKey.as("hkey"))
+    val cands = MisraGries.candidates(keyed, "hkey", MgK)
+    val n = keyed.count()
+    val thr = n / MgK
+    val candDf = cands.toSeq.toDF("hkey", "mg_count")
+    keyed.groupBy("hkey").agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > thr)
+      .join(broadcast(candDf), Seq("hkey"), "left")
+      .select(col("hkey"), col("n_events"),
+        lit(n).as("n_total"), lit(thr).as("threshold"),
+        col("mg_count").isNotNull.as("in_candidates"),
+        (col("mg_count").isNotNull &&
+          col("mg_count") >= col("n_events") - thr &&
+          col("mg_count") <= col("n_events")).as("mg_within_bound"))
+      .drop("mg_count")
+      .orderBy("hkey")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH k AS (SELECT $mgKeySql AS hkey FROM events),
+       |t AS (SELECT count(*)::BIGINT AS n FROM k)
+       |SELECT hkey, count(*)::BIGINT AS n_events,
+       |  t.n AS n_total, (t.n // $MgK)::BIGINT AS threshold,
+       |  TRUE AS in_candidates, TRUE AS mg_within_bound
+       |FROM k CROSS JOIN t
+       |GROUP BY hkey, t.n
+       |HAVING count(*) > t.n // $MgK
+       |ORDER BY hkey""".stripMargin
 }

@@ -59,6 +59,54 @@ class GraphAndSketchSpec extends SparkSpec {
     assert(got(1L) && !got(2L))
   }
 
+  test("q115: output is exactly the true heavy set with both guarantees pinned") {
+    val rows = ScaleQueries.heavyHitters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getLong(2)
+    val thr = rows.head.getLong(3)
+    assert(thr == n / ScaleQueries.MgK)
+    rows.foreach { r =>
+      assert(r.getLong(1) > thr, r.getString(0))
+      assert(r.getBoolean(4) && r.getBoolean(5), r.getString(0))
+    }
+    // the heavy set equals an exact recount over the same key
+    val exact = QueryUtil.table(spark, sfDir, "events")
+      .select(ScaleQueries.mgKey.as("hkey"))
+      .groupBy("hkey").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet ==
+      exact.filter(_._2 > thr).keySet)
+  }
+
+  test("q116: triangle count matches a driver-side recount of the backbone") {
+    val r = GraphQueries.triangleCount(spark, sfDir).collect().head
+    val (nNodes, nEdges, nTri, wedges, cc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nEdges <= GraphQueries.TriEdges && nTri > 0)
+    assert(cc == 3000L * nTri / wedges && cc <= 1000L)
+    // rebuild the deterministic backbone and recount triangles in Scala
+    val ui = QueryUtil.table(spark, sfDir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("item"))
+      .distinct()
+    val support = ui.as("a").join(ui.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b")).count()
+      .collect().map(r2 => ((r2.getLong(0), r2.getLong(1)), r2.getLong(2)))
+    val edges = support.sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(GraphQueries.TriEdges).map(_._1).toSet
+    assert(edges.size == nEdges)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tri = edges.iterator.map { case (a, b) =>
+      adj.getOrElse(b, Set.empty[Long]).count(c => edges.contains((a, c)))
+    }.sum
+    assert(tri.toLong == nTri)
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).values.map(_.size.toLong)
+    assert(deg.map(d => d * (d - 1) / 2).sum == wedges)
+    assert(deg.size.toLong == nNodes)
+  }
+
   test("q114: lift is exact integer math over true distinct-user counts") {
     val rows = GraphQueries.itemCooccurrence(spark, sfDir).collect()
     assert(rows.length == GraphQueries.CoocTopK)
