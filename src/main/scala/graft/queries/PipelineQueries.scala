@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHash}
 import graft.multimodal.Multimodal
@@ -567,6 +568,59 @@ object PipelineQueries {
   /** Same oracle as q13 — exhaustive probing over the merged index
     * must equal brute force over the full corpus. */
   val annIncrementalSql: String = knnCosineSql
+
+  // ---- q119: metadata-filtered vector search -------------------------
+
+  /** Filtered ANN — "top-k most similar WITH label = X" — done as TRUE
+    * pre-filtering: the metadata predicate joins as part of the index
+    * key (cell, label), so non-matching vectors never enter the
+    * candidate stream at all. Post-filtering (search then drop) is the
+    * naive alternative that silently returns < k once the filter is
+    * selective; pre-filtering keeps k guaranteed at identical cost.
+    * Each query vector searches its OWN label partition (the "same
+    * collection" retrieval every RAG store does). Gated in the
+    * exhaustive-probe regime (q25 convention): provably equal to
+    * brute force over the filtered corpus. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val emb = table(spark, dir, "embeddings")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = AnnNlist)
+    val v = CosineKnn.toDoubleArray(col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      CosineKnn.toDoubleArray(col("embedding")).as("cvec"), col("label"),
+      element_at(VectorOps.nearest_cells(v, centroids, 1), 1).as("cell"))
+    val probes = emb.filter(col("vec_id") < KnnQueries).select(
+      col("vec_id").as("query_id"),
+      CosineKnn.toDoubleArray(col("embedding")).as("qvec"), col("label"),
+      explode(VectorOps.nearest_cells(v, centroids, AnnNlist)).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("cell", "label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", CosineKnn.cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("label"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q13's brute-force oracle restricted to the query's label. */
+  val annFilteredSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id, label, e FROM v WHERE vec_id < $KnnQueries),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, q.label,
+       |    list_cosine_similarity(q.e, v.e) AS cos
+       |  FROM q JOIN v ON v.label = q.label AND v.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, label, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM s)
+       |SELECT query_id, rk::INT AS "rank", neighbor_id, label,
+       |  round(cos, 6) AS cos
+       |FROM r WHERE rk <= $KnnK ORDER BY query_id, rk""".stripMargin
 
   // ---- q26: multimodal feature extraction ----------------------------
 

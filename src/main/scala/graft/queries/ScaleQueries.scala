@@ -1999,4 +1999,55 @@ object ScaleQueries {
        |GROUP BY hkey, t.n
        |HAVING count(*) > t.n // $MgK
        |ORDER BY hkey""".stripMargin
+
+  // ---- q118: streaming heavy hitters ---------------------------------
+
+  /** q115's Misra-Gries summary computed as STRUCTURED-STREAMING state:
+    * the custom Aggregator rides a global streaming aggregate (complete
+    * mode, AvailableNow), so per-stream state is the ≤[[MgK]]-counter
+    * summary itself — never the per-key count table a naive streaming
+    * groupBy would hold, which is the whole point when keys are
+    * unbounded (the q97 "state = the report" pattern, with a custom
+    * mergeable sketch instead of built-in sums). The gate is q115's:
+    * the sketch's deterministic guarantees pinned against batch exact
+    * counts, so the stream and batch paths must agree exactly. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+      import graft.operators.MisraGries
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(mgKey.as("hkey"))
+        .as(org.apache.spark.sql.Encoders.STRING)
+      val agg = new MisraGries.MGEntriesAggregator(MgK)
+      try spark.catalog.dropTempView("stream_mg_result")
+      catch { case _: Throwable => () }
+      val q = src.select(agg.toColumn.name("cands"))
+        .writeStream.format("memory").queryName("stream_mg_result")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      val cands = spark.table("stream_mg_result")
+        .select(explode(col("cands")).as("e"))
+        .select(col("e.hkey").as("hkey"), col("e.mg_count").as("mg_count"))
+      val keyed = table(spark, dir, "events").select(mgKey.as("hkey"))
+      val n = keyed.count()
+      val thr = n / MgK
+      keyed.groupBy("hkey").agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") > thr)
+        .join(broadcast(cands), Seq("hkey"), "left")
+        .select(col("hkey"), col("n_events"),
+          lit(n).as("n_total"), lit(thr).as("threshold"),
+          col("mg_count").isNotNull.as("in_candidates"),
+          (col("mg_count").isNotNull &&
+            col("mg_count") >= col("n_events") - thr &&
+            col("mg_count") <= col("n_events")).as("mg_within_bound"))
+        .drop("mg_count")
+        .orderBy("hkey")
+    }
+
+  /** Identical oracle to q115 — stream state must reproduce the same
+    * deterministic heavy set and guarantees. */
+  val streamHeavyHittersSql: String = heavyHittersSql
 }

@@ -313,4 +313,79 @@ object SeriesQueries {
        |GROUP BY 1
        |ORDER BY n DESC, seq3 ASC
        |LIMIT $SeqTopK""".stripMargin
+
+  // ---- q117: Holt linear trend forecast ------------------------------
+
+  /** Forecast horizon (days past the last observation). Smoothing is
+    * α = 0.2, β = 0.1, fixed in the integer recurrence below. */
+  val HoltH = 7
+
+  /** Holt double-exponential smoothing over the daily revenue series
+    * (the q93 series: exact cent sums per epoch day), plus an
+    * [[HoltH]]-day linear forecast — level/trend state entirely in
+    * INTEGER cents via truncating division (Scala `Long./` == DuckDB
+    * integer `//`, both toward zero — measured: `-7 // 2 = -3` —
+    * which matters because the trend goes negative):
+    * `l_t = (2·y_t + 8·(l+b)) div 10`,
+    * `b_t = ((l_t − l) + 9·b) div 10` — bit-identical to the
+    * oracle's recursive CTE, no float ever enters the state.
+    *
+    * Scale shape: the corpus collapses to the bounded calendar series
+    * in one scan+shuffle (≈ 2.4k rows for the TPC-H date span at ANY
+    * corpus size — the q93 argument); the inherently sequential
+    * recurrence then folds on the driver over that bounded series, the
+    * same bounded-driver-state trade as ExactQuantile's range stats.
+    * Gap days are treated as consecutive observations (revenue series
+    * here has none; a gapped deployment would densify first). */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = table(spark, dir, "orders")
+    val day = expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs")
+    val daily = o.groupBy(day.as("day"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d)).cast("long")).as("cents"))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(daily.nonEmpty)
+    val out = Seq.newBuilder[(Long, Option[Long], Long, Long, Boolean)]
+    var l = daily.head._2
+    var b = 0L
+    out += ((daily.head._1, Some(daily.head._2), l, b, false))
+    daily.tail.foreach { case (d, y) =>
+      val lNew = (2 * y + 8 * (l + b)) / 10
+      val bNew = ((lNew - l) + 9 * b) / 10
+      l = lNew; b = bNew
+      out += ((d, Some(y), l, b, false))
+    }
+    val lastDay = daily.last._1
+    (1 to HoltH).foreach(h =>
+      out += ((lastDay + h, None, l + h * b, b, true)))
+    out.result().toDF("day", "y_cents", "level", "trend", "forecast")
+      .orderBy("day")
+  }
+
+  val holtForecastSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
+       |    sum(floor(o_totalprice * 100)::BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |d AS (
+       |  SELECT row_number() OVER (ORDER BY day) AS rn, day, cents AS y
+       |  FROM daily),
+       |h AS (
+       |  SELECT rn, day, y, y AS l, 0::BIGINT AS b FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.y,
+       |    (2 * d.y + 8 * (h.l + h.b)) // 10,
+       |    (((2 * d.y + 8 * (h.l + h.b)) // 10 - h.l) + 9 * h.b) // 10
+       |  FROM h JOIN d ON d.rn = h.rn + 1),
+       |tail AS (SELECT day, l, b FROM h ORDER BY rn DESC LIMIT 1),
+       |f AS (
+       |  SELECT tail.day + g.g AS day, NULL::BIGINT AS y,
+       |    (tail.l + g.g * tail.b)::BIGINT AS l, tail.b, TRUE AS forecast
+       |  FROM tail CROSS JOIN
+       |    (SELECT unnest(generate_series(1, $HoltH)) AS g) g)
+       |SELECT day, y AS y_cents, l AS level, b AS trend, FALSE AS forecast
+       |FROM h
+       |UNION ALL SELECT day, y, l, b, forecast FROM f
+       |ORDER BY day""".stripMargin
 }

@@ -107,6 +107,46 @@ class GraphAndSketchSpec extends SparkSpec {
     assert(deg.size.toLong == nNodes)
   }
 
+  test("q118: streaming MG state reproduces the batch heavy-hitter report exactly") {
+    val batch = ScaleQueries.heavyHitters(spark, sfDir).collect().toSeq
+    val stream = ScaleQueries.streamHeavyHitters(spark, sfDir).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("q119: filtered search returns k same-label rows per query, equal to brute force") {
+    val rows = PipelineQueries.annFiltered(spark, sfDir).collect()
+    val queries = QueryUtil.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < PipelineQueries.KnnQueries)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exactly k rows per query (pre-filtering keeps k guaranteed)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == queries.keySet)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length == PipelineQueries.KnnK, s"query $q")
+      rs.foreach(r => assert(r.getInt(3) == queries(q), s"label mismatch $r"))
+    }
+    // equals the label-restricted brute force (cosine recomputed here)
+    val vecs = QueryUtil.table(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    queries.foreach { case (q, lbl) =>
+      val qv = vecs.find(_._1 == q).get._2
+      val expect = vecs
+        .filter(v => v._3 == lbl && v._1 != q)
+        .map(v => (v._1, cos(qv, v._2)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(PipelineQueries.KnnK).map(_._1).toSeq
+      val got = byQuery(q).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(got == expect, s"query $q")
+    }
+  }
+
   test("q114: lift is exact integer math over true distinct-user counts") {
     val rows = GraphQueries.itemCooccurrence(spark, sfDir).collect()
     assert(rows.length == GraphQueries.CoocTopK)

@@ -143,4 +143,29 @@ class SeriesQueriesSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(got == Set("A>B>C", "D>E>F"), got.toString)
   }
+
+  test("q117: recurrence holds row-by-row; forecasts extrapolate linearly") {
+    val rows = SeriesQueries.holtForecast(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val (obs, fc) = rows.partition(!_._5)
+    assert(obs.length > 300 && fc.length == SeriesQueries.HoltH)
+    // observed side: re-run the integer recurrence from the raw ys
+    var (l, b) = (obs.head._2.get, 0L)
+    assert(obs.head._3 == l && obs.head._4 == 0L)
+    obs.tail.foreach { case (d, y, lg, bg, _) =>
+      val lNew = (2 * y.get + 8 * (l + b)) / 10
+      val bNew = ((lNew - l) + 9 * b) / 10
+      l = lNew; b = bNew
+      assert(lg == l && bg == b, s"day $d")
+    }
+    // forecast side: days contiguous after the last observation,
+    // levels exactly linear in the final (l, b)
+    val lastDay = obs.last._1
+    fc.zipWithIndex.foreach { case ((d, y, lf, bf, _), i) =>
+      val h = i + 1
+      assert(d == lastDay + h && y.isEmpty)
+      assert(lf == l + h * b && bf == b)
+    }
+  }
 }
