@@ -298,6 +298,66 @@ object CurationQueries {
        |    AS waste_pm
        |FROM u ORDER BY bucket""".stripMargin
 
+  // ---- q120: RAG chunking with overlap -------------------------------
+
+  /** Chunk geometry: [[ChunkTok]]-token windows advancing by
+    * [[ChunkStride]] (16-token overlap) — the vector-store ingestion
+    * layout (LangChain/LlamaIndex-style recursive splitters reduce to
+    * this fixed-window form on whitespace tokens). */
+  val ChunkTok = 64L
+  val ChunkStride = 48L
+
+  /** Split every document into overlapping token windows for embedding
+    * + retrieval: per chunk its token span and the md5 of the exact
+    * token slice (re-joinable — the hash is the chunk's content key in
+    * the vector store, so it must be derivable from the text alone).
+    * One projection + one explode; `n_chunks = 1 + max(0,
+    * ⌈(n_tok−size)/stride⌉)` in exact integer math, so short docs get
+    * exactly one chunk and every token lands in ≥ 1 chunk.
+    *
+    * Scale shape: stateless per-row work — no shuffle at all before
+    * the output sort; chunking parallelizes over any shard layout. */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"),
+        TextStats.nTokens(col("text")).as("n_tok"))
+      .withColumn("n_chunks",
+        expr(s"1 + greatest(0L, (n_tok - $ChunkTok + $ChunkStride - 1) div $ChunkStride)"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("start_tok"),
+        least(lit(ChunkTok), col("n_tok") - col("chunk_idx") * ChunkStride)
+          .as("chunk_tok"),
+        md5(expr(
+          s"array_join(slice(toks, cast(chunk_idx * $ChunkStride + 1 as int), " +
+            s"cast(least($ChunkTok, n_tok - chunk_idx * $ChunkStride) as int)), ' ')"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val ragChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+       |    ${TextStats.nTokensSql("text")} AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    unnest(generate_series(0,
+       |      greatest(0, (n_tok - $ChunkTok + $ChunkStride - 1) // $ChunkStride)))
+       |      AS chunk_idx
+       |  FROM t)
+       |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       |  (chunk_idx * $ChunkStride)::BIGINT AS start_tok,
+       |  least($ChunkTok, n_tok - chunk_idx * $ChunkStride)::BIGINT AS chunk_tok,
+       |  md5(array_to_string(
+       |    toks[(chunk_idx * $ChunkStride + 1)::INT :
+       |         (chunk_idx * $ChunkStride
+       |          + least($ChunkTok, n_tok - chunk_idx * $ChunkStride))::INT],
+       |    ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- q100: n-gram LM perplexity filter (CCNet) ---------------------
 
   /** Reference-slice selector: every 5th document stands in for the

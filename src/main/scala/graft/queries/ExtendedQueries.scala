@@ -367,4 +367,50 @@ object ExtendedQueries {
           " floor(o_totalprice * 100)::BIGINT)"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
+
+  // ---- q122: per-group rank normalization ----------------------------
+
+  /** Rank-normalize `events.value` within each event type — the
+    * rank-transform feature scaling (the integer half of RankGauss,
+    * before the erf⁻¹ a model-side step applies): per type, each
+    * event's value maps to its per-mille rank `(1000·(r−1)) div (n−1)`
+    * with `r` the (value, event_id)-ordered row number — the id
+    * tiebreak makes the transform a deterministic total order, where
+    * `percent_rank` over ties would be engine-convention. One hash
+    * shuffle on the type key + one per-partition sort; the gate
+    * aggregates the transform per type (bounds, exact rank-sum, an
+    * id-weighted checksum) so any rank perturbation shifts a sum.
+    * At 100 TB a skewed type pre-aggregates by (type, value-bucket)
+    * exactly like q69's grouped quantiles. */
+  def rankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("r_pm", expr("(1000 * (r - 1)) div (n - 1)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min("r_pm").as("min_pm"), max("r_pm").as("max_pm"),
+        sum("r_pm").as("sum_pm"),
+        sum(expr("r_pm * pmod(event_id, 1000)")).as("checksum"))
+      .orderBy("event_type")
+  }
+
+  val rankNormalizeSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, event_id,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS r,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |  min((1000 * (r - 1)) // (n - 1))::BIGINT AS min_pm,
+       |  max((1000 * (r - 1)) // (n - 1))::BIGINT AS max_pm,
+       |  sum((1000 * (r - 1)) // (n - 1))::BIGINT AS sum_pm,
+       |  sum(((1000 * (r - 1)) // (n - 1)) * (event_id % 1000))::BIGINT
+       |    AS checksum
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -605,6 +605,60 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- q121: contrastive pair mining ---------------------------------
+
+  /** Positive threshold (the q40 near-dup cosine) and the hard-negative
+    * band floor — pairs in [[[CtrNegLo]], [[CtrPosThr]]) are "close but
+    * not duplicate", the pairs a contrastive loss learns most from. */
+  val CtrPosThr = 0.4
+  val CtrNegLo = 0.25
+
+  /** Mine contrastive training pairs within each label group (the
+    * in-domain batches an embedding fine-tune samples from): per
+    * label, count all pairs, POSITIVES (cos ≥ [[CtrPosThr]]) and HARD
+    * NEGATIVES (cos ∈ [[[CtrNegLo]], [[CtrPosThr]])), with id-sum
+    * checksums pinning exact pair identities. Pair generation is a
+    * label-co-partitioned self-join (`vec_id` ordering halves it) —
+    * label blocking bounds the quadratic term by the largest label
+    * group; at 100 TB the block key becomes (label, IVF cell), the
+    * q40/q86 machinery, trading exactness for candidates the way the
+    * spec-gated economical regimes do. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    def side(n: String) = emb.select(col("vec_id").as(s"${n}_id"),
+      CosineKnn.toDoubleArray(col("embedding")).as(s"${n}_v"), col("label"))
+    side("a").join(side("b").withColumnRenamed("label", "label_b"),
+        col("a_id") < col("b_id") && col("label") === col("label_b"))
+      .withColumn("cos", CosineKnn.cosine(col("a_v"), col("b_v")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") >= CtrPosThr, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("cos") >= CtrNegLo && col("cos") < CtrPosThr, 1L)
+          .otherwise(0L)).as("n_hard_neg"),
+        sum(when(col("cos") >= CtrPosThr, col("a_id") + col("b_id"))
+          .otherwise(0L)).as("pos_id_checksum"),
+        sum(when(col("cos") >= CtrNegLo && col("cos") < CtrPosThr,
+          col("a_id") + col("b_id")).otherwise(0L)).as("neg_id_checksum"))
+      .orderBy("label")
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (
+       |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+       |    list_cosine_similarity(a.e, b.e) AS cos
+       |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT label, count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN cos >= $CtrPosThr THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |  sum(CASE WHEN cos >= $CtrNegLo AND cos < $CtrPosThr
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_hard_neg,
+       |  sum(CASE WHEN cos >= $CtrPosThr THEN ia + ib ELSE 0 END)::BIGINT
+       |    AS pos_id_checksum,
+       |  sum(CASE WHEN cos >= $CtrNegLo AND cos < $CtrPosThr
+       |      THEN ia + ib ELSE 0 END)::BIGINT AS neg_id_checksum
+       |FROM p GROUP BY label ORDER BY label""".stripMargin
+
   /** q13's brute-force oracle restricted to the query's label. */
   val annFilteredSql: String =
     s"""WITH v AS (

@@ -76,6 +76,41 @@ class CurationQueriesSpec extends SparkSpec {
       s"bucketed $bucketedWaste vs global ${global._5}")
   }
 
+  test("q120: chunks tile every doc — spans cover, overlap fixed, hashes re-derivable") {
+    import org.apache.spark.sql.functions.{col, trim, split}
+    val rows = CurationQueries.ragChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val toks = QueryUtil.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == toks.keySet)
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = toks(doc).length.toLong
+      // chunk indices contiguous from 0; strides fixed; last chunk
+      // reaches the end of the doc
+      sorted.zipWithIndex.foreach { case ((_, ci, start, len, h), i) =>
+        assert(ci == i && start == i * CurationQueries.ChunkStride)
+        assert(len == math.min(CurationQueries.ChunkTok, n - start))
+        val expectHash = java.security.MessageDigest.getInstance("MD5")
+          .digest(toks(doc).slice(start.toInt, (start + len).toInt)
+            .mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(h == expectHash, s"doc $doc chunk $ci")
+      }
+      assert(sorted.last._3 + sorted.last._4 == n, s"doc $doc uncovered tail")
+      // every consecutive pair overlaps by tok - stride (unless final
+      // chunk is shorter)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 == CurationQueries.ChunkStride)
+        case _ =>
+      }
+    }
+  }
+
   test("q96: row conservation — base − deletes + inserts") {
     val o = QueryUtil.table(spark, sfDir, "orders")
     import org.apache.spark.sql.functions.col

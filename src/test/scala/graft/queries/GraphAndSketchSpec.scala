@@ -147,6 +147,35 @@ class GraphAndSketchSpec extends SparkSpec {
     }
   }
 
+  test("q121: pair accounting per label — totals, disjoint classes, checksums") {
+    val rows = PipelineQueries.contrastivePairs(spark, sfDir).collect()
+    val sizes = QueryUtil.table(spark, sfDir, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getInt(0)).toSet == sizes.keySet)
+    var pos = 0L; var neg = 0L
+    rows.foreach { r =>
+      val n = sizes(r.getInt(0))
+      assert(r.getLong(1) == n * (n - 1) / 2, s"label ${r.getInt(0)}")
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1))
+      pos += r.getLong(2); neg += r.getLong(3)
+    }
+    // the mined classes are non-degenerate on this corpus
+    assert(pos > 0 && neg > 0)
+  }
+
+  test("q122: rank transform spans [0, 1000] with the exact rank-sum per type") {
+    val rows = ExtendedQueries.rankNormalize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) == 0L && r.getLong(3) == 1000L)
+      // sum over r of (1000*(r-1)) div (n-1) — recompute exactly
+      val expect = (1L to n).map(k => 1000L * (k - 1) / (n - 1)).sum
+      assert(r.getLong(4) == expect, r.getString(0))
+    }
+  }
+
   test("q114: lift is exact integer math over true distinct-user counts") {
     val rows = GraphQueries.itemCooccurrence(spark, sfDir).collect()
     assert(rows.length == GraphQueries.CoocTopK)
