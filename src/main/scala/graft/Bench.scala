@@ -2,6 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // pre-JVM-work load reading: the contention stamp must capture the
+    // MACHINE's state, not this process's own session-startup + warmup
+    // burst (32 threads push the 1-min load past 2 on a quiet box)
+    def loadAvg(): Seq[Double] =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -42,16 +51,11 @@ object Bench {
     // cost; a clean full run stays ~2 min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // contention self-diagnosis: this VM has documented multi-minute
-    // whole-system stalls. 5-min load ≥ 2 at either end of the run means
-    // another workload shared the machine and the totals read high; the
-    // per-rep times show WHICH reps a stall hit (uniform inflation across
-    // CPU-heavy queries = contention signature, not a plan regression).
-    def loadAvg(): Seq[Double] =
-      try new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        .split(" ").take(3).toSeq.map(_.toDouble)
-      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
-    val loadStart = loadAvg()
+    // whole-system stalls. Load ≥ 2 BEFORE this process did any work
+    // means another workload shared the machine and the totals read
+    // high; the per-rep times show WHICH reps a stall hit (uniform
+    // inflation across CPU-heavy queries = contention signature, not a
+    // plan regression).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -328,4 +328,137 @@ object CleaningQueries {
        |SELECT rule, n_fail, n_docs, (1000 * n_fail) // n_docs AS fail_pm
        |FROM u ORDER BY rule""".stripMargin
   }
+
+  // ---- q123: source-precedence canonical dedup -------------------------
+
+  /** Synthetic-feed doc_id offsets (keyspaces disjoint by construction:
+    * raw doc_ids are < 10⁹ at every SF). */
+  val CanonCcOffset = 1000000000L
+  val CanonWebOffset = 2000000000L
+
+  /** Precedence packing: `pri · 10¹¹ + doc_id` — one comparable long, so
+    * the canonical copy is a single `min_by` (no window sort). Raw
+    * doc_ids stay far below 10¹¹. */
+  val CanonPriShift = 100000000000L
+
+  /** Canonical-copy selection across overlapping feeds — the multi-source
+    * corpus-merge step every crawl pipeline runs: when the same content
+    * arrives from several sources, keep exactly ONE copy, chosen by
+    * source PRIORITY (curated mirror beats raw crawl beats scraped
+    * re-dump), with doc_id as the deterministic tiebreak. The corpus has
+    * no cross-source duplicates, so — the q79/q96 convention — the query
+    * synthesizes two deterministic overlay feeds from the corpus itself:
+    * `cc-main` (every `%3` doc, priority 0: BETTER than the original) and
+    * `web-dup` (every `%4` doc, priority 2: worse, never wins against an
+    * original). The gate is the per-source merge report: totals, kept,
+    * dropped, and the exact id-sum of kept copies — a wrong winner
+    * anywhere shifts a checksum.
+    *
+    * Scale shape: the decision shuffles (digest, packed-key, doc_id,
+    * source) ONLY — document payloads never move; winners are one
+    * `min_by` per content group (map-side combined), and a real pipeline
+    * re-attaches payloads by a doc_id semi-join against the winner set
+    * (the q09 keep_id convention). Priorities pack into the key long, so
+    * there is no struct comparison in the hot aggregate. */
+  def canonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "source", "text")
+    def feed(f: DataFrame, off: Long, src: String, pri: Long): DataFrame =
+      f.select((col("doc_id") + off).as("doc_id"), lit(src).as("source"),
+        lit(pri).as("pri"), col("text"))
+    val all = docs.select(col("doc_id"), col("source"), lit(1L).as("pri"), col("text"))
+      .unionByName(feed(docs.filter(col("doc_id") % 3 === 0), CanonCcOffset, "cc-main", 0L))
+      .unionByName(feed(docs.filter(col("doc_id") % 4 === 0), CanonWebOffset, "web-dup", 2L))
+      .select(col("doc_id"), col("source"),
+        (col("pri") * CanonPriShift + col("doc_id")).as("pkey"),
+        md5(col("text")).as("digest"))
+    val winners = all.groupBy("digest")
+      .agg(min_by(struct(col("doc_id"), col("source")), col("pkey")).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"))
+    val totals = all.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val kept = winners.groupBy("source").agg(count(lit(1)).as("n_kept"),
+      sum(col("doc_id")).as("kept_id_checksum"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_id_checksum"), lit(0L)).as("kept_id_checksum"))
+      .orderBy("source")
+  }
+
+  val canonicalDedupSql: String =
+    s"""WITH feeds AS (
+       |  SELECT doc_id, source, 1 AS pri, md5(text) AS digest FROM documents
+       |  UNION ALL SELECT doc_id + $CanonCcOffset, 'cc-main', 0, md5(text)
+       |    FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + $CanonWebOffset, 'web-dup', 2, md5(text)
+       |    FROM documents WHERE doc_id % 4 = 0),
+       |w AS (
+       |  SELECT digest,
+       |    arg_min(doc_id, pri * $CanonPriShift + doc_id) AS doc_id,
+       |    arg_min(source, pri * $CanonPriShift + doc_id) AS source
+       |  FROM feeds GROUP BY digest),
+       |tot AS (SELECT source, count(*)::BIGINT AS n_total FROM feeds GROUP BY source),
+       |kept AS (
+       |  SELECT source, count(*)::BIGINT AS n_kept,
+       |    sum(doc_id)::BIGINT AS kept_id_checksum
+       |  FROM w GROUP BY source)
+       |SELECT t.source, t.n_total,
+       |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       |  (t.n_total - coalesce(k.n_kept, 0))::BIGINT AS n_dropped,
+       |  coalesce(k.kept_id_checksum, 0)::BIGINT AS kept_id_checksum
+       |FROM tot t LEFT JOIN kept k USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ---- q127: tokenizer vocabulary coverage / OOV rate ------------------
+
+  /** Vocabulary size: top words by corpus frequency (count desc, word
+    * asc — the deterministic total order at the cut). */
+  val VocabK = 500
+
+  /** Tokenizer-vocabulary coverage audit — the "will this tokenizer
+    * shred this corpus?" check run before committing a vocab: build the
+    * top-[[VocabK]] word vocabulary from the corpus itself (the
+    * frequency-ranked seed every subword trainer starts from), then
+    * score every language slice by out-of-vocabulary token rate in
+    * exact integer per-mille. High-OOV slices are where a vocab
+    * underserves a language — the multilingual-fairness number
+    * tokenizer papers report.
+    *
+    * Scale shape: the vocab is a corpus-wide word count (map-side
+    * combined, two short columns) cut by TakeOrderedAndProject, then
+    * BROADCAST back — the corpus-side pass is one explode + broadcast
+    * left-join + per-lang aggregate; the corpus text itself never
+    * shuffles. At 100 TB the vocab stays tiny by construction
+    * ([[VocabK]] rows) whatever the corpus size. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(VocabK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_pm", expr("(1000 * n_oov) div n_tokens"))
+      .orderBy("lang")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)),
+       |    '\\s+')) AS w
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT w FROM tok GROUP BY w
+       |  ORDER BY count(*) DESC, w LIMIT $VocabK)
+       |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  ((1000 * sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END))
+       |    // count(*))::BIGINT AS oov_pm
+       |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

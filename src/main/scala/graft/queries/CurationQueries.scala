@@ -163,6 +163,71 @@ object CurationQueries {
        |  ${moneySumSql("p")} AS sum_price
        |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q125: streaming CDC apply (continuous MERGE) ------------------
+
+  /** q96's CDC merge with the changelog arriving as a STREAM — the
+    * continuous-materialization form every warehouse ingestion layer
+    * runs: the keyed state held by the streaming aggregate is exactly
+    * the per-key MERGE FRONTIER (latest (seq, op, payload) per key —
+    * one row per live key, the honest minimum for latest-wins CDC; a
+    * RocksDB state store at warehouse scale), folded with an ordinary
+    * `max(struct(seq, …))` so map-side partial folding absorbs hot
+    * keys before the state shuffle, exactly like the batch
+    * [[graft.operators.CdcApply]]. The frontier then folds into the
+    * base snapshot batch-side (one co-partitioned full-outer join) and
+    * the gate is q96's oracle VERBATIM — the stream must land on the
+    * identical snapshot rollup, row for row. */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+      val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val k = col("o_orderkey")
+      val p = col("o_totalprice")
+      def part(f: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+          seq: Int, op: String, price: org.apache.spark.sql.Column): DataFrame =
+        src.filter(f).select(key.as("o_orderkey"), lit(seq).as("seq"),
+          lit(op).as("op"), col("o_orderstatus"), col("o_orderpriority"),
+          price.as("o_totalprice"))
+      val changelog =
+        part(k % CdcDelMod === 0, k, 1, "D", p)
+          .unionByName(part(k % CdcUpdMod === 0 && k % CdcDelMod =!= 0, k, 1, "U", p + 10d))
+          .unionByName(part(k % CdcUpd2Mod === 0 && k % CdcDelMod =!= 0, k, 2, "U", p + 20d))
+          .unionByName(part(k % CdcInsMod === 0, k + CdcInsOffset, 1, "I", p + 5d))
+      try spark.catalog.dropTempView("stream_cdc_frontier")
+      catch { case _: Throwable => () }
+      val q = changelog.groupBy("o_orderkey")
+        .agg(max(struct(col("seq"), col("op"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))).as("w"))
+        .writeStream.format("memory").queryName("stream_cdc_frontier")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      val frontier = spark.table("stream_cdc_frontier")
+        .select(col("o_orderkey"), col("w.op").as("__op"),
+          col("w.o_orderstatus").as("__new_st"),
+          col("w.o_totalprice").as("__new_p"))
+      val base = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      base.join(frontier, Seq("o_orderkey"), "full_outer")
+        .filter(col("__op").isNull || col("__op") =!= "D")
+        .select(
+          when(col("__op").isNotNull, col("__new_st"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("__op").isNotNull, col("__new_p"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }
+
+  /** Identical oracle to q96 — the streamed merge must reproduce the
+    * batch snapshot exactly. */
+  def streamCdcApplySql: String = cdcApplySql
+
   // ---- q109: leakage-free train/val/test split -----------------------
 
   /** 16-bit bucket thresholds: train < [[SplitTrainThr]] ≤ val <
@@ -357,6 +422,60 @@ object CurationQueries {
        |          + least($ChunkTok, n_tok - chunk_idx * $ChunkStride))::INT],
        |    ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- q124: skip-gram training-pair generation ----------------------
+
+  /** Skip-gram context radius (word2vec's `window`). */
+  val SkipgramWindow = 2L
+  /** Report size: top pairs by (count desc, center, context). */
+  val SkipgramTopK = 100
+
+  /** Word2vec-style (center, context) pair mining over `documents` —
+    * the training-pair generation pass of every embedding pretrain:
+    * for each token position, emit the tokens at offsets ±1..±
+    * [[SkipgramWindow]] as directed (center, context) pairs, count
+    * pair frequencies corpus-wide, and report the
+    * [[SkipgramTopK]]-head with exact counts.
+    *
+    * Scale shape: pair generation is ARRAY-NATIVE — one nested
+    * `transform`/`filter`/`flatten` over the token array inside
+    * whole-stage codegen, so there is NO self-join and no shuffle
+    * until the (center, context) count aggregate (map-side combined;
+    * two short-string columns only). The head comes off a
+    * TakeOrderedAndProject. A position self-join formulation would
+    * shuffle the corpus; this shape never moves the text at all. */
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = SkipgramWindow
+    table(spark, dir, "documents")
+      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(explode(expr(
+        s"""flatten(transform(toks, (c, i) ->
+           |  filter(transform(sequence(greatest(0, i - $w),
+           |                            least(size(toks) - 1, i + $w)),
+           |    j -> IF(j = i, null, struct(c AS center, toks[j] AS context))),
+           |    p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(SkipgramTopK)
+  }
+
+  val skipgramPairsSql: String =
+    s"""WITH tok AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS a
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a[i] AS center, a[j] AS context
+       |  FROM tok,
+       |    LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) u,
+       |    LATERAL (SELECT unnest(generate_series(
+       |      greatest(1, i - $SkipgramWindow),
+       |      least(len(a), i + $SkipgramWindow))) AS j) v
+       |  WHERE j <> i)
+       |SELECT center, context, count(*)::BIGINT AS n
+       |FROM pairs GROUP BY center, context
+       |ORDER BY n DESC, center, context
+       |LIMIT $SkipgramTopK""".stripMargin
 
   // ---- q100: n-gram LM perplexity filter (CCNet) ---------------------
 

@@ -388,4 +388,62 @@ object SeriesQueries {
        |FROM h
        |UNION ALL SELECT day, y, l, b, forecast FROM f
        |ORDER BY day""".stripMargin
+
+  // ---- q126: time-decayed engagement scoring ---------------------------
+
+  /** Decay reference instant: 2024-01-31T00:00:00Z (epoch micros) — the
+    * "as of" of the feature snapshot, one day past the fixture's last
+    * event. A production run stamps the snapshot time here. */
+  val DecayRefUs = 1706659200000000L
+  /** Half-life bucket: one week of micros. */
+  val DecayWeekUs = 7L * 86400000000L
+  /** Oldest bucket (clamp): events ≥ [[DecayMaxWeeks]] weeks old all
+    * carry weight 1 — bounds the shift so cent sums stay far from long
+    * overflow at ANY corpus size (weight ≤ 2⁸; 10⁸ events × 2⁸ × 10⁵
+    * cents ≈ 2.5·10¹⁵ ≪ 2⁶³). */
+  val DecayMaxWeeks = 8L
+  val DecayTopK = 20
+
+  /** Recency-weighted user engagement — the freshness weighting every
+    * feature store applies before training on behavioral signals: each
+    * event's cent value decays by half per week of age, and the score
+    * is Σ cents · 2^(maxAge − age) in EXACT integer math (power-of-two
+    * half-life, so no float ever enters the fold; the scale factor
+    * 2^[[DecayMaxWeeks]] is constant across a snapshot and cancels in
+    * any downstream normalization). Report = top-[[DecayTopK]] users
+    * by decayed score with raw totals alongside.
+    *
+    * Scale shape: one scan, one map-side-combined per-user aggregate,
+    * head via TakeOrderedAndProject — the q67 batch-top-K shape. The
+    * decay weight is a pure projection of `ts`, so the aggregate stays
+    * in whole-stage codegen. */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100d).cast("long").as("cents"),
+        expr(s"least(($DecayRefUs - ts_us) div $DecayWeekUs, $DecayMaxWeeks)")
+          .as("age_w"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents_total"),
+        sum(col("cents") *
+          expr(s"shiftleft(1L, cast($DecayMaxWeeks - age_w as int))"))
+          .as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col("user_id"))
+      .limit(DecayTopK)
+  }
+
+  val decayedEngagementSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, floor(value * 100)::BIGINT AS cents,
+       |    least(($DecayRefUs - epoch_us(ts::TIMESTAMP)) // $DecayWeekUs,
+       |      $DecayMaxWeeks) AS age_w
+       |  FROM events)
+       |SELECT user_id, count(*)::BIGINT AS n_events,
+       |  sum(cents)::BIGINT AS cents_total,
+       |  sum(cents * (1::BIGINT << ($DecayMaxWeeks - age_w)::INT))::BIGINT
+       |    AS decayed_score
+       |FROM e GROUP BY user_id
+       |ORDER BY decayed_score DESC, user_id
+       |LIMIT $DecayTopK""".stripMargin
 }

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CleaningQueriesSpec extends SparkSpec {
+
+  test("q123: precedence picks the right winner per content group; checksums re-derivable") {
+    val rows = CleaningQueries.canonicalDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = rows.map(r => r._1 -> r).toMap
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toLong
+    val nCc = docs.count(_._1 % 3 == 0).toLong
+    val nWeb = docs.count(_._1 % 4 == 0).toLong
+
+    // feed totals are the synthetic construction, exactly
+    assert(bySrc("cc-main")._2 == nCc)
+    assert(bySrc("web-dup")._2 == nWeb)
+    assert(rows.filter(r => r._1 != "cc-main" && r._1 != "web-dup")
+      .map(_._2).sum == nDocs)
+
+    // priority 0 always wins: every cc-main copy is kept, none dropped
+    assert(bySrc("cc-main")._3 == nCc && bySrc("cc-main")._4 == 0L)
+    // priority 2 never beats an original: web-dup keeps nothing
+    assert(bySrc("web-dup")._3 == 0L && bySrc("web-dup")._4 == nWeb)
+    // an original survives iff no cc-main mirror of it exists
+    rows.filter(r => r._1 != "cc-main" && r._1 != "web-dup").foreach { r =>
+      val ids = docs.filter(_._2 == r._1).map(_._1)
+      val keptIds = ids.filter(_ % 3 != 0)
+      assert(r._3 == keptIds.length.toLong, s"${r._1} kept")
+      assert(r._5 == keptIds.sum, s"${r._1} checksum")
+    }
+    // cc-main checksum = shifted ids of every %3 doc
+    assert(bySrc("cc-main")._5 ==
+      docs.filter(_._1 % 3 == 0).map(_._1 + CleaningQueries.CanonCcOffset).sum)
+    // one winner per distinct content: kept total == distinct texts (corpus
+    // texts are unique, so == nDocs)
+    assert(rows.map(_._3).sum == nDocs)
+  }
+
+  test("q127: OOV audit equals a driver-side recompute; totals conserve") {
+    val rows = CleaningQueries.vocabCoverage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val counts = docs.flatMap(d => toks(d._3)).groupBy(identity)
+      .map { case (w, ws) => (w, ws.length.toLong) }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(CleaningQueries.VocabK).map(_._1).toSet
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      val all = ds.flatMap(d => toks(d._3))
+      val oov = all.count(w => !vocab.contains(w)).toLong
+      (lang, ds.map(_._1).distinct.length.toLong, all.length.toLong, oov,
+        1000L * oov / all.length)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == expected)
+    // the corpus-derived vocab must actually cover the bulk of the corpus
+    rows.foreach(r => assert(r._5 < 500, s"lang ${r._1} oov_pm ${r._5}"))
+  }
+}

@@ -122,4 +122,33 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum == n - nDel + nIns)
     assert(got.map(_.getString(0)).sorted.toSeq == Seq("F", "O", "P"))
   }
+
+  test("q124: skip-gram head equals a driver-side recompute of the full pair table") {
+    val rows = CurationQueries.skipgramPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val texts = QueryUtil.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val w = CurationQueries.SkipgramWindow.toInt
+    val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    texts.foreach { t =>
+      val a = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      for (i <- a.indices; j <- math.max(0, i - w) to math.min(a.length - 1, i + w)
+           if j != i)
+        pairs((a(i), a(j))) = pairs.getOrElse((a(i), a(j)), 0L) + 1L
+    }
+    val expected = pairs.toSeq.map { case ((c, x), n) => (c, x, n) }
+      .sortBy { case (c, x, n) => (-n, c, x) }.take(CurationQueries.SkipgramTopK)
+    assert(rows.toSeq == expected)
+    // both directions of every co-occurrence are emitted
+    assert(rows.nonEmpty && rows.forall { case (c, x, n) =>
+      pairs.getOrElse((x, c), 0L) > 0 })
+  }
+
+  test("q125: streamed CDC merge lands on the batch snapshot exactly") {
+    val stream = CurationQueries.streamCdcApply(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = CurationQueries.cdcApply(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(stream.toSeq == batch.toSeq)
+  }
 }

@@ -168,4 +168,30 @@ class SeriesQueriesSpec extends SparkSpec {
       assert(lf == l + h * b && bf == b)
     }
   }
+
+  test("q126: decayed scores equal a driver-side recompute; decay actually re-ranks") {
+    val rows = SeriesQueries.decayedEngagement(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("user_id", "value", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val scored = ev.groupBy(_._1).map { case (u, es) =>
+      val cents = es.map(e => math.floor(e._2 * 100).toLong)
+      val decayed = es.map { e =>
+        val ageW = math.min(
+          (SeriesQueries.DecayRefUs - e._3) / SeriesQueries.DecayWeekUs,
+          SeriesQueries.DecayMaxWeeks)
+        math.floor(e._2 * 100).toLong << (SeriesQueries.DecayMaxWeeks - ageW).toInt
+      }.sum
+      (u, es.length.toLong, cents.sum, decayed)
+    }.toSeq
+    val expected = scored.sortBy { case (u, _, _, s) => (-s, u) }
+      .take(SeriesQueries.DecayTopK)
+    assert(rows.toSeq == expected)
+    // the weighting is not a constant rescale: decayed rank differs from
+    // raw-cents rank somewhere in the head (events spread over 5 weeks)
+    val rawHead = scored.sortBy { case (u, _, c, _) => (-c, u) }
+      .take(SeriesQueries.DecayTopK).map(_._1)
+    assert(rows.map(_._1).toSeq != rawHead)
+  }
 }
