@@ -477,6 +477,73 @@ object CurationQueries {
        |ORDER BY n DESC, center, context
        |LIMIT $SkipgramTopK""".stripMargin
 
+  // ---- q130: PMI collocation mining (word2phrase) --------------------
+
+  /** Minimum bigram support (discount rare-pair noise — word2phrase's
+    * min_count). */
+  val PmiMinCount = 5L
+  /** Report size: top pairs by (PMI desc, w1, w2). */
+  val PmiTopK = 25
+
+  /** Pointwise-mutual-information collocation mining over adjacent
+    * word pairs — the word2phrase pass (Mikolov et al. 2013) that
+    * promotes "new york"-style units to single tokens before
+    * embedding/tokenizer training: PMI = ln(p(w1,w2)/(p(w1)p(w2))),
+    * all probabilities over the BIGRAM space (left-marginal for w1,
+    * right-marginal for w2), support-filtered at [[PmiMinCount]].
+    * The score is quantized to integer MICRONATS at the distinct-pair
+    * level from exact integer counts (q100's convention — one double
+    * division + one `ln` per distinct pair, so the value is a pure
+    * function of (c12, cl, cr, N) and engine-exact), and the head is
+    * the deterministic (pmi desc, w1, w2) total order.
+    *
+    * Scale shape: one bigram explode collapsed map-side to
+    * distinct-pair counts; the two marginals AGGREGATE FROM the pair
+    * counts (vocab-sized, never a second corpus scan) and join back
+    * on the pair table's own keys; the head is a
+    * TakeOrderedAndProject. Corpus text never shuffles. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bg = table(spark, dir, "documents")
+      .select(split(lower(trim(col("text"))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), " +
+          "i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cl = c12.groupBy("w1").agg(sum("c12").as("cl"))
+    val cr = c12.groupBy("w2").agg(sum("c12").as("cr"))
+    val nb = c12.agg(sum("c12").as("nb"))
+    c12.filter(col("c12") >= PmiMinCount)
+      .join(cl, "w1").join(cr, "w2").crossJoin(nb)
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("cast(round(1000000 * ln(cast(c12 * nb as double) " +
+          "/ cast(cl * cr as double))) as long)").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH tok AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS a
+       |  FROM documents),
+       |bg AS (
+       |  SELECT a[i] AS w1, a[i+1] AS w2
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) u
+       |  WHERE len(a) >= 2),
+       |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+       |cl AS (SELECT w1, sum(c12)::BIGINT AS cl FROM c12 GROUP BY w1),
+       |cr AS (SELECT w2, sum(c12)::BIGINT AS cr FROM c12 GROUP BY w2),
+       |nb AS (SELECT sum(c12)::BIGINT AS nb FROM c12)
+       |SELECT c12.w1, c12.w2, c12.c12,
+       |  round(1000000 * ln((c12.c12 * nb.nb)::DOUBLE
+       |    / (cl.cl * cr.cr)::DOUBLE))::BIGINT AS pmi_micro
+       |FROM c12
+       |JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nb
+       |WHERE c12.c12 >= $PmiMinCount
+       |ORDER BY pmi_micro DESC, w1, w2
+       |LIMIT $PmiTopK""".stripMargin
+
   // ---- q100: n-gram LM perplexity filter (CCNet) ---------------------
 
   /** Reference-slice selector: every 5th document stands in for the

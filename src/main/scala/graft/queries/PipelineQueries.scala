@@ -860,4 +860,101 @@ object PipelineQueries {
       |SELECT key, value, cnt, 0::BIGINT AS err, rank::INT AS rank
       |FROM r WHERE rank <= 5
       |ORDER BY key, rank""".stripMargin
+
+  // ---- q128: cross-dataset overlap estimation (KMV sketch) -----------
+
+  /** Bottom-k sketch size. At J ≈ 0.42, 3σ = 3·√(J(1−J)/k) ≈ 92‰. */
+  val KmvK = 256
+  /** Shingle width in tokens (q101's window convention). */
+  val KmvW = 8
+  /** Pinned estimator bound: |est − exact| ≤ 100‰ (≈ 3σ at this J/k;
+    * measured 49/28/5‰ at sf0.001/0.01/0.1). */
+  val KmvErrBoundPm = 100L
+
+  /** Dataset-overlap estimation from bottom-k (KMV) sketches (Beyer et
+    * al. 2007) — the "how much of dataset B is already in dataset A?"
+    * answer computed WITHOUT comparing the datasets: each side keeps
+    * only its [[KmvK]] smallest distinct shingle hashes, and the
+    * Jaccard estimate is the three-way sketch intersection over the
+    * merged bottom-k — the mergeability that lets a 100 TB dataset
+    * card carry a 2 KB sketch answering overlap against ANY other
+    * dataset after the fact. Datasets are deterministic corpus slices
+    * (A = `doc_id % 3 ≠ 2`, B = `doc_id % 2 = 0` — overlapping by
+    * construction); shingles are [[KmvW]]-token windows hashed with
+    * the cross-engine [[graft.text.Hashing.h60]]. The gate computes
+    * the EXACT shingle Jaccard alongside and pins
+    * `|est − exact| ≤ `[[KmvErrBoundPm]] as a boolean, with the
+    * honest measured error in `err_pm`.
+    *
+    * Scale shape: one explode to (hash, membership) collapsed
+    * map-side, two TakeOrderedAndProject bottom-k cuts, and
+    * broadcast-size sketch joins — the only corpus-sized work is the
+    * distinct-shingle aggregate the exact gate needs (a production
+    * run ships sketches only). */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = table(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("a"))
+      .filter(size(col("a")) >= KmvW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(a) - ${KmvW - 1}), " +
+          s"i -> array_join(slice(a, i, $KmvW), ' '))")).as("w"))
+      .select(col("doc_id"), Hashing.h60(col("w")).as("h"))
+      .groupBy("h")
+      .agg(max(col("doc_id") % 3 =!= 2).as("in_a"),
+        max(col("doc_id") % 2 === 0).as("in_b"))
+    val ka = sh.filter(col("in_a")).select("h").orderBy("h").limit(KmvK)
+    val kb = sh.filter(col("in_b")).select("h").orderBy("h").limit(KmvK)
+    val ku = ka.unionByName(kb).distinct().orderBy("h").limit(KmvK)
+    val m = ku.join(broadcast(ka), Seq("h"), "semi")
+      .join(broadcast(kb), Seq("h"), "semi")
+      .agg(count(lit(1)).as("m"))
+    val ex = sh.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("in_b"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("nc"))
+    ex.crossJoin(m)
+      .select(col("na"), col("nb"), col("nc"),
+        expr("(1000 * nc) div (na + nb - nc)").as("jaccard_pm"),
+        col("m"),
+        expr(s"(1000 * m) div $KmvK").as("est_pm"),
+        expr(s"abs((1000 * nc) div (na + nb - nc) - (1000 * m) div $KmvK)")
+          .as("err_pm"))
+      .withColumn("within_bound", col("err_pm") <= KmvErrBoundPm)
+  }
+
+  val corpusOverlapSql: String = {
+    val win = s"a[i:i+${KmvW - 1}]"
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, ${Hashing.h60Sql(s"array_to_string($win, ' ')")} AS h
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(generate_series(1, len(a) - ${KmvW - 1})) AS i) u
+       |  WHERE len(a) >= $KmvW),
+       |sh AS (
+       |  SELECT h, bool_or(doc_id % 3 <> 2) AS in_a,
+       |    bool_or(doc_id % 2 = 0) AS in_b
+       |  FROM win GROUP BY h),
+       |ka AS (SELECT h FROM sh WHERE in_a ORDER BY h LIMIT $KmvK),
+       |kb AS (SELECT h FROM sh WHERE in_b ORDER BY h LIMIT $KmvK),
+       |ku AS (SELECT DISTINCT h FROM
+       |  (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT $KmvK),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS m FROM ku
+       |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+       |ex AS (
+       |  SELECT sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS na,
+       |    sum(CASE WHEN in_b THEN 1 ELSE 0 END)::BIGINT AS nb,
+       |    sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT AS nc
+       |  FROM sh)
+       |SELECT na, nb, nc,
+       |  (1000 * nc) // (na + nb - nc) AS jaccard_pm,
+       |  m.m,
+       |  (1000 * m.m) // $KmvK AS est_pm,
+       |  abs((1000 * nc) // (na + nb - nc) - (1000 * m.m) // $KmvK) AS err_pm,
+       |  abs((1000 * nc) // (na + nb - nc) - (1000 * m.m) // $KmvK)
+       |    <= $KmvErrBoundPm AS within_bound
+       |FROM ex, m""".stripMargin
+  }
 }

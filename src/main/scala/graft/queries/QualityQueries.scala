@@ -380,4 +380,116 @@ object QualityQueries {
        |      THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
        |FROM d JOIN md USING (event_type)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q129: CUPED variance-reduced experiment readout ---------------
+
+  /** Pre/post boundary: 2024-01-15T00:00:00Z epoch micros (weeks 1-2
+    * are the pre-period covariate window). */
+  val CupedSplitUs = 1705276800000000L
+
+  /** CUPED experiment analysis (Deng et al. WSDM 2013) — the
+    * variance-reduction every experimentation platform applies before
+    * reading an A/B test: per user, metric Y = post-period cent spend,
+    * covariate X = PRE-period cent spend (unaffected by treatment by
+    * construction); θ = cov(X,Y)/var(X) pooled across arms, and the
+    * adjusted metric Ŷ = Y − θ·(X − X̄) strips the between-user
+    * variance X explains. Assignment is the deterministic identity
+    * hash every platform uses (md5 bucket of user_id — never row
+    * order). Moment sums are exact DECIMAL(38,0) integers (cent
+    * products overflow a long at warehouse scale); θ and the adjusted
+    * means take ONE double division each at the end, rounded to the
+    * engine-neutral 6 decimals (q27's convention). The readout also
+    * pins the variance-reduction ratio the method exists for:
+    * `var_reduction_pm` = 1000·(1 − var(Ŷ)/var(Y)) pooled.
+    *
+    * Scale shape: one scan → per-user aggregate (map-side combined) →
+    * one 5-long-moment global aggregate (a few hundred bytes however
+    * many users) broadcast back into the per-arm rollup. Nothing
+    * user-level ever reaches the driver. */
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100d).cast("long").as("cents"),
+        (col("ts_us") < CupedSplitUs).as("pre"))
+    val users = ev.groupBy("user_id")
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(substring(md5(concat(col("user_id").cast("string"), lit(":exp"))), 1, 1)
+          .between("0", "7"), "A").otherwise("B"))
+    val d38 = "decimal(38,0)"
+    val g = users.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val theta = expr(
+      "cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)")
+    val meanX = expr("cast(sx as double) / cast(n as double)")
+    // pooled var(Ŷ)/var(Y) = 1 − cov²/(varX·varY) (= 1 − r²): exact
+    // decimal moments, two double casts, one division
+    val varRed = expr(
+      """1000.0 * (cast(n * sxy - sx * sy as double)
+        |          * cast(n * sxy - sx * sy as double))
+        |  / (cast(n * sxx - sx * sx as double)
+        |     * cast(n * syy - sy * sy as double))""".stripMargin)
+    val gg = g.select(theta.as("theta"), meanX.as("mean_x"),
+      floor(varRed).cast("long").as("var_reduction_pm"))
+    users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x_cents"),
+        sum(col("y")).as("sum_y_cents"))
+      .crossJoin(gg)
+      .select(col("variant"), col("n_users"),
+        col("sum_x_cents"), col("sum_y_cents"),
+        round(lit(1000000d) * col("theta")).cast("long").as("theta_micro"),
+        r6(col("sum_y_cents") / col("n_users") / 100d).as("mean_y"),
+        r6(col("sum_y_cents") / col("n_users") / 100d -
+          col("theta") * (col("sum_x_cents") / col("n_users") / 100d -
+            col("mean_x") / 100d)).as("mean_y_adj"),
+        col("var_reduction_pm"))
+      .orderBy("variant")
+  }
+
+  val cupedReadoutSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, floor(value * 100)::BIGINT AS cents,
+       |    epoch_us(ts::TIMESTAMP) < $CupedSplitUs AS pre
+       |  FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN pre THEN cents ELSE 0 END)::BIGINT AS x,
+       |    sum(CASE WHEN NOT pre THEN cents ELSE 0 END)::BIGINT AS y,
+       |    CASE WHEN substring(md5(user_id::VARCHAR || ':exp'), 1, 1)
+       |      BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS variant
+       |  FROM e GROUP BY user_id),
+       |g AS (
+       |  SELECT count(*)::DECIMAL(38,0) AS n,
+       |    sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+       |    sum((x * x)::DECIMAL(38,0)) AS sxx,
+       |    sum((x * y)::DECIMAL(38,0)) AS sxy,
+       |    sum((y * y)::DECIMAL(38,0)) AS syy
+       |  FROM u),
+       |gg AS (
+       |  SELECT
+       |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS theta,
+       |    sx::DOUBLE / n::DOUBLE AS mean_x,
+       |    floor(1000.0 * ((n * sxy - sx * sy)::DOUBLE
+       |                    * (n * sxy - sx * sy)::DOUBLE)
+       |      / ((n * sxx - sx * sx)::DOUBLE
+       |         * (n * syy - sy * sy)::DOUBLE))::BIGINT AS var_reduction_pm
+       |  FROM g)
+       |SELECT variant, count(*)::BIGINT AS n_users,
+       |  sum(x)::BIGINT AS sum_x_cents, sum(y)::BIGINT AS sum_y_cents,
+       |  round(1000000.0 * gg.theta)::BIGINT AS theta_micro,
+       |  round(sum(y)::DOUBLE / count(*) / 100.0, 6) AS mean_y,
+       |  round(sum(y)::DOUBLE / count(*) / 100.0
+       |    - gg.theta * (sum(x)::DOUBLE / count(*) / 100.0
+       |                  - gg.mean_x / 100.0), 6) AS mean_y_adj,
+       |  gg.var_reduction_pm
+       |FROM u CROSS JOIN gg
+       |GROUP BY variant, gg.theta, gg.mean_x, gg.var_reduction_pm
+       |ORDER BY variant""".stripMargin
 }

@@ -144,6 +144,37 @@ class CurationQueriesSpec extends SparkSpec {
       pairs.getOrElse((x, c), 0L) > 0 })
   }
 
+  test("q130: PMI head equals a driver-side recompute; support floor holds") {
+    val rows = CurationQueries.pmiCollocations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val texts = QueryUtil.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val c12 = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    texts.foreach { t =>
+      val a = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      a.sliding(2).foreach {
+        case Array(x, y) => c12((x, y)) = c12.getOrElse((x, y), 0L) + 1L
+        case _ =>
+      }
+    }
+    val cl = c12.groupBy(_._1._1).map { case (w, m) => (w, m.values.sum) }
+    val cr = c12.groupBy(_._1._2).map { case (w, m) => (w, m.values.sum) }
+    val nb = c12.values.sum
+    val expected = c12.toSeq
+      .filter(_._2 >= CurationQueries.PmiMinCount)
+      .map { case ((w1, w2), c) =>
+        val pmi = math.round(1000000d *
+          math.log((c * nb).toDouble / (cl(w1) * cr(w2)).toDouble))
+        (w1, w2, c, pmi)
+      }
+      .sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+      .take(CurationQueries.PmiTopK)
+    assert(rows.toSeq == expected)
+    assert(rows.forall(_._3 >= CurationQueries.PmiMinCount))
+    // collocations rank ABOVE chance pairings: the head is all-positive PMI
+    assert(rows.forall(_._4 > 0))
+  }
+
   test("q125: streamed CDC merge lands on the batch snapshot exactly") {
     val stream = CurationQueries.streamCdcApply(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

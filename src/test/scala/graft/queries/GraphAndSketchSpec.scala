@@ -204,4 +204,37 @@ class GraphAndSketchSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q128: exact Jaccard and KMV estimate re-derive from driver-side shingle sets") {
+    val r = PipelineQueries.corpusOverlap(spark, sfDir).collect().head
+    val (na, nb, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val w = PipelineQueries.KmvW
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def shingles(t: String): Seq[Long] = {
+      val a = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (a.length < w) Seq.empty
+      else (0 to a.length - w).map(i => h60(a.slice(i, i + w).mkString(" ")))
+    }
+    val setA = docs.filter(_._1 % 3 != 2).flatMap(d => shingles(d._2)).toSet
+    val setB = docs.filter(_._1 % 2 == 0).flatMap(d => shingles(d._2)).toSet
+    assert(na == setA.size && nb == setB.size && nc == (setA & setB).size)
+    val k = PipelineQueries.KmvK
+    val ka = setA.toSeq.sorted.take(k).toSet
+    val kb = setB.toSeq.sorted.take(k).toSet
+    val ku = (ka ++ kb).toSeq.sorted.take(k)
+    val m = ku.count(h => ka.contains(h) && kb.contains(h)).toLong
+    assert(r.getLong(4) == m)
+    assert(r.getLong(5) == 1000L * m / k)
+    // KMV merge property: bottom-k of the union set == bottom-k of the
+    // merged sketches — the mergeability the dataset card relies on
+    assert(ku == (setA ++ setB).toSeq.sorted.take(k))
+    assert(r.getBoolean(7), s"estimator err ${r.getLong(6)}‰ above bound")
+  }
 }

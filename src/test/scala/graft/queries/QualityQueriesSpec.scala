@@ -76,4 +76,44 @@ class QualityQueriesSpec extends SparkSpec {
       assert(r.getLong(4) < r.getLong(1), "detector flags a strict minority")
     }
   }
+
+  test("q129: theta/adjusted means re-derive from exact driver-side moments") {
+    val rows = QualityQueries.cupedReadout(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("user_id", "value", "ts_us").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100).toLong,
+        r.getLong(2) < QualityQueries.CupedSplitUs))
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._3).map(_._2).sum, es.filterNot(_._3).map(_._2).sum)
+    }.toSeq
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def variant(u: Long): String =
+      if (md5hex(s"$u:exp").charAt(0) <= '7') "A" else "B"
+    // exact integer moments, theta as one double division — as the query
+    val n = BigInt(users.size)
+    val sx = users.map(u => BigInt(u._2)).sum
+    val sy = users.map(u => BigInt(u._3)).sum
+    val sxx = users.map(u => BigInt(u._2) * BigInt(u._2)).sum
+    val sxy = users.map(u => BigInt(u._2) * BigInt(u._3)).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val meanX = sx.toDouble / n.toDouble
+    rows.foreach { r =>
+      val vs = users.filter(u => variant(u._1) == r.getString(0))
+      assert(r.getLong(1) == vs.size.toLong)
+      assert(r.getLong(2) == vs.map(_._2).sum && r.getLong(3) == vs.map(_._3).sum)
+      assert(r.getLong(4) == math.round(1000000d * theta))
+      val meanY = vs.map(_._3).sum.toDouble / vs.size / 100d
+      assert(math.abs(r.getDouble(5) - meanY) < 1e-6)
+      val adj = meanY - theta * (vs.map(_._2).sum.toDouble / vs.size / 100d - meanX / 100d)
+      assert(math.abs(r.getDouble(6) - adj) < 1e-6)
+    }
+    // CUPED exists to cut variance: the pooled reduction must be real
+    // (pre/post spend of the same user correlates) and a proper fraction
+    val red = rows.head.getLong(7)
+    assert(red > 0 && red < 1000, s"var_reduction_pm $red")
+    assert(rows.map(_.getLong(7)).distinct.length == 1)
+  }
 }
