@@ -477,6 +477,100 @@ object CurationQueries {
        |ORDER BY n DESC, center, context
        |LIMIT $SkipgramTopK""".stripMargin
 
+  // ---- q131: token-budget mixture planner (water-filling) ------------
+
+  /** Budget: 90% of corpus tokens (numerator/denominator — chosen so
+    * the fixture exercises BOTH planner regimes: 15 of 20 sources cap,
+    * 5 stay rate-limited). */
+  val MixBudgetNum = 9L
+  val MixBudgetDen = 10L
+
+  /** Training-mix planning under source caps — the water-filling
+    * allocation every corpus assembly runs: each source `s` has
+    * `avail_s` tokens and a target weight `w_s` (md5-derived 1..5 here;
+    * the mix config in production), and the plan allocates
+    * `min(avail_s, r·w_s)` tokens with the rate `r` chosen so the
+    * total meets the budget — capped sources contribute everything
+    * they have, the leftover redistributes over uncapped sources by
+    * weight. Closed form, no iteration: sort sources by `avail/w`,
+    * prefix-scan, and the operative rate is the candidate rate of the
+    * LAST capped source (KKT point). All integer micro-token
+    * arithmetic (`div`), so the plan is reproducible anywhere.
+    *
+    * Scale shape: the corpus-sized work is ONE per-source token
+    * aggregate (map-side combined); the planner itself runs on the
+    * O(#sources) result — the windows below span 20 rows, the
+    * ExactQuantile bounded-state trade, never corpus data. */
+  def mixPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Hashing, TextStats}
+    val avail = table(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextStats.nTokens(col("text"))).as("avail_tok"))
+      .withColumn("w",
+        lit(1L) + Hashing.h60(concat(col("source"), lit(":w"))) % 5)
+    val tot = avail.agg(sum("avail_tok").as("total"), sum("w").as("wsum"))
+      .withColumn("budget", expr(s"($MixBudgetNum * total) div $MixBudgetDen"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ratio_micro"), col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val s = avail.crossJoin(tot)
+      .withColumn("ratio_micro", expr("(1000000 * avail_tok) div w"))
+      .withColumn("cum_avail", sum("avail_tok").over(ord))
+      .withColumn("cum_w", sum("w").over(ord))
+      .withColumn("r_after", when(col("wsum") - col("cum_w") > 0,
+        expr("(1000000 * (budget - cum_avail)) div (wsum - cum_w)")))
+      .withColumn("capped",
+        col("r_after").isNotNull && col("ratio_micro") <= col("r_after"))
+    val rate = s.agg(
+        max_by(col("r_after"), when(col("capped"),
+          struct(col("ratio_micro"), col("source")))).as("r_capped"),
+        first(expr("(1000000 * budget) div wsum")).as("r_uncapped"))
+      .select(coalesce(col("r_capped"), col("r_uncapped")).as("r_micro"))
+    s.crossJoin(rate)
+      .select(col("source"), col("avail_tok"), col("w"), col("capped"),
+        when(col("capped"), col("avail_tok"))
+          .otherwise(expr("(r_micro * w) div 1000000")).as("alloc_tok"),
+        col("r_micro"), col("budget"))
+      .orderBy("source")
+  }
+
+  val mixPlannerSql: String = {
+    import graft.text.{Hashing, TextStats}
+    s"""WITH avail AS (
+       |  SELECT source, sum(${TextStats.nTokensSql("text")})::BIGINT AS avail_tok,
+       |    (1 + (${Hashing.h60Sql("source || ':w'")} % 5))::BIGINT AS w
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT sum(avail_tok)::BIGINT AS total, sum(w)::BIGINT AS wsum,
+       |    ($MixBudgetNum * sum(avail_tok)) // $MixBudgetDen AS budget
+       |  FROM avail),
+       |s AS (
+       |  SELECT a.*, t.budget, t.wsum,
+       |    (1000000 * avail_tok) // w AS ratio_micro,
+       |    sum(avail_tok) OVER (ORDER BY (1000000 * avail_tok) // w, source
+       |      ROWS UNBOUNDED PRECEDING) AS cum_avail,
+       |    sum(w) OVER (ORDER BY (1000000 * avail_tok) // w, source
+       |      ROWS UNBOUNDED PRECEDING) AS cum_w
+       |  FROM avail a CROSS JOIN tot t),
+       |s2 AS (
+       |  SELECT *, CASE WHEN wsum - cum_w > 0
+       |    THEN (1000000 * (budget - cum_avail)) // (wsum - cum_w) END AS r_after
+       |  FROM s),
+       |s3 AS (
+       |  SELECT *, (r_after IS NOT NULL AND ratio_micro <= r_after) AS capped
+       |  FROM s2),
+       |rate AS (
+       |  SELECT coalesce(
+       |    (SELECT r_after FROM s3 WHERE capped
+       |     ORDER BY ratio_micro DESC, source DESC LIMIT 1),
+       |    (SELECT (1000000 * budget) // wsum FROM tot)) AS r_micro)
+       |SELECT source, avail_tok, w, capped,
+       |  CASE WHEN capped THEN avail_tok
+       |       ELSE (r_micro * w) // 1000000 END AS alloc_tok,
+       |  r_micro, budget
+       |FROM s3 CROSS JOIN rate ORDER BY source""".stripMargin
+  }
+
   // ---- q130: PMI collocation mining (word2phrase) --------------------
 
   /** Minimum bigram support (discount rare-pair noise — word2phrase's

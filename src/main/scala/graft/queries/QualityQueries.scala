@@ -381,6 +381,102 @@ object QualityQueries {
        |FROM d JOIN md USING (event_type)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q132: deletion-request cascade audit (right-to-be-forgotten) --
+
+  /** Deterministic deletion cohort: every `% 37` customer key. */
+  val ForgetMod = 37
+
+  /** GDPR-style delete propagation across the referential chain
+    * customer → orders → lineitem, with the audit every compliance
+    * pipeline must produce: per table, rows before / purged / after,
+    * and a RESIDUAL count (rows still referencing a deleted ancestor —
+    * pinned 0; a nonzero residual is the "we missed a foreign key"
+    * finding), plus the exact key checksum of the purged set so the
+    * purge is re-derivable.
+    *
+    * Scale shape: the cascade is key-only — deletion keys project to
+    * (key) before any join, each level purges via one semi/anti join
+    * on its foreign key (AQE broadcasts the request list when small,
+    * co-partitioned hash otherwise), and payloads never move. The
+    * residual audit reuses the same semi-join shape against the
+    * post-purge tables. */
+  def forgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer").select(col("c_custkey"))
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"))
+    val delCust = cust.filter(col("c_custkey") % ForgetMod === 0)
+    val delOrders = orders.join(delCust,
+      orders("o_custkey") === delCust("c_custkey"), "semi")
+    val liPurged = li.join(delOrders,
+      li("l_orderkey") === delOrders("o_orderkey"), "semi")
+    val ordersAfter = orders.join(delCust,
+      orders("o_custkey") === delCust("c_custkey"), "anti")
+    val liAfter = li.join(delOrders,
+      li("l_orderkey") === delOrders("o_orderkey"), "anti")
+    def row(tbl: String, before: DataFrame, purged: DataFrame,
+        after: DataFrame, residual: DataFrame, keyCol: String): DataFrame =
+      before.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(purged.agg(count(lit(1)).as("rows_purged"),
+          coalesce(sum(col(keyCol)), lit(0L)).as("purged_key_checksum")))
+        .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+        .crossJoin(residual.agg(count(lit(1)).as("residual_rows")))
+        .select(lit(tbl).as("table_name"), col("rows_before"),
+          col("rows_purged"), col("rows_after"), col("residual_rows"),
+          col("purged_key_checksum"))
+    row("customer", cust, delCust, cust.join(delCust, Seq("c_custkey"), "anti"),
+        cust.join(delCust, Seq("c_custkey"), "anti")
+          .filter(col("c_custkey") % ForgetMod === 0), "c_custkey")
+      .unionByName(row("orders", orders, delOrders, ordersAfter,
+        ordersAfter.join(delCust,
+          ordersAfter("o_custkey") === delCust("c_custkey"), "semi"),
+        "o_orderkey"))
+      .unionByName(row("lineitem", li, liPurged, liAfter,
+        liAfter.join(delOrders,
+          liAfter("l_orderkey") === delOrders("o_orderkey"), "semi"),
+        "l_orderkey"))
+      .orderBy("table_name")
+  }
+
+  val forgetAuditSql: String =
+    s"""WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % $ForgetMod = 0),
+       |delo AS (SELECT o_orderkey, o_custkey FROM orders
+       |         WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+       |dell AS (SELECT l_orderkey FROM lineitem
+       |         WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+       |ca AS (SELECT c_custkey FROM customer
+       |       WHERE c_custkey NOT IN (SELECT c_custkey FROM delc)),
+       |oa AS (SELECT o_orderkey, o_custkey FROM orders
+       |       WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)),
+       |la AS (SELECT l_orderkey FROM lineitem
+       |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)),
+       |u AS (
+       |  SELECT 'customer' AS table_name,
+       |    (SELECT count(*) FROM customer)::BIGINT AS rows_before,
+       |    (SELECT count(*) FROM delc)::BIGINT AS rows_purged,
+       |    (SELECT count(*) FROM ca)::BIGINT AS rows_after,
+       |    (SELECT count(*) FROM ca WHERE c_custkey % $ForgetMod = 0)::BIGINT
+       |      AS residual_rows,
+       |    (SELECT coalesce(sum(c_custkey), 0) FROM delc)::BIGINT
+       |      AS purged_key_checksum
+       |  UNION ALL
+       |  SELECT 'orders',
+       |    (SELECT count(*) FROM orders)::BIGINT,
+       |    (SELECT count(*) FROM delo)::BIGINT,
+       |    (SELECT count(*) FROM oa)::BIGINT,
+       |    (SELECT count(*) FROM oa
+       |     WHERE o_custkey IN (SELECT c_custkey FROM delc))::BIGINT,
+       |    (SELECT coalesce(sum(o_orderkey), 0) FROM delo)::BIGINT
+       |  UNION ALL
+       |  SELECT 'lineitem',
+       |    (SELECT count(*) FROM lineitem)::BIGINT,
+       |    (SELECT count(*) FROM dell)::BIGINT,
+       |    (SELECT count(*) FROM la)::BIGINT,
+       |    (SELECT count(*) FROM la
+       |     WHERE l_orderkey IN (SELECT o_orderkey FROM delo))::BIGINT,
+       |    (SELECT coalesce(sum(l_orderkey), 0) FROM dell)::BIGINT)
+       |SELECT * FROM u ORDER BY table_name""".stripMargin
+
   // ---- q129: CUPED variance-reduced experiment readout ---------------
 
   /** Pre/post boundary: 2024-01-15T00:00:00Z epoch micros (weeks 1-2

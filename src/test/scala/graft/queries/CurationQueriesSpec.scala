@@ -175,6 +175,34 @@ class CurationQueriesSpec extends SparkSpec {
     assert(rows.forall(_._4 > 0))
   }
 
+  test("q131: water-filling KKT invariants hold; both planner regimes present") {
+    val rows = CurationQueries.mixPlanner(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 20)
+    val budget = rows.head._7
+    val r = rows.head._6
+    assert(rows.forall(x => x._6 == r && x._7 == budget))
+    val (capped, uncapped) = rows.partition(_._4)
+    assert(capped.nonEmpty && uncapped.nonEmpty, "fixture must exercise both regimes")
+    // KKT: capped sources contribute everything they have — and would
+    // overflow their cap at the operative rate; uncapped fit under it
+    capped.foreach { x =>
+      assert(x._5 == x._2, s"${x._1} capped alloc")
+      assert(r * x._3 / 1000000 >= x._2, s"${x._1} should not be capped")
+    }
+    uncapped.foreach { x =>
+      assert(x._5 == r * x._3 / 1000000, s"${x._1} rate alloc")
+      assert(x._5 <= x._2, s"${x._1} over-allocated")
+    }
+    // budget met up to integer-floor slack (one token per uncapped
+    // source + one for the rate floor)
+    val alloc = rows.map(_._5).sum
+    assert(alloc <= budget)
+    assert(budget - alloc <= uncapped.length + rows.map(_._3).sum / 1000000 + 1,
+      s"slack ${budget - alloc}")
+  }
+
   test("q125: streamed CDC merge lands on the batch snapshot exactly") {
     val stream = CurationQueries.streamCdcApply(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -116,4 +116,32 @@ class QualityQueriesSpec extends SparkSpec {
     assert(red > 0 && red < 1000, s"var_reduction_pm $red")
     assert(rows.map(_.getLong(7)).distinct.length == 1)
   }
+
+  test("q132: cascade conserves rows, residuals pinned 0, purge re-derivable") {
+    import org.apache.spark.sql.functions.col
+    val rows = QualityQueries.forgetAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    rows.foreach { case (t, (before, purged, after, residual, _)) =>
+      assert(before == purged + after, s"$t not conserved")
+      assert(residual == 0L, s"$t residual")
+      assert(purged > 0L, s"$t purge fixture degenerate")
+    }
+    // customer purge really is the %37 cohort, checksum included
+    val cust = QueryUtil.table(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val cohort = cust.filter(_ % QualityQueries.ForgetMod == 0)
+    assert(rows("customer")._2 == cohort.length.toLong)
+    assert(rows("customer")._5 == cohort.sum)
+    // lineitem purge equals a direct two-hop recount
+    val orders = QueryUtil.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delOrd = orders.filter(o => o._2 % QualityQueries.ForgetMod == 0)
+      .map(_._1).toSet
+    val li = QueryUtil.table(spark, sfDir, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    assert(rows("lineitem")._2 == li.count(delOrd.contains).toLong)
+  }
 }
