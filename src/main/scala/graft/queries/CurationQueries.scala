@@ -604,7 +604,11 @@ object CurationQueries {
         "transform(sequence(0, size(a) - 2), " +
           "i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // persist the vocab²-bounded pair table: the two marginals and the
+    // normalizer all derive from it — without the pin, each subtree
+    // re-plans the corpus explode (4 scans in the static plan)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cl = c12.groupBy("w1").agg(sum("c12").as("cl"))
     val cr = c12.groupBy("w2").agg(sum("c12").as("cr"))
     val nb = c12.agg(sum("c12").as("nb"))
