@@ -861,6 +861,79 @@ object PipelineQueries {
       |FROM r WHERE rank <= 5
       |ORDER BY key, rank""".stripMargin
 
+  // ---- q133: matryoshka truncation recall ----------------------------
+
+  /** Truncation prefixes evaluated against the full 64-dim ranking. */
+  val MrlDims = Seq(8, 16, 32)
+  val MrlK = 10
+
+  /** Matryoshka-representation evaluation (Kusupati et al. 2022) — the
+    * "how many dims can retrieval afford to drop?" study run before
+    * shipping truncated embeddings: for each prefix length, the exact
+    * top-[[MrlK]] under truncated cosine is scored against the
+    * full-dimension top-[[MrlK]] by overlap count, reported as integer
+    * recall per-mille. Rankings on BOTH sides use the engine-exact
+    * cosine contract ([[graft.similarity.CosineKnn]] — element-
+    * sequential summation, the q13 convention), so overlap counts are
+    * deterministic integers and the gate is hash-exact.
+    *
+    * Scale shape: one corpus scan per prefix (the eval IS a scan-battery
+    * by definition), queries broadcast, per-query top-k via the window
+    * merge — the corpus never shuffles; overlap scoring joins two
+    * (query, neighbor) id tables of k·|Q| rows each. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < KnnQueries)
+    val full = CosineKnn.topK(emb, "vec_id", "embedding", queries, MrlK)
+      .select("query_id", "neighbor_id")
+    MrlDims.map { d =>
+        def trunc(f: DataFrame): DataFrame =
+          f.select(col("vec_id"), expr(s"slice(embedding, 1, $d)").as("embedding"))
+        CosineKnn.topK(trunc(emb), "vec_id", "embedding", trunc(queries), MrlK)
+          .select("query_id", "neighbor_id")
+          .join(full, Seq("query_id", "neighbor_id"), "semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(d).as("dim"), lit(KnnQueries).as("n_queries"),
+            lit(MrlK).as("k"), col("n_overlap"),
+            expr(s"(1000 * n_overlap) div ${KnnQueries * MrlK}").as("recall_pm"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("dim")
+  }
+
+  val matryoshkaRecallSql: String = {
+    val perDim = MrlDims.map { d =>
+      s"""o$d AS (
+         |  SELECT $d AS dim, count(*)::BIGINT AS n_overlap
+         |  FROM (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY list_cosine_similarity(q.e[1:$d], v.e[1:$d]) DESC,
+         |            v.vec_id ASC) AS rk
+         |      FROM q, v WHERE v.vec_id <> q.vec_id)
+         |    WHERE rk <= $MrlK) t
+         |  JOIN fullr USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val union = MrlDims.map(d =>
+      s"SELECT dim, n_overlap FROM o$d").mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id, e FROM v WHERE vec_id < $KnnQueries),
+       |fullr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.e, v.e) DESC,
+       |          v.vec_id ASC) AS rk
+       |    FROM q, v WHERE v.vec_id <> q.vec_id)
+       |  WHERE rk <= $MrlK),
+       |$perDim
+       |SELECT dim, $KnnQueries AS n_queries, $MrlK AS k, n_overlap,
+       |  (1000 * n_overlap) // ${KnnQueries * MrlK} AS recall_pm
+       |FROM ($union)
+       |ORDER BY dim""".stripMargin
+  }
+
   // ---- q128: cross-dataset overlap estimation (KMV sketch) -----------
 
   /** Bottom-k sketch size. At J ≈ 0.42, 3σ = 3·√(J(1−J)/k) ≈ 92‰. */

@@ -389,6 +389,53 @@ object SeriesQueries {
        |UNION ALL SELECT day, y, l, b, forecast FROM f
        |ORDER BY day""".stripMargin
 
+  // ---- q134: next-event Markov transition matrix ---------------------
+
+  /** First-order Markov transition estimation over per-user event
+    * streams — the behavioral prior behind next-event-prediction
+    * training data and session simulators: order each user's events by
+    * time ((ts, event_id) — a TOTAL order, same-timestamp ties broken
+    * deterministically), count adjacent (prev → next) type transitions,
+    * and report the row-stochastic matrix in exact integer per-mille
+    * alongside the raw counts (`div` floors, so rows sum to ≤ 1000 —
+    * the report carries counts precisely so the exact distribution is
+    * recoverable).
+    *
+    * Scale shape: ONE hash shuffle on user_id + per-partition sort
+    * (the lag window's requirement — exactly a sessionization pass);
+    * transition counting collapses map-side to the ≤|types|² matrix.
+    * No self-join: the lag window IS the adjacency. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tr = eventsTsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    tr.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(Window.partitionBy("prev_type")))
+      .withColumn("p_pm", expr("(1000 * n) div row_total"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM e),
+      |c AS (
+      |  SELECT prev_type, next_type, count(*)::BIGINT AS n
+      |  FROM tr WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |  sum(n) OVER (PARTITION BY prev_type)::BIGINT AS row_total,
+      |  (1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS p_pm
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   // ---- q126: time-decayed engagement scoring ---------------------------
 
   /** Decay reference instant: 2024-01-31T00:00:00Z (epoch micros) — the

@@ -169,6 +169,33 @@ class SeriesQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q134: transition matrix equals a driver-side recount; rows near-stochastic") {
+    val rows = SeriesQueries.markovTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("user_id", "event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    ev.groupBy(_._1).values.foreach { es =>
+      es.sortBy(e => (e._3, e._2)).map(_._4).sliding(2).foreach {
+        case Array(a, b) => trans((a, b)) = trans.getOrElse((a, b), 0L) + 1L
+        case _ =>
+      }
+    }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == trans.toMap)
+    // total transitions = sum over users of (n_events - 1)
+    val expectedTotal = ev.groupBy(_._1).values.map(_.size - 1).sum.toLong
+    assert(rows.map(_._3).sum == expectedTotal)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val tot = rs.head._4
+      assert(rs.forall(_._4 == tot) && rs.map(_._3).sum == tot, s"$prev row_total")
+      // floored per-mille row sums land in (1000 - |row|, 1000]
+      val pmSum = rs.map(_._5).sum
+      assert(pmSum <= 1000 && pmSum > 1000 - rs.length, s"$prev pm sum $pmSum")
+      rs.foreach(r => assert(r._5 == 1000L * r._3 / tot))
+    }
+  }
+
   test("q126: decayed scores equal a driver-side recompute; decay actually re-ranks") {
     val rows = SeriesQueries.decayedEngagement(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

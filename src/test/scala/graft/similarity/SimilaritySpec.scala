@@ -203,4 +203,35 @@ class SimilaritySpec extends SparkSpec {
     val recall = truth.count(econ.contains).toDouble / truth.size
     assert(recall >= 0.5, s"economical recall $recall")
   }
+
+  test("q133: truncation recall is monotone in prefix length; a driver recount agrees at d=8") {
+    import graft.queries.{PipelineQueries => L, QueryUtil}
+    val rows = L.matryoshkaRecall(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == L.MrlDims)
+    val cap = (L.KnnQueries * L.MrlK).toLong
+    rows.foreach { case (d, n, pm) =>
+      assert(n >= 0 && n <= cap, s"dim $d overlap $n")
+      assert(pm == 1000L * n / cap, s"dim $d pm")
+    }
+    // more dims can only help retrieval against the full-dim truth
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq, "recall not monotone")
+    // exact driver-side recount of the d=8 overlap (sequential-sum cosine,
+    // same tiebreak) — proves the engine ranking is the declared one
+    val emb = QueryUtil.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topK(qid: Long, d: Int): Set[Long] =
+      emb.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(emb.find(_._1 == qid).get._2, v, d)) }
+        .sortBy { case (id, c) => (-c, id) }.take(L.MrlK).map(_._1).toSet
+    val qids = emb.map(_._1).filter(_ < L.KnnQueries)
+    val overlap8 = qids.map(q => (topK(q, 8) & topK(q, 64)).size.toLong).sum
+    assert(rows.find(_._1 == 8).get._2 == overlap8)
+  }
 }
