@@ -461,4 +461,88 @@ object CleaningQueries {
        |    // count(*))::BIGINT AS oov_pm
        |FROM tok t LEFT JOIN vocab v ON t.w = v.w
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q135: Zipf-law fit of the frequency spectrum ------------------
+
+  /** Ranks fitted: the top-[[ZipfK]] frequency spectrum (the head is
+    * where Zipf holds and where a corrupted corpus shows first). */
+  val ZipfK = 500
+
+  /** Corpus-health check via the Zipf exponent — natural language has
+    * frequency ∝ rank^(−s) with s ≈ 1; template spam, dedup failures,
+    * and boilerplate floods all bend the slope, so corpus pipelines
+    * track it per snapshot. OLS fit of ln(freq) on ln(rank) over the
+    * top-[[ZipfK]] words, with BOTH axes quantized to integer
+    * MICRO-LOG units per distinct (rank, freq) BEFORE the moment sums
+    * (q100's discipline: one `ln`+`round` per row of the K-row
+    * spectrum; every Σ after that is exact integer arithmetic, so the
+    * slope/intercept/R² are pure functions of the spectrum). Rank ties
+    * broken (count desc, word) — the deterministic total order.
+    *
+    * Scale shape: one corpus word count (map-side combined) cut to K
+    * rows by TakeOrderedAndProject; the fit's moment sums aggregate
+    * K rows. Slope in micro units, R² in per-mille. The synthetic
+    * corpus is a 31-word near-uniform salad, so the fixture honestly
+    * measures slope ≈ −0.16, R² ≈ 46‰ — the "this is not natural
+    * language" verdict is exactly what the check exists to raise
+    * (English corpora fit s ≈ 1, R² > 900‰). */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val spectrum = table(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(ZipfK)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))).cast("long").as("r"), col("c"))
+      .select(expr("cast(round(1000000 * ln(cast(r as double))) as long)").as("x"),
+        expr("cast(round(1000000 * ln(cast(c as double))) as long)").as("y"))
+    // moment combination in DECIMAL(38,0): n·Σxy reaches ~10¹⁹ once the
+    // head frequencies pass ~10⁵ (ln·10⁶ axes) — past long range
+    val d38 = "decimal(38,0)"
+    spectrum.agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(col("n").cast("long").as("n"),
+        expr("cast(round(cast(1000000 * (n * sxy - sx * sy) as double) " +
+          "/ cast(n * sxx - sx * sx as double)) as long)").as("slope_micro"),
+        expr("cast(round((cast(sy as double) " +
+          "- (cast(n * sxy - sx * sy as double) " +
+          "/ cast(n * sxx - sx * sx as double)) * cast(sx as double)) " +
+          "/ cast(n as double)) as long)").as("intercept_micro"),
+        expr("cast(floor(1000.0 * (cast(n * sxy - sx * sy as double) " +
+          "* cast(n * sxy - sx * sy as double)) " +
+          "/ (cast(n * sxx - sx * sx as double) " +
+          "* cast(n * syy - sy * sy as double))) as long)").as("r2_pm"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH spec AS (
+       |  SELECT row_number() OVER (ORDER BY count(*) DESC, w) AS r,
+       |    count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents) GROUP BY w
+       |  ORDER BY count(*) DESC, w LIMIT $ZipfK),
+       |q AS (
+       |  SELECT round(1000000 * ln(r::DOUBLE))::BIGINT AS x,
+       |    round(1000000 * ln(c::DOUBLE))::BIGINT AS y
+       |  FROM spec),
+       |m AS (
+       |  SELECT count(*)::DECIMAL(38,0) AS n,
+       |    sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+       |    sum((x * y)::DECIMAL(38,0)) AS sxy,
+       |    sum((x * x)::DECIMAL(38,0)) AS sxx,
+       |    sum((y * y)::DECIMAL(38,0)) AS syy
+       |  FROM q)
+       |SELECT n::BIGINT AS n,
+       |  round((1000000 * (n * sxy - sx * sy))::DOUBLE
+       |    / (n * sxx - sx * sx)::DOUBLE)::BIGINT AS slope_micro,
+       |  round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+       |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+       |    / n::DOUBLE)::BIGINT AS intercept_micro,
+       |  floor(1000.0 * ((n * sxy - sx * sy)::DOUBLE
+       |      * (n * sxy - sx * sy)::DOUBLE)
+       |    / ((n * sxx - sx * sx)::DOUBLE
+       |       * (n * syy - sy * sy)::DOUBLE))::BIGINT AS r2_pm
+       |FROM m""".stripMargin
 }

@@ -63,4 +63,38 @@ class CleaningQueriesSpec extends SparkSpec {
     // the corpus-derived vocab must actually cover the bulk of the corpus
     rows.foreach(r => assert(r._5 < 500, s"lang ${r._1} oov_pm ${r._5}"))
   }
+
+  test("q135: fit equals an exact driver-side recompute; flat salad is flagged as non-Zipfian") {
+    val r = CleaningQueries.zipfFit(spark, sfDir).collect().head
+    val (n, slope, intercept, r2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val texts = QueryUtil.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    val spec = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(CleaningQueries.ZipfK).zipWithIndex
+      .map { case ((_, c), i) =>
+        (math.round(1000000d * math.log(i + 1d)),
+          math.round(1000000d * math.log(c.toDouble)))
+      }
+    assert(n == spec.length.toLong)
+    val nn = BigInt(spec.length)
+    val sx = spec.map(p => BigInt(p._1)).sum
+    val sy = spec.map(p => BigInt(p._2)).sum
+    val sxy = spec.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = spec.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val syy = spec.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val beta = (nn * sxy - sx * sy).toDouble / (nn * sxx - sx * sx).toDouble
+    assert(slope == math.round(1000000d * beta))
+    assert(intercept ==
+      math.round((sy.toDouble - beta * sx.toDouble) / nn.toDouble))
+    val r2d = ((nn * sxy - sx * sy).toDouble * (nn * sxy - sx * sy).toDouble /
+      ((nn * sxx - sx * sx).toDouble * (nn * syy - sy * sy).toDouble))
+    assert(r2 == math.floor(1000d * r2d).toLong)
+    // frequency decreases with rank → slope negative; and the salad
+    // corpus must NOT pass for natural language (|s| ≪ 1, weak fit)
+    assert(slope < 0 && slope > -1000000)
+    assert(r2 >= 0 && r2 < 900)
+  }
 }
