@@ -571,6 +571,84 @@ object CurationQueries {
        |FROM s3 CROSS JOIN rate ORDER BY source""".stripMargin
   }
 
+  // ---- q136: deterministic negative sampling (word2vec) --------------
+
+  /** Sampling vocabulary: top words by (count desc, word). */
+  val NegVocabK = 100
+  /** Centers drawn for: the frequency head. */
+  val NegCenters = 20
+  /** Negatives per center. */
+  val NegK = 5
+
+  /** Word2vec negative-sample generation, fully deterministic — the
+    * counterpart of q124's positive pairs: negatives draw from the
+    * smoothed unigram distribution (weight = `floor(sqrt(count))`, the
+    * α=0.5 smoothing in q106's integer-sqrt convention) via an md5
+    * inverse-CDF lookup: draw `t = h60(center:neg:j) mod W` and take
+    * the vocabulary word whose cumulative-weight interval [lo, hi)
+    * contains `t`. Reproducible across engines, partitionings, and
+    * reruns — the property a regenerable training set needs (no RNG
+    * state to checkpoint). Self-collisions are kept and flagged
+    * (`is_self` — the trainer's standard skip), so the draw stream
+    * itself is never perturbed.
+    *
+    * Scale shape: the corpus-sized work is one word count; the CDF is
+    * a ≤[[NegVocabK]]-row prefix sum (bounded-state window) broadcast
+    * into a conditioned interval join against \|centers\|·[[NegK]]
+    * draw rows. At a real vocab (10⁵⁺ rows) the interval join becomes
+    * the banded range join (q42's operator) — the shape is the same. */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val vocab = table(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(NegVocabK)
+      .withColumn("wt", floor(sqrt(col("c"))).cast("long"))
+      .withColumn("lo", coalesce(sum("wt").over(ord), lit(0L)))
+      .withColumn("hi", col("lo") + col("wt"))
+    val wTotal = vocab.agg(sum("wt")).head.getLong(0)
+    val draws = vocab.orderBy(col("c").desc, col("w")).limit(NegCenters)
+      .select(col("w").as("center"))
+      .select(col("center"), explode(expr(s"sequence(1L, ${NegK}L)")).as("j"))
+      .withColumn("t",
+        Hashing.h60(concat(col("center"), lit(":neg:"),
+          col("j").cast("string"))) % wTotal)
+    draws.join(broadcast(vocab.select(col("w").as("negative"), col("lo"), col("hi"))),
+        col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("center"), col("j"), col("negative"),
+        (col("center") === col("negative")).as("is_self"))
+      .orderBy("center", "j")
+  }
+
+  val negativeSamplingSql: String = {
+    import graft.text.Hashing
+    s"""WITH vocab AS (
+       |  SELECT w, count(*)::BIGINT AS c,
+       |    floor(sqrt(count(*)))::BIGINT AS wt
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  GROUP BY w ORDER BY c DESC, w LIMIT $NegVocabK),
+       |cdf AS (
+       |  SELECT w, c, wt,
+       |    coalesce(sum(wt) OVER (ORDER BY c DESC, w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lo
+       |  FROM vocab),
+       |tot AS (SELECT sum(wt)::BIGINT AS wtot FROM vocab),
+       |centers AS (SELECT w AS center FROM vocab ORDER BY c DESC, w LIMIT $NegCenters),
+       |draws AS (
+       |  SELECT center, j,
+       |    ${Hashing.h60Sql("center || ':neg:' || j::VARCHAR")} % t.wtot AS t
+       |  FROM centers, LATERAL (SELECT unnest(generate_series(1, $NegK)) AS j) u,
+       |    tot t)
+       |SELECT d.center, d.j::BIGINT AS j, v.w AS negative,
+       |  d.center = v.w AS is_self
+       |FROM draws d JOIN cdf v ON d.t >= v.lo AND d.t < v.lo + v.wt
+       |ORDER BY center, j""".stripMargin
+  }
+
   // ---- q130: PMI collocation mining (word2phrase) --------------------
 
   /** Minimum bigram support (discount rare-pair noise — word2phrase's

@@ -235,6 +235,79 @@ object QualityQueries {
        |FROM g ORDER BY feature, bucket""".stripMargin
   }
 
+  // ---- q137: streaming drift monitor (PSI as stream state) -----------
+
+  /** q89's PSI drift report with the CURRENT snapshot arriving as a
+    * STREAM — the production drift monitor: the reference deciles and
+    * counts are computed batch-side ONCE (the frozen baseline every
+    * monitor pins at deploy time), the live side folds into a
+    * streaming aggregate whose keyed state is exactly the per-(feature,
+    * bucket) count table — ~15 rows TOTAL whatever the stream volume,
+    * the "state = the report" pattern (q97/q118/q125); the PSI math
+    * then runs over the joined 15-row frames. Gate = q89's oracle
+    * VERBATIM: the stream must land on the identical drift report.
+    *
+    * Note the ordering contract this encodes: bucket BOUNDARIES come
+    * from the frozen reference (never the stream), so the monitor's
+    * bins are stable across micro-batches — the property that makes
+    * PSI values comparable over time. */
+  def streamPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+      val o = table(spark, dir, "orders")
+      val ps = (1 until DriftBuckets).map(_.toDouble / DriftBuckets)
+      val qs = graft.operators.ExactQuantile.quantiles(o, "o_totalprice", ps)
+        .map(q => BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      def contBucket(price: org.apache.spark.sql.Column) =
+        qs.foldLeft(lit(1)) { (acc, t) =>
+          acc + when(price > lit(t), 1).otherwise(0)
+        }
+      def tagged(df: DataFrame): DataFrame =
+        df.select(lit("o_totalprice").as("feature"),
+            format_string("d%02d", contBucket(col("o_totalprice"))).as("bucket"))
+          .unionByName(df.select(lit("o_orderpriority").as("feature"),
+            col("o_orderpriority").as("bucket")))
+      // frozen reference side (batch)
+      val ref = tagged(o).groupBy("feature", "bucket")
+        .agg(count(lit(1)).as("n_ref"))
+      // live side: the deterministically shifted current snapshot, as a
+      // stream; state = the (feature, bucket) count table
+      val schema = o.schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val cur = src
+        .filter(!(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % DriftDropMod === 0))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % DriftScaleMod === 0,
+            col("o_totalprice") * lit(DriftScale))
+          .otherwise(col("o_totalprice")))
+      try spark.catalog.dropTempView("stream_psi_cur")
+      catch { case _: Throwable => () }
+      val q = tagged(cur).groupBy("feature", "bucket")
+        .agg(count(lit(1)).as("n_cur"))
+        .writeStream.format("memory").queryName("stream_psi_cur")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      val curCounts = spark.table("stream_psi_cur")
+      val g = ref.join(curCounts, Seq("feature", "bucket"), "full_outer")
+        .select(col("feature"), col("bucket"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val w = Window.partitionBy("feature")
+      val pRef = col("n_ref").cast("double") / sum("n_ref").over(w)
+      val pCur = col("n_cur").cast("double") / sum("n_cur").over(w)
+      g.select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
+          r6(pRef).as("p_ref"), r6(pCur).as("p_cur"),
+          r6((pCur - pRef) * log(pCur / pRef)).as("psi_term"))
+        .orderBy("feature", "bucket")
+    }
+
+  /** Identical oracle to q89 — the streamed monitor must reproduce the
+    * batch drift report exactly. */
+  def streamPsiDriftSql: String = psiDriftSql
+
   // ---- q90: robust rate-anomaly detection (median + MAD) -------------
 
   val SpikeEvery = 50   // every 50th hour's count spiked …

@@ -203,6 +203,39 @@ class CurationQueriesSpec extends SparkSpec {
       s"slack ${budget - alloc}")
   }
 
+  test("q136: negative draws equal the md5 inverse-CDF recompute; draws spread") {
+    val rows = CurationQueries.negativeSampling(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    val texts = QueryUtil.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(CurationQueries.NegVocabK)
+      .map { case (w, c) => (w, math.floor(math.sqrt(c.toDouble)).toLong) }
+    val cdf = vocab.scanLeft(("", 0L, 0L)) { case ((_, _, hi), (w, wt)) =>
+      (w, hi, hi + wt)
+    }.tail
+    val wTot = cdf.last._3
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = vocab.take(CurationQueries.NegCenters).flatMap { case (c, _) =>
+      (1 to CurationQueries.NegK).map { j =>
+        val t = h60(s"$c:neg:$j") % wTot
+        val neg = cdf.find(e => t >= e._2 && t < e._3).get._1
+        (c, j.toLong, neg, c == neg)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == expected)
+    // the sampler must actually spread over the vocabulary
+    assert(rows.map(_._3).distinct.length > 10)
+    assert(rows.length ==
+      CurationQueries.NegCenters * CurationQueries.NegK)
+  }
+
   test("q125: streamed CDC merge lands on the batch snapshot exactly") {
     val stream = CurationQueries.streamCdcApply(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

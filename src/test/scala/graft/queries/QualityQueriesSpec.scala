@@ -117,6 +117,16 @@ class QualityQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(7)).distinct.length == 1)
   }
 
+  test("q137: streamed PSI monitor lands on the batch drift report exactly") {
+    val stream = QualityQueries.streamPsiDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val batch = QualityQueries.psiDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("q132: cascade conserves rows, residuals pinned 0, purge re-derivable") {
     import org.apache.spark.sql.functions.col
     val rows = QualityQueries.forgetAudit(spark, sfDir).collect()
