@@ -413,4 +413,79 @@ object ExtendedQueries {
        |  sum(((1000 * (r - 1)) // (n - 1)) * (event_id % 1000))::BIGINT
        |    AS checksum
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q138: columnar/text format round-trip (ORC + CSV) -------------
+
+  /** Deterministic "CSV-hostile" payload suffix: separator, quote,
+    * and an embedded newline — the characters that break naive CSV
+    * handling. The SAME construction feeds the oracle. */
+  val FmtDirtySuffix = ", \"q\"\nL2 doc "
+
+  /** Format-interop audit — the "does content survive the format
+    * boundary?" check an ingestion layer runs before trusting a new
+    * feed format: the corpus (salted with a CSV-hostile suffix:
+    * separator + quote + embedded NEWLINE per row) round-trips through
+    * ORC (Spark's second columnar format) and multi-line quoted CSV,
+    * and each read-back is fingerprinted with the same exact integer
+    * checksums as the parquet baseline — row count, id sum, total text
+    * length, and an order-independent md5-derived content checksum
+    * binding text to doc_id. A format that drops, splits, or mangles
+    * ONE row shifts a checksum. The writes land once per (sf, format)
+    * under tmpdir (the q39 write-once convention).
+    *
+    * Scale shape: each leg is one scan + one 4-long aggregate; the
+    * checksum is `x31(text:doc_id)` summed — 31-bit terms keep the sum
+    * exact far past 10¹⁰ rows. */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val dirty = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(FmtDirtySuffix), col("doc_id").cast("string"))
+          .as("text"))
+    val tag = Integer.toHexString(dir.hashCode)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_formats_$tag"
+    val orcPath = s"$base/orc"
+    val csvPath = s"$base/csv"
+    if (!new java.io.File(orcPath).exists())
+      dirty.write.mode("overwrite").orc(orcPath)
+    if (!new java.io.File(csvPath).exists())
+      dirty.write.mode("overwrite").option("header", "true").csv(csvPath)
+    val orc = spark.read.schema(dirty.schema).orc(orcPath)
+    val csv = spark.read.schema(dirty.schema)
+      .option("header", "true").option("multiLine", "true").csv(csvPath)
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text")).cast("long")).as("text_len_sum"),
+          sum(Hashing.x31(concat(col("text"), lit(":"),
+            col("doc_id").cast("string")))).as("content_checksum"))
+        .select(lit(name).as("format"), col("n_rows"), col("id_sum"),
+          col("text_len_sum"), col("content_checksum"))
+    leg("1_parquet", dirty)
+      .unionByName(leg("2_orc", orc))
+      .unionByName(leg("3_csv", csv))
+      .orderBy("format")
+  }
+
+  /** The oracle sees only the parquet baseline — a LOSSLESS round trip
+    * must land every format on the identical fingerprint row. */
+  val formatRoundtripSql: String = {
+    import graft.text.Hashing
+    // the suffix as a SQL literal: quote quotes, render the newline
+    val sqlSuffix = "', \"q\"' || chr(10) || 'L2 doc '"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    text || $sqlSuffix || doc_id::VARCHAR AS text
+       |  FROM documents),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n_rows, sum(doc_id)::BIGINT AS id_sum,
+       |    sum(length(text))::BIGINT AS text_len_sum,
+       |    sum(${Hashing.x31Sql("text || ':' || doc_id::VARCHAR")})::BIGINT
+       |      AS content_checksum
+       |  FROM d)
+       |SELECT f.format, a.n_rows, a.id_sum, a.text_len_sum, a.content_checksum
+       |FROM (SELECT unnest(['1_parquet', '2_orc', '3_csv']) AS format) f
+       |CROSS JOIN a
+       |ORDER BY format""".stripMargin
+  }
 }

@@ -436,6 +436,72 @@ object SeriesQueries {
       |  (1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS p_pm
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  // ---- q139: inter-arrival gap quantiles -------------------------------
+
+  val GapQs = Seq(0.5, 0.95)
+
+  /** Per-type event-cadence profile — the ops-side "how often does this
+    * signal fire per user?" distribution that sets streaming watermark
+    * delays and sessionization gaps from DATA instead of folklore:
+    * within each (user, event_type) stream ordered by the (ts,
+    * event_id) total order, the gap to the previous same-type event,
+    * then EXACT p50/p95 of the gap distribution per type
+    * ([[graft.operators.ExactQuantile.groupedQuantiles]] — bounded
+    * counters, matches `quantile_cont` bit-exactly) alongside the
+    * exact integer mean. Quantiles report as integer NANOSECONDS —
+    * the one quantization that is EXACT here: `quantile_cont` over
+    * integer micros interpolates at fraction j/20 (p95 = 19(n−1)/20
+    * mod 1; p50 at halves), so the true quantile is a multiple of
+    * 0.05 µs = 50 ns, and `round(q·1000)` lands on that integer in
+    * both engines whatever their frac-arithmetic ulps (measured
+    * ~10⁻⁴ µs ≪ the 25 ns boundary distance). Any DECIMAL rounding
+    * (r6 in µs or s) straddles .5 boundaries SYSTEMATICALLY on these
+    * terminating-decimal values — measured flipping at two SFs.
+    *
+    * Scale shape: one hash shuffle on (user, type) + partition sort
+    * for the lag, then the grouped-quantile operator's counter-bounded
+    * scans over the ≤\|types\| groups (broadcast range table — 10⁴
+    * groups plan like 5, the q69 machinery). */
+  def interArrivalGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val gaps = eventsTsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), (col("ts_us") - col("prev_us")).as("gap_us"))
+    val counts = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sum_gap_us"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val qs = graft.operators.ExactQuantile.groupedQuantiles(
+      gaps.select(col("event_type"), col("gap_us").cast("double").as("gap_us")),
+      "event_type", "gap_us", GapQs)
+    val rows = qs.toSeq.map { case (g, s) =>
+      val t = g.asInstanceOf[String]
+      (t, counts(t)._1, counts(t)._2 / counts(t)._1,
+        math.round(s(0) * 1000d), math.round(s(1) * 1000d))
+    }
+    import spark.implicits._
+    rows.toDF("event_type", "n_gaps", "mean_gap_us", "p50_ns", "p95_ns")
+      .orderBy("event_type")
+  }
+
+  val interArrivalGapsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    ts_us - lag(ts_us) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS gap
+      |  FROM e),
+      |v AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+      |SELECT event_type, count(*)::BIGINT AS n_gaps,
+      |  (sum(gap) // count(*))::BIGINT AS mean_gap_us,
+      |  round(quantile_cont(gap::DOUBLE, 0.5) * 1000)::BIGINT AS p50_ns,
+      |  round(quantile_cont(gap::DOUBLE, 0.95) * 1000)::BIGINT AS p95_ns
+      |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- q126: time-decayed engagement scoring ---------------------------
 
   /** Decay reference instant: 2024-01-31T00:00:00Z (epoch micros) — the

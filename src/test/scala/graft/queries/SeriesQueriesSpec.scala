@@ -196,6 +196,35 @@ class SeriesQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q139: gap profile equals a driver-side recompute; quantiles are exact 50ns multiples") {
+    val rows = SeriesQueries.interArrivalGaps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("user_id", "event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gapsByType = ev.groupBy(e => (e._1, e._4)).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      ts.sliding(2).collect { case Array(a, b) => (es.head._4, b - a) }
+    }.toSeq.groupBy(_._1)
+    def qcont(sorted: Seq[Long], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      sorted(lo) + (idx - lo) * (sorted(hi).toDouble - sorted(lo).toDouble)
+    }
+    rows.foreach { case (t, n, mean, p50, p95) =>
+      val g = gapsByType(t).map(_._2).sorted
+      assert(n == g.length.toLong)
+      assert(mean == g.sum / g.length)
+      assert(p50 == math.round(qcont(g, 0.5) * 1000d), s"$t p50")
+      assert(p95 == math.round(qcont(g, 0.95) * 1000d), s"$t p95")
+      // the quantization claim: interp fractions are twentieths, so the
+      // nano values are exact multiples of 50
+      assert(p50 % 50 == 0 && p95 % 50 == 0, s"$t not on the 50ns grid")
+      assert(p95 > p50 && p50 > 0)
+    }
+  }
+
   test("q126: decayed scores equal a driver-side recompute; decay actually re-ranks") {
     val rows = SeriesQueries.decayedEngagement(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
