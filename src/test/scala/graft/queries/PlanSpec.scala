@@ -216,4 +216,35 @@ class PlanSpec extends SparkSpec {
     // window, not extra windows, so count only "Window [" operators.)
     assert("Window \\[".r.findAllIn(p).size <= 1, s"extra window in q25 plan:\n$p")
   }
+
+  test("q124: skip-gram pairs emit with NO join and one count exchange") {
+    val p = plan("q124_skipgram_pairs")
+    Seq("Join", "CartesianProduct").foreach { bad =>
+      assert(!p.contains(bad), s"pair generation must be array-native, found $bad:\n$p")
+    }
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one aggregation exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"head must not global-sort:\n$p")
+  }
+
+  test("q123: canonical-dedup decision shuffle carries no text payload") {
+    val p = plan("q123_canonical_dedup")
+    // text reaches only the md5 projection; no Exchange row carries `text`
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"document payload entered a shuffle:\n$exchanges")
+  }
+
+  test("q127: vocab broadcasts back; the corpus-side join is broadcast, not shuffled") {
+    val p = plan("q127_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut must be top-K:\n$p")
+  }
+
+  test("q134: markov transitions use one lag window, no self-join") {
+    val p = plan("q134_markov_transitions")
+    assert(!p.contains("Join"), s"adjacency must come from the window:\n$p")
+    assert("Window \\[".r.findAllIn(p).size <= 2,
+      s"expected the lag window (+ row_total window) only:\n$p")
+  }
 }
