@@ -462,6 +462,77 @@ object CleaningQueries {
        |FROM tok t LEFT JOIN vocab v ON t.w = v.w
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q140: per-source dataset card ---------------------------------
+
+  /** The per-feed composition card a curation pipeline publishes before
+    * mixing — one row per source with the numbers every mix decision
+    * reads: docs, exact token and char sums, distinct languages, exact
+    * within-source duplicate count (md5 groups — q09's construction
+    * scoped per source), mean doc length in integer tokens, and the
+    * per-mille share of corpus tokens. All exact integers; the card is
+    * the input the q131 mix planner and q58/q106 samplers consume.
+    * The corpus carries no duplicate texts, so — the q123 convention —
+    * every `%6` doc re-appears once in its OWN source (a re-crawl of
+    * the same page), making the dup column provably non-degenerate.
+    *
+    * Scale shape: ONE corpus scan feeds a per-(source, digest)
+    * collapse (map-side combined) and a per-source rollup — the dup
+    * count aggregates FROM the digest table, never a second scan; the
+    * corpus-total joins back as a 1-row broadcast. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val raw = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("text"))
+    val d = raw.unionByName(raw.filter(col("doc_id") % 6 === 0))
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextStats.nTokens(col("text")).as("n_tok"), md5(col("text")).as("digest"))
+    val byDigest = d.groupBy("source", "digest")
+      .agg(count(lit(1)).as("copies"), first(col("lang")).as("lang"),
+        sum(col("n_tok")).as("tok"), sum(col("n_chars")).as("chars"))
+    val per = byDigest.groupBy("source")
+      .agg(sum("copies").as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum("tok").as("n_tokens"),
+        sum("chars").as("n_chars"),
+        sum(col("copies") - 1).as("n_dup_docs"))
+    val tot = per.agg(sum("n_tokens").as("corpus_tokens"))
+    per.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("n_tokens"), col("n_chars"), col("n_dup_docs"),
+        expr("n_tokens div n_docs").as("mean_doc_tokens"),
+        expr("(1000 * n_tokens) div corpus_tokens").as("token_share_pm"))
+      .orderBy("source")
+  }
+
+  val datasetCardSql: String = {
+    import graft.text.TextStats
+    s"""WITH u AS (
+       |  SELECT doc_id, source, lang, n_chars, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, source, lang, n_chars, text FROM documents
+       |  WHERE doc_id % 6 = 0),
+       |d AS (
+       |  SELECT source, lang, n_chars,
+       |    ${TextStats.nTokensSql("text")} AS n_tok, md5(text) AS digest
+       |  FROM u),
+       |g AS (
+       |  SELECT source, digest, count(*)::BIGINT AS copies,
+       |    any_value(lang) AS lang, sum(n_tok)::BIGINT AS tok,
+       |    sum(n_chars)::BIGINT AS chars
+       |  FROM d GROUP BY source, digest),
+       |per AS (
+       |  SELECT source, sum(copies)::BIGINT AS n_docs,
+       |    count(DISTINCT lang)::BIGINT AS n_langs,
+       |    sum(tok)::BIGINT AS n_tokens, sum(chars)::BIGINT AS n_chars,
+       |    sum(copies - 1)::BIGINT AS n_dup_docs
+       |  FROM g GROUP BY source),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS corpus_tokens FROM per)
+       |SELECT source, n_docs, n_langs, n_tokens, n_chars, n_dup_docs,
+       |  (n_tokens // n_docs)::BIGINT AS mean_doc_tokens,
+       |  ((1000 * n_tokens) // corpus_tokens)::BIGINT AS token_share_pm
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   // ---- q135: Zipf-law fit of the frequency spectrum ------------------
 
   /** Ranks fitted: the top-[[ZipfK]] frequency spectrum (the head is

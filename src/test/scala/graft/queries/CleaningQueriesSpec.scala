@@ -64,6 +64,36 @@ class CleaningQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r._5 < 500, s"lang ${r._1} oov_pm ${r._5}"))
   }
 
+  test("q140: card equals a driver-side recompute; dup column non-degenerate") {
+    val rows = CleaningQueries.datasetCard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val overlay = docs ++ docs.filter(_._1 % 6 == 0)
+    def nTok(t: String) = t.trim.split("\\s+").count(_.nonEmpty).toLong
+    val perSrc = overlay.groupBy(_._2).map { case (s, ds) =>
+      (s, ds.length.toLong, ds.map(_._3).distinct.length.toLong,
+        ds.map(d => nTok(d._5)).sum, ds.map(_._4).sum,
+        ds.length.toLong - ds.map(_._5).distinct.length.toLong)
+    }
+    val corpusTok = perSrc.map(_._4).sum
+    val expected = perSrc.toSeq.map { case (s, n, nl, tok, ch, dup) =>
+      (s, n, nl, tok, ch, dup, tok / n, 1000L * tok / corpusTok)
+    }.sortBy(_._1)
+    assert(rows.toSeq == expected)
+    // the synthetic re-crawl makes the dup column fire: corpus-wide the
+    // dup total is exactly the %6 cohort, and multiple sources carry it
+    // (doc_id % 6 == 0 forces even ids, so odd-id sources honestly
+    // report zero — the card distinguishes clean from dirty feeds)
+    assert(rows.map(_._6).sum == docs.count(_._1 % 6 == 0).toLong)
+    assert(rows.count(_._6 > 0) >= 5 && rows.exists(_._6 == 0))
+    // shares partition the corpus (floor slack < #sources)
+    val share = rows.map(_._8).sum
+    assert(share <= 1000 && share > 1000 - rows.length)
+  }
+
   test("q135: fit equals an exact driver-side recompute; flat salad is flagged as non-Zipfian") {
     val r = CleaningQueries.zipfFit(spark, sfDir).collect().head
     val (n, slope, intercept, r2) =
