@@ -546,6 +546,49 @@ object SeriesQueries {
       .limit(DecayTopK)
   }
 
+  // ---- q141: streaming decayed engagement ----------------------------
+
+  /** q126's freshness scoring with events arriving as a STREAM — the
+    * feature-store online path: per-user state is three longs (count,
+    * cent sum, decayed sum) folded by an ordinary streaming aggregate
+    * (map-side partials absorb hot users before the state shuffle);
+    * the decay weight is a pure projection of event time against the
+    * frozen snapshot instant [[DecayRefUs]], so a row's contribution
+    * is INDEPENDENT of arrival order — exactly what makes the decayed
+    * sum streamable without reprocessing (contrast sliding-window
+    * recency, which must evict). The top-K head runs batch-side on
+    * the state table. Gate = q126's oracle VERBATIM. */
+  def streamDecayedEngagement(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"),
+          floor(col("value") * 100d).cast("long").as("cents"),
+          expr(s"least(($DecayRefUs - ${eventTsUsExpr(schema, "ts")}) " +
+            s"div $DecayWeekUs, $DecayMaxWeeks)").as("age_w"))
+      try spark.catalog.dropTempView("stream_decay_state")
+      catch { case _: Throwable => () }
+      val q = src.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("cents_total"),
+          sum(col("cents") *
+            expr(s"shiftleft(1L, cast($DecayMaxWeeks - age_w as int))"))
+            .as("decayed_score"))
+        .writeStream.format("memory").queryName("stream_decay_state")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      spark.table("stream_decay_state")
+        .orderBy(col("decayed_score").desc, col("user_id"))
+        .limit(DecayTopK)
+    }
+
+  /** Identical oracle to q126 — the streamed fold must land on the
+    * batch scores exactly. */
+  def streamDecayedEngagementSql: String = decayedEngagementSql
+
   val decayedEngagementSql: String =
     s"""WITH e AS (
        |  SELECT user_id, floor(value * 100)::BIGINT AS cents,

@@ -225,6 +225,14 @@ class SeriesQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q141: streamed decay state lands on the batch scores exactly") {
+    val stream = SeriesQueries.streamDecayedEngagement(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = SeriesQueries.decayedEngagement(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("q126: decayed scores equal a driver-side recompute; decay actually re-ranks") {
     val rows = SeriesQueries.decayedEngagement(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
