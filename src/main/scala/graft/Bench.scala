@@ -41,12 +41,21 @@ object Bench {
     // separately: the imageio/codec classes load nowhere else, and
     // cold-loading them inside a timed rep reads 2-3 s high (the
     // documented q72/q99 warmup trap).
-    val warmDir = "/root/testdata/sf0.001"
+    // Derive the warmup dir from the bench SF dir (smallest sibling SF,
+    // else the SF dir itself) — a hardcoded path would silently no-op
+    // on any machine without it and re-absorb the 2-3 s codec cold-load
+    // into the first timed media rep.
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
+    }
     try { SparkEntry.entry(spark).count(); spark.catalog.clearCache() }
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARMUP SKIPPED (entry): ${e.getMessage}") }
     Seq("q55_media_decode", "q72_jpeg_roundtrip", "q99_gif_frames").foreach { q =>
       try { SparkEntry.queries(q)(spark, warmDir).count(); spark.catalog.clearCache() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP SKIPPED ($q @ $warmDir): ${e.getMessage}") }
     }
     // sorted order + cache clearing between queries: per-query persists
     // (dedup postings etc.) are internal scratch state; letting them

@@ -30,16 +30,30 @@ object Verify {
     // (the driver leaves it unset and gets the full surface).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // Dump queries on a small fixed pool: the dumps are independent
+    // Spark jobs and each leaves the cluster under-utilized in its
+    // tail (coalesce(1) write, streaming start/stop latency), so 4-way
+    // overlap roughly halves wall time. Spark schedules concurrent
+    // jobs from one session safely; per-query state (temp view names,
+    // write-once caches) is either distinct per query or synchronized.
+    val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
-
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt.max(1))
+    val tasks = todo.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(s"[verify] $name ok")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

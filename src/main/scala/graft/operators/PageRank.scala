@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * 1,000,000 per node; the non-normalized convention where ranks sum
   * ≈ N). One iteration is
   * `r'(v) = (1-d)·10⁶ + (d_pct · Σ_{u→v} (r(u) div deg⁺(u))) div 100`
-  * — every step integer arithmetic (`div` truncates toward zero =
-  * DuckDB `//` floor for the non-negative values here), so the result
+  * — every step integer arithmetic (`div` truncates toward zero, as
+  * does DuckDB `//`: measured `-7 // 2 = -3`, see DivSemanticsSpec —
+  * here all values are non-negative anyway), so the result
   * is bit-identical in any engine and independent of partitioning /
   * summation order. The tiny mass the floor divisions shed is the
   * price of exactness; ranking behavior is unchanged.

@@ -542,15 +542,15 @@ object CurationQueries {
        |  FROM documents GROUP BY source),
        |tot AS (
        |  SELECT sum(avail_tok)::BIGINT AS total, sum(w)::BIGINT AS wsum,
-       |    ($MixBudgetNum * sum(avail_tok)) // $MixBudgetDen AS budget
+       |    (($MixBudgetNum * sum(avail_tok)) // $MixBudgetDen)::BIGINT AS budget
        |  FROM avail),
        |s AS (
        |  SELECT a.*, t.budget, t.wsum,
        |    (1000000 * avail_tok) // w AS ratio_micro,
        |    sum(avail_tok) OVER (ORDER BY (1000000 * avail_tok) // w, source
-       |      ROWS UNBOUNDED PRECEDING) AS cum_avail,
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_avail,
        |    sum(w) OVER (ORDER BY (1000000 * avail_tok) // w, source
-       |      ROWS UNBOUNDED PRECEDING) AS cum_w
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_w
        |  FROM avail a CROSS JOIN tot t),
        |s2 AS (
        |  SELECT *, CASE WHEN wsum - cum_w > 0

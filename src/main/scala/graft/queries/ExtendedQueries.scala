@@ -196,7 +196,7 @@ object ExtendedQueries {
         // broken merge flips the boolean and fails the hash.
         QueryUtil.centMean6("sum_cents", "n").as("mean"),
         expr("(2 * (n * sum_cents2 - sum_cents * sum_cents) * 100 + n * n)" +
-          " div (2 * n * n) / 1000000.0").as("var_pop"),
+          " div (2 * n * n) / 1e6").as("var_pop"),
         // tolerance: floor-cent quantization shifts each value by up to
         // a cent DOWN (doubles store 2-decimal values a hair under), so
         // the floored variance drifts from the raw one by
@@ -390,7 +390,9 @@ object ExtendedQueries {
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("r", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .withColumn("r_pm", expr("(1000 * (r - 1)) div (n - 1)"))
+      // r is IntegerType (row_number): widen BEFORE the multiply —
+      // `1000 * (r - 1)` in int silently wraps past ~2.15M rows/group
+      .withColumn("r_pm", expr("(1000 * cast(r - 1 as bigint)) div (n - 1)"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         min("r_pm").as("min_pm"), max("r_pm").as("max_pm"),
@@ -442,14 +444,24 @@ object ExtendedQueries {
       .select(col("doc_id"), col("lang"), col("source"),
         concat(col("text"), lit(FmtDirtySuffix), col("doc_id").cast("string"))
           .as("text"))
-    val tag = Integer.toHexString(dir.hashCode)
+    // Write-once cache with the ensurePartitionedEvents convention:
+    // the tag fingerprints the SOURCE length+mtime (regenerated test
+    // data invalidates instead of serving stale), existence is gated
+    // on _SUCCESS (a partial write from a killed JVM re-runs), and the
+    // check-then-write races are serialized.
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.length}:${src.lastModified}"))
     val base = s"${sys.props("java.io.tmpdir")}/graft_formats_$tag"
     val orcPath = s"$base/orc"
     val csvPath = s"$base/csv"
-    if (!new java.io.File(orcPath).exists())
-      dirty.write.mode("overwrite").orc(orcPath)
-    if (!new java.io.File(csvPath).exists())
-      dirty.write.mode("overwrite").option("header", "true").csv(csvPath)
+    ExtendedQueries.synchronized {
+      if (!new java.io.File(orcPath, "_SUCCESS").exists())
+        dirty.write.mode("overwrite").orc(orcPath)
+      if (!new java.io.File(csvPath, "_SUCCESS").exists())
+        dirty.write.mode("overwrite").option("header", "true").csv(csvPath)
+    }
     val orc = spark.read.schema(dirty.schema).orc(orcPath)
     val csv = spark.read.schema(dirty.schema)
       .option("header", "true").option("multiLine", "true").csv(csvPath)

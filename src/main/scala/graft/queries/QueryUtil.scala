@@ -49,7 +49,10 @@ object QueryUtil {
     * no edge. Columns must be LONG; micro-unit magnitudes stay exact
     * (< 2⁵³) for cent sums up to ~10¹⁴. */
   def centMean6(centsCol: String, nCol: String): Column =
-    expr(s"((2 * $centsCol * 10000 + $nCol) div (2 * $nCol)) / 1000000.0")
+    // `1e6` (not `1000000.0`): a decimal literal would make the whole
+    // division DECIMAL(30,9); the oracle side is ::DOUBLE, and the
+    // driver's hash gate compares output TYPES, not just values.
+    expr(s"((2 * $centsCol * 10000 + $nCol) div (2 * $nCol)) / 1e6")
 
   /** DuckDB rendering of [[centMean6]]. */
   def centMean6Sql(cents: String, n: String): String =

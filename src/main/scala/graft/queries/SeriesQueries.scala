@@ -366,7 +366,7 @@ object SeriesQueries {
   val holtForecastSql: String =
     s"""WITH RECURSIVE daily AS (
        |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
-       |    sum(floor(o_totalprice * 100)::BIGINT) AS cents
+       |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents
        |  FROM orders GROUP BY 1),
        |d AS (
        |  SELECT row_number() OVER (ORDER BY day) AS rn, day, cents AS y
@@ -433,7 +433,7 @@ object SeriesQueries {
       |  GROUP BY prev_type, next_type)
       |SELECT prev_type, next_type, n,
       |  sum(n) OVER (PARTITION BY prev_type)::BIGINT AS row_total,
-      |  (1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS p_pm
+      |  ((1000 * n) // sum(n) OVER (PARTITION BY prev_type))::BIGINT AS p_pm
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
   // ---- q139: inter-arrival gap quantiles -------------------------------
