@@ -52,7 +52,13 @@ object Bench {
     try { SparkEntry.entry(spark).count(); spark.catalog.clearCache() }
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARMUP SKIPPED (entry): ${e.getMessage}") }
-    Seq("q55_media_decode", "q72_jpeg_roundtrip", "q99_gif_frames").foreach { q =>
+    // q30/q118 additionally warm the Structured Streaming machinery
+    // (micro-batch planner, HDFS state store provider, the stateful
+    // flatMapGroups path): the ~14 streaming gates each pay query
+    // start/stop, but the CLASS-LOAD share of that cost belongs to the
+    // process and would otherwise land on the first timed streaming rep.
+    Seq("q55_media_decode", "q72_jpeg_roundtrip", "q99_gif_frames",
+        "q30_events_stream", "q118_stream_heavy_hitters").foreach { q =>
       try { SparkEntry.queries(q)(spark, warmDir).count(); spark.catalog.clearCache() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARMUP SKIPPED ($q @ $warmDir): ${e.getMessage}") }

@@ -40,7 +40,6 @@ object PageRank {
     * (`node`, `rank`). */
   def run(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val base = (100 - dampingPct) * RankUnit / 100
     // Shuffle economics: the EDGE table is the big side, so (a) it
     // persists once and is never joined against anything bigger than
     // |V|; (b) each iteration first collapses rank/deg to the |V|-row
@@ -59,6 +58,31 @@ object PageRank {
       .union(e.select(col("dst")))
       .distinct()
       .persist()
+    val result = iterate(e, deg, nodes, iterations, dampingPct)
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    result
+  }
+
+  /** The LAZY end-to-end iteration plan, without [[run]]'s persists
+    * and final materializing `localCheckpoint` — exposed so plan-shape
+    * tests can count per-iteration exchanges (the "only |V|-row tables
+    * shuffle per round" contract) on the plan the loop actually
+    * builds. */
+  def plan(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+    iterate(edges, deg, nodes, iterations, dampingPct)
+  }
+
+  private def iterate(e: DataFrame, deg: DataFrame, nodes: DataFrame,
+      iterations: Int, dampingPct: Int): DataFrame = {
+    val base = (100 - dampingPct) * RankUnit / 100
     var ranks = nodes.withColumn("rank", lit(RankUnit))
     for (_ <- 1 to iterations) {
       val rd = ranks.join(deg, col("node") === col("src"))
@@ -72,11 +96,7 @@ object PageRank {
           (lit(base) + expr(s"($dampingPct * coalesce(c, 0L)) div 100"))
             .as("rank"))
     }
-    val result = ranks.localCheckpoint(true)
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    result
+    ranks
   }
 
   /** DuckDB mirror of one [[run]] iteration, reading ranks from CTE

@@ -217,4 +217,70 @@ object GraphQueries {
        |SELECT n_nodes, n_edges, n_triangles, wedges,
        |  ((3000 * n_triangles) // wedges)::BIGINT AS clustering_pm
        |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin
+
+  // ---- q142: long-chain components (star contraction) ----------------
+
+  /** Chain block size: consecutive event ids are linked within blocks
+    * of this many nodes, so every component is a PATH of diameter
+    * ~[[ChainBlock]]. */
+  val ChainBlock = 4096L
+
+  /** Alternating-round cap that certifies O(log n) convergence: star
+    * contraction (Kiveris et al., SoCC'14) halves star depth per
+    * alternation, so a [[ChainBlock]]-hop path must finish in a small
+    * multiple of log₂(block) rounds — 12 for 4096; the +6 headroom
+    * covers the final fixpoint-detection pass and small-block tails.
+    * Min-label propagation on the same graph would need ~[[ChainBlock]]
+    * rounds (one hop per round) — the regime q56's near-clique default
+    * explicitly does NOT cover. */
+  val ChainRoundBound: Int = 2 * 12 + 6
+
+  /** Connected components on a DELIBERATELY long-diameter graph — the
+    * adversarial case for q56's min-label default and the end-to-end
+    * gate for [[graft.operators.ConnectedComponents.componentsStar]]:
+    * event ids (dense 0..N−1 in the corpus) are linked `i → i+1`
+    * inside [[ChainBlock]]-sized blocks, giving ~N/4096 path
+    * components of diameter ~4095 — min-label would need ~4095
+    * propagation rounds (it is capped at 50 and would not even
+    * converge); star contraction finishes in ≤ [[ChainRoundBound]]
+    * alternations, and the output CARRIES that claim as a
+    * hash-gated boolean (`rounds_logn_ok`, oracle TRUE — the q22/q35
+    * within-bound pattern).
+    *
+    * The oracle is closed-form (blocks of a dense id space are the
+    * components: comp = block min, size = block population — computed
+    * from `event_id div 4096` alone), so the whole distributed
+    * fixpoint is value-checked, not just shape-checked.
+    *
+    * Scale shape: edge construction is a projection + filter (no
+    * window, no self-join — density is a given of the id scheme);
+    * the per-round star phases are groupBy-min + equi-join on node id
+    * with `localCheckpoint` lineage cuts, per the operator scaladoc.
+    * The one driver scalar (`max(event_id)`) is a 1-row aggregate. */
+  def chainComponents(spark: SparkSession, dir: String): DataFrame = {
+    val ids = table(spark, dir, "events").select(col("event_id"))
+    val maxId = ids.agg(max("event_id")).head().getLong(0)
+    val edges = ids
+      .filter(col("event_id") % ChainBlock =!= (ChainBlock - 1L) &&
+        col("event_id") =!= maxId)
+      .select(col("event_id").as("src"), (col("event_id") + 1L).as("dst"))
+    val (labels, rounds) =
+      graft.operators.ConnectedComponents.componentsStarWithRounds(
+        edges, "src", "dst", maxIter = 60)
+    labels.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+      .select(col("comp"), col("n_nodes"),
+        lit(rounds <= ChainRoundBound).as("rounds_logn_ok"))
+      .orderBy("comp")
+  }
+
+  /** Blocks with a single node have no edge and (per the operator
+    * contract: every node APPEARING IN AN EDGE) drop out — mirrored by
+    * `HAVING count(*) >= 2`. */
+  val chainComponentsSql: String =
+    s"""SELECT min(event_id)::BIGINT AS comp, count(*)::BIGINT AS n_nodes,
+       |  TRUE AS rounds_logn_ok
+       |FROM events
+       |GROUP BY event_id // $ChainBlock
+       |HAVING count(*) >= 2
+       |ORDER BY comp""".stripMargin
 }

@@ -72,4 +72,24 @@ class PageRankSpec extends SparkSpec {
     // every rank at least the damping base
     assert(rows.forall(_._2 >= 15 * PageRank.RankUnit / 100))
   }
+
+  test("q111: per-iteration shuffle cost is constant — no edge-table re-shuffle creeps in") {
+    import spark.implicits._
+    val edges = (1 to 500).map(i => (s"n${i % 37}", s"n${i % 53}"))
+      .distinct.toDF("src", "dst")
+    // exchange count must grow LINEARLY in iterations with a small
+    // per-iteration constant: the documented scale contract is that
+    // each round shuffles only |V|-row per-node tables (co-locate +
+    // re-aggregate), never the persisted edge table. A superlinear or
+    // large delta means an edit made the big side move per round.
+    def exchanges(iters: Int): Int = {
+      val p = PageRank.plan(edges, iters).queryExecution.executedPlan.toString
+      "ShuffleExchange".r.findAllIn(p).size
+    }
+    val (c1, c2, c3) = (exchanges(1), exchanges(2), exchanges(3))
+    assert(c2 - c1 == c3 - c2,
+      s"exchange growth is not linear in iterations: $c1, $c2, $c3")
+    assert(c3 - c2 <= 3,
+      s"per-iteration exchange delta ${c3 - c2} > 3 (edge re-shuffle crept in?)")
+  }
 }

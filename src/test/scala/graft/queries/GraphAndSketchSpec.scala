@@ -237,4 +237,14 @@ class GraphAndSketchSpec extends SparkSpec {
     assert(ku == (setA ++ setB).toSeq.sorted.take(k))
     assert(r.getBoolean(7), s"estimator err ${r.getLong(6)}‰ above bound")
   }
+
+  test("q142: long-chain components match closed form; star rounds stay O(log n)") {
+    // sf0.001 has 1000 dense ids < ChainBlock → exactly ONE component:
+    // a 1000-hop path, where min-label (maxIter 50) could not even
+    // converge; rounds_logn_ok carries the star-contraction bound.
+    val rows = GraphQueries.chainComponents(spark, sfDir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 1000L)
+    assert(rows.head.getBoolean(2), "star contraction exceeded the O(log n) round bound")
+  }
 }
