@@ -852,4 +852,91 @@ object CurationQueries {
        |        ELSE 0 END)::BIGINT AS dup_permille
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- q143: epoch repetition schedule -------------------------------
+
+  /** Data-constrained pretraining repeats its BEST data for several
+    * epochs rather than training once over everything (Muennighoff et
+    * al., "Scaling Data-Constrained Language Models", NeurIPS'23: up
+    * to ~4 epochs of repetition is nearly as good as fresh data).
+    * This operator produces that schedule deterministically: within
+    * each source, documents are ranked into quality quartiles on the
+    * (quality desc, doc_id) TOTAL order — `ntile` is SQL-standard and
+    * engine-identical on a total order — and assigned epoch counts
+    * 4/2/1/0 (bottom quartile dropped). The epoch-expanded stream is
+    * then MATERIALIZED (`explode(sequence(1, reps))`), each copy keyed
+    * by the deterministic shuffle hash `h60(doc_id:epoch)`, and the
+    * gate reports per (source, reps) cohort: doc count, single-epoch
+    * tokens, materialized copies/tokens, and a mod-997 checksum of the
+    * copies' shuffle keys — the checksum binds the gate to the actual
+    * expansion (it is not derivable from the cohort row counts alone).
+    *
+    * Scale shape: one corpus scan computes quality/tokens; the
+    * per-source `ntile` is the GATE formulation — at 100 TB the
+    * per-source rank comes from the two-phase distributed prefix sum
+    * (operators/PrefixSum.scala, the q94 pattern) or from grouped
+    * ExactQuantile thresholds (the q69 pattern), never a
+    * single-partition sort; the expansion is a projection+explode with
+    * NO shuffle (copies inherit the scan's partitioning until the
+    * final cohort rollup, which is map-side combined to ≤ sources×4
+    * rows). */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.Hashing
+    val docs = table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextStats.qualityScore(col("text")).as("q"),
+        TextStats.nTokens(col("text")).cast("long").as("tok"))
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    val ranked = docs.withColumn("quartile", ntile(4).over(w))
+      .withColumn("reps", expr(
+        "cast(CASE quartile WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END AS bigint)"))
+    val cohorts = ranked.groupBy("source", "reps")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens_once"))
+    val copies = ranked.filter(col("reps") > 0)
+      .withColumn("epoch", explode(expr("sequence(1L, reps)")))
+      .select(col("source"), col("reps"), col("tok"),
+        (Hashing.h60(concat(col("doc_id"), lit(":"), col("epoch"))) % 997L)
+          .as("ck"))
+      .groupBy("source", "reps")
+      .agg(count(lit(1)).as("n_copies"), sum("tok").as("tokens_total"),
+        sum("ck").as("order_checksum"))
+    cohorts.join(copies, Seq("source", "reps"), "left")
+      .select(col("source"), col("reps"), col("n_docs"), col("tokens_once"),
+        coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+        coalesce(col("tokens_total"), lit(0L)).as("tokens_total"),
+        coalesce(col("order_checksum"), lit(0L)).as("order_checksum"))
+      .orderBy("source", "reps")
+  }
+
+  val epochScheduleSql: String = {
+    import graft.text.Hashing
+    s"""WITH d AS (
+       |  SELECT source, doc_id, ${TextStats.qualityScoreSql("text")} AS q,
+       |    ${TextStats.nTokensSql("text")}::BIGINT AS tok
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, (CASE ntile(4) OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+       |    WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END)::BIGINT AS reps
+       |  FROM d),
+       |coh AS (
+       |  SELECT source, reps, count(*)::BIGINT AS n_docs,
+       |    sum(tok)::BIGINT AS tokens_once
+       |  FROM r GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, reps, tok,
+       |    (${Hashing.h60Sql("doc_id::VARCHAR || ':' || epoch::VARCHAR")} % 997) AS ck
+       |  FROM (SELECT *, unnest(generate_series(1, reps)) AS epoch
+       |        FROM r WHERE reps > 0)),
+       |ca AS (
+       |  SELECT source, reps, count(*)::BIGINT AS n_copies,
+       |    sum(tok)::BIGINT AS tokens_total, sum(ck)::BIGINT AS order_checksum
+       |  FROM c GROUP BY 1, 2)
+       |SELECT coh.source, coh.reps, n_docs, tokens_once,
+       |  coalesce(n_copies, 0)::BIGINT AS n_copies,
+       |  coalesce(tokens_total, 0)::BIGINT AS tokens_total,
+       |  coalesce(order_checksum, 0)::BIGINT AS order_checksum
+       |FROM coh LEFT JOIN ca ON coh.source = ca.source AND coh.reps = ca.reps
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -243,4 +243,27 @@ class CurationQueriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(stream.toSeq == batch.toSeq)
   }
+
+  test("q143: epoch accounting is exact; quartiles balance; expansion is materialized") {
+    val rows = CurationQueries.epochSchedule(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, reps, nDocs, tokOnce, nCopies, tokTotal, ck) =>
+      // the materialized stream must carry exactly reps copies of each
+      // doc and reps x the single-epoch token mass
+      assert(nCopies == nDocs * reps, s"$src reps=$reps")
+      assert(tokTotal == tokOnce * reps, s"$src reps=$reps")
+      // the shuffle-key checksum only vanishes for the dropped cohort
+      assert((reps == 0) == (ck == 0L) || reps > 0, s"$src reps=$reps ck=$ck")
+      if (reps > 0) assert(ck > 0L, s"$src reps=$reps has empty checksum")
+    }
+    // every source has all four cohorts (4/2/1/0) with ntile-balanced
+    // doc counts: sizes within a source differ by at most 1
+    rows.groupBy(_._1).foreach { case (src, cohorts) =>
+      assert(cohorts.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 4L), src)
+      val sizes = cohorts.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src quartiles unbalanced: ${sizes.toSeq}")
+    }
+  }
 }
