@@ -112,23 +112,36 @@ object ConnectedComponents {
       if (partitions > 0) df.repartition(partitions, col("x")) else df
 
     // one phase: emit (v, m) edges per the star rule, big→small
-    // large-star: all of Γ(u), keep v > u; small-star: Γ≤(u) ∪ {u}
+    // large-star: all of Γ(u), keep v > u; small-star: Γ≤(u) ∪ {u}.
+    // LAZY — the caller checkpoints once per ROUND (two phases).
+    //
+    // Shape: m(u) = min(Γ(u) ∪ u) comes from a whole-partition window
+    // MIN over the u-keyed directed list — ONE shuffle per phase,
+    // replacing the groupBy + join-back formulation (two shuffles plus
+    // a broadcast build per phase). The loop runs O(log n) rounds of
+    // KB-to-MB-scale stages, so wall-clock here is STAGE COUNT × fixed
+    // task overhead, not data volume; at 10⁸ edges both formulations
+    // shuffle Γ(u) by u — the window trades nothing away at scale.
+    // The large phase's output skips `distinct` entirely: duplicate
+    // edges can't perturb a MIN, and the small phase's own distinct
+    // collapses them one stage later.
     def phase(e: DataFrame, large: Boolean): DataFrame = {
       val directed =
         if (large) e.select(col("x").as("u"), col("y").as("v"))
           .union(e.select(col("y").as("u"), col("x").as("v")))
         else e.select(greatest(col("x"), col("y")).as("u"),
           least(col("x"), col("y")).as("v"))
-      val m = directed.groupBy("u")
-        .agg(least(min(col("v")), col("u")).as("m"))
-      val nbrOut = directed.join(m, "u")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      val dm = directed.withColumn("m",
+        least(min(col("v")).over(w), col("u")))
+      val nbrOut = dm
         .filter(if (large) col("v") > col("u") else col("v") =!= col("m"))
         .select(col("v").as("x"), col("m").as("y"))
-      val selfOut =
-        if (large) spark.emptyDataset[(Long, Long)].toDF("x", "y")
-        else m.filter(col("u") =!= col("m"))
-          .select(col("u").as("x"), col("m").as("y"))
-      rep(nbrOut.union(selfOut).distinct()).localCheckpoint(true)
+      if (large) rep(nbrOut)
+      else rep(nbrOut.union(
+          dm.filter(col("u") =!= col("m"))
+            .select(col("u").as("x"), col("m").as("y")))
+        .distinct())
     }
 
     var e = rep(raw.filter(col("x") =!= col("y"))
@@ -137,12 +150,31 @@ object ConnectedComponents {
       .distinct()).localCheckpoint(true)
     var iter = 0
     var converged = e.isEmpty
+    val debug = sys.props.contains("graft.cc.debug")
     while (!converged && iter < maxIter) {
+      val tR = System.nanoTime()
       val next = phase(phase(e, large = true), large = false)
-      // star fixpoint test on distinct edge sets: equal iff both
-      // difference directions are empty (counts checked first — free)
-      converged = next.count() == e.count() &&
-        next.except(e).isEmpty && e.except(next).isEmpty
+        .localCheckpoint(true)
+      val tP = System.nanoTime()
+      // Fixpoint test: a distinct edge list is a fixpoint of BOTH
+      // phases iff it is a STAR FOREST — every x is a child of exactly
+      // one root and no node is both child and root (stars reproduce
+      // themselves under either phase; any child-of-child or
+      // double-parent edge changes under one of them). Checking the
+      // CURRENT round's output directly costs one aggregate job and
+      // detects convergence a full round EARLIER than comparing
+      // successive edge sets (which must re-run a round to observe
+      // "nothing changed") — on an O(log n)-round loop of tiny stages
+      // that last round is pure overhead.
+      converged = next
+        .select(col("x").as("n"), lit(1L).as("cx"), lit(0L).as("cy"))
+        .union(next.select(col("y").as("n"), lit(0L).as("cx"), lit(1L).as("cy")))
+        .groupBy("n").agg(sum("cx").as("nx"), sum("cy").as("ny"))
+        .filter(col("nx") > 1L || (col("nx") > 0L && col("ny") > 0L))
+        .isEmpty
+      if (debug)
+        System.err.println(f"[cc] round $iter phases ${(tP - tR) / 1e9}%.2f s" +
+          f" check ${(System.nanoTime() - tP) / 1e9}%.2f s")
       e = next
       iter += 1
     }

