@@ -939,4 +939,65 @@ object CurationQueries {
        |FROM coh LEFT JOIN ca ON coh.source = ca.source AND coh.reps = ca.reps
        |ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- q144: BPE merge learning ---------------------------------------
+
+  /** Training dictionary size (top words by (count desc, word)). */
+  val BpeVocab = 256
+  /** Number of merges learned. */
+  val BpeMerges = 6
+
+  /** Distributed BPE vocabulary learning — the first [[BpeMerges]]
+    * merges of the Sennrich et al. (ACL'16) recurrence, the tokenizer-
+    * training step of an LLM data pipeline: the corpus collapses to a
+    * word-frequency dictionary in ONE scan + one shuffle, the exact
+    * deterministic top-[[BpeVocab]] dictionary (count desc, word —
+    * TakeOrdered, never a global sort) is bounded driver state like
+    * the q131 planner, and [[graft.text.BpeLearner]] runs the merge
+    * recurrence on it. The oracle replays the identical recurrence as
+    * [[BpeMerges]] unrolled SQL stages (window-function greedy-overlap
+    * parity — BpeLearner.mergeIterationSql, the PageRank.iterationSql
+    * pattern), so every output row is cross-engine-checked through the
+    * whole recurrence: a wrong pair count, tie-break, or overlap rule
+    * at ANY step shifts all later steps.
+    *
+    * Scale shape: corpus work is the word count (map-side combined);
+    * at a 10⁵⁺-type vocab the merge loop's pair counting distributes
+    * as |vocab|-row aggregates with the same semantics — the driver
+    * cutover is a size policy, not a design limit. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeLearner
+    val dict = table(spark, dir, "documents")
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(BpeVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = BpeLearner.learn(dict, BpeMerges)
+    import spark.implicits._
+    merges.map(m => (m.step, m.left, m.right, m.count))
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step")
+  }
+
+  val bpeMergesSql: String = {
+    import graft.text.BpeLearner
+    val iters = (1 to BpeMerges).map(BpeLearner.mergeIterationSql).mkString(",\n")
+    val finals = (1 to BpeMerges).map(t =>
+      s"SELECT $t::BIGINT AS step, a AS left_sym, b AS right_sym," +
+        s" pc AS pair_count FROM best$t").mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT word, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents)
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT $BpeVocab),
+       |p0 AS (
+       |  SELECT word, cnt, i, substring(word, i::INT, 1) AS sym FROM (
+       |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i
+       |    FROM w0)),
+       |$iters
+       |$finals
+       |ORDER BY step""".stripMargin
+  }
 }
