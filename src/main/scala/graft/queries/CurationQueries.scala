@@ -965,16 +965,21 @@ object CurationQueries {
     * at a 10⁵⁺-type vocab the merge loop's pair counting distributes
     * as |vocab|-row aggregates with the same semantics — the driver
     * cutover is a size policy, not a design limit. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.BpeLearner
-    val dict = table(spark, dir, "documents")
+  /** The exact top-[[BpeVocab]] training dictionary (shared by
+    * q144/q145): one scan, map-side-combined word count, TakeOrdered
+    * head — bounded driver state. */
+  private def bpeDict(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    table(spark, dir, "documents")
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(BpeVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = BpeLearner.learn(dict, BpeMerges)
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeLearner
+    val merges = BpeLearner.learn(bpeDict(spark, dir), BpeMerges)
     import spark.implicits._
     merges.map(m => (m.step, m.left, m.right, m.count))
       .toDF("step", "left_sym", "right_sym", "pair_count")
@@ -999,5 +1004,85 @@ object CurationQueries {
        |$iters
        |$finals
        |ORDER BY step""".stripMargin
+  }
+
+  // ---- q145: corpus-scale BPE tokenization (apply the merges) ---------
+
+  /** Apply q144's learned merges to EVERY word of the corpus — the
+    * tokenize-the-world step that follows tokenizer training — with no
+    * UDF anywhere: a word becomes the delimited symbol string
+    * `__a__b__c__`, and each learned merge (a, b) is ONE literal
+    * `replace(s, '_a__b_', '_ab_')` — left-to-right non-overlapping
+    * literal replacement IS the greedy-leftmost BPE merge rule (the
+    * consumed trailing delimiter makes an overlapping second match
+    * impossible, exactly the BpeLearner run-parity rule), and symbol
+    * boundaries can't false-match because every symbol is bracketed by
+    * `__` while merges only consume single `_`s. Token counts read off
+    * arithmetically: `len(s) − len(replace(s, '__', '_')) − 1`. The
+    * whole pipeline — explode, 6 chained replaces, counts — is
+    * codegen'd column expressions over one scan.
+    *
+    * Per source the gate reports exact word/char/BPE-token totals and
+    * integer per-mille fertility ratios (tokens-per-word, chars-per-
+    * token — the numbers tokenizer choices are judged by). The oracle
+    * re-derives the merges with q144's unrolled recurrence and applies
+    * them via the same replace chain (scalar subqueries), so the gate
+    * spans training AND application cross-engine. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeLearner
+    val merges = BpeLearner.learn(bpeDict(spark, dir), BpeMerges)
+    val applied = BpeLearner.applySql(merges, "s")
+    table(spark, dir, "documents")
+      .select(col("source"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .withColumn("s",
+        concat(lit("__"), regexp_replace(col("word"), "(.)", "$1__")))
+      .withColumn("bpe_tok",
+        expr(BpeLearner.tokenCountSql(applied)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum("bpe_tok").as("bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("bpe_tokens"),
+        expr("(1000 * bpe_tokens) div n_words").as("bpe_per_word_pm"),
+        expr("(1000 * n_chars) div bpe_tokens").as("chars_per_bpe_pm"))
+      .orderBy("source")
+  }
+
+  val bpeTokenizeSql: String = {
+    import graft.text.BpeLearner
+    val iters = (1 to BpeMerges).map(BpeLearner.mergeIterationSql).mkString(",\n")
+    // same replace chain as the Spark side, but each merge pair comes
+    // from the recurrence CTEs as a scalar subquery
+    val applied = (1 to BpeMerges).foldLeft("s") { (acc, t) =>
+      s"replace($acc, (SELECT '_' || a || '__' || b || '_' FROM best$t)," +
+        s" (SELECT '_' || a || b || '_' FROM best$t))"
+    }
+    s"""WITH w0 AS (
+       |  SELECT word, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents)
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT $BpeVocab),
+       |p0 AS (
+       |  SELECT word, cnt, i, substring(word, i::INT, 1) AS sym FROM (
+       |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i
+       |    FROM w0)),
+       |$iters,
+       |cw AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |enc AS (
+       |  SELECT source, word,
+       |    '__' || regexp_replace(word, '(.)', '\\1__', 'g') AS s
+       |  FROM cw),
+       |tok AS (
+       |  SELECT source, length(word)::BIGINT AS chars,
+       |    (length($applied) - length(replace($applied, '__', '_')) - 1)::BIGINT AS t
+       |  FROM enc)
+       |SELECT source, count(*)::BIGINT AS n_words, sum(chars)::BIGINT AS n_chars,
+       |  sum(t)::BIGINT AS bpe_tokens,
+       |  ((1000 * sum(t)) // count(*))::BIGINT AS bpe_per_word_pm,
+       |  ((1000 * sum(chars)) // sum(t))::BIGINT AS chars_per_bpe_pm
+       |FROM tok GROUP BY source ORDER BY source""".stripMargin
   }
 }

@@ -57,6 +57,32 @@ object BpeLearner {
     out.result()
   }
 
+  /** SQL expression applying `merges` in order to a delimited symbol
+    * string (`__a__b__c__`, built by `'__' || regexp_replace(word,
+    * '(.)', '$1__')`): each merge is one LITERAL left-to-right
+    * `replace` — the consumed trailing `_` forbids an overlapping
+    * re-match (the [[mergeWord]] run-parity rule), and full `__`
+    * brackets around symbols make mid-symbol false matches impossible
+    * while merges consume only single `_`s. Valid in both Spark SQL
+    * and DuckDB; symbols are [a-z]+ so no escaping is needed. */
+  def applySql(merges: Seq[Merge], expr: String): String =
+    merges.foldLeft(expr) { (acc, m) =>
+      s"replace($acc, '_${m.left}__${m.right}_', '_${m.left}${m.right}_')"
+    }
+
+  /** Token count of a delimited symbol string `s`:
+    * `len(s) − len(replace(s, '__', '_')) − 1` (n tokens ⇒ n+1 `__`
+    * separators). */
+  def tokenCountSql(s: String): String =
+    s"length($s) - length(replace($s, '__', '_')) - 1"
+
+  /** Driver-side reference: segment `word` by applying `merges` in
+    * order (for equivalence specs against [[applySql]]). */
+  def segment(word: String, merges: Seq[Merge]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { (syms, m) =>
+      mergeWord(syms, m.left, m.right)
+    }
+
   /** SQL (DuckDB) for merge iteration `t`: reads segmentation CTE
     * `p{t-1}`(word, cnt, i, sym), defines `best{t}`(a, b, pc) — the
     * pair picked at step t — and `p{t}`, the re-segmented state.

@@ -39,3 +39,33 @@ class BpeLearnerSpec extends AnyFunSuite {
     assert(BpeLearner.learn(Seq("ab" -> 1L), 5).size == 1)
   }
 }
+
+/** The q145 replace-chain is a different MACHINE for the same rule —
+  * prove expression-vs-driver equivalence on adversarial words. */
+class BpeApplySpec extends graft.SparkSpec {
+
+  test("replace-chain segmentation equals BpeLearner.segment, word for word") {
+    import spark.implicits._
+    val merges = Seq(
+      BpeLearner.Merge(1, "a", "a", 0), BpeLearner.Merge(2, "aa", "a", 0),
+      BpeLearner.Merge(3, "a", "b", 0), BpeLearner.Merge(4, "e", "r", 0),
+      BpeLearner.Merge(5, "m", "er", 0))
+    val words = Seq("aaaa", "aaa", "aaaaa", "abab", "aab", "baa",
+      "mererer", "merger", "hammer", "a", "b", "zzz", "ababab", "aabaab")
+    val applied = BpeLearner.applySql(merges, "s")
+    val got = words.toDF("word")
+      .selectExpr("word",
+        "'__' || regexp_replace(word, '(.)', '$1__') AS s")
+      .selectExpr("word",
+        s"CAST(${BpeLearner.tokenCountSql(applied)} AS BIGINT) AS t",
+        applied + " AS seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    got.foreach { case (word, t, seg) =>
+      val want = BpeLearner.segment(word, merges)
+      assert(t == want.length.toLong, s"$word: $seg vs $want")
+      // the delimited string decodes to exactly the reference segments
+      assert(seg.split("__").filter(_.nonEmpty).toVector == want,
+        s"$word: $seg vs $want")
+    }
+  }
+}
