@@ -416,6 +416,52 @@ object ExtendedQueries {
        |    AS checksum
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q146: incremental aggregate maintenance (IVM) -----------------
+
+  /** Incremental maintenance of a materialized aggregate — the
+    * "update the dashboard from today's arrivals without touching
+    * yesterday's 100 TB" pattern: a stored per-type revenue view
+    * (n / cent-sum / min / max) absorbs an insert-only delta by
+    * MERGING AGGREGATE STATES (sum-of-sums, min-of-mins), never by
+    * recomputing from raw base data. The base view is materialized
+    * once (`localCheckpoint` stands in for the stored table); the
+    * final plan provably scans raw events ONLY for the delta slice —
+    * plan-spec-pinned to exactly one parquet scan — so maintenance
+    * work is ∝ delta, independent of base size.
+    *
+    * Each statistic here is a COMMUTATIVE MONOID under insert-only
+    * deltas (count/sum/min/max — the same algebra Spark's partial
+    * aggregation and the Pébay moment merge rely on); deletes would
+    * need the q96 CDC MERGE instead (min/max are not subtractable).
+    * The oracle recomputes the view from ALL raw events, so the gate
+    * is exactly the IVM correctness claim: merged state ≡ full
+    * recompute. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(100d)).cast("long").as("cents"))
+    def viewAgg(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    // the stored view: everything but today's 1/16th of arrivals
+    val baseView = viewAgg(ev.filter(pmod(col("event_id"), lit(16)) =!= 0))
+      .localCheckpoint(true)
+    viewAgg(ev.filter(pmod(col("event_id"), lit(16)) === 0))
+      .unionByName(baseView)
+      .groupBy("event_type").agg(
+        sum("n_events").as("n_events"), sum("sum_cents").as("sum_cents"),
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+      .orderBy("event_type")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents,
+      |  min(floor(value * 100)::BIGINT) AS min_cents,
+      |  max(floor(value * 100)::BIGINT) AS max_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- q138: columnar/text format round-trip (ORC + CSV) -------------
 
   /** Deterministic "CSV-hostile" payload suffix: separator, quote,

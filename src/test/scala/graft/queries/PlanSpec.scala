@@ -247,4 +247,14 @@ class PlanSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).size <= 2,
       s"expected the lag window (+ row_total window) only:\n$p")
   }
+
+  test("q146: view maintenance scans raw data only for the delta slice") {
+    val p = plan("q146_incremental_agg")
+    // the base side must come from the materialized view (checkpoint
+    // RDD), never a second raw scan — maintenance work ∝ delta
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one raw parquet scan (the delta):\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the stored view to enter as a materialized RDD:\n$p")
+  }
 }
