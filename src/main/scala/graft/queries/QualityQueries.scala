@@ -661,4 +661,92 @@ object QualityQueries {
        |FROM u CROSS JOIN gg
        |GROUP BY variant, gg.theta, gg.mean_x, gg.var_reduction_pm
        |ORDER BY variant""".stripMargin
+
+  // ---- q147: deterministic Poisson bootstrap CI ----------------------
+
+  /** Bootstrap replicas. */
+  val BootB = 32
+  /** Poisson(1) inverse-CDF thresholds in MILLIONTHS: u < t(k) ⇒
+    * weight k (cumulative e⁻¹·Σ1/i!, truncated at 4 — P(X≥5) ≈ 0.37%).
+    * Integer thresholds make the draw exact in both engines. */
+  val BootPoisson: Seq[Long] = Seq(367879L, 735759L, 919699L, 981012L)
+
+  /** Error bars for a pipeline metric without distributional
+    * assumptions — the POISSON BOOTSTRAP (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): resampling
+    * with replacement is impossible distributed (it needs global
+    * coordination), but each row's multiplicity in replica b is
+    * ~Poisson(1) independently, so every replica is ONE weighted
+    * aggregate. Here the draw is DETERMINISTIC: the multiplicity of
+    * event i in replica b inverts the Poisson CDF ([[BootPoisson]], in
+    * exact millionths) at `h60(event_id:b) mod 10⁶` — reproducible
+    * across engines, partitionings, and reruns, no RNG state.
+    * Replica means are exact integer cents (`div`); the 90% interval
+    * is the 2nd/31st of the [[BootB]] sorted replica means.
+    *
+    * Scale shape: one scan explodes ×[[BootB]] (a projection), one
+    * shuffle to the (type, b) grid — 5·32 cells of two longs — then
+    * the CI picks ranks inside a per-type 32-element sorted array.
+    * At 100 TB the explode factor is the only cost knob (the Google
+    * paper's regime: B=32 replicas of map-side-combinable sums). */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val w = BootPoisson.zipWithIndex.foldRight(lit(4L): Column) {
+      case ((t, k), e) => when(col("u") < t, k.toLong).otherwise(e)
+    }
+    val reps = table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(100d)).cast("long").as("cents"))
+      .withColumn("b", explode(expr(s"sequence(1L, ${BootB}L)")))
+      .withColumn("u",
+        Hashing.h60(concat(col("event_id"), lit(":"), col("b"))) % 1000000L)
+      .withColumn("w", w)
+      .groupBy("event_type", "b")
+      .agg(sum(expr("w * cents")).as("wc"), sum("w").as("wn"))
+      .select(col("event_type"), col("b"), expr("wc div wn").as("m"))
+    val full = table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        expr("sum(cast(floor(value * 100) as bigint)) div count(1)")
+          .as("mean_cents"))
+    reps.groupBy("event_type")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("event_type"),
+        element_at(col("ms"), 2).as("boot_lo_cents"),
+        element_at(col("ms"), BootB - 1).as("boot_hi_cents"))
+      .join(full, "event_type")
+      .select(col("event_type"), col("n_events"), col("mean_cents"),
+        col("boot_lo_cents"), col("boot_hi_cents"))
+      .orderBy("event_type")
+  }
+
+  val bootstrapCiSql: String = {
+    import graft.text.Hashing
+    val wSql = BootPoisson.zipWithIndex.foldRight("4") {
+      case ((t, k), e) => s"CASE WHEN u < $t THEN $k ELSE $e END"
+    }
+    s"""WITH x AS (
+       |  SELECT event_type, event_id, floor(value * 100)::BIGINT AS cents,
+       |    unnest(generate_series(1, $BootB)) AS b
+       |  FROM events),
+       |u AS (
+       |  SELECT event_type, b, cents,
+       |    ${Hashing.h60Sql("event_id::VARCHAR || ':' || b::VARCHAR")} % 1000000
+       |      AS u
+       |  FROM x),
+       |r AS (
+       |  SELECT event_type, b,
+       |    (sum(($wSql) * cents) // sum($wSql))::BIGINT AS m
+       |  FROM u GROUP BY event_type, b),
+       |ci AS (
+       |  SELECT event_type, list_sort(list(m)) AS ms FROM r GROUP BY event_type),
+       |f AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_events,
+       |    (sum(floor(value * 100)::BIGINT) // count(*))::BIGINT AS mean_cents
+       |  FROM events GROUP BY event_type)
+       |SELECT f.event_type, n_events, mean_cents,
+       |  ms[2]::BIGINT AS boot_lo_cents, ms[${BootB - 1}]::BIGINT AS boot_hi_cents
+       |FROM f JOIN ci ON f.event_type = ci.event_type
+       |ORDER BY 1""".stripMargin
+  }
 }

@@ -53,11 +53,14 @@ object Hashing {
     * deterministic cross-engine constants (e.g. LSH hyperplane
     * components) that both the Scala operator and the generated
     * oracle recompute from the same strings. */
-  def x31Jvm(s: String): Long = {
+  def x31Jvm(s: String): Long = h60Jvm(s) % P31
+
+  /** Driver-side scalar twin of [[h60]] (md5 hex, first 15 chars). */
+  def h60Jvm(s: String): Long = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
     val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16) % P31
+    java.lang.Long.parseLong(hex, 16)
   }
 
   // ---- affine MinHash functions --------------------------------------

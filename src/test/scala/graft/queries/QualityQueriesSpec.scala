@@ -154,4 +154,37 @@ class QualityQueriesSpec extends SparkSpec {
       .select("l_orderkey").collect().map(_.getLong(0))
     assert(rows("lineitem")._2 == li.count(delOrd.contains).toLong)
   }
+
+  test("q147: replica means re-derive from the driver-side Poisson draw; CI ordered") {
+    val rows = QualityQueries.bootstrapCi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, mean, lo, hi) =>
+      assert(lo <= hi, t)
+      assert(lo <= mean && mean <= hi, s"$t: 90% CI should bracket the mean here")
+      assert(n > 0, t)
+    }
+    // full driver recompute of every replica mean for one type
+    import graft.text.Hashing
+    val ev = QueryUtil.table(spark, sfDir, "events")
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val t0 = rows.head._1
+    def weight(u: Long): Long = {
+      val th = QualityQueries.BootPoisson
+      th.indexWhere(u < _) match { case -1 => 4L; case k => k.toLong }
+    }
+    val ms = (1 to QualityQueries.BootB).map { b =>
+      var wc = 0L; var wn = 0L
+      ev.foreach { case (t, id, v) =>
+        if (t == t0) {
+          val w = weight(Hashing.h60Jvm(s"$id:$b") % 1000000L)
+          wc += w * math.floor(v * 100d).toLong; wn += w
+        }
+      }
+      wc / wn
+    }.sorted
+    assert(rows.head._4 == ms(1) && rows.head._5 == ms(QualityQueries.BootB - 2),
+      s"CI endpoints drifted from the driver recompute: $ms")
+  }
 }
