@@ -2050,4 +2050,63 @@ object ScaleQueries {
   /** Identical oracle to q115 — stream state must reproduce the same
     * deterministic heavy set and guarantees. */
   val streamHeavyHittersSql: String = heavyHittersSql
+
+  // ---- q148: embedding covariance (PCA/whitening prep) ----------------
+
+  /** Quantization for covariance sums: `floor(x·10⁴)` keeps every
+    * component in ±~10⁴, so the worst term `n·Σq₁q₂` stays far under
+    * 2⁶³ even at 100× the bench corpus (magnitude ≈ n²·10⁸); floor —
+    * not round — because floor of a double is engine-unambiguous. */
+  val CovQuant = 10000d
+
+  /** The d×d covariance matrix of the embedding corpus — the input to
+    * PCA whitening (the preprocessing step semantic-dedup and
+    * compression pipelines run before clustering, cf. SemDeDup) and
+    * the dimension-health audit (a dead dimension shows as a zero
+    * variance row). Everything is EXACT integer arithmetic on
+    * [[CovQuant]]-quantized components: the gate emits the raw
+    * integer numerator `n·Σq₁q₂ − Σq₁·Σq₂` (= n²·cov) per (d1 ≤ d2)
+    * pair — no float ever crosses the engine boundary.
+    *
+    * Scale shape: one explode to (vec, dim, q) — d=64 is a FIXED
+    * fanout — then the pair sums come from a self-join co-partitioned
+    * on vec_id (one exchange per side, map-side-combined aggregate:
+    * work = n·d²/2, linear in the corpus) and the per-dim sums join
+    * back as a broadcast (d rows — bounded by the model, not the
+    * corpus, so the hint is safe at any scale). */
+  def embCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * lit(CovQuant)).cast("long").as("q"))
+    val s = e.groupBy("d").agg(sum("q").as("sq"))
+    val p = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg(count(lit(1)).as("n"), sum(expr("a.q * b.q")).as("s12"))
+    p.join(broadcast(s.select(col("d").as("d1"), col("sq").as("sq1"))), "d1")
+      .join(broadcast(s.select(col("d").as("d2"), col("sq").as("sq2"))), "d2")
+      .select(col("d1"), col("d2"), col("n"),
+        expr("n * s12 - sq1 * sq2").as("cov_num"))
+      .orderBy("d1", "d2")
+  }
+
+  val embCovarianceSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, (i - 1)::BIGINT AS d,
+       |    floor(embedding[i]::DOUBLE * $CovQuant)::BIGINT AS q
+       |  FROM e0),
+       |s AS (SELECT d, sum(q)::BIGINT AS sq FROM e GROUP BY d),
+       |p AS (
+       |  SELECT a.d AS d1, b.d AS d2, count(*)::BIGINT AS n,
+       |    sum(a.q * b.q)::BIGINT AS s12
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, p.n, (p.n * s12 - s1.sq * s2.sq)::BIGINT AS cov_num
+       |FROM p JOIN s s1 ON s1.d = p.d1 JOIN s s2 ON s2.d = p.d2
+       |ORDER BY d1, d2""".stripMargin
 }

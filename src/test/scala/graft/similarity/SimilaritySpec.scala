@@ -234,4 +234,26 @@ class SimilaritySpec extends SparkSpec {
     val overlap8 = qids.map(q => (topK(q, 8) & topK(q, 64)).size.toLong).sum
     assert(rows.find(_._1 == 8).get._2 == overlap8)
   }
+
+  test("q148: covariance numerators re-derive from a driver recompute; diagonal PSD") {
+    import graft.queries.{QueryUtil, ScaleQueries}
+    val rows = ScaleQueries.embCovariance(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val emb = QueryUtil.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val d = emb.head.length
+    assert(rows.size == d * (d + 1) / 2)
+    def q(x: Float): Long = math.floor(x.toDouble * ScaleQueries.CovQuant).toLong
+    // exact recompute for a handful of pairs incl. the diagonal
+    for ((d1, d2) <- Seq((0, 0), (0, 1), (5, 5), (3, 60), (63, 63))) {
+      val n = emb.length.toLong
+      val s12 = emb.map(v => q(v(d1)) * q(v(d2))).sum
+      val s1 = emb.map(v => q(v(d1))).sum
+      val s2 = emb.map(v => q(v(d2))).sum
+      assert(rows((d1.toLong, d2.toLong)) == ((n, n * s12 - s1 * s2)), s"($d1,$d2)")
+    }
+    // diagonal of a covariance matrix is non-negative
+    (0 until d).foreach(i => assert(rows((i.toLong, i.toLong))._2 >= 0L, s"var($i)"))
+  }
 }
