@@ -2109,4 +2109,94 @@ object ScaleQueries {
        |SELECT d1, d2, p.n, (p.n * s12 - s1.sq * s2.sq)::BIGINT AS cov_num
        |FROM p JOIN s s1 ON s1.d = p.d1 JOIN s s2 ON s2.d = p.d2
        |ORDER BY d1, d2""".stripMargin
+
+  // ---- q149: PCA first component (integer power iteration) -----------
+
+  /** Power-iteration rounds — enough for a clear dominant direction on
+    * this spectrum; the gate claim is deterministic equality of the
+    * ITERATE, not an eigen-residual bound. */
+  val PcaIters = 16
+
+  /** The leading principal component of the embedding corpus by POWER
+    * ITERATION in exact integer arithmetic — the PageRank quantization
+    * trick applied to PCA: the q148 covariance numerators (pre-scaled
+    * `div 10⁶` so a matrix-vector product stays far inside int64) are
+    * MODEL-BOUNDED d×d driver state; each round computes `w = C·v`
+    * exactly and renormalizes to max-component ±10⁶ via
+    * `(w·1000) div max(1, max|w| div 1000)` — every step truncating
+    * integer division, bit-identical in any engine (DivSemanticsSpec
+    * pins the negative-operand agreement, which matters: eigenvector
+    * components go negative). Output: the final direction (d, v_q)
+    * plus its Rayleigh-quotient share of total variance in per-mille
+    * (`dominance_pm`) — the "how much does one axis explain" health
+    * number that decides whether whitening is worth running.
+    *
+    * Scale shape: the corpus-scale work IS q148 (one scan + one
+    * self-join aggregate); the iteration runs on d² longs. The oracle
+    * replays all [[PcaIters]] rounds as generated SQL CTEs (the
+    * PageRank.iterationSql pattern) on top of q148's oracle CTEs. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val tri = embCovariance(spark, dir).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(3)))
+    val d = tri.map(_._1._2).max + 1
+    val c = Array.ofDim[Long](d, d)
+    tri.foreach { case ((i, j), num) =>
+      val s = num / 1000000L // truncating div == DuckDB `//` (DivSemanticsSpec)
+      c(i)(j) = s; c(j)(i) = s
+    }
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(x => (x * 1000L) / math.max(1L, m / 1000L))
+    }
+    val v3 = v.map(_ / 1000L)
+    val inner = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v3(j)).sum)
+    val lamNum = (0 until d).map(i => v3(i) * inner(i)).sum
+    val lamDen = v3.map(x => x * x).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val dom = (1000L * (lamNum / math.max(1L, lamDen))) / math.max(1L, trace)
+    import spark.implicits._
+    v.zipWithIndex.map { case (vq, i) => (i.toLong, vq, dom) }.toSeq
+      .toDF("d", "v_q", "dominance_pm")
+      .orderBy("d")
+  }
+
+  val pcaPowerSql: String = {
+    // one round: w{t} = C'·v{t-1}; v{t} = (w·1000) // max(1, max|w|//1000)
+    def iter(t: Int): String =
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.d1 AS d, sum(c.c * v${t - 1}.v)::BIGINT AS w
+         |  FROM cfull c JOIN v${t - 1} ON v${t - 1}.d = c.d2 GROUP BY 1),
+         |m$t AS (SELECT greatest(1, max(abs(w)) // 1000)::BIGINT AS m FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT d, ((w * 1000) // m)::BIGINT AS v FROM w$t CROSS JOIN m$t)"""
+        .stripMargin
+    val covBody = embCovarianceSql
+      .stripPrefix("WITH ").split("\nSELECT d1, d2,")(0)
+    val iters = (1 to PcaIters).map(iter).mkString(",\n")
+    s"""WITH $covBody,
+       |cn AS MATERIALIZED (
+       |  SELECT d1, d2, ((p.n * s12 - s1.sq * s2.sq) // 1000000)::BIGINT AS c
+       |  FROM p JOIN s s1 ON s1.d = p.d1 JOIN s s2 ON s2.d = p.d2),
+       |cfull AS MATERIALIZED (
+       |  SELECT d1, d2, c FROM cn
+       |  UNION ALL SELECT d2, d1, c FROM cn WHERE d1 <> d2),
+       |v0 AS (SELECT DISTINCT d1 AS d, 1000000::BIGINT AS v FROM cfull),
+       |$iters,
+       |vf AS (SELECT d, (v // 1000)::BIGINT AS v3 FROM v$PcaIters),
+       |inn AS (
+       |  SELECT c.d1 AS d, sum(c.c * vf.v3)::BIGINT AS i FROM cfull c
+       |  JOIN vf ON vf.d = c.d2 GROUP BY 1),
+       |lam AS (
+       |  SELECT (sum(vf.v3 * inn.i) // greatest(1, (SELECT sum(v3 * v3) FROM vf)))::BIGINT AS l
+       |  FROM vf JOIN inn ON vf.d = inn.d),
+       |tr AS (SELECT sum(c)::BIGINT AS t FROM cn WHERE d1 = d2),
+       |dom AS (SELECT ((1000 * lam.l) // greatest(1, tr.t))::BIGINT AS dom
+       |        FROM lam CROSS JOIN tr)
+       |SELECT v.d, v.v AS v_q, dom.dom AS dominance_pm
+       |FROM v$PcaIters v CROSS JOIN dom
+       |ORDER BY v.d""".stripMargin
+  }
 }

@@ -256,4 +256,24 @@ class SimilaritySpec extends SparkSpec {
     // diagonal of a covariance matrix is non-negative
     (0 until d).foreach(i => assert(rows((i.toLong, i.toLong))._2 >= 0L, s"var($i)"))
   }
+
+  test("q149: iterate is max-normalized, deterministic, and better than a random axis") {
+    import graft.queries.ScaleQueries
+    val a = ScaleQueries.pcaPower(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length == 64)
+    // renormalization invariant: the largest |component| is exactly 10^6
+    assert(a.map(t => math.abs(t._2)).max == 1000000L)
+    val dom = a.head._3
+    assert(dom >= 0L && dom <= 1000L)
+    // the dominant direction explains at least the average per-axis
+    // share (1000/64 ≈ 15‰) — anything less means the iteration left
+    // the v0 simplex for a WORSE direction, which power iteration on a
+    // PSD matrix cannot do at convergence
+    assert(dom >= 1000L / 64L, s"dominance $dom below the uniform share")
+    // pure function: a second run is bit-identical
+    val b = ScaleQueries.pcaPower(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+  }
 }
