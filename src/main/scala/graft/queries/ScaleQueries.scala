@@ -2199,4 +2199,106 @@ object ScaleQueries {
        |FROM v$PcaIters v CROSS JOIN dom
        |ORDER BY v.d""".stripMargin
   }
+
+  // ---- q150: reciprocal-rank fusion (hybrid retrieval) ----------------
+
+  /** RRF rank-discount constant (Cormack & Clarke SIGIR'09's k=60). */
+  val RrfK = 60
+  /** Candidates kept per retriever before fusion. */
+  val RrfTopK = 20
+  /** Dense-side query: the embedding of this vec_id (the corpus shares
+    * one id space — embeddings.vec_id IS documents.doc_id). */
+  val RrfDenseQuery = 0L
+
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard way a
+    * RAG/data-curation stack combines a lexical ranker (q63's BM25)
+    * with a dense ranker (q13's cosine machinery) WITHOUT comparable
+    * scores: each retriever contributes only its RANK, fused as
+    * Σ 1/(k + rank) (Cormack & Clarke, SIGIR'09). Computed here in
+    * exact integer micro-units (`10⁶ div (k + rank)`), so the fused
+    * score, tie-break, and final ordering are pure functions of the two
+    * rank lists — hash-exact in any engine (float scores never cross
+    * the fusion boundary; ranks come from each list's own deterministic
+    * (score desc, id) total order, the q63/q13 contracts).
+    *
+    * Scale shape: each retriever is its own corpus-scan pipeline ending
+    * in a TakeOrderedAndProject cut to [[RrfTopK]] rows; the fusion is
+    * a full-outer join of two k-row tables + a k-row window — driver
+    * never touches corpus-sized data, and adding a third retriever adds
+    * one scan and one k-row join, nothing quadratic anywhere. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sparse = bm25(spark, dir) // (doc_id, bm25 r6) — already top-RrfTopK
+      .select(col("doc_id"), row_number()
+        .over(w.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("bm25_rank"))
+    val emb = table(spark, dir, "embeddings")
+    val dense = graft.similarity.CosineKnn.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === RrfDenseQuery), RrfTopK)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("bm25_rank", "dense_rank"))
+      // ≤ 2·RrfTopK rows from here on — the unpartitioned window is the
+      // q91/q131 bounded-input regime, not a corpus window
+      .withColumn("rrf_micro", expr(
+        s"CASE WHEN bm25_rank > 0 THEN 1000000 div ($RrfK + bm25_rank) ELSE 0 END" +
+        s" + CASE WHEN dense_rank > 0 THEN 1000000 div ($RrfK + dense_rank) ELSE 0 END"))
+      .withColumn("fused_rank", row_number()
+        .over(w.orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("fused_rank"), col("doc_id"), col("rrf_micro"),
+        col("bm25_rank"), col("dense_rank"))
+      .orderBy("fused_rank")
+  }
+
+  val rrfFusionSql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |  FROM documents),
+       |ft AS (SELECT doc_id, term FROM toks WHERE length(term) >= $MinTermLen),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ft GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |         (SELECT avg(dl) FROM dl) AS avgdl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ft
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |idf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term),
+       |bm AS (
+       |  SELECT tf.doc_id AS doc_id,
+       |    round(sum(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |        * tf * ${Bm25K1 + 1} / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl / avgdl))
+       |    ), 6) AS bm25
+       |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT $RrfTopK),
+       |sp AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS bm25_rank
+       |  FROM bm),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qv AS (SELECT e FROM v WHERE vec_id = $RrfDenseQuery),
+       |cs AS (
+       |  SELECT v.vec_id AS doc_id, list_cosine_similarity(qv.e, v.e) AS cos
+       |  FROM qv, v WHERE v.vec_id <> $RrfDenseQuery),
+       |dn AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT AS dense_rank
+       |  FROM cs ORDER BY cos DESC, doc_id LIMIT $RrfTopK),
+       |f AS (
+       |  SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+       |    coalesce(bm25_rank, 0)::BIGINT AS bm25_rank,
+       |    coalesce(dense_rank, 0)::BIGINT AS dense_rank
+       |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id),
+       |r AS (
+       |  SELECT doc_id, bm25_rank, dense_rank,
+       |    ((CASE WHEN bm25_rank > 0 THEN 1000000 // ($RrfK + bm25_rank) ELSE 0 END)
+       |     + (CASE WHEN dense_rank > 0 THEN 1000000 // ($RrfK + dense_rank) ELSE 0 END)
+       |    )::BIGINT AS rrf_micro
+       |  FROM f)
+       |SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id)::BIGINT AS fused_rank,
+       |  doc_id, rrf_micro, bm25_rank, dense_rank
+       |FROM r ORDER BY fused_rank""".stripMargin
+  }
 }

@@ -81,4 +81,33 @@ class ScaleQueriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got.nonEmpty && got == want)
   }
+
+  test("q150: RRF fusion equals the driver-side fold of the two rank lists") {
+    import ScaleQueries.{RrfK, RrfTopK, RrfDenseQuery}
+    val got = ScaleQueries.rrfFusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // rebuild both rank lists independently of the query's own fusion
+    val sparse = ScaleQueries.bm25(spark, sfDir)
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dense = graft.similarity.CosineKnn.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === RrfDenseQuery), RrfTopK)
+      .orderBy("rank").collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("rank").toLong).toMap
+
+    val want = (sparse.keySet ++ dense.keySet).toSeq.map { d =>
+      val br = sparse.getOrElse(d, 0L)
+      val dr = dense.getOrElse(d, 0L)
+      val s = (if (br > 0) 1000000L / (RrfK + br) else 0L) +
+        (if (dr > 0) 1000000L / (RrfK + dr) else 0L)
+      (d, s, br, dr)
+    }.sortBy { case (d, s, _, _) => (-s, d) }
+      .zipWithIndex.map { case ((d, s, br, dr), i) => (i + 1L, d, s, br, dr) }
+    assert(got.toSeq == want, "fusion differs from the driver-side fold")
+    // both retrievers actually contributed to the fused list
+    assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
+    assert(got.map(_._1).toSeq == (1L to got.length))
+  }
 }
