@@ -616,4 +616,126 @@ object CleaningQueries {
        |    / ((n * sxx - sx * sx)::DOUBLE
        |       * (n * syy - sy * sy)::DOUBLE))::BIGINT AS r2_pm
        |FROM m""".stripMargin
+
+  // ---- q151: Heaps-law vocabulary growth fit --------------------------
+
+  /** Growth checkpoints along the ingestion order. */
+  val HeapsK = 16
+
+  /** Vocabulary-growth audit (Heaps' law): natural corpora grow their
+    * vocabulary as V(T) ≈ k·T^β with β ≈ 0.4–0.6; a template-flooded
+    * or deduplication-broken feed bends β, and a CLOSED vocabulary
+    * (generated/boilerplate text) drives it to 0 — so curation
+    * pipelines track the exponent per snapshot alongside q135's Zipf
+    * slope. The corpus is cut at [[HeapsK]] ingestion-order
+    * checkpoints; at each, cumulative tokens T and cumulative distinct
+    * vocabulary V are EXACT integers (V via per-word FIRST-occurrence
+    * rank — a word counts at the earliest checkpoint covering it, so
+    * no checkpoint recounts the corpus); the OLS of ln V on ln T uses
+    * q135's discipline — both axes quantized to integer micro-log per
+    * checkpoint row BEFORE the moment sums, moments in DECIMAL(38,0),
+    * outputs BIGINT. A constant-V spectrum (vocabulary saturated at
+    * every checkpoint — this synthetic 31-word salad's honest verdict)
+    * has zero y-variance, where R² is 0/0; both engines pin that case
+    * to 1000‰ (the zero slope fits exactly).
+    *
+    * Scale shape: one corpus scan → (word, first_rank) aggregate
+    * collapsed to a first-rank histogram (≤ #docs rows); checkpoint
+    * sums are a K-row broadcast grid non-equi-joined against the
+    * histogram and the per-doc token table — never a second corpus
+    * scan. The ingestion-order rank is a doc-level window (docs, not
+    * tokens); at warehouse scale it substitutes q94's distributed
+    * PrefixSum, same as q143's per-source rank. */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("w"), row_number().over(win).cast("long").as("dr"))
+    val nDocs = docs.count()
+    val frHist = docs.select(col("dr"), explode(col("w")).as("word"))
+      .groupBy("word").agg(min(col("dr")).as("fr"))
+      .groupBy("fr").agg(count(lit(1)).as("c"))
+    val dtok = docs.select(col("dr"), size(col("w")).cast("long").as("ntok"))
+    val grid = spark.range(1, HeapsK + 1).toDF("ckpt")
+      .select(col("ckpt"), expr(s"($nDocs * ckpt + ${HeapsK - 1}) div $HeapsK").as("nj"))
+    val vj = broadcast(grid).join(frHist, col("fr") <= col("nj"))
+      .groupBy("ckpt").agg(sum(col("c")).as("cum_vocab"))
+    val tj = broadcast(grid).join(dtok, col("dr") <= col("nj"))
+      .groupBy("ckpt").agg(sum(col("ntok")).as("cum_tokens"))
+    val ck = grid.join(vj, "ckpt").join(tj, "ckpt")
+      .select(col("ckpt"), col("nj").as("n_docs"),
+        col("cum_tokens"), col("cum_vocab"),
+        expr("cast(round(1000000 * ln(cast(cum_tokens as double))) as long)").as("x"),
+        expr("cast(round(1000000 * ln(cast(cum_vocab as double))) as long)").as("y"))
+    val d38 = "decimal(38,0)"
+    val fit = ck.agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(
+        expr("cast(round(cast(1000000 * (n * sxy - sx * sy) as double) " +
+          "/ cast(n * sxx - sx * sx as double)) as long)").as("beta_micro"),
+        expr("cast(round((cast(sy as double) " +
+          "- (cast(n * sxy - sx * sy as double) " +
+          "/ cast(n * sxx - sx * sx as double)) * cast(sx as double)) " +
+          "/ cast(n as double)) as long)").as("lnk_micro"),
+        expr("cast(CASE WHEN n * syy - sy * sy = 0 THEN 1000 ELSE " +
+          "floor(1000.0 * (cast(n * sxy - sx * sy as double) " +
+          "* cast(n * sxy - sx * sy as double)) " +
+          "/ (cast(n * sxx - sx * sx as double) " +
+          "* cast(n * syy - sy * sy as double))) END as long)").as("r2_pm"))
+    ck.select("ckpt", "n_docs", "cum_tokens", "cum_vocab")
+      .crossJoin(broadcast(fit))
+      .orderBy("ckpt")
+  }
+
+  val heapsFitSql: String =
+    s"""WITH d AS (
+       |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w,
+       |    row_number() OVER (ORDER BY doc_id) AS dr
+       |  FROM documents),
+       |fr AS (
+       |  SELECT word, min(dr)::BIGINT AS fr
+       |  FROM (SELECT dr, unnest(w) AS word FROM d) GROUP BY word),
+       |frh AS (SELECT fr, count(*)::BIGINT AS c FROM fr GROUP BY fr),
+       |dt AS (SELECT dr, len(w)::BIGINT AS ntok FROM d),
+       |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |grid AS (
+       |  SELECT g AS ckpt, ((n * g + ${HeapsK - 1}) // $HeapsK)::BIGINT AS nj
+       |  FROM (SELECT unnest(generate_series(1, $HeapsK)) AS g) CROSS JOIN nd),
+       |vj AS (
+       |  SELECT ckpt, sum(c)::BIGINT AS cum_vocab
+       |  FROM grid JOIN frh ON frh.fr <= grid.nj GROUP BY ckpt),
+       |tj AS (
+       |  SELECT ckpt, sum(ntok)::BIGINT AS cum_tokens
+       |  FROM grid JOIN dt ON dt.dr <= grid.nj GROUP BY ckpt),
+       |ck AS (
+       |  SELECT grid.ckpt::BIGINT AS ckpt, grid.nj AS n_docs,
+       |    cum_tokens, cum_vocab,
+       |    round(1000000 * ln(cum_tokens::DOUBLE))::BIGINT AS x,
+       |    round(1000000 * ln(cum_vocab::DOUBLE))::BIGINT AS y
+       |  FROM grid JOIN vj USING (ckpt) JOIN tj USING (ckpt)),
+       |m AS (
+       |  SELECT count(*)::DECIMAL(38,0) AS n,
+       |    sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+       |    sum((x * y)::DECIMAL(38,0)) AS sxy,
+       |    sum((x * x)::DECIMAL(38,0)) AS sxx,
+       |    sum((y * y)::DECIMAL(38,0)) AS syy
+       |  FROM ck),
+       |fit AS (
+       |  SELECT
+       |    round((1000000 * (n * sxy - sx * sy))::DOUBLE
+       |      / (n * sxx - sx * sx)::DOUBLE)::BIGINT AS beta_micro,
+       |    round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+       |        / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+       |      / n::DOUBLE)::BIGINT AS lnk_micro,
+       |    (CASE WHEN n * syy - sy * sy = 0 THEN 1000 ELSE
+       |      floor(1000.0 * ((n * sxy - sx * sy)::DOUBLE
+       |          * (n * sxy - sx * sy)::DOUBLE)
+       |        / ((n * sxx - sx * sx)::DOUBLE
+       |           * (n * syy - sy * sy)::DOUBLE)) END)::BIGINT AS r2_pm
+       |  FROM m)
+       |SELECT ckpt, n_docs, cum_tokens, cum_vocab, beta_micro, lnk_micro, r2_pm
+       |FROM ck CROSS JOIN fit ORDER BY ckpt""".stripMargin
 }

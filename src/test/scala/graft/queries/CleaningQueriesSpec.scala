@@ -127,4 +127,47 @@ class CleaningQueriesSpec extends SparkSpec {
     assert(slope < 0 && slope > -1000000)
     assert(r2 >= 0 && r2 < 900)
   }
+
+  test("q151: checkpoints equal an exact driver-side recompute of V(T)") {
+    import CleaningQueries.HeapsK
+    val rows = CleaningQueries.heapsFit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == (1L to HeapsK))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val n = docs.length.toLong
+    rows.foreach { case (j, nDocs, cumTok, cumVoc, _, _, _) =>
+      assert(nDocs == (n * j + HeapsK - 1) / HeapsK)
+      val prefix = docs.take(nDocs.toInt)
+      assert(cumTok == prefix.map(_.length.toLong).sum, s"ckpt $j tokens")
+      assert(cumVoc == prefix.flatten.distinct.length.toLong, s"ckpt $j vocab")
+    }
+    // monotone growth, and the fit columns are constant across rows
+    assert(rows.sliding(2).forall(p => p(1)._3 >= p(0)._3 && p(1)._4 >= p(0)._4))
+    assert(rows.map(r => (r._5, r._6, r._7)).distinct.length == 1)
+  }
+
+  test("q151: the OLS recovers beta on a synthetic open-vocabulary corpus") {
+    // V(T) here grows as a power law by construction: doc i contributes
+    // words w_{k} for k in [0, floor((i+1)^0.5 * 8)), 20 tokens each
+    import spark.implicits._
+    val docs = (0 until 64).map { i =>
+      val vocabTop = math.floor(math.sqrt(i + 1d) * 8).toInt
+      val words = (0 until 20).map(t => s"w${(i * 7 + t * 13) % vocabTop}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CleaningQueries.heapsFit(spark, dir).collect().head
+    val beta = r.getLong(4)
+    val r2 = r.getLong(6)
+    // sublinear open-vocabulary growth: 0 < beta < 1, strong fit
+    assert(beta > 100000 && beta < 900000, s"beta_micro=$beta")
+    assert(r2 > 800, s"r2_pm=$r2")
+  }
 }
