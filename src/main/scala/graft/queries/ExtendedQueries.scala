@@ -546,4 +546,71 @@ object ExtendedQueries {
        |CROSS JOIN a
        |ORDER BY format""".stripMargin
   }
+
+  // ---- q152: SCD Type-2 dimension build -------------------------------
+
+  /** Open-interval sentinel: 9999-12-31 in epoch days. */
+  val Scd2EndDay = 2932896L
+
+  /** Slowly-changing-dimension (Type 2) build — the warehouse pattern
+    * that turns a mutable attribute's change HISTORY into versioned
+    * validity intervals, so every fact row can join the attribute AS OF
+    * its own date (Kimball's SCD2; the q38 as-of join is the lookup
+    * side of this same contract). Tracked attribute: each customer's
+    * order priority over their order sequence on the (day, orderkey)
+    * TOTAL order. Consecutive repeats collapse (lag ≠ current keeps a
+    * row only when the value CHANGES); each kept row becomes a version
+    * with `valid_from_day` = its day, `valid_to_day` = the eve of the
+    * next version ([[Scd2EndDay]] sentinel + `is_current` on the last).
+    * Two same-day changes produce a degenerate (valid_to < valid_from)
+    * middle version — the standard date-grain SCD2 artifact, kept
+    * deterministic by the orderkey tie-break rather than hidden.
+    *
+    * Scale shape: ONE hash shuffle on custkey; the change filter, the
+    * version numbering, and the interval close are three window passes
+    * over the SAME (custkey)/(day, okey) partitioning-and-sort, so
+    * Spark plans one Exchange + one Sort and the rest pipelines; no
+    * joins, no driver state. */
+  def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("custkey").orderBy("day", "okey")
+    val o = table(spark, dir, "orders").select(
+      col("o_custkey").as("custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"),
+      col("o_orderkey").as("okey"),
+      col("o_orderpriority").as("prio"))
+    o.withColumn("prev", lag("prio", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("nxt", lead("day", 1).over(w))
+      .select(col("custkey"), col("version"), col("prio").as("priority"),
+        col("day").as("valid_from_day"),
+        coalesce(col("nxt") - 1, lit(Scd2EndDay)).as("valid_to_day"),
+        col("nxt").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  val scd2DimSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS custkey,
+       |    (epoch_us(o_orderdate::TIMESTAMP) // 86400000000)::BIGINT AS day,
+       |    o_orderkey AS okey, o_orderpriority AS prio
+       |  FROM orders),
+       |ch AS (
+       |  SELECT custkey, day, okey, prio,
+       |    lag(prio) OVER (PARTITION BY custkey ORDER BY day, okey) AS prev
+       |  FROM o),
+       |k AS (
+       |  SELECT custkey, day, okey, prio FROM ch
+       |  WHERE prev IS NULL OR prev <> prio)
+       |SELECT custkey,
+       |  row_number() OVER (PARTITION BY custkey ORDER BY day, okey)::BIGINT
+       |    AS version,
+       |  prio AS priority, day AS valid_from_day,
+       |  coalesce(lead(day) OVER (PARTITION BY custkey ORDER BY day, okey) - 1,
+       |    $Scd2EndDay)::BIGINT AS valid_to_day,
+       |  (lead(day) OVER (PARTITION BY custkey ORDER BY day, okey) IS NULL)
+       |    AS is_current
+       |FROM k ORDER BY custkey, version""".stripMargin
 }

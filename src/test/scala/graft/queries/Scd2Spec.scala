@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** q152: SCD Type-2 dimension build — the interval algebra must hold
+  * exactly, and the dimension must answer as-of lookups identically to
+  * the raw change history it was built from. */
+class Scd2Spec extends SparkSpec {
+
+  private lazy val dim = ExtendedQueries.scd2Dim(spark, sfDir).collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)))
+
+  private lazy val history: Map[Long, Seq[(Long, Long, String)]] =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        col("o_orderkey"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (ck, rs) =>
+        ck -> rs.sortBy(r => (r._2, r._3)).map(r => (r._2, r._3, r._4)).toSeq
+      }
+
+  test("q152: dimension equals the driver-side change-collapse of order history") {
+    val want = history.toSeq.flatMap { case (ck, seq) =>
+      val changes = seq.foldLeft(Vector.empty[(Long, Long, String)]) {
+        case (acc, r) =>
+          if (acc.nonEmpty && acc.last._3 == r._3) acc else acc :+ r
+      }
+      changes.zipWithIndex.map { case ((day, _, prio), i) =>
+        val to = if (i + 1 < changes.length) changes(i + 1)._1 - 1
+                 else ExtendedQueries.Scd2EndDay
+        (ck, i + 1L, prio, day, to, i + 1 == changes.length)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(dim.toSeq == want)
+  }
+
+  test("q152: versions are dense, intervals chain, exactly one current per customer") {
+    dim.groupBy(_._1).foreach { case (ck, vs) =>
+      val s = vs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1L to s.length), s"custkey $ck versions")
+      assert(s.count(_._6) == 1 && s.last._6, s"custkey $ck current flag")
+      assert(s.last._5 == ExtendedQueries.Scd2EndDay)
+      s.toSeq.sliding(2).filter(_.length == 2).foreach { p =>
+        val (a, b) = (p(0), p(1))
+        assert(a._5 == b._4 - 1, s"custkey $ck gap between v${a._2} and v${b._2}")
+        assert(a._3 != b._3, s"custkey $ck consecutive versions share a value")
+      }
+    }
+  }
+
+  test("q152: as-of lookup through the dimension matches the raw history") {
+    // probe each customer's attribute as of every distinct change day:
+    // the interval covering the day must carry the value the history
+    // shows for the latest change <= that day
+    history.take(50).foreach { case (ck, seq) =>
+      val vs = dim.filter(_._1 == ck).sortBy(_._2)
+      seq.map(_._1).distinct.foreach { day =>
+        val covering = vs.filter(v => v._4 <= day && day <= v._5)
+        // degenerate same-day versions may leave multiple/empty covers
+        // only for days that themselves hosted a multi-change collision
+        if (covering.length == 1) {
+          val wantPrio = seq.takeWhile(_._1 <= day).lastOption.map(_._3)
+          assert(wantPrio.contains(covering.head._3), s"custkey $ck day $day")
+        }
+      }
+    }
+  }
+}
