@@ -738,4 +738,128 @@ object CleaningQueries {
        |  FROM m)
        |SELECT ckpt, n_docs, cum_tokens, cum_vocab, beta_micro, lnk_micro, r2_pm
        |FROM ck CROSS JOIN fit ORDER BY ckpt""".stripMargin
+
+  // ---- q153: C4-style line-level filtering audit ----------------------
+
+  /** Words per synthesized line. */
+  val C4LineW = 7
+  /** Minimum words for a line to survive (C4 uses 3 on sentences; 5
+    * here so the last-chunk shortfall genuinely exercises the rule). */
+  val C4MinWords = 5
+
+  /** The C4 cleaning recipe's LINE stage (Raffel et al. 2020, §2.2) as
+    * a corpus operator: keep a line only if it ends in terminal
+    * punctuation, has ≥ [[C4MinWords]] words, and carries no
+    * boilerplate marker ("javascript"/"cookie" — the curly-brace and
+    * policy rules ride the same predicate); drop the ENTIRE document
+    * when any line contains "lorem ipsum". The synthetic salad has no
+    * lines, so — the q79/q80 convention — the dirt is injected
+    * deterministically in-pipeline with the IDENTICAL construction in
+    * the oracle: docs chunk into [[C4LineW]]-word lines; line class
+    * `(doc_id·31 + li) mod 17` = 0 becomes a javascript/cookie
+    * boilerplate line, = 1 becomes a lorem-ipsum line (dooming its
+    * doc), and surviving lines get a terminal '.' only when
+    * `(doc_id + li) mod 3 ≠ 0` — so every rule provably fires, and the
+    * audit gates the kept CONTENT (per-line x31 checksum), not just
+    * counts. Rules classify each line into exactly one bucket in
+    * priority order (banned → no-punct → short → kept), so the class
+    * counts partition lines_in.
+    *
+    * Scale shape: the lorem doc-flag is a per-row array fold (no
+    * shuffle, no self-join); one explode → one per-source aggregation;
+    * text reaches the shuffle only as the per-source rollup. */
+  def c4LineFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("nl", expr(s"(size(w) - 1) div $C4LineW + 1"))
+      .withColumn("lorem",
+        expr("exists(sequence(0, nl - 1), li -> pmod(doc_id * 31 + li, 17) = 1)"))
+    val lines = d
+      .withColumn("li", explode(expr("sequence(0, nl - 1)")))
+      .withColumn("chunk",
+        expr(s"concat_ws(' ', slice(w, li * $C4LineW + 1, $C4LineW))"))
+      .withColumn("h", pmod(col("doc_id") * 31 + col("li"), lit(17)))
+      .withColumn("line",
+        when(col("h") === 0,
+          lit("click here to enable javascript and cookies in your browser."))
+        .when(col("h") === 1, lit("lorem ipsum dolor sit amet consectetur."))
+        .otherwise(when(pmod(col("doc_id") + col("li"), lit(3)) =!= 0,
+          concat(col("chunk"), lit("."))).otherwise(col("chunk"))))
+      .withColumn("banned",
+        col("line").contains("javascript") || col("line").contains("cookie"))
+      .withColumn("punct", expr("right(line, 1) in ('.', '!', '?')"))
+      .withColumn("nwords", size(split(col("line"), " ")))
+    val kept = !col("lorem") && !col("banned") && col("punct") &&
+      col("nwords") >= C4MinWords
+    lines.groupBy("source").agg(
+        countDistinct(col("doc_id")).as("docs_in"),
+        countDistinct(when(col("lorem"), col("doc_id"))).as("docs_dropped_lorem"),
+        sum(when(!col("lorem"), 1L).otherwise(0L)).as("lines_in"),
+        sum(when(!col("lorem") && col("banned"), 1L).otherwise(0L))
+          .as("lines_banned"),
+        sum(when(!col("lorem") && !col("banned") && !col("punct"), 1L)
+          .otherwise(0L)).as("lines_nopunct"),
+        sum(when(!col("lorem") && !col("banned") && col("punct") &&
+          col("nwords") < C4MinWords, 1L).otherwise(0L)).as("lines_short"),
+        sum(when(kept, 1L).otherwise(0L)).as("lines_kept"),
+        sum(when(kept, length(col("line")).cast("long")).otherwise(0L))
+          .as("kept_chars"),
+        sum(when(kept, Hashing.x31(concat(col("line"), lit(":"),
+          col("doc_id").cast("string")))).otherwise(0L)).as("kept_checksum"))
+      .orderBy("source")
+  }
+
+  val c4LineFilterSql: String = {
+    import graft.text.Hashing
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |d2 AS (
+       |  SELECT doc_id, source, w, ((len(w) - 1) // $C4LineW + 1) AS nl,
+       |    list_sum(list_transform(generate_series(0, ((len(w) - 1) // $C4LineW + 1) - 1,
+       |      1), li -> CASE WHEN (doc_id * 31 + li) % 17 = 1 THEN 1 ELSE 0 END)) > 0
+       |      AS lorem
+       |  FROM d),
+       |ln AS (
+       |  SELECT doc_id, source, lorem, u.li AS li,
+       |    (doc_id * 31 + li) % 17 AS h,
+       |    array_to_string(w[(li * $C4LineW + 1):(li * $C4LineW + $C4LineW)], ' ')
+       |      AS chunk
+       |  FROM d2, unnest(generate_series(0, nl - 1, 1)) AS u(li)),
+       |l2 AS (
+       |  SELECT doc_id, source, lorem,
+       |    CASE WHEN h = 0
+       |      THEN 'click here to enable javascript and cookies in your browser.'
+       |    WHEN h = 1 THEN 'lorem ipsum dolor sit amet consectetur.'
+       |    WHEN (doc_id + li) % 3 <> 0 THEN chunk || '.'
+       |    ELSE chunk END AS line
+       |  FROM ln),
+       |l3 AS (
+       |  SELECT doc_id, source, lorem, line,
+       |    (line LIKE '%javascript%' OR line LIKE '%cookie%') AS banned,
+       |    right(line, 1) IN ('.', '!', '?') AS punct,
+       |    len(string_split(line, ' ')) AS nwords
+       |  FROM l2)
+       |SELECT source,
+       |  count(DISTINCT doc_id)::BIGINT AS docs_in,
+       |  count(DISTINCT CASE WHEN lorem THEN doc_id END)::BIGINT
+       |    AS docs_dropped_lorem,
+       |  sum(CASE WHEN NOT lorem THEN 1 ELSE 0 END)::BIGINT AS lines_in,
+       |  sum(CASE WHEN NOT lorem AND banned THEN 1 ELSE 0 END)::BIGINT
+       |    AS lines_banned,
+       |  sum(CASE WHEN NOT lorem AND NOT banned AND NOT punct THEN 1 ELSE 0 END
+       |    )::BIGINT AS lines_nopunct,
+       |  sum(CASE WHEN NOT lorem AND NOT banned AND punct AND nwords < $C4MinWords
+       |    THEN 1 ELSE 0 END)::BIGINT AS lines_short,
+       |  sum(CASE WHEN NOT lorem AND NOT banned AND punct AND nwords >= $C4MinWords
+       |    THEN 1 ELSE 0 END)::BIGINT AS lines_kept,
+       |  sum(CASE WHEN NOT lorem AND NOT banned AND punct AND nwords >= $C4MinWords
+       |    THEN length(line) ELSE 0 END)::BIGINT AS kept_chars,
+       |  sum(CASE WHEN NOT lorem AND NOT banned AND punct AND nwords >= $C4MinWords
+       |    THEN ${Hashing.x31Sql("line || ':' || doc_id::VARCHAR")} ELSE 0 END
+       |    )::BIGINT AS kept_checksum
+       |FROM l3 GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -170,4 +170,57 @@ class CleaningQueriesSpec extends SparkSpec {
     assert(beta > 100000 && beta < 900000, s"beta_micro=$beta")
     assert(r2 > 800, s"r2_pm=$r2")
   }
+
+  test("q153: line classes partition lines_in and equal a driver-side replay") {
+    import CleaningQueries.{C4LineW, C4MinWords}
+    val rows = CleaningQueries.c4LineFilter(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9)))
+    assert(rows.nonEmpty)
+    // classes partition; every rule fires somewhere on the fixture
+    rows.foreach { case (_, _, _, in, ban, nop, sh, kept, _, _) =>
+      assert(ban + nop + sh + kept == in)
+    }
+    assert(rows.map(_._5).sum > 0 && rows.map(_._6).sum > 0 &&
+      rows.map(_._7).sum > 0 && rows.map(_._8).sum > 0 &&
+      rows.map(_._3).sum > 0)
+
+    // driver-side replay of the overlay + rules
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      var (docsIn, docsLorem, linesIn, ban, nop, sh, kept, chars, sum31) =
+        (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      ds.foreach { case (id, _, text) =>
+        docsIn += 1
+        val w = text.trim.split("\\s+")
+        val nl = (w.length - 1) / C4LineW + 1
+        val lorem = (0 until nl).exists(li => (id * 31 + li) % 17 == 1)
+        if (lorem) docsLorem += 1
+        else (0 until nl).foreach { li =>
+          linesIn += 1
+          val chunk = w.slice(li * C4LineW, li * C4LineW + C4LineW).mkString(" ")
+          val h = (id * 31 + li) % 17
+          val line =
+            if (h == 0) "click here to enable javascript and cookies in your browser."
+            else if (h == 1) sys.error("unreachable")
+            else if ((id + li) % 3 != 0) chunk + "." else chunk
+          val banned = line.contains("javascript") || line.contains("cookie")
+          val punct = ".!?".contains(line.last)
+          val nw = line.split(" ").length
+          if (banned) ban += 1
+          else if (!punct) nop += 1
+          else if (nw < C4MinWords) sh += 1
+          else {
+            kept += 1; chars += line.length
+            sum31 += graft.text.Hashing.x31Jvm(s"$line:$id")
+          }
+        }
+      }
+      (src, docsIn, docsLorem, linesIn, ban, nop, sh, kept, chars, sum31)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == want)
+  }
 }
