@@ -1085,4 +1085,107 @@ object CurationQueries {
        |  ((1000 * sum(chars)) // sum(t))::BIGINT AS chars_per_bpe_pm
        |FROM tok GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- q154: DSIR importance weights (data selection) -----------------
+
+  /** Hashed-feature buckets (DSIR's hashed n-gram feature space). */
+  val DsirB = 64
+  /** The target distribution: the corpus slice selection should steer
+    * toward (DSIR's "target domain" sample). */
+  val DsirTargetLang = "en"
+  /** Selection keeps the top 1/[[DsirSelectDiv]] of docs by weight. */
+  val DsirSelectDiv = 10
+
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS'23)
+    * — the pretraining-corpus selection method that scores every raw
+    * document by how much its hashed-unigram feature distribution
+    * looks like a TARGET domain: per hash bucket b, the log-likelihood
+    * ratio λ_b = ln(p_target(b)/p_raw(b)) (Laplace-smoothed), and a
+    * doc's importance weight is Σ_b n_b(doc)·λ_b. λ is quantized to
+    * integer MICRONATS at the bucket level (q100's discipline — the
+    * only float ops are one fixed-shape double expression + one ln per
+    * bucket of the [[DsirB]]-row table; products run in doubles so
+    * token counts past 2⁶³ cannot overflow), after which every doc
+    * score is exact integer arithmetic — hash-identical anywhere.
+    * Selection = top 1/[[DsirSelectDiv]] on the (weight desc, doc_id)
+    * total order; the report shows per (source, lang) how selection
+    * tilts toward the target slice.
+    *
+    * Scale shape: one token explode feeds BOTH distributions (the
+    * target side is a conditional sum, not a second scan); λ is a
+    * [[DsirB]]-row broadcast; doc scores are one (doc, bucket)
+    * aggregate + broadcast join. The global rank is a doc-level window
+    * — at warehouse scale the keep-set comes from a weight THRESHOLD
+    * (grouped quantile, q69) instead, the same substitution as
+    * q143/q151. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val docs = table(spark, dir, "documents")
+    val nDocs = docs.count()
+    val k = nDocs / DsirSelectDiv
+    val toks = docs.select(col("doc_id"), col("source"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .withColumn("b", pmod(Hashing.h60(col("word")), lit(DsirB)))
+    val buckets = toks.groupBy("b").agg(count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = buckets.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val lam = buckets.crossJoin(broadcast(tot)).select(col("b"),
+      expr(("cast(round(1000000 * ln((cast(ct + 1 as double) " +
+        s"* cast(tr + $DsirB as double)) / (cast(tt + $DsirB as double) " +
+        "* cast(cr + 1 as double)))) as long)")).as("lam"))
+    val scores = toks.groupBy("doc_id", "source", "lang", "b")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id", "source", "lang")
+      .agg(sum(col("n") * col("lam")).as("score_micro"))
+    val ranked = scores.withColumn("rk", row_number()
+      .over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+    ranked.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_selected"),
+        sum(col("score_micro")).as("score_sum"),
+        sum(when(col("rk") <= k, col("score_micro")).otherwise(0L))
+          .as("sel_score_sum"))
+      .orderBy("source", "lang")
+  }
+
+  val dsirWeightsSql: String = {
+    import graft.text.Hashing
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, source, lang, (${Hashing.h60Sql("word")} % $DsirB) AS b
+       |  FROM toks),
+       |bk AS (
+       |  SELECT b, count(*)::BIGINT AS cr,
+       |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)::BIGINT AS ct
+       |  FROM tb GROUP BY b),
+       |tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM bk),
+       |lam AS (
+       |  SELECT b, round(1000000 * ln(((ct + 1)::DOUBLE * (tr + $DsirB)::DOUBLE)
+       |    / ((tt + $DsirB)::DOUBLE * (cr + 1)::DOUBLE)))::BIGINT AS lam
+       |  FROM bk CROSS JOIN tot),
+       |db AS (
+       |  SELECT doc_id, source, lang, b, count(*)::BIGINT AS n
+       |  FROM tb GROUP BY doc_id, source, lang, b),
+       |sc AS (
+       |  SELECT doc_id, source, lang, sum(n * lam)::BIGINT AS score_micro
+       |  FROM db JOIN lam USING (b) GROUP BY doc_id, source, lang),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |rk AS (
+       |  SELECT sc.*, row_number() OVER (ORDER BY score_micro DESC, doc_id
+       |    )::BIGINT AS rk
+       |  FROM sc)
+       |SELECT source, lang, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN rk <= n // $DsirSelectDiv THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_selected,
+       |  sum(score_micro)::BIGINT AS score_sum,
+       |  sum(CASE WHEN rk <= n // $DsirSelectDiv THEN score_micro ELSE 0 END
+       |    )::BIGINT AS sel_score_sum
+       |FROM rk CROSS JOIN nn GROUP BY source, lang ORDER BY source, lang"""
+      .stripMargin
+  }
 }

@@ -266,4 +266,51 @@ class CurationQueriesSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"$src quartiles unbalanced: ${sizes.toSeq}")
     }
   }
+
+  test("q154: DSIR selection report equals a driver-side recompute of the weights") {
+    import CurationQueries.{DsirB, DsirTargetLang, DsirSelectDiv}
+    val got = CurationQueries.dsirWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+    // bucket distributions + micronat log-ratios, exactly as specified
+    val tokOf = (t: String) => t.trim.toLowerCase.split("\\s+").toSeq
+    val bucketOf = (w: String) => graft.text.Hashing.h60Jvm(w) % DsirB
+    val all = docs.flatMap(d => tokOf(d._4).map(w => (bucketOf(w), d._3)))
+    val cr = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = all.filter(_._2 == DsirTargetLang).groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val (tr, tt) = (all.length.toLong,
+      all.count(_._2 == DsirTargetLang).toLong)
+    val lam = cr.keys.map { b =>
+      val r = ((ct.getOrElse(b, 0L) + 1).toDouble * (tr + DsirB).toDouble) /
+        ((tt + DsirB).toDouble * (cr(b) + 1).toDouble)
+      b -> math.round(1000000d * math.log(r))
+    }.toMap
+    val scores = docs.map { d =>
+      val s = tokOf(d._4).map(w => lam(bucketOf(w))).sum
+      (d._1, d._2, d._3, s)
+    }
+    val k = docs.length / DsirSelectDiv
+    val sel = scores.sortBy(s => (-s._4, s._1)).take(k)
+      .map(s => (s._1, s._2, s._3)).toSet
+    val want = scores.groupBy(s => (s._2, s._3)).map { case ((src, lg), ss) =>
+      (src, lg, ss.length.toLong,
+        ss.count(s => sel((s._1, s._2, s._3))).toLong,
+        ss.map(_._4).sum,
+        ss.filter(s => sel((s._1, s._2, s._3))).map(_._4).sum)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    // selection is real: k docs selected in total, target lang over-represented
+    assert(got.map(_._4).sum == k)
+    val selTarget = got.filter(_._2 == DsirTargetLang).map(_._4).sum.toDouble /
+      got.map(_._4).sum
+    val allTarget = got.filter(_._2 == DsirTargetLang).map(_._3).sum.toDouble /
+      got.map(_._3).sum
+    assert(selTarget >= allTarget * 0.8,
+      s"selection did not track the target slice: $selTarget vs $allTarget")
+  }
 }
