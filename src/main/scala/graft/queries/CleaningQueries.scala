@@ -862,4 +862,64 @@ object CleaningQueries {
        |    )::BIGINT AS kept_checksum
        |FROM l3 GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- q155: Unicode NFC normalization audit --------------------------
+
+  /** The canonicalization pass every multilingual ingestion pipeline
+    * runs before content hashing: "é" and "e"+COMBINING ACUTE are
+    * byte-distinct but render identically, so an un-normalized corpus
+    * silently misses exact duplicates (q09) and splits vocabulary
+    * (q127) — NFC (UAX #15) composes them. Spark has no normalization
+    * builtin; [[graft.functions.Unicode]] adds it as a native codegen
+    * expression (an ASCII fast path + `Normalizer.isNormalized` keep
+    * the common case allocation-free). The ASCII fixture gets the
+    * q79/q80 deterministic dirt: docs `doc_id % 4 = 0` decompose every
+    * 'a' into a + U+0301 (NOT in NFC), docs `% 4 = 1` swap 'e' for
+    * precomposed 'é' (already NFC — the negative control proving the
+    * detector doesn't fire on mere non-ASCII). The per-source report
+    * carries doc counts, char counts before/after (each combining pair
+    * composes to one code point), and an x31 checksum of the
+    * NORMALIZED text — which hash-gates that JVM `Normalizer` NFC and
+    * DuckDB's utf8proc NFC agree byte-for-byte on the fixture.
+    *
+    * Scale shape: pure per-row projection + one per-source aggregate;
+    * nothing shuffles but the rollup. */
+  def nfcAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Unicode
+    import graft.text.Hashing
+    val dirty = when(pmod(col("doc_id"), lit(4)) === 0,
+        expr("replace(text, 'a', 'á')")) // a + U+0301 (decomposed)
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        expr("replace(text, 'e', 'é')")) // U+00E9 (precomposed, already NFC)
+      .otherwise(col("text"))
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), dirty.as("t"))
+      .withColumn("n", Unicode.nfc_normalize(col("t")))
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n") =!= col("t"), 1L).otherwise(0L)).as("n_nonnfc"),
+        sum(length(col("t")).cast("long")).as("chars_raw"),
+        sum(length(col("n")).cast("long")).as("chars_nfc"),
+        sum(Hashing.x31(concat(col("n"), lit(":"),
+          col("doc_id").cast("string")))).as("nfc_checksum"))
+      .orderBy("source")
+  }
+
+  val nfcAuditSql: String = {
+    import graft.text.Hashing
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 4 = 0 THEN replace(text, 'a', 'a' || chr(769))
+       |         WHEN doc_id % 4 = 1 THEN replace(text, 'e', chr(233))
+       |         ELSE text END AS t
+       |  FROM documents),
+       |n AS (SELECT doc_id, source, t, nfc_normalize(t) AS n FROM d)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN n <> t THEN 1 ELSE 0 END)::BIGINT AS n_nonnfc,
+       |  sum(length(t))::BIGINT AS chars_raw,
+       |  sum(length(n))::BIGINT AS chars_nfc,
+       |  sum(${Hashing.x31Sql("n || ':' || doc_id::VARCHAR")})::BIGINT
+       |    AS nfc_checksum
+       |FROM n GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -131,4 +131,27 @@ class FunctionsSpec extends SparkSpec {
       assert(r.getInt(0) == a.toSet.intersect(b.toSet).size)
     }
   }
+
+  test("nfc_normalize composes combining sequences, codegen and interpreted") {
+    val s = spark
+    import s.implicits._
+    val decomposed = "cafe\u0301 a\u0301 plain"
+    val composed = "caf\u00e9 \u00e1 plain"
+    val df = Seq(decomposed, composed, "pure ascii").toDF("s")
+    val gen = df.select(Unicode.nfc_normalize(col("s"))).collect()
+      .map(_.getString(0))
+    assert(gen.toSeq == Seq(composed, composed, "pure ascii"))
+    // idempotence + identity on already-normal input
+    assert(Unicode.nfc(composed) == composed)
+    assert(Unicode.nfc(Unicode.nfc(decomposed)) == Unicode.nfc(decomposed))
+    // ASCII fast path returns the same reference (no allocation)
+    val ascii = "nothing to do"
+    assert(Unicode.nfc(ascii) eq ascii)
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(NfcNormalizeExpression(
+      Literal(UTF8String.fromString(decomposed),
+        org.apache.spark.sql.types.StringType)).eval(null).toString == composed)
+  }
 }

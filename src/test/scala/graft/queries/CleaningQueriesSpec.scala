@@ -223,4 +223,36 @@ class CleaningQueriesSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     assert(rows.toSeq == want)
   }
+
+  test("q155: NFC audit equals a driver-side Normalizer replay; controls hold") {
+    val rows = CleaningQueries.nfcAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      var (nd, nn, cr, cn, ck) = (0L, 0L, 0L, 0L, 0L)
+      ds.foreach { case (id, _, text) =>
+        nd += 1
+        val t = (id % 4) match {
+          case 0 => text.replace("a", "a\u0301")
+          case 1 => text.replace("e", "\u00e9")
+          case _ => text
+        }
+        val n = graft.functions.Unicode.nfc(t)
+        if (n != t) nn += 1
+        cr += t.codePointCount(0, t.length)
+        cn += n.codePointCount(0, n.length)
+        ck += graft.text.Hashing.x31Jvm(s"$n:$id")
+      }
+      (src, nd, nn, cr, cn, ck)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == want)
+    // the decomposed cohort is flagged, the precomposed cohort is NOT,
+    // and composition shrank exactly the flagged docs' combining marks
+    assert(rows.map(_._3).sum ==
+      docs.count(d => d._1 % 4 == 0 && d._3.contains("a")))
+    assert(rows.map(r => r._4 - r._5).sum > 0)
+  }
 }
