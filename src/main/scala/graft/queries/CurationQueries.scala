@@ -1188,4 +1188,72 @@ object CurationQueries {
        |FROM rk CROSS JOIN nn GROUP BY source, lang ORDER BY source, lang"""
       .stripMargin
   }
+
+  // ---- q156: exact stratified quota sampling --------------------------
+
+  /** Per-stratum keep rate in per-mille (20%). */
+  val QuotaPm = 200L
+
+  /** Exact-count stratified sampling — the eval-set/ablation-split
+    * builder that must hit its per-stratum budget EXACTLY: q43's hash
+    * THRESHOLD gives each row an independent keep decision (count only
+    * approximately q·n — binomial noise), which is the right tool for
+    * train splits but not for "exactly 200 eval docs per language".
+    * Here each stratum keeps precisely `(n_s · [[QuotaPm]]) div 1000`
+    * docs: rows rank inside their stratum on the (md5(id:salt), id)
+    * total order — the SAME deterministic hash order as q43/q71, so
+    * the sample is reproducible on any engine/partitioning and is a
+    * uniform draw conditional on the corpus — and keep rank ≤ quota.
+    * The report pins the exact selected COUNT, the id-sum of the
+    * selected set, and an x31 checksum of selected ids, so a single
+    * swapped doc fails the gate.
+    *
+    * Scale shape: one scan → per-stratum window (rank by hash) + a
+    * broadcast quota join; `row_number ≤ k` plans with WindowGroupLimit
+    * (q52's shape) so each task keeps k rows, not the stratum. The
+    * quota table is |strata| rows. */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":q156"))))
+    val quota = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota", expr(s"(n_docs * $QuotaPm) div 1000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("k", "doc_id")
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quota), "lang")
+      .groupBy("lang").agg(
+        min(col("n_docs")).as("n_docs"),
+        min(col("quota")).as("quota"),
+        sum(when(col("rk") <= col("quota"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("rk") <= col("quota"), col("doc_id")).otherwise(0L))
+          .as("sel_id_sum"),
+        sum(when(col("rk") <= col("quota"),
+          Hashing.x31(col("doc_id").cast("string"))).otherwise(0L))
+          .as("sel_checksum"))
+      .orderBy("lang")
+  }
+
+  val quotaSampleSql: String = {
+    import graft.text.Hashing
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, md5(doc_id::VARCHAR || ':q156') AS k
+       |  FROM documents),
+       |q AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    ((count(*) * $QuotaPm) // 1000)::BIGINT AS quota
+       |  FROM d GROUP BY lang),
+       |r AS (
+       |  SELECT d.doc_id, d.lang, q.n_docs, q.quota,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY d.k, d.doc_id
+       |      )::BIGINT AS rk
+       |  FROM d JOIN q USING (lang))
+       |SELECT lang, min(n_docs)::BIGINT AS n_docs, min(quota)::BIGINT AS quota,
+       |  sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       |  sum(CASE WHEN rk <= quota THEN doc_id ELSE 0 END)::BIGINT AS sel_id_sum,
+       |  sum(CASE WHEN rk <= quota THEN ${Hashing.x31Sql("doc_id::VARCHAR")}
+       |    ELSE 0 END)::BIGINT AS sel_checksum
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

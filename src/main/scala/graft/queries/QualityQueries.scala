@@ -330,11 +330,19 @@ object QualityQueries {
     * "anomalous iff ≠ median" (the standard fallback). The persisted
     * scratch is released by the harness cache clear, as q10/q68. */
   def rateAnomalies(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val ev = table(spark, dir, "events")
-    val hourly = ev
+    anomalyReport(spark, ev
       .groupBy(col("event_type"), eventHourEpoch(ev).as("hr"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** q90's detector body, from the (event_type, hr, n) hourly series —
+    * shared with the q157 streaming twin, whose hourly table arrives
+    * from streaming state instead of a batch aggregate. */
+  private[queries] def anomalyReport(
+      spark: SparkSession, hourlyCounts: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hourly = hourlyCounts
       .withColumn("cnt",
         (col("n") * when(expr(s"pmod(hr div 3600, $SpikeEvery) = 0"),
           SpikeFactor).otherwise(1)).cast("double"))
@@ -363,6 +371,39 @@ object QualityQueries {
         sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"))
       .orderBy("event_type")
   }
+
+  // ---- q157: streaming rate-anomaly monitor ---------------------------
+
+  /** q90's robust anomaly detector with the hourly series arriving as a
+    * STREAM — the monitoring deployment shape: the per-(type, hour)
+    * count table is an ordinary streaming aggregate whose keyed state
+    * IS the bounded series (time span × type domain — the
+    * q97/q118/q137 "state = the report" pattern; an unbounded
+    * deployment adds a watermark to retire closed hours), and the
+    * median/MAD thresholds + anomaly flags run batch-side over that
+    * state table. The oracle is [[rateAnomaliesSql]] VERBATIM — the
+    * stream must land on the identical anomaly report, so a dropped
+    * event, a mis-bucketed hour, or threshold drift all fail the
+    * hash. */
+  def streamRateAnomalies(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      try spark.catalog.dropTempView("stream_rate_hourly")
+      catch { case _: Throwable => () }
+      val q = src
+        .groupBy(col("event_type"), eventHourEpoch(schema, "ts").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("stream_rate_hourly")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      anomalyReport(spark, spark.table("stream_rate_hourly"))
+    }
+
+  def streamRateAnomaliesSql: String = rateAnomaliesSql
 
   // ---- q97: streaming validation -------------------------------------
 

@@ -313,4 +313,26 @@ class CurationQueriesSpec extends SparkSpec {
     assert(selTarget >= allTarget * 0.8,
       s"selection did not track the target slice: $selTarget vs $allTarget")
   }
+
+  test("q156: quotas are hit exactly and equal a driver-side hash-rank replay") {
+    import CurationQueries.QuotaPm
+    val got = CurationQueries.quotaSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.groupBy(_._2).map { case (lg, ds) =>
+      val quota = ds.length.toLong * QuotaPm / 1000
+      val sel = ds.map(d => (md5(s"${d._1}:q156"), d._1))
+        .sortBy(identity).take(quota.toInt).map(_._2)
+      (lg, ds.length.toLong, quota, sel.length.toLong, sel.sum,
+        sel.map(id => graft.text.Hashing.x31Jvm(id.toString)).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    // the defining property vs q43: selected count EQUALS the quota
+    got.foreach { r => assert(r._4 == r._3, s"${r._1} missed its quota") }
+  }
 }

@@ -187,4 +187,16 @@ class QualityQueriesSpec extends SparkSpec {
     assert(rows.head._4 == ms(1) && rows.head._5 == ms(QualityQueries.BootB - 2),
       s"CI endpoints drifted from the driver recompute: $ms")
   }
+
+  test("q157: streamed hourly series lands on the batch anomaly report exactly") {
+    val stream = QualityQueries.streamRateAnomalies(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    val batch = QualityQueries.rateAnomalies(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
+    // the injected spike is detected through the streaming path too
+    assert(stream.map(_._5).sum > 0)
+  }
 }
