@@ -922,4 +922,71 @@ object CleaningQueries {
        |    AS nfc_checksum
        |FROM n GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- q158: source-mix diversity indices -----------------------------
+
+  /** The mix-health numbers a dataset card (q140) and mix planner
+    * (q131) publish alongside raw shares — how CONCENTRATED is the
+    * corpus across source feeds: Shannon entropy (in integer
+    * micronats, quantized per source row — each term is ONE
+    * fixed-shape double expression, q100's discipline), the effective
+    * source count exp(H) (the "how many equal-size feeds is this
+    * equivalent to" number, per-mille), the Simpson/Herfindahl
+    * concentration index Σp² (nano units), and the Gini coefficient of
+    * the share distribution via the exact integer rank formula
+    * Σ(2i−n−1)·tᵢ / (n·Σt) on the (tokens, source) total order.
+    *
+    * Scale shape: ONE corpus scan collapses to the per-source token
+    * table (map-side combined); every index is arithmetic over that
+    * |sources|-row table (bounded by the feed catalog, not the
+    * corpus) — the rank window spans |sources| rows. */
+  def mixDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("t"))
+    val tot = per.agg(sum("t").as("tt"), count(lit(1)).as("ns"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t", "source")
+    per.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        min(col("ns")).as("n_sources"),
+        min(col("tt")).as("total_tokens"),
+        sum(expr("cast(round(1000000 * ((cast(t as double) / cast(tt as double))" +
+          " * ln(cast(tt as double) / cast(t as double)))) as long)"))
+          .as("h_micronats"),
+        sum(expr("cast(round(1000000000 * ((cast(t as double) / cast(tt as double))" +
+          " * (cast(t as double) / cast(tt as double)))) as long)"))
+          .as("simpson_nano"),
+        sum((lit(2) * col("i") - col("ns") - 1) * col("t")).as("gini_num"))
+      .select(col("n_sources"), col("total_tokens"), col("h_micronats"),
+        expr("cast(round(1000 * exp(cast(h_micronats as double) / 1e6)) as long)")
+          .as("eff_sources_pm"),
+        col("simpson_nano"),
+        expr("(1000 * gini_num) div (n_sources * total_tokens)").as("gini_pm"))
+  }
+
+  val mixDiversitySql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT AS t
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(t)::BIGINT AS tt, count(*)::BIGINT AS ns FROM per),
+       |r AS (
+       |  SELECT t, tt, ns,
+       |    row_number() OVER (ORDER BY t, source)::BIGINT AS i
+       |  FROM per CROSS JOIN tot),
+       |a AS (
+       |  SELECT min(ns)::BIGINT AS n_sources, min(tt)::BIGINT AS total_tokens,
+       |    sum(round(1000000 * ((t::DOUBLE / tt::DOUBLE)
+       |      * ln(tt::DOUBLE / t::DOUBLE))))::BIGINT AS h_micronats,
+       |    sum(round(1000000000 * ((t::DOUBLE / tt::DOUBLE)
+       |      * (t::DOUBLE / tt::DOUBLE))))::BIGINT AS simpson_nano,
+       |    sum((2 * i - ns - 1) * t)::BIGINT AS gini_num
+       |  FROM r)
+       |SELECT n_sources, total_tokens, h_micronats,
+       |  round(1000 * exp(h_micronats::DOUBLE / 1e6))::BIGINT AS eff_sources_pm,
+       |  simpson_nano,
+       |  ((1000 * gini_num) // (n_sources * total_tokens))::BIGINT AS gini_pm
+       |FROM a""".stripMargin
 }

@@ -1030,4 +1030,111 @@ object PipelineQueries {
        |    <= $KmvErrBoundPm AS within_bound
        |FROM ex, m""".stripMargin
   }
+
+  // ---- q159: MMR diverse top-k selection ------------------------------
+
+  /** Candidate pool per query (the retriever's head). */
+  val MmrPool = 50
+  /** Diverse results to select. */
+  val MmrK = 10
+  /** Dense query vector id (the q150 convention). */
+  val MmrQueryId = 0L
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) — the
+    * diversity re-ranker between retrieval and consumption (RAG context
+    * assembly, eval-set picking, labeling-batch selection): greedily
+    * pick argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so each new
+    * pick is relevant but NOT redundant with what's already selected.
+    * λ = 0.7 in integer tenths; relevance and pairwise similarities are
+    * quantized to integer MICRO-cosines first (the engine-exact q13
+    * cosine contract makes the quantization stable), so every score,
+    * tie-break, and pick is exact integer arithmetic — `div` truncation
+    * on negative cosines is the DivSemanticsSpec-pinned cross-engine
+    * agreement. The greedy loop is bounded driver state (pool ≤
+    * [[MmrPool]], like the q117/q131 folds); the oracle replays ALL
+    * [[MmrK]] selection rounds as generated SQL stages (the q149
+    * pattern), so a wrong similarity, tie-break, or λ at any round
+    * shifts every later pick.
+    *
+    * Scale shape: corpus-scale work is ONE scan (the relevance pass,
+    * broadcast query, TakeOrderedAndProject cut to the pool); the
+    * pool×pool similarity matrix is [[MmrPool]]² rows. At a larger K·n
+    * the pool comes from ANN (q25) instead — the greedy stays
+    * pool-bounded either way. */
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), CosineKnn.toDoubleArray(col("embedding")).as("v"))
+    val qv = emb.filter(col("vec_id") === MmrQueryId).select(col("v").as("qv"))
+    val rel = emb.filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(lit(1e6) * CosineKnn.cosine(col("qv"), col("v")))
+          .cast("long").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+    val pool = rel.join(emb, "vec_id")
+    val a = pool.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = pool.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val sims = a.crossJoin(broadcast(b)).filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(lit(1e6) * CosineKnn.cosine(col("va"), col("vb")))
+          .cast("long").as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val cands = rel.collect().map(r => (r.getLong(0), r.getLong(1)))
+    var selected = Vector.empty[(Long, Long, Long)]
+    var remaining = cands.toVector
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, r) =>
+        val maxsim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => sims((id, s._1))).max
+        (id, r, (7 * r) / 10 - (3 * maxsim) / 10)
+      }
+      val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.zipWithIndex.map { case ((id, r, sc), i) => (i + 1L, id, r, sc) }
+      .toDF("sel_rank", "vec_id", "rel_micro", "score_micro")
+      .orderBy("sel_rank")
+  }
+
+  val mmrSelectSql: String = {
+    def stage(k: Int): String =
+      if (k == 1)
+        s"""s1 AS MATERIALIZED (
+           |  SELECT id, rel, ((7 * rel) // 10)::BIGINT AS score
+           |  FROM rel ORDER BY score DESC, id LIMIT 1),
+           |sel1 AS MATERIALIZED (SELECT id FROM s1)""".stripMargin
+      else
+        s"""s$k AS MATERIALIZED (
+           |  SELECT r.id, r.rel, ((7 * r.rel) // 10 - (3 * (
+           |      SELECT max(s.s) FROM sim s JOIN sel${k - 1} x ON s.ib = x.id
+           |      WHERE s.ia = r.id)) // 10)::BIGINT AS score
+           |  FROM rel r WHERE r.id NOT IN (SELECT id FROM sel${k - 1})
+           |  ORDER BY score DESC, id LIMIT 1),
+           |sel$k AS MATERIALIZED (SELECT id FROM sel${k - 1} UNION ALL SELECT id FROM s$k)"""
+          .stripMargin
+    val stages = (1 to MmrK).map(stage).mkString(",\n")
+    val unions = (1 to MmrK).map(k =>
+      s"SELECT $k::BIGINT AS sel_rank, id AS vec_id, rel AS rel_micro, " +
+        s"score AS score_micro FROM s$k").mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qv AS (SELECT e FROM v WHERE vec_id = $MmrQueryId),
+       |relall AS (
+       |  SELECT v.vec_id AS id,
+       |    round(1000000 * list_cosine_similarity(qv.e, v.e))::BIGINT AS rel
+       |  FROM qv, v WHERE v.vec_id <> $MmrQueryId),
+       |rel AS MATERIALIZED (
+       |  SELECT id, rel FROM relall ORDER BY rel DESC, id LIMIT $MmrPool),
+       |pv AS (SELECT rel.id, v.e FROM rel JOIN v ON v.vec_id = rel.id),
+       |sim AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    round(1000000 * list_cosine_similarity(a.e, b.e))::BIGINT AS s
+       |  FROM pv a, pv b WHERE a.id <> b.id),
+       |$stages
+       |SELECT * FROM (
+       |$unions) ORDER BY sel_rank""".stripMargin
+  }
 }

@@ -602,4 +602,159 @@ object SeriesQueries {
        |FROM e GROUP BY user_id
        |ORDER BY decayed_score DESC, user_id
        |LIMIT $DecayTopK""".stripMargin
+
+  // ---- q160: event-lateness / watermark-sizing audit -------------------
+
+  /** Arrival-order displacement for the "delayed" cohort. */
+  val LateShift = 100L
+  /** Every `% LateMod` event arrives late. */
+  val LateMod = 13L
+
+  /** The audit that sizes `withWatermark` delays from DATA instead of
+    * folklore: per event type, order events by ARRIVAL and measure each
+    * event's lateness = running max of event time seen so far − its own
+    * event time (exactly the quantity a watermark must cover to avoid
+    * dropping the row). The fixture's arrival order equals event-time
+    * order (lateness identically 0), so — the q79/q90 convention — a
+    * deterministic reordering overlay makes the audit provably
+    * exercise its math: every [[LateMod]]th event arrives [[LateShift]]
+    * sequence positions late (`arr = event_id + shift`, ties broken by
+    * event_id). Lateness quantiles report on q139's exact ×1000
+    * nanosecond grid (p95's interpolation fractions are multiples of
+    * 1/20, so the grid is ulp-proof in both engines).
+    *
+    * Scale shape: one hash shuffle on event_type + per-partition sort
+    * (the running-max window); quantiles ride the bounded-memory
+    * grouped [[graft.operators.ExactQuantile]], never a per-group
+    * buffer. Per-type (not global) lateness is the deployable shape —
+    * watermarks are per-stream, and a global arrival order would be a
+    * single-partition window. */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("arr", "event_id")
+    val late = eventsTsUs(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("arr",
+        col("event_id") + when(pmod(col("event_id"), lit(LateMod)) === 0,
+          lit(LateShift)).otherwise(lit(0L)))
+      .withColumn("late_us",
+        max(col("ts_us")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("ts_us"))
+    val counts = late.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val qs = graft.operators.ExactQuantile.groupedQuantiles(
+      late.select(col("event_type"), col("late_us").cast("double").as("late_us")),
+      "event_type", "late_us", GapQs)
+    import spark.implicits._
+    qs.toSeq.map { case (g, s) =>
+      val t = g.asInstanceOf[String]
+      val (n, nl, mx) = counts(t)
+      (t, n, nl, math.round(s(0) * 1000d), math.round(s(1) * 1000d), mx * 1000L)
+    }.toDF("event_type", "n_events", "n_late", "p50_late_ns", "p95_late_ns",
+        "max_late_ns")
+      .orderBy("event_type")
+  }
+
+  val latenessAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+       |    event_id + CASE WHEN event_id % $LateMod = 0
+       |      THEN $LateShift ELSE 0 END AS arr
+       |  FROM events),
+       |l AS (
+       |  SELECT event_type,
+       |    max(ts_us) OVER (PARTITION BY event_type ORDER BY arr, event_id
+       |      ROWS UNBOUNDED PRECEDING) - ts_us AS late_us
+       |  FROM e)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       |  round(quantile_cont(late_us::DOUBLE, 0.5) * 1000)::BIGINT AS p50_late_ns,
+       |  round(quantile_cont(late_us::DOUBLE, 0.95) * 1000)::BIGINT AS p95_late_ns,
+       |  (max(late_us) * 1000)::BIGINT AS max_late_ns
+       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q161: CUSUM changepoint detection -------------------------------
+
+  /** Sustained-shift boost: every day with `day % 97 < 10` doubles —
+    * ten-day incident runs the detector must accumulate over. */
+  val CusumBurstMod = 97L
+  val CusumBurstLen = 10L
+
+  /** Tabular CUSUM changepoint detection over daily revenue — the
+    * sustained-shift complement to q90's pointwise MAD detector (a 20%
+    * drift below the MAD threshold never fires q90; CUSUM integrates
+    * it): S⁺ₜ = max(0, S⁺ₜ₋₁ + yₜ − μ − k), S⁻ₜ = max(0, S⁻ₜ₋₁ + μ −
+    * yₜ − k), alarm when either crosses h; allowance k = μ div 2 (half
+    * the ×2-burst shift magnitude) and threshold h = 6·MAD (the
+    * integer mean absolute deviation — h must scale with the NOISE,
+    * not the level: a μ-scaled h alarms on every day of this sparse
+    * series; 6·MAD measured 19/21 alarms inside burst windows at
+    * sf0.001 and 142/144 at sf0.01) — ENTIRELY in integer cents (μ,
+    * MAD floored), so the recurrence is bit-identical in any engine. A deterministic ×2 burst overlay
+    * ([[CusumBurstMod]]) makes alarms provably fire. Sequential by
+    * nature: the fold runs over the BOUNDED daily series driver-side
+    * (q117's trade — the corpus-scale work is the one daily aggregate);
+    * the oracle replays the recurrence as a recursive CTE with every
+    * arithmetic column pinned ::BIGINT (the q117 HUGEINT lesson).
+    *
+    * Scale shape: one scan → per-day cent aggregate (bounded by the
+    * calendar); driver state = two longs. */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val day = expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs")
+    val daily = o.groupBy(day.as("day"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d)).cast("long")).as("c"))
+      .withColumn("y", col("c") * when(pmod(col("day"), lit(CusumBurstMod))
+        < CusumBurstLen, 2L).otherwise(1L))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    require(daily.nonEmpty)
+    val n = daily.length.toLong
+    val mu = daily.map(_._2).sum / n
+    val mad = daily.map(d => math.abs(d._2 - mu)).sum / n
+    val k = mu / 2
+    val h = 6L * mad
+    var (sp, sn) = (0L, 0L)
+    val rows = daily.map { case (d, y) =>
+      sp = math.max(0L, sp + y - mu - k)
+      sn = math.max(0L, sn + mu - y - k)
+      (d, y, sp, sn, sp > h || sn > h)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("day", "y_cents", "s_pos", "s_neg", "alarm")
+      .orderBy("day")
+  }
+
+  val cusumChangepointsSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
+       |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS c
+       |  FROM orders GROUP BY 1),
+       |d AS (
+       |  SELECT row_number() OVER (ORDER BY day) AS rn, day,
+       |    (c * CASE WHEN day % $CusumBurstMod < $CusumBurstLen
+       |       THEN 2 ELSE 1 END)::BIGINT AS y
+       |  FROM daily),
+       |p AS (
+       |  SELECT ((SELECT sum(y) FROM d) // (SELECT count(*) FROM d))::BIGINT AS mu,
+       |    (SELECT count(*) FROM d)::BIGINT AS n),
+       |md AS (
+       |  SELECT ((SELECT sum(abs(y - p.mu)) FROM d) // p.n)::BIGINT AS mad, p.mu
+       |  FROM p),
+       |kh AS (SELECT mu, (mu // 2)::BIGINT AS k, (6 * mad)::BIGINT AS h FROM md),
+       |c AS (
+       |  SELECT d.rn, d.day, d.y,
+       |    greatest(0, d.y - kh.mu - kh.k)::BIGINT AS sp,
+       |    greatest(0, kh.mu - d.y - kh.k)::BIGINT AS sn
+       |  FROM d CROSS JOIN kh WHERE d.rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.y,
+       |    greatest(0, c.sp + d.y - kh.mu - kh.k)::BIGINT,
+       |    greatest(0, c.sn + kh.mu - d.y - kh.k)::BIGINT
+       |  FROM c JOIN d ON d.rn = c.rn + 1 CROSS JOIN kh)
+       |SELECT c.day, c.y AS y_cents, c.sp AS s_pos, c.sn AS s_neg,
+       |  (c.sp > kh.h OR c.sn > kh.h) AS alarm
+       |FROM c CROSS JOIN kh ORDER BY c.day""".stripMargin
 }

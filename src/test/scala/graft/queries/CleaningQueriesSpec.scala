@@ -255,4 +255,28 @@ class CleaningQueriesSpec extends SparkSpec {
       docs.count(d => d._1 % 4 == 0 && d._3.contains("a")))
     assert(rows.map(r => r._4 - r._5).sum > 0)
   }
+
+  test("q158: diversity indices equal a driver-side recompute from token shares") {
+    val r = CleaningQueries.mixDiversity(spark, sfDir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+    val per = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(x => (x.getString(0),
+        x.getString(1).trim.toLowerCase.split("\\s+").length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tt = per.values.sum
+    val ns = per.size.toLong
+    val h = per.values.map(t => math.round(1e6 *
+      ((t.toDouble / tt.toDouble) * math.log(tt.toDouble / t.toDouble)))).sum
+    val simpson = per.values.map(t => math.round(1e9 *
+      ((t.toDouble / tt.toDouble) * (t.toDouble / tt.toDouble)))).sum
+    val ranked = per.toSeq.sortBy { case (s, t) => (t, s) }.zipWithIndex
+    val gnum = ranked.map { case ((_, t), i) => (2L * (i + 1) - ns - 1) * t }.sum
+    val eff = math.round(1000d * math.exp(h.toDouble / 1e6))
+    assert(got == (ns, tt, h, eff, simpson, (1000 * gnum) / (ns * tt)))
+    // sanity: entropy within [0, ln ns]; effective sources within [1, ns]
+    assert(h >= 0 && h <= math.round(1e6 * math.log(ns.toDouble)) + ns)
+    assert(eff >= 1000 && eff <= ns * 1000)
+  }
 }

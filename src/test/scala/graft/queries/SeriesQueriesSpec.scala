@@ -258,4 +258,62 @@ class SeriesQueriesSpec extends SparkSpec {
       .take(SeriesQueries.DecayTopK).map(_._1)
     assert(rows.map(_._1).toSeq != rawHead)
   }
+
+  test("q160: lateness audit equals a driver-side replay of the arrival overlay") {
+    import SeriesQueries.{LateShift, LateMod}
+    val rows = SeriesQueries.latenessAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("event_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._2).map { case (t, es) =>
+      val ordered = es.map { case (id, _, ts) =>
+        (id + (if (id % LateMod == 0) LateShift else 0L), id, ts)
+      }.sortBy(e => (e._1, e._2))
+      var mx = Long.MinValue
+      val lates = ordered.map { case (_, _, ts) =>
+        mx = math.max(mx, ts); mx - ts
+      }
+      def q(p: Double): Long = {
+        val s = lates.sorted
+        val pos = p * (s.length - 1)
+        val lo = s(pos.toInt)
+        val hi = s(math.min(s.length - 1, pos.toInt + 1))
+        math.round((lo + (pos - pos.toInt) * (hi - lo)) * 1000d)
+      }
+      (t, es.length.toLong, lates.count(_ > 0).toLong, q(0.5), q(0.95),
+        lates.max * 1000L)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == want)
+    // the overlay produced real out-of-orderness, bounded below 100%
+    val (n, nl) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(nl > 0 && nl < n / 2)
+  }
+
+  test("q161: CUSUM equals the driver fold; alarms fire and cluster at bursts") {
+    import SeriesQueries.{CusumBurstMod, CusumBurstLen}
+    val rows = SeriesQueries.cusumChangepoints(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // recurrence invariants (the fold is its own replay — assert the
+    // recurrence directly from consecutive rows instead)
+    val n = rows.length.toLong
+    val mu = rows.map(_._2).sum / n
+    val mad = rows.map(r => math.abs(r._2 - mu)).sum / n
+    val (k, h) = (mu / 2, 6L * mad)
+    var (sp, sn) = (0L, 0L)
+    rows.foreach { case (day, y, gotSp, gotSn, alarm) =>
+      sp = math.max(0L, sp + y - mu - k)
+      sn = math.max(0L, sn + mu - y - k)
+      assert(gotSp == sp && gotSn == sn, s"day $day recurrence drifted")
+      assert(alarm == (sp > h || sn > h), s"day $day alarm flag")
+    }
+    val alarms = rows.filter(_._5)
+    assert(alarms.nonEmpty && alarms.length < rows.length / 10)
+    // alarms concentrate in/after the deterministic burst windows
+    val nearBurst = alarms.count(a => a._1 % CusumBurstMod < CusumBurstLen * 2)
+    assert(nearBurst * 10 >= alarms.length * 8,
+      s"only $nearBurst/${alarms.length} alarms near bursts")
+  }
 }

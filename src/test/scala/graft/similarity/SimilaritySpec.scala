@@ -276,4 +276,49 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("q159: MMR selection equals a driver-side greedy over exact micro-cosines") {
+    import graft.queries.PipelineQueries.{MmrPool, MmrK, MmrQueryId}
+    val got = graft.queries.PipelineQueries.mmrSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == MmrK && got.map(_._1).toSeq == (1L to MmrK))
+    assert(got.map(_._2).distinct.length == MmrK)
+
+    // independent replay from raw floats with sequential-sum cosine
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0d, 0d, 0d, 0)
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(MmrQueryId)
+    val pool = vecs.toSeq.filter(_._1 != MmrQueryId)
+      .map { case (id, v) => (id, math.round(1e6 * cos(q, v))) }
+      .sortBy { case (id, r) => (-r, id) }.take(MmrPool)
+    val poolIds = pool.map(_._1)
+    val sims = (for (a <- poolIds; b <- poolIds if a != b)
+      yield ((a, b), math.round(1e6 * cos(vecs(a), vecs(b))))).toMap
+    var sel = Vector.empty[(Long, Long, Long)]
+    var rem = pool.toVector
+    while (sel.length < MmrK) {
+      val scored = rem.map { case (id, r) =>
+        val ms = if (sel.isEmpty) 0L else sel.map(s => sims((id, s._1))).max
+        (id, r, (7 * r) / 10 - (3 * ms) / 10)
+      }
+      val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+      sel :+= best
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    val want = sel.zipWithIndex.map { case ((id, r, sc), i) => (i + 1L, id, r, sc) }
+    assert(got.toSeq == want)
+    // the first pick is the most relevant; later picks trade relevance
+    // for diversity (the selection is not just the rel-ranked head)
+    assert(got.head._2 == pool.head._1)
+    val relHead = pool.take(MmrK).map(_._1).toSet
+    assert(got.map(_._2).toSet != relHead, "MMR degenerated to pure relevance")
+  }
 }
