@@ -34,7 +34,9 @@ object GraftFunctions {
     "float_render_length" ->
       ((exprs: Seq[Expression]) => RenderLengthExpression(exprs.head, "float")),
     "decimal_render_length" ->
-      ((exprs: Seq[Expression]) => RenderLengthExpression(exprs.head, "decimal")))
+      ((exprs: Seq[Expression]) => RenderLengthExpression(exprs.head, "decimal")),
+    "nfc_normalize" ->
+      ((exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

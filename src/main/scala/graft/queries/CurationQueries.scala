@@ -1256,4 +1256,95 @@ object CurationQueries {
        |    ELSE 0 END)::BIGINT AS sel_checksum
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  // ---- q163: span-corruption masking plan (T5-style) ------------------
+
+  /** Tokens per corruption span. */
+  val SpanLen = 3
+  /** Spans masked: h60 mod [[SpanMod]] < [[SpanHit]] ⇒ ~15%. */
+  val SpanMod = 20
+  val SpanHit = 3
+
+  /** The span-corruption masking PLAN of T5-style denoising pretraining
+    * (Raffel et al. 2020 §3.1.4: mask ~15% of tokens in multi-token
+    * spans, one sentinel per contiguous masked run) as a deterministic
+    * corpus operator with NO RNG state: token positions group into
+    * [[SpanLen]]-token spans, span g of doc d is masked iff
+    * `h60(d:g) mod 20 < 3` — reproducible across engines, partitions,
+    * and reruns (the q136/q147 draw discipline). The accounting a data
+    * loader needs — masked-token ratio per-mille, sentinel count
+    * (= contiguous masked RUNS: a span opens a run iff masked and span
+    * g−1 is not; the predecessor's mask bit RECOMPUTES from its own
+    * hash, so no window/self-join), and the x31 span-identity checksum
+    * — gates the exact draw, not just its rate.
+    *
+    * Scale shape: no token explode at all — per-doc span counts are
+    * arithmetic on `size(split(text))`, and the span lateral is a
+    * ≤(len div 3 + 1) fanout of doc-id/hash projections collapsing
+    * map-side to the per-source rollup; text never shuffles. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .withColumn("nspans", expr(s"(n - 1) div $SpanLen + 1"))
+    val spans = d
+      .withColumn("g", explode(expr("sequence(0, nspans - 1)")))
+      .withColumn("span_len",
+        least(lit(SpanLen.toLong), col("n") - col("g") * SpanLen))
+      .withColumn("masked",
+        pmod(Hashing.h60(concat(col("doc_id").cast("string"), lit(":"),
+          col("g").cast("string"))), lit(SpanMod)) < SpanHit)
+      .withColumn("prev_masked",
+        col("g") > 0 &&
+        pmod(Hashing.h60(concat(col("doc_id").cast("string"), lit(":"),
+          (col("g") - 1).cast("string"))), lit(SpanMod)) < SpanHit)
+    spans.groupBy("source").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("span_len")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked_spans"),
+        sum(when(col("masked"), col("span_len")).otherwise(0L))
+          .as("n_masked_tokens"),
+        sum(when(col("masked") && !col("prev_masked"), 1L).otherwise(0L))
+          .as("n_sentinels"),
+        sum(when(col("masked"), Hashing.x31(concat(col("doc_id").cast("string"),
+          lit(":"), col("g").cast("string")))).otherwise(0L)).as("span_checksum"))
+      .withColumn("masked_pm",
+        expr("(1000 * n_masked_tokens) div n_tokens"))
+      .select("source", "n_docs", "n_tokens", "n_spans", "n_masked_spans",
+        "n_masked_tokens", "masked_pm", "n_sentinels", "span_checksum")
+      .orderBy("source")
+  }
+
+  val spanCorruptionSql: String = {
+    import graft.text.Hashing
+    val mask = (g: String) =>
+      s"(${Hashing.h60Sql(s"doc_id::VARCHAR || ':' || ($g)::VARCHAR")} % $SpanMod) < $SpanHit"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, source, n, ((n - 1) // $SpanLen + 1) AS nspans FROM d),
+       |sp AS (
+       |  SELECT doc_id, source, n, u.g AS g,
+       |    least($SpanLen, n - u.g * $SpanLen)::BIGINT AS span_len,
+       |    ${mask("u.g")} AS masked,
+       |    (u.g > 0 AND ${mask("u.g - 1")}) AS prev_masked
+       |  FROM d2, unnest(generate_series(0, nspans - 1, 1)) AS u(g))
+       |SELECT source,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  sum(span_len)::BIGINT AS n_tokens,
+       |  count(*)::BIGINT AS n_spans,
+       |  sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_masked_spans,
+       |  sum(CASE WHEN masked THEN span_len ELSE 0 END)::BIGINT AS n_masked_tokens,
+       |  ((1000 * sum(CASE WHEN masked THEN span_len ELSE 0 END))
+       |    // sum(span_len))::BIGINT AS masked_pm,
+       |  sum(CASE WHEN masked AND NOT prev_masked THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_sentinels,
+       |  sum(CASE WHEN masked THEN
+       |    ${Hashing.x31Sql("doc_id::VARCHAR || ':' || g::VARCHAR")}
+       |    ELSE 0 END)::BIGINT AS span_checksum
+       |FROM sp GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -757,4 +757,109 @@ object SeriesQueries {
        |SELECT c.day, c.y AS y_cents, c.sp AS s_pos, c.sn AS s_neg,
        |  (c.sp > kh.h OR c.sn > kh.h) AS alarm
        |FROM c CROSS JOIN kh ORDER BY c.day""".stripMargin
+
+  // ---- q162: Holt-Winters triple smoothing (weekly seasonality) --------
+
+  /** Seasonal period (weekly pattern over the daily series). */
+  val HwPeriod = 7
+
+  /** Holt-Winters additive triple smoothing over daily revenue — q117's
+    * level+trend recurrence extended with the weekly seasonal the
+    * retail-shaped series actually has: α=0.2, β=0.1, γ=0.3 in integer
+    * tenths, every step truncating integer division on exact cents
+    *   Lₜ = (2(yₜ − sₜ₋₇) + 8(Lₜ₋₁ + bₜ₋₁)) div 10
+    *   bₜ = ((Lₜ − Lₜ₋₁) + 9bₜ₋₁) div 10
+    *   sₜ = (3(yₜ − Lₜ) + 7sₜ₋₇) div 10
+    * initialized from the first week (L₀ = week-1 mean, sᵢ = yᵢ − L₀,
+    * b₀ = 0), plus a 7-day out-of-sample forecast L + h·b + s.
+    * Sequential by nature — the fold runs over the BOUNDED daily
+    * series driver-side (q117's trade; corpus-scale work is the one
+    * daily aggregate). The oracle replays the recurrence as a
+    * recursive CTE carrying the last [[HwPeriod]] seasonals as a SHIFT
+    * REGISTER of columns (a recursive CTE sees only the previous row,
+    * so the 7-lag rides along), every arithmetic column ::BIGINT.
+    *
+    * Scale shape: one scan → per-day cent aggregate; driver state =
+    * level, trend, and 7 seasonals. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val day = expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs")
+    val daily = o.groupBy(day.as("day"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d)).cast("long")).as("c"))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(daily.length > 2 * HwPeriod)
+    val l0 = daily.take(HwPeriod).map(_._2).sum / HwPeriod
+    val seas = Array.tabulate(HwPeriod)(i => daily(i)._2 - l0)
+    var (l, b) = (l0, 0L)
+    val out = Seq.newBuilder[(Long, Option[Long], Long, Long, Long, Boolean)]
+    daily.drop(HwPeriod).foreach { case (d, y) =>
+      val sOld = seas(0)
+      val lNew = (2 * (y - sOld) + 8 * (l + b)) / 10
+      val bNew = ((lNew - l) + 9 * b) / 10
+      val sNew = (3 * (y - lNew) + 7 * sOld) / 10
+      l = lNew; b = bNew
+      System.arraycopy(seas, 1, seas, 0, HwPeriod - 1)
+      seas(HwPeriod - 1) = sNew
+      out += ((d, Some(y), l, b, sNew, false))
+    }
+    val lastDay = daily.last._1
+    (1 to HwPeriod).foreach { h =>
+      out += ((lastDay + h, None, l + h * b, b, seas(h - 1), true))
+    }
+    import spark.implicits._
+    out.result().toDF("day", "y_cents", "level", "trend", "seasonal", "forecast")
+      .orderBy("day")
+  }
+
+  val holtWintersSql: String = {
+    val sCols = (1 to HwPeriod).map(i => s"s$i").mkString(", ")
+    val shift = (1 to HwPeriod - 1).map(i => s"h.s${i + 1}").mkString(", ")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
+       |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS c
+       |  FROM orders GROUP BY 1),
+       |d AS (
+       |  SELECT row_number() OVER (ORDER BY day) AS rn, day, c AS y
+       |  FROM daily),
+       |init AS (
+       |  SELECT ((SELECT sum(y) FROM d WHERE rn <= $HwPeriod) // $HwPeriod
+       |    )::BIGINT AS l0),
+       |seed AS (
+       |  SELECT $HwPeriod::BIGINT AS rn,
+       |    (SELECT day FROM d WHERE rn = $HwPeriod) AS day,
+       |    NULL::BIGINT AS y, init.l0 AS l, 0::BIGINT AS b,
+       |    ${(1 to HwPeriod).map(i =>
+              s"((SELECT y FROM d WHERE rn = $i) - init.l0)::BIGINT AS s$i")
+              .mkString(",\n    ")}
+       |  FROM init),
+       |h AS (
+       |  SELECT rn, day, y, l, b, $sCols, NULL::BIGINT AS s_out FROM seed
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.y,
+       |    ((2 * (d.y - h.s1) + 8 * (h.l + h.b)) // 10)::BIGINT,
+       |    ((((2 * (d.y - h.s1) + 8 * (h.l + h.b)) // 10) - h.l) + 9 * h.b
+       |      ) // 10,
+       |    $shift,
+       |    ((3 * (d.y - ((2 * (d.y - h.s1) + 8 * (h.l + h.b)) // 10))
+       |      + 7 * h.s1) // 10)::BIGINT,
+       |    ((3 * (d.y - ((2 * (d.y - h.s1) + 8 * (h.l + h.b)) // 10))
+       |      + 7 * h.s1) // 10)::BIGINT
+       |  FROM h JOIN d ON d.rn = h.rn + 1),
+       |tail AS (
+       |  SELECT day, l, b, $sCols FROM h ORDER BY rn DESC LIMIT 1),
+       |f AS (
+       |  SELECT tail.day + g.g AS day, NULL::BIGINT AS y,
+       |    (tail.l + g.g * tail.b)::BIGINT AS l, tail.b AS b,
+       |    (CASE g.g ${(1 to HwPeriod).map(i =>
+              s"WHEN $i THEN tail.s$i").mkString(" ")} END)::BIGINT AS s_out,
+       |    TRUE AS forecast
+       |  FROM tail CROSS JOIN
+       |    (SELECT unnest(generate_series(1, $HwPeriod)) AS g) g)
+       |SELECT day, y AS y_cents, l AS level, b AS trend, s_out AS seasonal,
+       |  FALSE AS forecast
+       |FROM h WHERE rn > $HwPeriod
+       |UNION ALL SELECT day, y, l, b, s_out, forecast FROM f
+       |ORDER BY day""".stripMargin
+  }
 }

@@ -25,6 +25,8 @@ class FunctionsSpec extends SparkSpec {
       "SELECT sorted_long_intersect_count(array(1L,3L,5L), array(2L,3L,5L,9L)) AS n")
       .head().getInt(0)
     assert(ic == 2)
+    val nfc = spark.sql("SELECT nfc_normalize('e\u0301') AS s").head().getString(0)
+    assert(nfc == "\u00e9")
     val rl = spark.sql(
       "SELECT double_render_length(0.0d), float_render_length(2.5f), " +
         "decimal_render_length('0.5')").head()

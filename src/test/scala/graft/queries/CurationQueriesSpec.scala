@@ -335,4 +335,40 @@ class CurationQueriesSpec extends SparkSpec {
     // the defining property vs q43: selected count EQUALS the quota
     got.foreach { r => assert(r._4 == r._3, s"${r._1} missed its quota") }
   }
+
+  test("q163: span-corruption plan equals a driver-side replay of the draw") {
+    import CurationQueries.{SpanLen, SpanMod, SpanHit}
+    val got = CurationQueries.spanCorruption(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def maskedOf(id: Long, g: Long): Boolean =
+      graft.text.Hashing.h60Jvm(s"$id:$g") % SpanMod < SpanHit
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      var (tok, spans, mSpans, mTok, sent, ck) = (0L, 0L, 0L, 0L, 0L, 0L)
+      ds.foreach { case (id, _, text) =>
+        val n = text.trim.toLowerCase.split("\\s+").length.toLong
+        val nspans = (n - 1) / SpanLen + 1
+        (0L until nspans).foreach { g =>
+          val len = math.min(SpanLen.toLong, n - g * SpanLen)
+          tok += len; spans += 1
+          if (maskedOf(id, g)) {
+            mSpans += 1; mTok += len
+            if (g == 0 || !maskedOf(id, g - 1)) sent += 1
+            ck += graft.text.Hashing.x31Jvm(s"$id:$g")
+          }
+        }
+      }
+      (src, ds.length.toLong, tok, spans, mSpans, mTok, (1000 * mTok) / tok,
+        sent, ck)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    // the draw is a real ~15% plan: global rate inside [8%, 22%],
+    // sentinels never exceed masked spans
+    val (mt, t) = (got.map(_._6).sum, got.map(_._3).sum)
+    assert(mt * 1000 / t > 80 && mt * 1000 / t < 220, s"rate ${mt * 1000 / t}")
+    assert(got.forall(r => r._8 <= r._5 && r._5 <= r._4))
+  }
 }

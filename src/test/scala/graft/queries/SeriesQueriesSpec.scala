@@ -316,4 +316,37 @@ class SeriesQueriesSpec extends SparkSpec {
     assert(nearBurst * 10 >= alarms.length * 8,
       s"only $nearBurst/${alarms.length} alarms near bursts")
   }
+
+  test("q162: Holt-Winters equals an independent driver replay; forecast extends the fit") {
+    import SeriesQueries.HwPeriod
+    val rows = SeriesQueries.holtWinters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val daily = QueryUtil.table(spark, sfDir, "orders")
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"),
+        expr("floor(o_totalprice * 100)").cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("y")).orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val l0 = daily.take(HwPeriod).map(_._2).sum / HwPeriod
+    var seas = daily.take(HwPeriod).map(_._2 - l0).toVector
+    var (l, b) = (l0, 0L)
+    val want = Seq.newBuilder[(Long, Option[Long], Long, Long, Long, Boolean)]
+    daily.drop(HwPeriod).foreach { case (d, y) =>
+      val s0 = seas.head
+      val lN = (2 * (y - s0) + 8 * (l + b)) / 10
+      val bN = ((lN - l) + 9 * b) / 10
+      val sN = (3 * (y - lN) + 7 * s0) / 10
+      l = lN; b = bN; seas = seas.tail :+ sN
+      want += ((d, Some(y), l, b, sN, false))
+    }
+    (1 to HwPeriod).foreach(h =>
+      want += ((daily.last._1 + h, None, l + h * b, b, seas(h - 1), true)))
+    assert(rows.toSeq == want.result())
+    // forecast shape: exactly one period, linear level, seasonals cycle
+    val fc = rows.filter(_._6)
+    assert(fc.length == HwPeriod)
+    assert(fc.map(_._3).toSeq ==
+      (1 to HwPeriod).map(h => fc.head._3 + (h - 1) * fc.head._4))
+  }
 }
