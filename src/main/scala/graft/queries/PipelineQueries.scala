@@ -1031,6 +1031,99 @@ object PipelineQueries {
        |FROM ex, m""".stripMargin
   }
 
+  // ---- q164: content-defined chunking (storage dedup report) ----------
+
+  /** Boundary rate: a bigram opens a new chunk when h60 mod 16 == 0
+    * (expected chunk length ~16 words; measured 12.3 on this corpus). */
+  val CdcBoundaryMod = 16
+
+  /** Content-defined chunking — the rolling-boundary dedup that dataset
+    * versioning / blob stores (rsync, restic, Hugging Face Xet) use so
+    * an EDIT to a document re-uploads only the chunks it touched:
+    * boundaries fall where `h60(wᵢ₋₁:wᵢ) mod 16 = 0`, a pure function
+    * of LOCAL content, so an insertion shifts at most its own chunk's
+    * boundary while fixed-size chunking would shift every later chunk.
+    * The report: corpus-wide chunk census + duplicate-chunk savings
+    * (near-dup documents share long word runs ⇒ identical chunks ⇒
+    * their bytes store once), with every chunk identified by the md5
+    * of its reassembled text — so the gate pins the exact chunking,
+    * not just the counts.
+    *
+    * Scale shape: ONE hash shuffle on doc_id serves the boundary lag,
+    * the running chunk-id sum, and the chunk reassembly (three window/
+    * group passes over the same partitioning); the digest census is a
+    * map-side-collapsed aggregate on chunk hashes. The oracle builds
+    * the same chunks WITHOUT a window (DuckDB indexes the word array
+    * directly) — two constructions, one result. */
+  def cdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+    val chunks = toks
+      .withColumn("prev", lag("word", 1).over(w))
+      .withColumn("boundary", col("prev").isNotNull &&
+        pmod(Hashing.h60(concat(col("prev"), lit(":"), col("word"))),
+          lit(CdcBoundaryMod)) === 0)
+      .withColumn("chunk_id",
+        sum(when(col("boundary"), 1L).otherwise(0L)).over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, word))), x -> x.word), ' ')").as("chunk_text"))
+      .select(md5(col("chunk_text")).as("digest"),
+        length(col("chunk_text")).cast("long").as("bytes"),
+        (size(split(col("chunk_text"), " "))).cast("long").as("words"))
+    val census = chunks.groupBy("digest")
+      .agg(count(lit(1)).as("cnt"), min(col("bytes")).as("bytes"),
+        min(col("words")).as("words"))
+    census.agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") - 1).as("n_dup_instances"),
+        sum(col("cnt") * col("bytes")).as("total_bytes"),
+        sum((col("cnt") - 1) * col("bytes")).as("dup_bytes"),
+        sum(col("cnt") * col("words")).as("total_words"))
+      .select(col("n_chunks"), col("n_distinct"), col("n_dup_instances"),
+        col("total_bytes"), col("dup_bytes"),
+        expr("(1000 * dup_bytes) div total_bytes").as("savings_pm"),
+        expr("(1000 * total_words) div n_chunks").as("mean_chunk_words_pm"))
+  }
+
+  val cdcChunkingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, u.i AS pos, w[u.i] AS word,
+       |    CASE WHEN u.i > 1 AND
+       |      (${Hashing.h60Sql("w[u.i - 1] || ':' || w[u.i]")}
+       |        % $CdcBoundaryMod) = 0 THEN 1 ELSE 0 END AS boundary
+       |  FROM d, unnest(generate_series(1, len(w), 1)) AS u(i)),
+       |c AS (
+       |  SELECT doc_id,
+       |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS chunk_id,
+       |    pos, word
+       |  FROM t),
+       |ch AS (
+       |  SELECT md5(string_agg(word, ' ' ORDER BY pos)) AS digest,
+       |    length(string_agg(word, ' ' ORDER BY pos))::BIGINT AS bytes,
+       |    count(*)::BIGINT AS words
+       |  FROM c GROUP BY doc_id, chunk_id),
+       |cen AS (
+       |  SELECT digest, count(*)::BIGINT AS cnt, min(bytes) AS bytes,
+       |    min(words) AS words
+       |  FROM ch GROUP BY digest)
+       |SELECT sum(cnt)::BIGINT AS n_chunks,
+       |  count(*)::BIGINT AS n_distinct,
+       |  sum(cnt - 1)::BIGINT AS n_dup_instances,
+       |  sum(cnt * bytes)::BIGINT AS total_bytes,
+       |  sum((cnt - 1) * bytes)::BIGINT AS dup_bytes,
+       |  ((1000 * sum((cnt - 1) * bytes)) // sum(cnt * bytes))::BIGINT
+       |    AS savings_pm,
+       |  ((1000 * sum(cnt * words)) // sum(cnt))::BIGINT AS mean_chunk_words_pm
+       |FROM cen""".stripMargin
+
   // ---- q159: MMR diverse top-k selection ------------------------------
 
   /** Candidate pool per query (the retriever's head). */

@@ -2200,6 +2200,93 @@ object ScaleQueries {
        |ORDER BY v.d""".stripMargin
   }
 
+  // ---- q165: multi-touch attribution (exact value split) --------------
+
+  /** Linear multi-touch revenue attribution over the q42 window — the
+    * marketing-analytics allocation that must CONSERVE money exactly:
+    * each purchase's cents split equally across the same user's clicks
+    * in the preceding 24 h, integer `div` share per click with the
+    * REMAINDER assigned to the earliest click ((ts, event_id) total
+    * order), so Σ attributed + unattributed ≡ Σ purchase cents to the
+    * cent — floats would leak fractions, pro-rata rounding would leak
+    * cents; the oracle equality IS the conservation proof. Clicks roll
+    * up by hour-of-day (the "channel" axis of this fixture); purchases
+    * with no window click land in channel −1 (unattributed) at full
+    * value.
+    *
+    * Scale shape: candidate pairs ride the q42 banded equi-join (never
+    * a nested loop); the per-purchase fan-in (count + earliest click)
+    * and the share join are both keyed by purchase id — co-partitioned
+    * hash joins, payload never duplicated; the channel rollup is a
+    * 25-row aggregate. */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"),
+        col("event_id").as("p_id"),
+        floor(col("value") * lit(100d)).cast("long").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("event_id").as("c_id"))
+    val pairs = RangeJoin.bucketedInner(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTs = "p_ts", rightTs = "c_ts",
+        lowUs = -RangeWindowUs, highUs = 0L)
+      .select(col("p_id"), col("cents"), col("c_ts"), col("c_id"))
+    // one shuffle on p_id serves the row_number, the fan-in count, and
+    // the share computation (window functions share the partitioning)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy("c_ts", "c_id")
+    val attributed = pairs
+      .withColumn("rn", row_number().over(wp))
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("p_id")))
+      .withColumn("share", expr("cents div n"))
+      .withColumn("attr", col("share") +
+        when(col("rn") === 1, col("cents") - col("n") * col("share"))
+          .otherwise(0L))
+      .groupBy(expr("(c_ts div 3600000000) % 24").as("channel_hour"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("attr")).as("cents_attr"))
+    val unattributed = purchases
+      .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"), sum(col("cents")).as("cents_attr"))
+      .select(lit(-1L).as("channel_hour"), col("n_touches"),
+        coalesce(col("cents_attr"), lit(0L)).as("cents_attr"))
+    attributed.unionByName(unattributed).orderBy("channel_hour")
+  }
+
+  val multiTouchAttributionSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS p_ts, event_id AS p_id,
+       |    floor(value * 100)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS c_ts, event_id AS c_id
+       |  FROM events WHERE event_type = 'click'),
+       |pr AS (
+       |  SELECT p.p_id, p.cents, c.c_ts, c.c_id
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND c.c_ts > p.p_ts - $RangeWindowUs AND c.c_ts <= p.p_ts),
+       |rk AS (
+       |  SELECT p_id, cents, c_ts,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS rn,
+       |    count(*) OVER (PARTITION BY p_id)::BIGINT AS n
+       |  FROM pr),
+       |a AS (
+       |  SELECT ((c_ts // 3600000000) % 24)::BIGINT AS channel_hour,
+       |    ((cents // n)
+       |      + CASE WHEN rn = 1 THEN cents - n * (cents // n) ELSE 0 END
+       |    )::BIGINT AS attr
+       |  FROM rk)
+       |SELECT channel_hour, count(*)::BIGINT AS n_touches,
+       |  sum(attr)::BIGINT AS cents_attr
+       |FROM a GROUP BY channel_hour
+       |UNION ALL
+       |SELECT -1::BIGINT, count(*)::BIGINT,
+       |  coalesce(sum(cents), 0)::BIGINT
+       |FROM p WHERE p_id NOT IN (SELECT p_id FROM pr)
+       |ORDER BY channel_hour""".stripMargin
+
   // ---- q150: reciprocal-rank fusion (hybrid retrieval) ----------------
 
   /** RRF rank-discount constant (Cormack & Clarke SIGIR'09's k=60). */

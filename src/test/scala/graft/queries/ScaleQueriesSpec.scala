@@ -110,4 +110,40 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
     assert(got.map(_._1).toSeq == (1L to got.length))
   }
+
+  test("q165: attribution conserves every cent and equals a driver replay") {
+    import ScaleQueries.RangeWindowUs
+    val got = ScaleQueries.multiTouchAttribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("event_id", "user_id", "ts_us", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val purchases = ev.filter(_._4 == "purchase")
+      .map(p => (p._1, p._2, p._3, math.floor(p._5 * 100d).toLong))
+    val clicks = ev.filter(_._4 == "click").map(c => (c._1, c._2, c._3))
+    val attr = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    var (unN, unC) = (0L, 0L)
+    purchases.foreach { case (_, u, pts, cents) =>
+      val w = clicks.filter(c => c._2 == u &&
+        c._3 > pts - RangeWindowUs && c._3 <= pts)
+        .sortBy(c => (c._3, c._1))
+      if (w.isEmpty) { unN += 1; unC += cents }
+      else {
+        val n = w.length
+        val share = cents / n
+        w.zipWithIndex.foreach { case ((_, _, cts), i) =>
+          val a = share + (if (i == 0) cents - n * share else 0L)
+          val ch = (cts / 3600000000L) % 24
+          val (pn, pc) = attr.getOrElse(ch, (0L, 0L))
+          attr(ch) = (pn + 1, pc + a)
+        }
+      }
+    }
+    val want = (attr.toSeq.map { case (ch, (n, c)) => (ch, n, c) } :+
+      (-1L, unN, unC)).sortBy(_._1)
+    assert(got.toSeq == want)
+    // conservation to the cent — the property the integer split exists for
+    assert(got.map(_._3).sum == purchases.map(_._4).sum)
+  }
 }
