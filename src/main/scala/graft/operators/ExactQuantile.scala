@@ -262,4 +262,144 @@ object ExactQuantile {
     }
     (out, Stats(scans, maxCollected))
   }
+
+  /** EXACT quantiles of a WEIGHTED population with the same bounded
+    * memory — semantically identical to `quantile_cont` over the
+    * multiset where each row appears `weightCol` times, WITHOUT
+    * materializing that expansion (the expansion is the oracle/spec
+    * twin, not the production path). The rank space is the total
+    * weight W (h = 1 + p·(W−1)); refinement descends by CUMULATIVE
+    * WEIGHT while the collect bound still counts ROWS (a single heavy
+    * row is one candidate however large its weight). Use cases:
+    * token-weighted document-length percentiles, multiplicity-weighted
+    * bootstrap quantiles (q147's Poisson draws), units-weighted price
+    * quantiles — anywhere expanding would multiply the corpus.
+    *
+    * Weights must be positive integers (longs); null/≤0-weight rows
+    * are ignored, as are null values. NaN values order last, carrying
+    * their weight (matching the expanded-multiset semantics). */
+  def weightedQuantiles(
+      df: DataFrame, valueCol: String, weightCol: String, ps: Seq[Double],
+      buckets: Int = 4096, collectMax: Int = 65536): Seq[Double] = {
+    require(ps.forall(p => p >= 0 && p <= 1), s"percentiles out of [0,1]: $ps")
+    val v = col(valueCol).cast("double")
+    val wc = col(weightCol).cast("long")
+    val rows = df.filter(v.isNotNull && wc.isNotNull && wc > 0)
+      .select(v.as("v"), wc.as("w"))
+    val vals = rows.filter(!isnan(col("v")))
+    val st = rows.agg(
+        sum(col("w")).as("tw"),
+        sum(when(isnan(col("v")), col("w")).otherwise(0L)).as("twNan"),
+        min(when(!isnan(col("v")), col("v"))).as("mn"),
+        max(when(!isnan(col("v")), col("v"))).as("mx"))
+      .collect().head
+    if (st.isNullAt(0)) return ps.map(_ => Double.NaN)
+    val totalW = st.getLong(0)
+    val wNan = st.getLong(1)
+    val (mn, mx) = (if (st.isNullAt(2)) Double.NaN else st.getDouble(2),
+      if (st.isNullAt(3)) Double.NaN else st.getDouble(3))
+    val wFinite = totalW - wNan
+    val hs = ps.map(p => 1.0 + p * (totalW - 1).toDouble)
+
+    final case class T(rank: Long, lo: Double, hi: Double,
+        offset: Long, wcnt: Long, rows: Long)
+    val resolved = scala.collection.mutable.Map[Long, Double]()
+    var active = hs.flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong))
+      .distinct.flatMap { r =>
+        if (r > wFinite) { resolved(r) = Double.NaN; None }
+        else Some(T(r, mn, mx, r, wFinite, Long.MaxValue))
+      }.toBuffer
+
+    def settle(): Unit = {
+      val (done, rest) = active.partition(t => t.lo == t.hi)
+      done.foreach(t => resolved(t.rank) = t.lo)
+      active = rest
+    }
+    settle()
+
+    def inRange(lo: Double, hi: Double) =
+      vals.filter(col("v") >= lo && col("v") <= hi)
+
+    while (active.exists(_.rows > collectMax)) {
+      val ranges = active.map(t => (t.lo, t.hi)).distinct
+      val binsByRange = ranges.map { case (lo, hi) =>
+        val width = math.max((hi - lo) / buckets, java.lang.Double.MIN_VALUE)
+        val bins = inRange(lo, hi)
+          .select(col("v"), col("w"),
+            least(floor((col("v") - lit(lo)) / lit(width)).cast("long"),
+              lit(buckets - 1L)).as("b"))
+          .groupBy("b")
+          .agg(sum(col("w")).as("ws"), count(col("v")).as("rows"),
+            min(col("v")).as("bmn"), max(col("v")).as("bmx"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+          .toMap
+        (lo, hi) -> bins
+      }.toMap
+      active = active.map { t =>
+        val bins = binsByRange((t.lo, t.hi))
+        var (cum, b) = (0L, 0L)
+        var out = t
+        var found = false
+        while (!found && b < buckets) {
+          bins.get(b) match {
+            case Some((ws, nRows, bmn, bmx)) =>
+              if (t.offset <= cum + ws) {
+                out = T(t.rank, bmn, bmx, t.offset - cum, ws, nRows)
+                found = true
+              }
+              cum += ws
+            case None => ()
+          }
+          b += 1
+        }
+        assert(found, s"weighted rank ${t.rank} not found in refinement bins")
+        out
+      }
+      // stall guard, as in the grouped path: an ulp-narrow range full
+      // of duplicates resolves through a bounded distinct-value pass
+      val (stalled, progressing) = active.partition(t =>
+        t.lo < t.hi && (t.hi - t.lo) / buckets == 0 && t.rows > collectMax)
+      stalled.foreach { t =>
+        val hist = inRange(t.lo, t.hi).groupBy("v").agg(sum(col("w")).as("ws"))
+          .orderBy("v").collect().map(r => (r.getDouble(0), r.getLong(1)))
+        var cum = 0L
+        var done = false
+        hist.foreach { case (value, ws) =>
+          if (!done && t.offset <= cum + ws) { resolved(t.rank) = value; done = true }
+          cum += ws
+        }
+        assert(done, s"weighted rank ${t.rank} not found in value histogram")
+      }
+      active = progressing
+      settle()
+    }
+
+    if (active.nonEmpty) {
+      active.map(t => (t.lo, t.hi)).distinct.foreach { case (lo, hi) =>
+        val xs = inRange(lo, hi).groupBy("v").agg(sum(col("w")).as("ws"))
+          .orderBy("v").collect().map(r => (r.getDouble(0), r.getLong(1)))
+        active.filter(t => t.lo == lo && t.hi == hi).foreach { t =>
+          var cum = 0L
+          var done = false
+          xs.foreach { case (value, ws) =>
+            if (!done && t.offset <= cum + ws) { resolved(t.rank) = value; done = true }
+            cum += ws
+          }
+          assert(done, s"weighted rank ${t.rank} unresolved in final collect")
+        }
+      }
+    }
+
+    hs.map { h =>
+      val rlo = math.floor(h).toLong
+      val vlo = resolved(rlo)
+      if (h == rlo.toDouble) vlo
+      else {
+        val vhi = resolved(math.ceil(h).toLong)
+        vlo + (h - rlo) * (vhi - vlo)
+      }
+    }
+  }
 }

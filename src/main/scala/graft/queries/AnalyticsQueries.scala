@@ -534,4 +534,47 @@ object AnalyticsQueries {
        |WHERE o_totalprice > 400000
        |GROUP BY o_orderkey, o_orderstatus
        |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q166: weighted exact quantiles ---------------------------------
+
+  val WeightedPs = Seq(0.5, 0.9, 0.99)
+
+  /** Quantiles of a WEIGHTED population — units-weighted price
+    * percentiles here; token-weighted doc-length or multiplicity-
+    * weighted bootstrap percentiles in the pipeline setting. Semantics
+    * = `quantile_cont` over the multiset where each row repeats
+    * `l_quantity` times; the production path
+    * ([[graft.operators.ExactQuantile.weightedQuantiles]]) descends
+    * the same bounded-memory histogram refinement as q65/q69 but by
+    * CUMULATIVE WEIGHT, never materializing the expansion — the
+    * ORACLE materializes it (`unnest(generate_series(1, w))`), so the
+    * gate proves the two are the same distribution to the bit.
+    *
+    * Scale shape: the expansion the operator avoids is ×avg(weight)
+    * data (25× here; ×thousands for token weights) — the whole point;
+    * refinement scans carry two longs per bin. */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"))
+    val qs = graft.operators.ExactQuantile
+      .weightedQuantiles(li, "price", "w", WeightedPs)
+    val w = li.agg(sum(col("w"))).head().getLong(0)
+    import spark.implicits._
+    Seq((w, BigDecimal(qs(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(qs(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(qs(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("w_total", "p50", "p90", "p99")
+  }
+
+  val weightedQuantilesSql: String =
+    s"""WITH e AS (
+       |  SELECT l_extendedprice AS price,
+       |    unnest(generate_series(1, l_quantity::INT)) AS rep
+       |  FROM lineitem)
+       |SELECT count(*)::BIGINT AS w_total,
+       |  round(quantile_cont(price, 0.5), 6) AS p50,
+       |  round(quantile_cont(price, 0.9), 6) AS p90,
+       |  round(quantile_cont(price, 0.99), 6) AS p99
+       |FROM e""".stripMargin
 }

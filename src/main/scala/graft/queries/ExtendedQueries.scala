@@ -613,4 +613,72 @@ object ExtendedQueries {
        |  (lead(day) OVER (PARTITION BY custkey ORDER BY day, okey) IS NULL)
        |    AS is_current
        |FROM k ORDER BY custkey, version""".stripMargin
+
+  // ---- q167: temporal dimension lookup (SCD2 consumer) ----------------
+
+  /** The point-in-time join every SCD2 dimension exists FOR: each
+    * order looks up the q152 dimension version valid AT ITS OWN
+    * ORDER DATE via the backward as-of operator (q38's machinery;
+    * tie-break = version, so same-day multi-change days resolve to the
+    * LATEST version — the deterministic reading of q152's documented
+    * date-grain degenerate intervals). Self-validating fixture: the
+    * dimension was built FROM these orders, so the looked-up priority
+    * must equal the order's own priority except where a LATER same-day
+    * change shadows it — the audit reports that shadowed cohort
+    * explicitly instead of hiding the artifact (its size is a pure
+    * function of same-day change collisions).
+    *
+    * Scale shape: the as-of composition is ONE hash shuffle on custkey
+    * (union + running last-window, no join operator); the rollup is
+    * |priorities| rows. */
+  def temporalLookup(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").select(
+      col("o_custkey").as("custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"),
+      col("o_orderkey").as("okey"),
+      col("o_orderpriority").as("prio"))
+    val dim = scd2Dim(spark, dir).select(
+      col("custkey"), col("valid_from_day").as("day"),
+      col("version"), col("priority"))
+    graft.operators.AsofJoin.backward(o, dim,
+        key = "custkey", ts = "day",
+        leftCols = Seq("custkey", "okey", "prio"),
+        rightPayload = Seq("priority" -> "dim_prio"),
+        tieBreak = Some("version"))
+      .groupBy("prio").agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("dim_prio") === col("prio"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("dim_prio") =!= col("prio"), 1L).otherwise(0L))
+          .as("n_shadowed"))
+      .withColumn("match_pm", expr("(1000 * n_matched) div n_orders"))
+      .orderBy("prio")
+  }
+
+  val temporalLookupSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS custkey,
+       |    (epoch_us(o_orderdate::TIMESTAMP) // 86400000000)::BIGINT AS day,
+       |    o_orderkey AS okey, o_orderpriority AS prio
+       |  FROM orders),
+       |ch AS (
+       |  SELECT custkey, day, okey, prio,
+       |    lag(prio) OVER (PARTITION BY custkey ORDER BY day, okey) AS prev
+       |  FROM o),
+       |k AS (
+       |  SELECT custkey, day, okey, prio FROM ch
+       |  WHERE prev IS NULL OR prev <> prio),
+       |lk AS (
+       |  SELECT o.custkey, o.okey, o.prio, k.prio AS dim_prio,
+       |    row_number() OVER (PARTITION BY o.custkey, o.okey
+       |      ORDER BY k.day DESC, k.okey DESC) AS rn
+       |  FROM o JOIN k ON k.custkey = o.custkey AND k.day <= o.day)
+       |SELECT prio, count(*)::BIGINT AS n_orders,
+       |  sum(CASE WHEN dim_prio = prio THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       |  sum(CASE WHEN dim_prio <> prio THEN 1 ELSE 0 END)::BIGINT AS n_shadowed,
+       |  ((1000 * sum(CASE WHEN dim_prio = prio THEN 1 ELSE 0 END))
+       |    // count(*))::BIGINT AS match_pm
+       |FROM lk WHERE rn = 1
+       |GROUP BY prio ORDER BY prio""".stripMargin
 }

@@ -245,4 +245,57 @@ class ExactQuantileSpec extends SparkSpec {
       assert(math.abs(c - n / 10.0) <= 1.0, s"bucket count $c vs ${n / 10.0}")
     }
   }
+
+  test("weightedQuantiles equals quantile over the expanded multiset") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(2000)((math.floor(rnd.nextGaussian() * 50) / 10.0,
+      1L + rnd.nextInt(40).toLong))
+    val df = rows.toDF("v", "w")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = graft.operators.ExactQuantile.weightedQuantiles(df, "v", "w", ps)
+    // driver-side expansion + the percentile/quantile_cont formula
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val want = ps.map { p =>
+      val h = 1.0 + p * (expanded.length - 1)
+      val lo = expanded(math.floor(h).toInt - 1)
+      if (h == math.floor(h)) lo
+      else lo + (h - math.floor(h)) * (expanded(math.ceil(h).toInt - 1) - lo)
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"weighted quantile drifted: $g vs $w")
+    }
+  }
+
+  test("weightedQuantiles: forced multi-pass, duplicates, NaN tail, unit weights") {
+    val s2 = spark
+    import s2.implicits._
+    // heavy duplicates + a NaN tail with weight; tiny collectMax forces
+    // refinement passes
+    val rows = (1 to 500).map(i => ((i % 7).toDouble, (1L + i % 3))) ++
+      Seq((Double.NaN, 9L))
+    val df = rows.toDF("v", "w")
+    val ps = Seq(0.5, 0.95, 1.0)
+    val got = graft.operators.ExactQuantile
+      .weightedQuantiles(df, "v", "w", ps, buckets = 4, collectMax = 16)
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      .sortBy(v => (v.isNaN, v)) // NaN last
+    val want = ps.map { p =>
+      val h = 1.0 + p * (expanded.length - 1)
+      val lo = expanded(math.floor(h).toInt - 1)
+      if (h == math.floor(h)) lo
+      else lo + (h - math.floor(h)) * (expanded(math.ceil(h).toInt - 1) - lo)
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w || (g.isNaN && w.isNaN), s"$g vs $w")
+    }
+    // weight-1 rows degenerate to the unweighted operator
+    val uw = rows.filter(!_._1.isNaN).map(_._1)
+    val g1 = graft.operators.ExactQuantile.weightedQuantiles(
+      uw.map((_, 1L)).toDF("v", "w"), "v", "w", Seq(0.5))
+    val g2 = graft.operators.ExactQuantile.quantiles(
+      uw.toDF("v"), "v", Seq(0.5))
+    assert(g1 == g2)
+  }
 }

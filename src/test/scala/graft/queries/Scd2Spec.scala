@@ -70,4 +70,29 @@ class Scd2Spec extends SparkSpec {
       }
     }
   }
+
+  test("q167: temporal lookup conserves orders; shadowing equals the same-day collision cohort") {
+    val rows = ExtendedQueries.temporalLookup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_._2).sum == nOrders)
+    rows.foreach(r => assert(r._3 + r._4 == r._2, s"${r._1} partition"))
+    // shadowed = orders followed by a same-(custkey, day) CHANGE with a
+    // higher (day, okey) — recompute from raw history
+    var shadowed = 0L
+    history.foreach { case (_, seq) =>
+      val changes = seq.foldLeft(Vector.empty[(Long, Long, String)]) {
+        case (acc, r) => if (acc.nonEmpty && acc.last._3 == r._3) acc else acc :+ r
+      }
+      seq.foreach { case (day, okey, prio) =>
+        val lookup = changes.filter(_._1 <= day)
+          .maxBy(c => (c._1, c._2))
+        if (lookup._3 != prio) shadowed += 1
+      }
+    }
+    assert(rows.map(_._4).sum == shadowed)
+    // the dimension answers correctly for the overwhelming majority
+    assert(rows.forall(_._5 >= 900), rows.map(_._5).toSeq.toString)
+  }
 }
