@@ -989,4 +989,141 @@ object CleaningQueries {
        |  simpson_nano,
        |  ((1000 * gini_num) // (n_sources * total_tokens))::BIGINT AS gini_pm
        |FROM a""".stripMargin
+
+  // ---- q169: nucleus vocabulary coverage ------------------------------
+
+  /** Coverage target in per-mille (the "top-p nucleus" of the
+    * frequency distribution). */
+  val NucleusPm = 900L
+
+  /** How CONCENTRATED is each language's token mass — the
+    * tokenizer-design companion to q127's OOV audit: rank each
+    * language's words by frequency and report how many words cover
+    * [[NucleusPm]]‰ of its tokens (the nucleus), plus the top-10
+    * words' share. A language whose nucleus is tiny tokenizes cheaply;
+    * one with a fat tail needs subword coverage. Exact integers
+    * throughout: a rank is inside the nucleus iff the mass BEFORE it
+    * is short of the target (`10·(cum − cnt) < 9·T`), so the count of
+    * such ranks is the exact minimal nucleus size.
+    *
+    * Scale shape: one corpus word count (map-side combined) →
+    * vocab-sized (lang, word) table; ranking windows span each
+    * language's vocabulary, bounded by the dictionary, not the
+    * corpus. */
+  def nucleusCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("word"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val counts = table(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("tot", sum("c").over(wAll))
+      .groupBy("lang").agg(
+        count(lit(1)).as("vocab_size"),
+        min(col("tot")).as("tokens"),
+        // rank is inside the minimal nucleus iff the mass BEFORE it is
+        // short of the 90% target: 10·(cum − c) < 9·tot
+        sum(when(lit(10) * (col("cum") - col("c")) < lit(9) * col("tot"), 1L)
+          .otherwise(0L)).as("n_words_p90"),
+        sum(when(col("rk") <= 10, col("c")).otherwise(0L)).as("top10_tokens"))
+      .withColumn("top10_share_pm", expr("(1000 * top10_tokens) div tokens"))
+      .select("lang", "vocab_size", "tokens", "n_words_p90", "top10_share_pm")
+      .orderBy("lang")
+  }
+
+  val nucleusCoverageSql: String =
+    s"""WITH c AS (
+       |  SELECT lang, word, count(*)::BIGINT AS c
+       |  FROM (SELECT lang,
+       |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |        FROM documents)
+       |  GROUP BY lang, word),
+       |r AS (
+       |  SELECT lang, c,
+       |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rk,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY c DESC, word
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS tot
+       |  FROM c)
+       |SELECT lang, count(*)::BIGINT AS vocab_size, min(tot)::BIGINT AS tokens,
+       |  sum(CASE WHEN 10 * (cum - c) < 9 * tot THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_words_p90,
+       |  ((1000 * sum(CASE WHEN rk <= 10 THEN c ELSE 0 END)) // min(tot))::BIGINT
+       |    AS top10_share_pm
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q170: score-calibration audit (reliability bins + ECE) ---------
+
+  /** The reliability-diagram / Expected-Calibration-Error audit every
+    * quality-classifier deployment runs — "when the scorer says 700‰,
+    * is the label true 70% of the time?": the deterministic scorer
+    * here is the stopword-mass signal (English stopwords predict
+    * lang = 'en' — q15's heuristic family), binned into ten fixed-width
+    * score bins; per bin the mean claimed score and the empirical
+    * positive rate, and globally ECE = Σ nᵦ·|gap| / N — ALL exact
+    * integer per-mille (score = 1000·n_stop div n_tok per doc; no
+    * float ever crosses the engine boundary).
+    *
+    * Scale shape: one token explode → per-doc (n_tok, n_stop)
+    * aggregate → 10-bin rollup; the ECE total broadcasts back as a
+    * 1-row cross join. */
+  def calibrationAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val docs = toks.groupBy("doc_id", "lang").agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("word").isInCollection(TextStats.stopwords), 1L)
+          .otherwise(0L)).as("n_stop"))
+      .withColumn("score_pm", expr("(1000 * n_stop) div n_tok"))
+      .withColumn("bin", least(lit(9L), expr("score_pm div 100")))
+      .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+    val bins = docs.groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(score_pm) div count(1)").as("mean_score_pm"),
+        expr("(1000 * sum(pos)) div count(1)").as("pos_rate_pm"))
+      .withColumn("gap_pm", abs(col("mean_score_pm") - col("pos_rate_pm")))
+    val ece = bins.agg(
+      expr("sum(n_docs * gap_pm) div sum(n_docs)").as("ece_pm"))
+    bins.crossJoin(broadcast(ece))
+      .select("bin", "n_docs", "mean_score_pm", "pos_rate_pm", "gap_pm",
+        "ece_pm")
+      .orderBy("bin")
+  }
+
+  val calibrationAuditSql: String = {
+    import graft.text.TextStats
+    val stop = TextStats.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, count(*)::BIGINT AS n_tok,
+       |    sum(CASE WHEN word IN ($stop) THEN 1 ELSE 0 END)::BIGINT AS n_stop
+       |  FROM t GROUP BY doc_id, lang),
+       |s AS (
+       |  SELECT least(9, ((1000 * n_stop) // n_tok) // 100)::BIGINT AS bin,
+       |    ((1000 * n_stop) // n_tok)::BIGINT AS score_pm,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM d),
+       |b AS (
+       |  SELECT bin, count(*)::BIGINT AS n_docs,
+       |    (sum(score_pm) // count(*))::BIGINT AS mean_score_pm,
+       |    ((1000 * sum(pos)) // count(*))::BIGINT AS pos_rate_pm
+       |  FROM s GROUP BY bin),
+       |g AS (
+       |  SELECT bin, n_docs, mean_score_pm, pos_rate_pm,
+       |    abs(mean_score_pm - pos_rate_pm)::BIGINT AS gap_pm
+       |  FROM b),
+       |e AS (
+       |  SELECT (sum(n_docs * gap_pm) // sum(n_docs))::BIGINT AS ece_pm FROM g)
+       |SELECT bin, n_docs, mean_score_pm, pos_rate_pm, gap_pm, e.ece_pm
+       |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
+  }
 }

@@ -1124,6 +1124,108 @@ object PipelineQueries {
        |  ((1000 * sum(cnt * words)) // sum(cnt))::BIGINT AS mean_chunk_words_pm
        |FROM cen""".stripMargin
 
+  // ---- q168: Johnson-Lindenstrauss projection distortion --------------
+
+  /** Target dimensionality of the random ±1 projection. */
+  val JlK = 16
+  /** Component quantization (q148's convention). */
+  val JlQuant = 10000L
+  /** Sampled vectors: all pairs over ids < this bound. */
+  val JlSample = 32L
+
+  /** The dimensionality-reduction health check behind every "can we
+    * retrieve on 16 dims instead of 64" decision — a deterministic
+    * Johnson-Lindenstrauss projection (±1 hyperplanes from md5 signs,
+    * the q68 plane discipline, so both engines regenerate the IDENTICAL
+    * matrix) applied to a bounded pair sample, reporting the squared-
+    * distance distortion distribution. ALL integer: components quantize
+    * to floor(x·10⁴) first (q148), projections are ±1 integer sums,
+    * squared distances exact integer sums, and the distortion ratio is
+    * `(1000·d²_proj) div (k·d²_orig)` — each ±1 row of the matrix has
+    * E[(P(x−y))ⱼ²] = ‖x−y‖², so E[‖P(x−y)‖²] = k·‖x−y‖² and the
+    * normalized expectation is 1000, spread ~1/√k. Complements q133 (matryoshka PREFIX
+    * truncation): JL mixes all dims instead of dropping the tail, the
+    * right tool when prefixes were not trained to matter.
+    *
+    * Scale shape: the distortion SAMPLE is all pairs over [[JlSample]]
+    * ids (bounded, exact); applying the projection corpus-wide is one
+    * scan of k·d integer multiply-adds per row — the report decides
+    * whether to run it. */
+  def jlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .filter(col("vec_id") < JlSample)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * lit(JlQuant)).cast("long").as("q"))
+    val dims = e.agg(max(col("d"))).head().getLong(0) + 1
+    // deterministic ±1 planes: sign(j, d) = h60("jl:j:d") parity
+    val planes = spark.range(JlK).toDF("j").crossJoin(
+        spark.range(dims).toDF("d"))
+      .withColumn("s", when(pmod(Hashing.h60(
+        concat(lit("jl:"), col("j"), lit(":"), col("d"))), lit(2)) === 0, 1L)
+        .otherwise(-1L))
+    val proj = e.join(broadcast(planes), "d")
+      .groupBy("vec_id", "j").agg(sum(expr("q * s")).as("y"))
+    def pairDists(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.as("a").join(df.as(
+          "b"), col("a.vec_id") < col("b.vec_id") &&
+          col(s"a.${df.columns(1)}") === col(s"b.${df.columns(1)}"))
+        .groupBy(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+        .agg(sum(expr(s"(a.$valueCol - b.$valueCol) * (a.$valueCol - b.$valueCol)"))
+          .as(out))
+    val dOrig = pairDists(e.select(col("vec_id"), col("d"), col("q")), "q", "d2_orig")
+    val dProj = pairDists(proj.select(col("vec_id"), col("j"), col("y")), "y", "d2_proj")
+    dOrig.join(dProj, Seq("ia", "ib"))
+      .withColumn("ratio_pm",
+        expr(s"(1000 * d2_proj) div ($JlK * d2_orig)"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ratio_pm) div count(1)").as("mean_ratio_pm"),
+        min(col("ratio_pm")).as("min_ratio_pm"),
+        max(col("ratio_pm")).as("max_ratio_pm"),
+        sum(when(col("ratio_pm").between(500, 1500), 1L).otherwise(0L))
+          .as("n_within_50pct"))
+  }
+
+  val jlDistortionSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id < $JlSample),
+       |e AS (
+       |  SELECT vec_id, (i - 1)::BIGINT AS d,
+       |    floor(embedding[i]::DOUBLE * $JlQuant)::BIGINT AS q
+       |  FROM e0),
+       |dims AS (SELECT (max(d) + 1)::BIGINT AS nd FROM e),
+       |pl AS (
+       |  SELECT j.j, d.d,
+       |    CASE WHEN (${Hashing.h60Sql("'jl:' || j.j::VARCHAR || ':' || d.d::VARCHAR")}
+       |      % 2) = 0 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(generate_series(0, $JlK - 1)) AS j) j
+       |  CROSS JOIN (SELECT unnest(generate_series(0,
+       |    (SELECT nd - 1 FROM dims))) AS d) d),
+       |proj AS (
+       |  SELECT e.vec_id, pl.j, sum(e.q * pl.s)::BIGINT AS y
+       |  FROM e JOIN pl ON pl.d = e.d GROUP BY e.vec_id, pl.j),
+       |dor AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    sum((a.q - b.q) * (a.q - b.q))::BIGINT AS d2_orig
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.d = b.d
+       |  GROUP BY 1, 2),
+       |dpr AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    sum((a.y - b.y) * (a.y - b.y))::BIGINT AS d2_proj
+       |  FROM proj a JOIN proj b ON a.vec_id < b.vec_id AND a.j = b.j
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT ((1000 * d2_proj) // ($JlK * d2_orig))::BIGINT AS ratio_pm
+       |  FROM dor JOIN dpr USING (ia, ib))
+       |SELECT count(*)::BIGINT AS n_pairs,
+       |  (sum(ratio_pm) // count(*))::BIGINT AS mean_ratio_pm,
+       |  min(ratio_pm)::BIGINT AS min_ratio_pm,
+       |  max(ratio_pm)::BIGINT AS max_ratio_pm,
+       |  sum(CASE WHEN ratio_pm BETWEEN 500 AND 1500 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_within_50pct
+       |FROM r""".stripMargin
+
   // ---- q159: MMR diverse top-k selection ------------------------------
 
   /** Candidate pool per query (the retriever's head). */

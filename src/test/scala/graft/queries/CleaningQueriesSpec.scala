@@ -279,4 +279,63 @@ class CleaningQueriesSpec extends SparkSpec {
     assert(h >= 0 && h <= math.round(1e6 * math.log(ns.toDouble)) + ns)
     assert(eff >= 1000 && eff <= ns * 1000)
   }
+
+  test("q169: nucleus sizes equal a driver recompute and are minimal") {
+    val got = CleaningQueries.nucleusCoverage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (lang, ds) =>
+      val counts = ds.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }
+      val tot = counts.map(_._2).sum
+      var (cum, nucleus) = (0L, 0L)
+      counts.foreach { case (_, c) =>
+        if (10 * cum < 9 * tot) nucleus += 1
+        cum += c
+      }
+      val top10 = counts.take(10).map(_._2).sum
+      (lang, counts.length.toLong, tot, nucleus, 1000 * top10 / tot)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    // minimality: nucleus-1 words cover < 90%, nucleus words cover >= 90%
+    got.foreach { case (lang, v, t, n, _) =>
+      val counts = docs.filter(_._1 == lang)
+        .flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }.map(_._2)
+      assert(10 * counts.take(n.toInt).sum >= 9 * t, s"$lang under-covers")
+      if (n > 1) assert(10 * counts.take(n.toInt - 1).sum < 9 * t,
+        s"$lang nucleus not minimal")
+      assert(n <= v)
+    }
+  }
+
+  test("q170: calibration bins and ECE equal a driver recompute") {
+    val got = CleaningQueries.calibrationAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val stop = graft.text.TextStats.stopwords.toSet
+    val scored = docs.map { case (lang, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val pm = 1000L * toks.count(stop) / toks.length
+      (math.min(9L, pm / 100), pm, if (lang == "en") 1L else 0L)
+    }
+    val bins = scored.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.length.toLong
+      val mean = xs.map(_._2).sum / n
+      val rate = 1000L * xs.map(_._3).sum / n
+      (b, n, mean, rate, math.abs(mean - rate))
+    }.toSeq.sortBy(_._1)
+    val ece = bins.map(x => x._2 * x._5).sum / bins.map(_._2).sum
+    assert(got.toSeq == bins.map(b => (b._1, b._2, b._3, b._4, b._5, ece)))
+    // the audit is non-degenerate: >1 bin, ECE strictly positive
+    assert(got.length > 1 && ece > 0)
+  }
 }

@@ -321,4 +321,35 @@ class SimilaritySpec extends SparkSpec {
     val relHead = pool.take(MmrK).map(_._1).toSet
     assert(got.map(_._2).toSet != relHead, "MMR degenerated to pure relevance")
   }
+
+  test("q168: JL distortion equals a driver replay; the isometry holds on average") {
+    import graft.queries.PipelineQueries.{JlK, JlQuant, JlSample}
+    val r = graft.queries.PipelineQueries.jlDistortion(spark, sfDir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < JlSample)
+      .collect().map(x => x.getLong(0) ->
+        x.getSeq[Float](1).map(f => math.floor(f.toDouble * JlQuant).toLong).toArray)
+      .sortBy(_._1)
+    val d = vecs.head._2.length
+    val signs = Array.tabulate(JlK, d)((j, dd) =>
+      if (graft.text.Hashing.h60Jvm(s"jl:$j:$dd") % 2 == 0) 1L else -1L)
+    def proj(q: Array[Long]): Array[Long] =
+      Array.tabulate(JlK)(j => (0 until d).map(i => q(i) * signs(j)(i)).sum)
+    val ratios = for {
+      i <- vecs.indices; k <- (i + 1) until vecs.length
+    } yield {
+      val (qa, qb) = (vecs(i)._2, vecs(k)._2)
+      val dOrig = (0 until d).map(x => { val t = qa(x) - qb(x); t * t }).sum
+      val (pa, pb) = (proj(qa), proj(qb))
+      val dProj = (0 until JlK).map(x => { val t = pa(x) - pb(x); t * t }).sum
+      (1000L * dProj) / (JlK * dOrig)
+    }
+    val want = (ratios.length.toLong, ratios.sum / ratios.length,
+      ratios.min, ratios.max, ratios.count(r => r >= 500 && r <= 1500).toLong)
+    assert(got == want)
+    // the JL isometry: mean distortion within 15% of 1, most pairs in band
+    assert(math.abs(got._2 - 1000) < 150, s"mean ${got._2}")
+    assert(got._5 * 10 >= got._1 * 8, s"only ${got._5}/${got._1} in band")
+  }
 }
