@@ -1347,4 +1347,76 @@ object CurationQueries {
        |    ELSE 0 END)::BIGINT AS span_checksum
        |FROM sp GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- q172: n-gram novelty / memorization audit ----------------------
+
+  /** Eval holdout: every `% NovEvalMod` doc. */
+  val NovEvalMod = 17
+  /** Shingle width — long enough that overlap means COPYING, not
+    * vocabulary (q57's 24-char lesson, in words). */
+  val NovGramK = 8
+
+  /** The memorization/novelty audit an eval pipeline runs before
+    * trusting a benchmark number (Carlini et al.'s extraction setting,
+    * inverted): for each held-out document, what fraction of its
+    * [[NovGramK]]-word shingles ALSO appears in the training corpus?
+    * A near-zero novelty score means the "eval" doc is effectively
+    * training data (the fixture's planted near-dups make the bimodal
+    * outcome real: copies score ~0, fresh salad ~1000‰). Exact
+    * semantics — distinct shingles per doc, h60 shingle keys, a
+    * left-anti join against the train shingle set — so the gate pins
+    * the exact per-doc novelty, not an estimate; the Bloom-filter
+    * variant (q73's machinery) is the constant-memory scale
+    * substitute whose false positives only UNDERCOUNT novelty.
+    *
+    * Scale shape: one explode per side; the train shingle set
+    * collapses to DISTINCT h60 keys (map-side combined) and the
+    * membership test is one hash semi/anti join keyed by shingle —
+    * eval docs are the small side, the corpus never rescans. */
+  def noveltyAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(Hashing.wordShingles(lower(trim(col("text"))), NovGramK))
+          .as("sh"))
+      .select(col("doc_id"), col("source"), Hashing.h60(col("sh")).as("h"))
+    val trainSet = d.filter(pmod(col("doc_id"), lit(NovEvalMod)) =!= 0)
+      .select("h").distinct()
+    val ev = d.filter(pmod(col("doc_id"), lit(NovEvalMod)) === 0)
+    val novel = ev.join(trainSet, Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    ev.groupBy("doc_id", "source").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_pm", expr("(1000 * n_novel) div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyAuditSql: String = {
+    import graft.text.Hashing
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, source, ${Hashing.h60Sql("sh")} AS h
+       |  FROM (SELECT doc_id, source,
+       |          unnest(${Hashing.wordShinglesSql("w", NovGramK)}) AS sh
+       |        FROM d0)),
+       |tr AS (SELECT DISTINCT h FROM d WHERE doc_id % $NovEvalMod <> 0),
+       |ev AS (SELECT doc_id, source, h FROM d WHERE doc_id % $NovEvalMod = 0),
+       |nv AS (
+       |  SELECT ev.doc_id, count(*)::BIGINT AS n_novel
+       |  FROM ev LEFT JOIN tr ON tr.h = ev.h
+       |  WHERE tr.h IS NULL GROUP BY ev.doc_id),
+       |g AS (
+       |  SELECT doc_id, source, count(*)::BIGINT AS n_grams
+       |  FROM ev GROUP BY doc_id, source)
+       |SELECT g.doc_id, g.source, g.n_grams,
+       |  coalesce(nv.n_novel, 0)::BIGINT AS n_novel,
+       |  ((1000 * coalesce(nv.n_novel, 0)) // g.n_grams)::BIGINT AS novelty_pm
+       |FROM g LEFT JOIN nv ON nv.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
 }

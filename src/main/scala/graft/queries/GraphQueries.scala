@@ -302,4 +302,125 @@ object GraphQueries {
        |GROUP BY event_id // $ChainBlock
        |HAVING count(*) >= 2
        |ORDER BY comp""".stripMargin
+
+  // ---- q171: co-occurrence recommender hit@k eval ----------------------
+
+  /** Temporal train/test split instant: 2024-01-25T00:00:00Z — five
+    * days before the fixture's last event (the q126 pinned-constant
+    * convention; a production run stamps its own cutoff). */
+  val RecCutoffUs = 1706140800000000L
+
+  /** The offline evaluation loop of an item-to-item recommender
+    * ("users who touched i also touched j", q114's signal) — the
+    * leave-future-out protocol every recsys paper reports: train
+    * co-occurrence counts STRICTLY BEFORE a cutoff, test on each
+    * user's FIRST post-cutoff touch of an item NOT in their history
+    * (otherwise the "prediction" is a replay), rank candidates by
+    * Σ_{i∈history} n(i, j) over integer counts with (score desc, item)
+    * tie-break, and report hit@1/5/10 in exact integers. No float
+    * anywhere; the protocol itself (split, novelty filter, tie-break)
+    * is what the gate pins cross-engine.
+    *
+    * Scale shape: training collapses to DISTINCT (user, item) before
+    * the self-join (q114's discipline); scoring joins each user's
+    * history against the pair table on item — work ∝ Σ|history|·fanout,
+    * bounded by the catalog; the per-user top-10 is a WindowGroupLimit
+    * window; nothing quadratic in users. */
+  def recEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ev = eventsTsUs(spark, dir)
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item0"),
+        col("ts_us"), col("event_id"))
+      .filter(col("item0") =!= "")
+      .select(col("user_id"), col("item0").cast("long").as("item"),
+        col("ts_us"), col("event_id"))
+    val train = ev.filter(col("ts_us") < RecCutoffUs)
+      .select("user_id", "item").distinct()
+    val pairs = train.as("a")
+      .join(train.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n"))
+    // test target: first post-cutoff touch of a NOVEL item per user
+    val novelPost = ev.filter(col("ts_us") >= RecCutoffUs)
+      .join(train.withColumnRenamed("item", "item"), Seq("user_id", "item"),
+        "left_anti")
+    val target = novelPost
+      .withColumn("rn", row_number().over(
+        w.partitionBy("user_id").orderBy("ts_us", "event_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("item").as("target"))
+    // candidate scores: sum of co-counts from the user's history,
+    // history items themselves excluded
+    val scores = train.join(pairs,
+        train("item") === pairs("item_a"))
+      .groupBy(col("user_id"), col("item_b").as("cand"))
+      .agg(sum(col("n")).as("s"))
+      .join(train.withColumnRenamed("item", "cand"),
+        Seq("user_id", "cand"), "left_anti")
+    val ranked = scores
+      .withColumn("rk", row_number().over(
+        w.partitionBy("user_id").orderBy(col("s").desc, col("cand"))))
+      .filter(col("rk") <= 10)
+    target.join(ranked, Seq("user_id"), "left")
+      .groupBy()
+      .agg(countDistinct(col("user_id")).as("n_test_users"),
+        sum(when(col("cand") === col("target") && col("rk") <= 1, 1L)
+          .otherwise(0L)).as("hits_at_1"),
+        sum(when(col("cand") === col("target") && col("rk") <= 5, 1L)
+          .otherwise(0L)).as("hits_at_5"),
+        sum(when(col("cand") === col("target") && col("rk") <= 10, 1L)
+          .otherwise(0L)).as("hits_at_10"))
+      .withColumn("hit10_pm", expr("(1000 * hits_at_10) div n_test_users"))
+  }
+
+  val recEvalSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item,
+       |    epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+       |  FROM events WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |train AS (
+       |  SELECT DISTINCT user_id, item FROM ev WHERE ts_us < $RecCutoffUs),
+       |pairs AS (
+       |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n
+       |  FROM train a JOIN train b
+       |    ON a.user_id = b.user_id AND a.item <> b.item
+       |  GROUP BY 1, 2),
+       |np AS (
+       |  SELECT e.user_id, e.item, e.ts_us, e.event_id
+       |  FROM ev e LEFT JOIN train t
+       |    ON t.user_id = e.user_id AND t.item = e.item
+       |  WHERE e.ts_us >= $RecCutoffUs AND t.item IS NULL),
+       |tgt AS (
+       |  SELECT user_id, item AS target FROM (
+       |    SELECT user_id, item, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+       |    FROM np) WHERE rn = 1),
+       |sc AS (
+       |  SELECT tr.user_id, p.item_b AS cand, sum(p.n)::BIGINT AS s
+       |  FROM train tr JOIN pairs p ON p.item_a = tr.item
+       |  GROUP BY 1, 2),
+       |sc2 AS (
+       |  SELECT sc.user_id, sc.cand, sc.s
+       |  FROM sc LEFT JOIN train t
+       |    ON t.user_id = sc.user_id AND t.item = sc.cand
+       |  WHERE t.item IS NULL),
+       |rk AS (
+       |  SELECT user_id, cand, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY s DESC, cand) AS rk
+       |  FROM sc2)
+       |SELECT count(DISTINCT tgt.user_id)::BIGINT AS n_test_users,
+       |  sum(CASE WHEN rk.cand = tgt.target AND rk.rk <= 1 THEN 1 ELSE 0 END
+       |    )::BIGINT AS hits_at_1,
+       |  sum(CASE WHEN rk.cand = tgt.target AND rk.rk <= 5 THEN 1 ELSE 0 END
+       |    )::BIGINT AS hits_at_5,
+       |  sum(CASE WHEN rk.cand = tgt.target AND rk.rk <= 10 THEN 1 ELSE 0 END
+       |    )::BIGINT AS hits_at_10,
+       |  ((1000 * sum(CASE WHEN rk.cand = tgt.target AND rk.rk <= 10
+       |      THEN 1 ELSE 0 END)) // count(DISTINCT tgt.user_id))::BIGINT
+       |    AS hit10_pm
+       |FROM tgt LEFT JOIN rk ON rk.user_id = tgt.user_id AND rk.rk <= 10"""
+      .stripMargin
 }

@@ -371,4 +371,30 @@ class CurationQueriesSpec extends SparkSpec {
     assert(mt * 1000 / t > 80 && mt * 1000 / t < 220, s"rate ${mt * 1000 / t}")
     assert(got.forall(r => r._8 <= r._5 && r._5 <= r._4))
   }
+
+  test("q172: novelty equals a driver-side shingle replay; near-dups score low") {
+    import CurationQueries.{NovEvalMod, NovGramK}
+    val got = CurationQueries.noveltyAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+")
+      if (w.length < NovGramK) Set.empty
+      else w.sliding(NovGramK).map(_.mkString(" ")).toSet
+    }
+    val trainSet = docs.filter(_._1 % NovEvalMod != 0)
+      .flatMap(d => shingles(d._3)).toSet
+    val want = docs.filter(_._1 % NovEvalMod == 0).map { d =>
+      val sh = shingles(d._3)
+      val novel = sh.count(s => !trainSet.contains(s)).toLong
+      (d._1, d._2, sh.size.toLong, novel, 1000L * novel / sh.size)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // novelty must separate: most eval docs are fresh salad (high),
+    // and at least the spread is non-trivial
+    assert(got.map(_._5).max > 900)
+  }
 }

@@ -249,4 +249,47 @@ class GraphAndSketchSpec extends SparkSpec {
       Seq((0L, 256L), (256L, 256L), (512L, 256L), (768L, 232L)))
     assert(rows.forall(_._3), "star contraction exceeded the O(log n) round bound")
   }
+
+  test("q171: hit@k protocol equals a driver-side replay of the whole eval") {
+    import GraphQueries.RecCutoffUs
+    val r = GraphQueries.recEval(spark, sfDir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("props"), "\"k\": (\\d+)", 1)
+          .as("item"),
+        org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_id"))
+      .collect()
+      .filter(_.getString(1).nonEmpty)
+      .map(x => (x.getLong(0), x.getString(1).toLong, x.getLong(2), x.getLong(3)))
+    val train = ev.filter(_._3 < RecCutoffUs).map(e => (e._1, e._2)).distinct
+    val hist = train.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val co = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    hist.values.foreach { items =>
+      for (a <- items; b <- items if a != b)
+        co((a, b)) = co.getOrElse((a, b), 0L) + 1
+    }
+    val targets = ev.filter(e => e._3 >= RecCutoffUs &&
+        !hist.getOrElse(e._1, Set.empty).contains(e._2))
+      .groupBy(_._1).view.mapValues(_.minBy(e => (e._3, e._4))._2).toMap
+    var (h1, h5, h10) = (0L, 0L, 0L)
+    targets.foreach { case (u, tgt) =>
+      val hs = hist.getOrElse(u, Set.empty)
+      val scores = scala.collection.mutable.HashMap.empty[Long, Long]
+      hs.foreach(i => co.keys.filter(_._1 == i).foreach { case (_, j) =>
+        if (!hs.contains(j)) scores(j) = scores.getOrElse(j, 0L) + co((i, j))
+      })
+      val top = scores.toSeq.sortBy { case (j, sc) => (-sc, j) }.take(10).map(_._1)
+      if (top.take(1).contains(tgt)) h1 += 1
+      if (top.take(5).contains(tgt)) h5 += 1
+      if (top.contains(tgt)) h10 += 1
+    }
+    val want = (targets.size.toLong, h1, h5, h10,
+      1000L * h10 / targets.size)
+    assert(got == want)
+    // the protocol is live: some test users exist, hits are monotone
+    assert(got._1 > 0 && got._2 <= got._3 && got._3 <= got._4 && got._4 <= got._1)
+  }
 }
