@@ -2287,6 +2287,127 @@ object ScaleQueries {
        |FROM p WHERE p_id NOT IN (SELECT p_id FROM pr)
        |ORDER BY channel_hour""".stripMargin
 
+  // ---- q173: PCA second component (deflation) -------------------------
+
+  /** The second principal direction by DEFLATION — the step that turns
+    * q149's single component into a basis: C₂ = C − λ·v₁v₁ᵀ/(v₁ᵀv₁)
+    * removes the dominant direction, and power iteration on C₂
+    * converges to the runner-up. Every step stays in the q149 integer
+    * recipe (truncating `div`, max-component ±10⁶ renormalization), so
+    * the deflated matrix, all 16 second-stage iterates, the
+    * Rayleigh share of v₂ against the ORIGINAL covariance, and the
+    * v₁·v₂ orthogonality check (per-mille of the norm product, floored
+    * integer sqrt — exact below 2⁵³) are bit-reproducible anywhere.
+    * The oracle replays the ENTIRE two-stage recurrence — covariance,
+    * 16 rounds to v₁, λ, deflation, 16 more rounds to v₂ — as
+    * generated MATERIALIZED CTEs (the q149/q159 discipline).
+    *
+    * Scale shape: corpus-scale work is exactly q148's one scan +
+    * self-join; both iterations run on d² longs of driver state. */
+  def pca2(spark: SparkSession, dir: String): DataFrame = {
+    val tri = embCovariance(spark, dir).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(3)))
+    val d = tri.map(_._1._2).max + 1
+    val c = Array.ofDim[Long](d, d)
+    tri.foreach { case ((i, j), num) =>
+      val sc = num / 1000000L
+      c(i)(j) = sc; c(j)(i) = sc
+    }
+    def iterate(m: Array[Array[Long]]): Array[Long] = {
+      var v = Array.fill(d)(1000000L)
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val mx = w.map(math.abs).max
+        v = w.map(x => (x * 1000L) / math.max(1L, mx / 1000L))
+      }
+      v
+    }
+    val v1 = iterate(c)
+    val v13 = v1.map(_ / 1000L)
+    val inn1 = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v13(j)).sum)
+    val lden = v13.map(x => x * x).sum
+    val lam = (0 until d).map(i => v13(i) * inn1(i)).sum / math.max(1L, lden)
+    val c2 = Array.tabulate(d, d)((i, j) =>
+      c(i)(j) - (lam * v13(i) * v13(j)) / math.max(1L, lden))
+    val v2 = iterate(c2)
+    val v23 = v2.map(_ / 1000L)
+    // Rayleigh of v2 against the ORIGINAL covariance + trace share
+    val inn2 = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v23(j)).sum)
+    val l2den = v23.map(x => x * x).sum
+    val lam2 = (0 until d).map(i => v23(i) * inn2(i)).sum / math.max(1L, l2den)
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val dom2 = (1000L * lam2) / math.max(1L, trace)
+    // orthogonality: |v1_3 . v2_3| over the floored norm product
+    val dot = math.abs((0 until d).map(i => v13(i) * v23(i)).sum)
+    val den = math.floor(math.sqrt(lden.toDouble * l2den.toDouble)).toLong
+    val ortho = (1000L * dot) / math.max(1L, den)
+    import spark.implicits._
+    v2.zipWithIndex.map { case (vq, i) => (i.toLong, vq, dom2, ortho) }.toSeq
+      .toDF("d", "v2_q", "dominance2_pm", "ortho_pm")
+      .orderBy("d")
+  }
+
+  val pca2Sql: String = {
+    def iter(t: Int, pre: String, mat: String): String =
+      s"""${pre}w$t AS MATERIALIZED (
+         |  SELECT c.d1 AS d, sum(c.c * ${pre}v${t - 1}.v)::BIGINT AS w
+         |  FROM $mat c JOIN ${pre}v${t - 1} ON ${pre}v${t - 1}.d = c.d2 GROUP BY 1),
+         |${pre}m$t AS (SELECT greatest(1, max(abs(w)) // 1000)::BIGINT AS m FROM ${pre}w$t),
+         |${pre}v$t AS MATERIALIZED (
+         |  SELECT d, ((w * 1000) // m)::BIGINT AS v FROM ${pre}w$t CROSS JOIN ${pre}m$t)"""
+        .stripMargin
+    val covBody = embCovarianceSql
+      .stripPrefix("WITH ").split("\nSELECT d1, d2,")(0)
+    val it1 = (1 to PcaIters).map(t => iter(t, "", "cfull")).mkString(",\n")
+    val it2 = (1 to PcaIters).map(t => iter(t, "u", "c2full")).mkString(",\n")
+    s"""WITH $covBody,
+       |cn AS MATERIALIZED (
+       |  SELECT d1, d2, ((p.n * s12 - s1.sq * s2.sq) // 1000000)::BIGINT AS c
+       |  FROM p JOIN s s1 ON s1.d = p.d1 JOIN s s2 ON s2.d = p.d2),
+       |cfull AS MATERIALIZED (
+       |  SELECT d1, d2, c FROM cn
+       |  UNION ALL SELECT d2, d1, c FROM cn WHERE d1 <> d2),
+       |v0 AS (SELECT DISTINCT d1 AS d, 1000000::BIGINT AS v FROM cfull),
+       |$it1,
+       |vf AS MATERIALIZED (SELECT d, (v // 1000)::BIGINT AS v3 FROM v$PcaIters),
+       |inn AS (
+       |  SELECT c.d1 AS d, sum(c.c * vf.v3)::BIGINT AS i FROM cfull c
+       |  JOIN vf ON vf.d = c.d2 GROUP BY 1),
+       |lden AS (SELECT greatest(1, sum(v3 * v3))::BIGINT AS ld FROM vf),
+       |lam AS (
+       |  SELECT (sum(vf.v3 * inn.i) // min(lden.ld))::BIGINT AS l
+       |  FROM vf JOIN inn ON vf.d = inn.d CROSS JOIN lden),
+       |c2full AS MATERIALIZED (
+       |  SELECT c.d1, c.d2,
+       |    (c.c - ((lam.l * a.v3 * b.v3) // lden.ld))::BIGINT AS c
+       |  FROM cfull c JOIN vf a ON a.d = c.d1 JOIN vf b ON b.d = c.d2
+       |  CROSS JOIN lam CROSS JOIN lden),
+       |uv0 AS (SELECT DISTINCT d1 AS d, 1000000::BIGINT AS v FROM c2full),
+       |$it2,
+       |v2f AS MATERIALIZED (SELECT d, (v // 1000)::BIGINT AS v3 FROM uv$PcaIters),
+       |inn2 AS (
+       |  SELECT c.d1 AS d, sum(c.c * v2f.v3)::BIGINT AS i FROM cfull c
+       |  JOIN v2f ON v2f.d = c.d2 GROUP BY 1),
+       |l2den AS (SELECT greatest(1, sum(v3 * v3))::BIGINT AS ld FROM v2f),
+       |lam2 AS (
+       |  SELECT (sum(v2f.v3 * inn2.i) // min(l2den.ld))::BIGINT AS l
+       |  FROM v2f JOIN inn2 ON v2f.d = inn2.d CROSS JOIN l2den),
+       |tr AS (SELECT greatest(1, sum(c))::BIGINT AS t FROM cn WHERE d1 = d2),
+       |dm AS (SELECT ((1000 * lam2.l) // tr.t)::BIGINT AS dom
+       |       FROM lam2 CROSS JOIN tr),
+       |dt AS (
+       |  SELECT abs(sum(vf.v3 * v2f.v3))::BIGINT AS dot
+       |  FROM vf JOIN v2f ON v2f.d = vf.d),
+       |ort AS (
+       |  SELECT ((1000 * dt.dot) // greatest(1,
+       |    floor(sqrt(lden.ld::DOUBLE * l2den.ld::DOUBLE))::BIGINT))::BIGINT
+       |    AS o
+       |  FROM dt CROSS JOIN lden CROSS JOIN l2den)
+       |SELECT v.d, v.v AS v2_q, dm.dom AS dominance2_pm, ort.o AS ortho_pm
+       |FROM uv$PcaIters v CROSS JOIN dm CROSS JOIN ort
+       |ORDER BY v.d""".stripMargin
+  }
+
   // ---- q150: reciprocal-rank fusion (hybrid retrieval) ----------------
 
   /** RRF rank-discount constant (Cormack & Clarke SIGIR'09's k=60). */

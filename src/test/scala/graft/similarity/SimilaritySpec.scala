@@ -352,4 +352,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got._2 - 1000) < 150, s"mean ${got._2}")
     assert(got._5 * 10 >= got._1 * 8, s"only ${got._5}/${got._1} in band")
   }
+
+  test("q173: deflated component is near-orthogonal, subdominant, deterministic") {
+    val a = graft.queries.ScaleQueries.pca2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.length == 64 && a.map(_._1).toSeq == (0L until 64))
+    val (dom2, ortho) = (a.head._3, a.head._4)
+    // v2 explains a positive but SUBDOMINANT share vs q149's v1
+    val dom1 = graft.queries.ScaleQueries.pcaPower(spark, sfDir)
+      .collect().head.getLong(2)
+    assert(dom2 > 0 && dom2 <= dom1, s"dom2 $dom2 vs dom1 $dom1")
+    // deflation worked: v1 . v2 under 5% of the norm product
+    assert(ortho < 50, s"ortho_pm $ortho")
+    // pure function: re-run is bit-identical
+    val b = graft.queries.ScaleQueries.pca2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq)
+  }
 }
