@@ -1419,4 +1419,56 @@ object CurationQueries {
        |FROM g LEFT JOIN nv ON nv.doc_id = g.doc_id
        |ORDER BY g.doc_id""".stripMargin
   }
+
+  // ---- q174: streaming novelty monitor --------------------------------
+
+  /** q172's memorization audit with the EVAL side arriving as a stream
+    * — the deployment shape of a contamination tripwire at ingest: the
+    * training shingle set is FROZEN batch-side (the q137/q157
+    * frozen-reference pattern — membership must not drift as evals
+    * stream in), each incoming doc's shingles probe it through a
+    * stream-static left-outer join, and the per-doc novelty rollup is
+    * an ordinary streaming aggregate whose keyed state is the audit
+    * report itself. Oracle = q172's VERBATIM: the stream must land on
+    * the identical 30-row audit, so a dropped shingle, a drifted
+    * membership probe, or a mis-keyed rollup all fail the hash.
+    *
+    * Scale shape: state = one (doc, 2 longs) row per eval doc; the
+    * static side collapses to distinct h60 keys once. */
+  def streamNoveltyAudit(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+      import graft.text.Hashing
+      val batch = table(spark, dir, "documents")
+      val trainSet = batch
+        .filter(pmod(col("doc_id"), lit(NovEvalMod)) =!= 0)
+        .select(explode(Hashing.wordShingles(lower(trim(col("text"))),
+          NovGramK)).as("sh"))
+        .select(Hashing.h60(col("sh")).as("h")).distinct()
+        .withColumn("seen", lit(1))
+      val schema = batch.schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val ev = src.filter(pmod(col("doc_id"), lit(NovEvalMod)) === 0)
+        .select(col("doc_id"), col("source"),
+          explode(Hashing.wordShingles(lower(trim(col("text"))), NovGramK))
+            .as("sh"))
+        .select(col("doc_id"), col("source"), Hashing.h60(col("sh")).as("h"))
+      try spark.catalog.dropTempView("stream_novelty_result")
+      catch { case _: Throwable => () }
+      val q = ev.join(trainSet, Seq("h"), "left_outer")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .writeStream.format("memory").queryName("stream_novelty_result")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      spark.table("stream_novelty_result")
+        .select(col("doc_id"), col("source"), col("n_grams"), col("n_novel"))
+        .withColumn("novelty_pm", expr("(1000 * n_novel) div n_grams"))
+        .orderBy("doc_id")
+    }
+
+  def streamNoveltyAuditSql: String = noveltyAuditSql
 }

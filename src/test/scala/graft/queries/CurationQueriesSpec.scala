@@ -397,4 +397,14 @@ class CurationQueriesSpec extends SparkSpec {
     // and at least the spread is non-trivial
     assert(got.map(_._5).max > 900)
   }
+
+  test("q174: streamed novelty audit lands on the batch audit exactly") {
+    val stream = CurationQueries.streamNoveltyAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val batch = CurationQueries.noveltyAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
+  }
 }
