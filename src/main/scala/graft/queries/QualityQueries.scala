@@ -790,4 +790,61 @@ object QualityQueries {
        |FROM f JOIN ci ON f.event_type = ci.event_type
        |ORDER BY 1""".stripMargin
   }
+
+  // ---- q176: k-anonymity / l-diversity audit --------------------------
+
+  /** Anonymity threshold (a class smaller than K re-identifies). */
+  val AnonK = 5L
+  /** Diversity threshold (fewer than L sensitive values ⇒ homogeneity
+    * attack). */
+  val AnonL = 3L
+
+  /** The privacy-release audit that must pass BEFORE a dataset ships
+    * (Sweeney's k-anonymity + Machanavajjhala's l-diversity, the
+    * compliance sibling of q132's deletion cascade): quasi-identifier
+    * = (nation, market segment), sensitive attribute = account-balance
+    * band; per equivalence class the audit needs only (size, distinct
+    * sensitive values), and the report is the release decision — rows
+    * in classes below [[AnonK]], classes below [[AnonL]] diversity,
+    * and the worst class sizes. All exact integer counting.
+    *
+    * Scale shape: one scan → (QI, sensitive) aggregate → class
+    * rollup; the report is one row however large the table. */
+  def anonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("cast(floor(c_acctbal / 1000) as long)").as("band"))
+    val classes = c.groupBy("nation", "seg")
+      .agg(count(lit(1)).as("n"), countDistinct(col("band")).as("l"))
+    classes.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("n")).as("min_class_size"),
+        sum(when(col("n") < AnonK, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("n") < AnonK, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < AnonL, 1L).otherwise(0L)).as("classes_below_l"))
+      .withColumn("k_anonymous", col("classes_below_k") === 0)
+      .withColumn("l_diverse", col("classes_below_l") === 0)
+  }
+
+  val anonymityAuditSql: String =
+    s"""WITH c AS (
+       |  SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS seg,
+       |    floor(c_acctbal / 1000)::BIGINT AS band
+       |  FROM customer),
+       |cl AS (
+       |  SELECT nation, seg, count(*)::BIGINT AS n,
+       |    count(DISTINCT band)::BIGINT AS l
+       |  FROM c GROUP BY nation, seg)
+       |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+       |  min(n)::BIGINT AS min_class_size,
+       |  sum(CASE WHEN n < $AnonK THEN 1 ELSE 0 END)::BIGINT AS classes_below_k,
+       |  sum(CASE WHEN n < $AnonK THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+       |  min(l)::BIGINT AS min_l,
+       |  sum(CASE WHEN l < $AnonL THEN 1 ELSE 0 END)::BIGINT AS classes_below_l,
+       |  sum(CASE WHEN n < $AnonK THEN 1 ELSE 0 END) = 0 AS k_anonymous,
+       |  sum(CASE WHEN l < $AnonL THEN 1 ELSE 0 END) = 0 AS l_diverse
+       |FROM cl""".stripMargin
 }

@@ -862,4 +862,65 @@ object SeriesQueries {
        |UNION ALL SELECT day, y, l, b, s_out, forecast FROM f
        |ORDER BY day""".stripMargin
   }
+
+  // ---- q175: Theil-Sen robust trend -----------------------------------
+
+  /** Robust trend estimation over daily revenue — the median of all
+    * pairwise slopes (Theil-Sen), which a single corrupted day cannot
+    * move (OLS q98 has breakdown point 0; Theil-Sen survives 29%
+    * outliers): slopes quantize to integer micro-cents/day
+    * (`(10⁶·Δy) div Δd`), the median rides the bounded-memory
+    * [[graft.operators.ExactQuantile]], and because the median of
+    * integers interpolates at most at .5, reporting ×2 is EXACT
+    * (q139's grid trick). Kendall-style direction counts ride along.
+    *
+    * Scale shape: the pair set is the CALENDAR squared — bounded by
+    * time span, not data volume (a decade is 13M pairs) — built as a
+    * self-join of the per-day aggregate; the corpus contributes one
+    * daily rollup scan. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val day = expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs")
+    val daily = o.groupBy(day.as("day"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d)).cast("long")).as("y"))
+    // renamed right side, not aliases: a self-join through .as() can
+    // silently resolve both "a.day" and "b.day" to one attribute
+    val right = daily.select(col("day").as("day2"), col("y").as("y2"))
+    // greatest(...,1) is the identity on every REAL pair (day2 > day
+    // by the join condition); it exists because the BNLJ's generated
+    // consume path evaluates this projection before the condition
+    // under ANSI mode, and a phantom day2 == day pair must not throw
+    val pairs = daily.join(right, col("day") < col("day2"))
+      .select(expr("(1000000 * (y2 - y)) div greatest(day2 - day, 1)")
+        .as("slope_micro"))
+    val stats = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("slope_micro") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("slope_micro") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .collect().head
+    val med = graft.operators.ExactQuantile.quantiles(
+      pairs.select(col("slope_micro").cast("double").as("s")), "s", Seq(0.5))
+      .head
+    val nDays = daily.count()
+    import spark.implicits._
+    Seq((nDays, stats.getLong(0), stats.getLong(1), stats.getLong(2),
+      math.round(med * 2d)))
+      .toDF("n_days", "n_pairs", "n_pos", "n_neg", "med_slope_micro_x2")
+  }
+
+  val theilSenSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
+       |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS y
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT ((1000000 * (b.y - a.y)) // (b.day - a.day))::BIGINT
+       |    AS slope_micro
+       |  FROM daily a JOIN daily b ON a.day < b.day)
+       |SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+       |  count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN slope_micro > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |  sum(CASE WHEN slope_micro < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+       |  round(quantile_cont(slope_micro::DOUBLE, 0.5) * 2)::BIGINT
+       |    AS med_slope_micro_x2
+       |FROM p""".stripMargin
 }

@@ -199,4 +199,28 @@ class QualityQueriesSpec extends SparkSpec {
     // the injected spike is detected through the streaming path too
     assert(stream.map(_._5).sum > 0)
   }
+
+  test("q176: anonymity audit equals a driver replay of the class census") {
+    import QualityQueries.{AnonK, AnonL}
+    val r = QualityQueries.anonymityAudit(spark, sfDir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7), r.getBoolean(8))
+    val rows = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(org.apache.spark.sql.functions.col("c_nationkey").cast("long"),
+        org.apache.spark.sql.functions.col("c_mktsegment"),
+        org.apache.spark.sql.functions.expr(
+          "cast(floor(c_acctbal / 1000) as long)"))
+      .collect().map(x => ((x.getLong(0), x.getString(1)), x.getLong(2)))
+    val classes = rows.groupBy(_._1).toSeq.map { case (_, xs) =>
+      (xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+    }
+    val want = (rows.length.toLong, classes.length.toLong,
+      classes.map(_._1).min, classes.count(_._1 < AnonK).toLong,
+      classes.filter(_._1 < AnonK).map(_._1).sum,
+      classes.map(_._2).min, classes.count(_._2 < AnonL).toLong,
+      classes.count(_._1 < AnonK) == 0, classes.count(_._2 < AnonL) == 0)
+    assert(got == want)
+    // conservation: rows in classes sum to the table
+    assert(classes.map(_._1).sum == rows.length.toLong)
+  }
 }

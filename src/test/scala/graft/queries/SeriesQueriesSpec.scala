@@ -349,4 +349,41 @@ class SeriesQueriesSpec extends SparkSpec {
     assert(fc.map(_._3).toSeq ==
       (1 to HwPeriod).map(h => fc.head._3 + (h - 1) * fc.head._4))
   }
+
+  test("q175: Theil-Sen equals a driver replay; robust to a planted outlier") {
+    val r = SeriesQueries.theilSen(spark, sfDir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val daily = QueryUtil.table(spark, sfDir, "orders")
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"), expr("floor(o_totalprice * 100)").cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("y")).orderBy("day")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (1000000L * (daily(j)._2 - daily(i)._2)) /
+        (daily(j)._1 - daily(i)._1)).sorted
+    def med2(xs: Seq[Long]): Long = {
+      val h = 1.0 + 0.5 * (xs.length - 1)
+      val lo = xs(math.floor(h).toInt - 1)
+      if (h == math.floor(h)) 2 * lo
+      else math.round(2d * (lo + (h - math.floor(h)) *
+        (xs(math.ceil(h).toInt - 1) - lo)))
+    }
+    val want = (daily.length.toLong, slopes.length.toLong,
+      slopes.count(_ > 0).toLong, slopes.count(_ < 0).toLong, med2(slopes))
+    assert(got == want)
+    // robustness: corrupting ONE day by 100x moves the MEAN slope a lot
+    // but the Theil-Sen median barely (breakdown-point demonstration)
+    val corrupted = daily.updated(daily.length / 2,
+      (daily(daily.length / 2)._1, daily(daily.length / 2)._2 * 100))
+    val cSlopes = (for {
+      i <- corrupted.indices; j <- (i + 1) until corrupted.length
+    } yield (1000000L * (corrupted(j)._2 - corrupted(i)._2)) /
+        (corrupted(j)._1 - corrupted(i)._1)).sorted
+    val shiftMed = math.abs(med2(cSlopes) - med2(slopes))
+    val meanShift = math.abs(cSlopes.sum / cSlopes.length -
+      slopes.sum / slopes.length)
+    assert(shiftMed * 10 < meanShift,
+      s"median shift $shiftMed not robust vs mean shift $meanShift")
+  }
 }
