@@ -258,4 +258,155 @@ object ProfileQueries {
       |  count(*) AS cnt
       |FROM customer WHERE c_name IS NOT NULL
       |GROUP BY 1 ORDER BY cnt DESC, pattern ASC LIMIT 20""".stripMargin
+
+  // ---- q177: dependency discovery (FDs + inclusion dependencies) ------
+
+  /** The data-profiling capability the reference's stats surface stops
+    * short of — dependency DISCOVERY (the Metanome family: functional
+    * dependencies for key/normalization analysis, inclusion
+    * dependencies for foreign-key discovery): for a candidate list,
+    * FD confidence = Σ_groups max-value-count / n (1000‰ ⇔ the
+    * determinant functionally determines the dependent), IND coverage
+    * = |distinct A ∩ B| / |distinct A| (1000‰ ⇔ A ⊆ B, a foreign-key
+    * candidate). All exact integer counting; the fixture exercises
+    * both verdicts (the key-FD and the lineitem→orders IND hold, the
+    * nation→segment FD and the customer→orders reverse IND honestly
+    * do not).
+    *
+    * Scale shape: each FD is one two-level aggregate (value counts →
+    * per-determinant max, map-side combined); each IND is two distinct
+    * sets and one semi-join on the candidate column — no raw-row
+    * shuffles beyond the distinct. */
+  def dependencyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+
+    def fd(df: DataFrame, name: String, det: String, dep: String): DataFrame = {
+      val counts = df.groupBy(col(det).as("k"), col(dep).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val perK = counts.groupBy("k")
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
+      perK.agg(count(lit(1)).as("n_lhs"),
+          sum(col("mx")).as("kept"), sum(col("n")).as("n"))
+        .select(lit("fd").as("kind"), lit(name).as("dependency"),
+          col("n_lhs"), expr("(1000 * kept) div n").as("conf_pm"),
+          (expr("(1000 * kept) div n") === 1000).as("holds"))
+    }
+    def ind(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+        name: String): DataFrame = {
+      val da = a.select(col(aCol).as("k")).filter(col("k").isNotNull).distinct()
+      val db = b.select(col(bCol).as("k")).filter(col("k").isNotNull).distinct()
+      val hit = da.join(db, Seq("k"), "left_semi")
+      da.agg(count(lit(1)).as("n_lhs")).crossJoin(
+          hit.agg(count(lit(1)).as("covered")))
+        .select(lit("ind").as("kind"), lit(name).as("dependency"),
+          col("n_lhs"), expr("(1000 * covered) div n_lhs").as("conf_pm"),
+          (col("covered") === col("n_lhs")).as("holds"))
+    }
+    fd(cust, "customer: custkey -> mktsegment", "c_custkey", "c_mktsegment")
+      .unionByName(fd(cust, "customer: nationkey -> mktsegment",
+        "c_nationkey", "c_mktsegment"))
+      .unionByName(fd(orders, "orders: custkey -> orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .unionByName(ind(orders, "o_custkey", cust, "c_custkey",
+        "orders.custkey in customer.custkey"))
+      .unionByName(ind(cust, "c_custkey", orders, "o_custkey",
+        "customer.custkey in orders.custkey"))
+      .unionByName(ind(li, "l_orderkey", orders, "o_orderkey",
+        "lineitem.orderkey in orders.orderkey"))
+      .orderBy("kind", "dependency")
+  }
+
+  val dependencyAuditSql: String = {
+    def fd(tbl: String, name: String, det: String, dep: String): String =
+      s"""SELECT 'fd' AS kind, '$name' AS dependency,
+         |  count(*)::BIGINT AS n_lhs,
+         |  ((1000 * sum(mx)) // sum(n))::BIGINT AS conf_pm,
+         |  (1000 * sum(mx)) // sum(n) = 1000 AS holds
+         |FROM (
+         |  SELECT k, max(c) AS mx, sum(c) AS n FROM (
+         |    SELECT $det AS k, $dep AS v, count(*) AS c
+         |    FROM $tbl GROUP BY 1, 2) GROUP BY k)""".stripMargin
+    def ind(ta: String, ca: String, tb: String, cb: String, name: String): String =
+      s"""SELECT 'ind' AS kind, '$name' AS dependency,
+         |  (SELECT count(DISTINCT $ca) FROM $ta WHERE $ca IS NOT NULL
+         |    )::BIGINT AS n_lhs,
+         |  ((1000 * count(*)) // (SELECT count(DISTINCT $ca) FROM $ta
+         |    WHERE $ca IS NOT NULL))::BIGINT AS conf_pm,
+         |  count(*) = (SELECT count(DISTINCT $ca) FROM $ta
+         |    WHERE $ca IS NOT NULL) AS holds
+         |FROM (SELECT DISTINCT $ca AS k FROM $ta WHERE $ca IS NOT NULL) a
+         |WHERE EXISTS (SELECT 1 FROM $tb b WHERE b.$cb = a.k)""".stripMargin
+    Seq(
+      fd("customer", "customer: custkey -> mktsegment", "c_custkey",
+        "c_mktsegment"),
+      fd("customer", "customer: nationkey -> mktsegment", "c_nationkey",
+        "c_mktsegment"),
+      fd("orders", "orders: custkey -> orderpriority", "o_custkey",
+        "o_orderpriority"),
+      ind("orders", "o_custkey", "customer", "c_custkey",
+        "orders.custkey in customer.custkey"),
+      ind("customer", "c_custkey", "orders", "o_custkey",
+        "customer.custkey in orders.custkey"),
+      ind("lineitem", "l_orderkey", "orders", "o_orderkey",
+        "lineitem.orderkey in orders.orderkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY kind, dependency")
+  }
+
+  // ---- q178: per-column uniqueness / entropy profile -------------------
+
+  /** Columns profiled (orders). */
+  val UeCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority")
+
+  /** The column-shape census a profiler adds beside the reference's
+    * numeric stats — per column: distinct count, uniqueness per-mille,
+    * Shannon entropy of the VALUE distribution in integer micronats
+    * (q158's per-row quantization discipline: one fixed-shape double
+    * expression + one ln per distinct value), and the candidate-key
+    * verdict (distinct == rows). Entropy separates "uniform id"
+    * (≈ ln n) from "5-value enum" (≈ ln 5) at a glance — the signal
+    * schema-inference and key-discovery tools rank columns by.
+    *
+    * Scale shape: one value-count aggregate per column (map-side
+    * combined, value domain ≤ rows); the entropy fold runs over the
+    * distinct-value table. Columns stack into one output via a union
+    * of per-column pipelines over ONE cached scan each. */
+  def uniquenessEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val n = o.count()
+    UeCols.map { c =>
+      val counts = o.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.agg(count(lit(1)).as("n_distinct"),
+          sum(expr(s"cast(round(1000000 * ((cast(cnt as double) / cast(${n}L as double))" +
+            s" * ln(cast(${n}L as double) / cast(cnt as double)))) as long)"))
+            .as("h_micronats"))
+        .select(lit(c).as("column_name"), lit(n).as("n_rows"),
+          col("n_distinct"),
+          expr(s"(1000 * n_distinct) div ${n}L").as("uniqueness_pm"),
+          col("h_micronats"),
+          (col("n_distinct") === n).as("candidate_key"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  val uniquenessEntropySql: String = {
+    val per = UeCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+         |  count(*)::BIGINT AS n_distinct,
+         |  ((1000 * count(*)) // (SELECT count(*) FROM orders))::BIGINT
+         |    AS uniqueness_pm,
+         |  sum(round(1000000 * ((cnt::DOUBLE / (SELECT count(*) FROM orders)::DOUBLE)
+         |    * ln((SELECT count(*) FROM orders)::DOUBLE / cnt::DOUBLE))))::BIGINT
+         |    AS h_micronats,
+         |  count(*) = (SELECT count(*) FROM orders) AS candidate_key
+         |FROM (SELECT $c::VARCHAR AS v, count(*) AS cnt
+         |      FROM orders GROUP BY 1)""".stripMargin
+    }
+    per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY column_name")
+  }
 }
