@@ -1486,4 +1486,85 @@ object CurationQueries {
     }
 
   def streamNoveltyAuditSql: String = noveltyAuditSql
+
+  // ---- q180: pairwise source divergence (JSD matrix) -------------------
+
+  /** The "which feeds are redundant" matrix the q131 planner and q106
+    * sampler consult — Jensen-Shannon divergence between every source
+    * pair's hashed-unigram distributions (q154's [[DsirB]]-bucket
+    * feature space, Laplace-smoothed): symmetric, bounded by ln 2, and
+    * zero iff the feeds' token distributions coincide. Per (pair,
+    * bucket) ONE fixed-shape double expression quantizes to integer
+    * micronats (q100's discipline) and every sum after that is exact —
+    * hash-identical anywhere. Output = the full upper triangle.
+    *
+    * Scale shape: the corpus collapses to the (source × bucket) count
+    * grid in one explode+aggregate; the pair matrix is
+    * |sources|²·B/2 rows of arithmetic over that bounded grid —
+    * catalog-sized, never corpus-sized. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val toks = graft.Partitioning.spread(
+        table(spark, dir, "documents"), col("doc_id"))
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .withColumn("b", pmod(Hashing.h60(col("word")), lit(DsirB)))
+    val counts = toks.groupBy("source", "b").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("t"))
+    val sources = totals.select("source")
+    val grid = sources.crossJoin(spark.range(DsirB).toDF("b"))
+      .join(counts, Seq("source", "b"), "left")
+      .join(totals, "source")
+      .select(col("source"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"), col("t"))
+    val a = grid.select(col("source").as("src_a"), col("b"),
+      col("c").as("ca"), col("t").as("ta"))
+    val bb = grid.select(col("source").as("src_b"), col("b"),
+      col("c").as("cb"), col("t").as("tb"))
+    val termExpr =
+      s"""cast(round(1000000 * (0.5 * (
+         |  (cast(ca + 1 as double) / cast(ta + $DsirB as double))
+         |    * ln((2 * (cast(ca + 1 as double) / cast(ta + $DsirB as double)))
+         |      / ((cast(ca + 1 as double) / cast(ta + $DsirB as double))
+         |        + (cast(cb + 1 as double) / cast(tb + $DsirB as double))))
+         |  + (cast(cb + 1 as double) / cast(tb + $DsirB as double))
+         |    * ln((2 * (cast(cb + 1 as double) / cast(tb + $DsirB as double)))
+         |      / ((cast(ca + 1 as double) / cast(ta + $DsirB as double))
+         |        + (cast(cb + 1 as double) / cast(tb + $DsirB as double))))
+         |))) as long)""".stripMargin.replace("\n", " ")
+    a.join(bb, Seq("b")).filter(col("src_a") < col("src_b"))
+      .withColumn("term", expr(termExpr))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("term")).as("jsd_micronats"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceDivergenceSql: String = {
+    import graft.text.Hashing
+    def p(cv: String, tv: String) =
+      s"(($cv + 1)::DOUBLE / ($tv + $DsirB)::DOUBLE)"
+    val (pa, pb) = (p("ca", "ta"), p("cb", "tb"))
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    (${Hashing.h60Sql("word")} % $DsirB) AS b
+       |  FROM (SELECT source,
+       |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |        FROM documents)),
+       |counts AS (SELECT source, b, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       |totals AS (SELECT source, sum(c)::BIGINT AS t FROM counts GROUP BY 1),
+       |grid AS (
+       |  SELECT s.source, g.b, coalesce(c.c, 0)::BIGINT AS c, s.t
+       |  FROM totals s
+       |  CROSS JOIN (SELECT unnest(generate_series(0, $DsirB - 1)) AS b) g
+       |  LEFT JOIN counts c ON c.source = s.source AND c.b = g.b)
+       |SELECT a.source AS src_a, b2.source AS src_b,
+       |  sum(round(1000000 * (0.5 * (
+       |    $pa * ln((2 * $pa) / ($pa + $pb))
+       |    + $pb * ln((2 * $pb) / ($pa + $pb))
+       |  ))))::BIGINT AS jsd_micronats
+       |FROM (SELECT source, b, c AS ca, t AS ta FROM grid) a
+       |JOIN (SELECT source, b, c AS cb, t AS tb FROM grid) b2 USING (b)
+       |WHERE a.source < b2.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -923,4 +923,47 @@ object SeriesQueries {
        |  round(quantile_cont(slope_micro::DOUBLE, 0.5) * 2)::BIGINT
        |    AS med_slope_micro_x2
        |FROM p""".stripMargin
+
+  // ---- q179: feed freshness / staleness audit --------------------------
+
+  /** Staleness alarm threshold (hours behind the snapshot instant). */
+  val StaleHours = 48L
+
+  /** The feed-freshness dashboard every ingest pipeline keeps — per
+    * event stream: last event time against the pinned snapshot instant
+    * ([[DecayRefUs]], the q126 convention), staleness in whole hours
+    * (exact integer div of the microsecond gap), event counts over the
+    * trailing 24 h and 7 days, and the [[StaleHours]] alarm. A feed
+    * whose tail silently stopped shows up here before any downstream
+    * metric moves.
+    *
+    * Scale shape: one scan, one per-type aggregate — max/conditional
+    * sums, all map-side combinable. */
+  def freshnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+    ev.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts_us")).as("last_ts_us"),
+        sum(when(col("ts_us") >= DecayRefUs - 86400000000L, 1L).otherwise(0L))
+          .as("n_last_24h"),
+        sum(when(col("ts_us") >= DecayRefUs - 7L * 86400000000L, 1L)
+          .otherwise(0L)).as("n_last_7d"))
+      .withColumn("staleness_hours",
+        expr(s"(${DecayRefUs}L - last_ts_us) div 3600000000"))
+      .withColumn("stale", col("staleness_hours") >= StaleHours)
+      .orderBy("event_type")
+  }
+
+  val freshnessAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |  max(ts_us)::BIGINT AS last_ts_us,
+       |  sum(CASE WHEN ts_us >= $DecayRefUs - 86400000000 THEN 1 ELSE 0 END
+       |    )::BIGINT AS n_last_24h,
+       |  sum(CASE WHEN ts_us >= $DecayRefUs - 7 * 86400000000 THEN 1 ELSE 0
+       |    END)::BIGINT AS n_last_7d,
+       |  (($DecayRefUs - max(ts_us)) // 3600000000)::BIGINT AS staleness_hours,
+       |  ($DecayRefUs - max(ts_us)) // 3600000000 >= $StaleHours AS stale
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -407,4 +407,39 @@ class CurationQueriesSpec extends SparkSpec {
         r.getLong(4)))
     assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
   }
+
+  test("q180: JSD matrix equals a driver replay; bounds and coverage hold") {
+    import CurationQueries.DsirB
+    val rows = CurationQueries.sourceDivergence(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues { ds =>
+      val buckets = ds.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .map(w => graft.text.Hashing.h60Jvm(w) % DsirB)
+      val counts = Array.fill(DsirB)(0L)
+      buckets.foreach(b => counts(b.toInt) += 1)
+      (counts, buckets.length.toLong)
+    }.toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield {
+      val (ca, ta) = bySrc(srcs(i))
+      val (cb, tb) = bySrc(srcs(j))
+      val jsd = (0 until DsirB).map { b =>
+        val pa = (ca(b) + 1).toDouble / (ta + DsirB).toDouble
+        val pb = (cb(b) + 1).toDouble / (tb + DsirB).toDouble
+        math.round(1e6 * (0.5 * (pa * math.log(2 * pa / (pa + pb))
+          + pb * math.log(2 * pb / (pa + pb)))))
+      }.sum
+      (srcs(i), srcs(j), jsd)
+    }).sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == want)
+    // full upper triangle; JSD in [~0, ln 2] micronats (+quantization slack)
+    val n = srcs.length
+    assert(rows.length == n * (n - 1) / 2)
+    assert(rows.forall(r => r._3 >= -DsirB && r._3 <= 693148 + DsirB))
+  }
 }

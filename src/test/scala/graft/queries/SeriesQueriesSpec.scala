@@ -386,4 +386,25 @@ class SeriesQueriesSpec extends SparkSpec {
     assert(shiftMed * 10 < meanShift,
       s"median shift $shiftMed not robust vs mean shift $meanShift")
   }
+
+  test("q179: freshness audit equals a driver replay of the tail stats") {
+    import SeriesQueries.{DecayRefUs, StaleHours}
+    val rows = SeriesQueries.freshnessAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).toSeq.map { case (t, es) =>
+      val last = es.map(_._2).max
+      val stale = (DecayRefUs - last) / 3600000000L
+      (t, es.length.toLong, last,
+        es.count(_._2 >= DecayRefUs - 86400000000L).toLong,
+        es.count(_._2 >= DecayRefUs - 7L * 86400000000L).toLong,
+        stale, stale >= StaleHours)
+    }.sortBy(_._1)
+    assert(rows.toSeq == want)
+    // the snapshot instant sits after the data: staleness non-negative
+    assert(rows.forall(_._6 >= 0))
+  }
 }
