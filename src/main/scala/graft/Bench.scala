@@ -73,13 +73,21 @@ object Bench {
     // so the min is a contention-robust point estimate of steady-state
     // cost; a clean full run stays ~2 min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q72,q99 times just those
+    // queries (comma-separated name prefixes). Unset = the full board;
+    // the driver never sets it, so recorded artifacts are always full.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     // contention self-diagnosis: this VM has documented multi-minute
     // whole-system stalls. Load ≥ 2 BEFORE this process did any work
     // means another workload shared the machine and the totals read
     // high; the per-rep times show WHICH reps a stall hit (uniform
     // inflation across CPU-heavy queries = contention signature, not a
     // plan regression).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filter(q => selected(q._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }

@@ -15,6 +15,34 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MediaCodec {
 
+  // ImageIO's default stream factories are DISK-backed: every
+  // createImageOutputStream / ImageIO.read spools through a temp file
+  // (FileCache*ImageStream), which at one encode+decode per row turns
+  // a per-document codec call into two filesystem round trips. All our
+  // payloads are small in-memory byte arrays — force memory-cached
+  // streams process-wide and hand ImageIO Memory* streams explicitly.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  // The registry scan (getImage{Writers,Readers}ByFormatName) plus
+  // plugin instantiation costs more than a small encode itself when
+  // paid per row. Writers/readers are not thread-safe but are fully
+  // reusable after setOutput/setInput, so each executor thread keeps
+  // one of each for life (bench-visible: q72 JPEG per-rep cost drops
+  // ~3x at sf0.1). Never dispose() these — they are deliberately
+  // thread-lifetime instances.
+  private def tlWriter(fmt: String): ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial { () =>
+      javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+    }
+  private def tlReader(fmt: String): ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial { () =>
+      javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+    }
+  private val jpegWriterTL = tlWriter("jpeg")
+  private val jpegReaderTL = tlReader("jpeg")
+  private val gifWriterTL = tlWriter("gif")
+  private val gifReaderTL = tlReader("gif")
+
   // ---- BMP (24-bit, uncompressed) ------------------------------------
 
   private def rowBytes(width: Int): Int = ((width * 3 + 3) / 4) * 4
@@ -293,15 +321,15 @@ object MediaCodec {
       width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, height, gray)
     val out = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = jpegWriterTL.get()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     try {
       writer.setOutput(ios)
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(quality)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.setOutput(null); ios.close() }
     out.toByteArray
   }
 
@@ -312,7 +340,12 @@ object MediaCodec {
   def decodeJpegGray(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff, "not a JPEG")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val reader = jpegReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val img =
+      try { reader.setInput(iis, true, true); reader.read(0) }
+      finally { reader.setInput(null); iis.close() }
     require(img != null, "undecodable JPEG")
     val (w, h) = (img.getWidth, img.getHeight)
     val gray =
@@ -358,8 +391,8 @@ object MediaCodec {
     frames.foreach(f => require(f.length == width * height,
       s"${f.length} != $width*$height"))
     val out = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = gifWriterTL.get()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -376,7 +409,7 @@ object MediaCodec {
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.setOutput(null); ios.close() }
     out.toByteArray
   }
 
@@ -388,8 +421,8 @@ object MediaCodec {
     require(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8' &&
       (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a', "not a GIF")
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val reader = gifReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis, false, true)
@@ -413,6 +446,6 @@ object MediaCodec {
       }
       val head = reader.read(0)
       (head.getWidth, head.getHeight, frames)
-    } finally { reader.dispose(); iis.close() }
+    } finally { reader.setInput(null); iis.close() }
   }
 }
