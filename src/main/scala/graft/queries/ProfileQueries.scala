@@ -409,4 +409,61 @@ object ProfileQueries {
     per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY column_name")
   }
+
+  // ---- q181: Benford first-digit audit ---------------------------------
+
+  /** Benford's-law first-significant-digit audit over order totals —
+    * the classic fabricated-data / unit-mixup / truncated-extract
+    * screen an ingest pipeline runs before trusting a new money or
+    * count column: natural multi-scale amounts put digit d first with
+    * probability log₁₀(1+1/d); a uniform generator (TPC-H prices) or a
+    * capped/scaled column departs wildly, and the per-digit χ²
+    * contribution says WHERE. Per digit: observed count, Benford
+    * expectation, and the χ² term, both in integer micro-units via one
+    * fixed-shape double expression (the q178/q180 quantization
+    * discipline — `ln` agrees cross-engine, `round` half-away agrees,
+    * every other step is integer).
+    *
+    * Scale shape: digit extraction is a per-row projection (leading
+    * char of the exact integer cent rendering — no float log10, which
+    * straddles engines at powers of ten); one map-side-combinable
+    * groupBy over a 9-value domain; the expectation/χ² arithmetic runs
+    * on the 9-row result (the window total is over ≤9 rows, not data).
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val expd = "(cast(n_total as double) * " +
+      "(ln(1.0 + 1.0 / cast(digit as double)) / ln(10.0)))"
+    o.select(expr("cast(substring(cast(cast(floor(o_totalprice * 100) as" +
+        " bigint) as string), 1, 1) as bigint)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("n_total", sum(col("n_obs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n_obs"),
+        expr(s"cast(round(1000000 * $expd) as bigint)").as("exp_micro"),
+        expr("cast(round(1000000 * (((cast(n_obs as double) - " + expd +
+          s") * (cast(n_obs as double) - $expd)) / $expd)) as bigint)")
+          .as("chi2_micro"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String = {
+    val expd = "(CAST(n_total AS DOUBLE) * " +
+      "(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))"
+    s"""WITH g AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    count(*)::BIGINT AS n_obs
+       |  FROM orders GROUP BY 1
+       |), t AS (
+       |  SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n_total
+       |  FROM g
+       |)
+       |SELECT digit, n_obs,
+       |  CAST(round(1000000 * $expd) AS BIGINT) AS exp_micro,
+       |  CAST(round(1000000 * (((CAST(n_obs AS DOUBLE) - $expd)
+       |    * (CAST(n_obs AS DOUBLE) - $expd)) / $expd)) AS BIGINT)
+       |    AS chi2_micro
+       |FROM t ORDER BY digit""".stripMargin
+  }
 }

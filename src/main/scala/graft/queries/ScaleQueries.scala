@@ -2509,4 +2509,137 @@ object ScaleQueries {
        |  doc_id, rrf_micro, bm25_rank, dense_rank
        |FROM r ORDER BY fused_rank""".stripMargin
   }
+
+  // ---- q182: sampled-estimator accuracy harness ------------------------
+
+  /** Sampling rate denominator: keep rows whose 60-bit content hash
+    * ≡ 0 (mod 10) — a deterministic 10% sample. */
+  val SampleRate = 10L
+
+  /** Error budget the audit row carries: 100‰ = 10%. */
+  val SampleErrBudgetPm = 100L
+
+  /** The approximate-query-processing control loop: estimate per-group
+    * revenue from a DETERMINISTIC 10% hash sample (Horvitz-Thompson:
+    * sampled cent sum × 10), and put the estimate NEXT TO the exact
+    * answer with its realized per-mille error — the harness that tells
+    * a 100 TB deployment whether sampled dashboards are safe for a
+    * given group granularity before it turns the full scan off. The
+    * sample membership is a pure function of the row key (md5 → 60-bit
+    * int, mod [[SampleRate]]), so the estimate is reproducible across
+    * engines, runs, and partitionings — no RNG state anywhere.
+    *
+    * Scale shape: ONE scan computes both sides simultaneously (the
+    * exact sum and the conditional sampled sum ride the same map-side-
+    * combinable aggregate), so the harness costs what the exact query
+    * costs — the POINT is to measure, then switch to sample-only scans
+    * (a 10× read cut) once the realized error clears the budget. All
+    * comparison arithmetic is exact integer cents / per-mille. */
+  def sampleAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_extendedprice") * lit(100d)).cast("long").as("cents"),
+        expr("cast(conv(substring(md5(concat(cast(l_orderkey as string)," +
+          " ':', cast(l_linenumber as string))), 1, 15), 16, 10) as bigint)" +
+          s" % $SampleRate").as("bucket"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bucket") === 0L, lit(1L)).otherwise(lit(0L)))
+          .as("n_sampled"),
+        sum(col("cents")).as("exact_cents"),
+        (sum(when(col("bucket") === 0L, col("cents")).otherwise(lit(0L)))
+          * SampleRate).as("est_cents"))
+      .withColumn("err_pm",
+        expr("(1000 * abs(est_cents - exact_cents)) div greatest(exact_cents, 1L)"))
+      .withColumn("within_budget", col("err_pm") <= SampleErrBudgetPm)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val sampleAccuracySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  count(*)::BIGINT AS n_rows,
+       |  sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       |  sum(cents)::BIGINT AS exact_cents,
+       |  (sum(CASE WHEN bucket = 0 THEN cents ELSE 0 END) * $SampleRate)::BIGINT
+       |    AS est_cents,
+       |  ((1000 * abs((sum(CASE WHEN bucket = 0 THEN cents ELSE 0 END) * $SampleRate)
+       |      - sum(cents))) // greatest(sum(cents), 1))::BIGINT AS err_pm,
+       |  ((1000 * abs((sum(CASE WHEN bucket = 0 THEN cents ELSE 0 END) * $SampleRate)
+       |      - sum(cents))) // greatest(sum(cents), 1)) <= $SampleErrBudgetPm
+       |    AS within_budget
+       |FROM (
+       |  SELECT l_returnflag, l_linestatus,
+       |    floor(l_extendedprice * 100)::BIGINT AS cents,
+       |    ('0x' || substring(md5(l_orderkey::VARCHAR || ':' ||
+       |      l_linenumber::VARCHAR), 1, 15))::BIGINT % $SampleRate AS bucket
+       |  FROM lineitem)
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q183: hash-partition skew planner -------------------------------
+
+  /** Partition count the planner simulates (the bench session's
+    * shuffle parallelism). */
+  val SkewPlanParts = 32L
+
+  /** Alarm threshold: a partition carrying > 2× the mean load. */
+  val SkewAlarmPm = 2000L
+
+  /** The pre-shuffle skew diagnosis a 100 TB job runs BEFORE picking a
+    * join/aggregation key: simulate hash partitioning (same md5→60-bit
+    * discipline as q43/q107 — engine-stable, unlike Spark's internal
+    * murmur3) of the event stream under two candidate keys — `user_id`
+    * (high-cardinality, expected balanced) and `event_type` (enum,
+    * pathological) — and report per-partition row load, key count, and
+    * load as ‰ of the mean, with the >2× alarm ([[SkewAlarmPm]]) that
+    * says "salt this key" (q45/q51 are the remedies this audit
+    * dispatches to). The contrast between the two key columns in one
+    * output is the planner's decision table.
+    *
+    * Scale shape: one map-side-combinable groupBy per candidate key —
+    * the aggregate output is ≤ [[SkewPlanParts]] rows per key, so the
+    * window total is over a constant-size table. Key cardinality per
+    * partition comes from the same shuffle (count distinct inside the
+    * partition group); nothing quadratic, nothing collected. */
+  def skewPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    def loads(keyExpr: String, label: String): DataFrame =
+      ev.select(
+          expr(s"cast(conv(substring(md5($keyExpr), 1, 15), 16, 10) as" +
+            s" bigint) % $SkewPlanParts").as("partition_id"),
+          expr(keyExpr).as("k"))
+        .groupBy("partition_id")
+        .agg(count(lit(1)).as("load_rows"), countDistinct(col("k")).as("n_keys"))
+        .withColumn("total", sum(col("load_rows")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(lit(label).as("key_col"), col("partition_id"),
+          col("load_rows"), col("n_keys"),
+          expr(s"(1000 * load_rows * $SkewPlanParts) div total")
+            .as("load_pm_of_mean"),
+          (expr(s"(1000 * load_rows * $SkewPlanParts) div total")
+            > SkewAlarmPm).as("skew_alarm"))
+    loads("cast(user_id as string)", "user_id")
+      .unionByName(loads("event_type", "event_type"))
+      .orderBy("key_col", "partition_id")
+  }
+
+  val skewPlannerSql: String = {
+    def one(keyExpr: String, label: String) =
+      s"""SELECT '$label' AS key_col, partition_id,
+         |  count(*)::BIGINT AS load_rows,
+         |  count(DISTINCT k)::BIGINT AS n_keys,
+         |  ((1000 * count(*) * $SkewPlanParts) //
+         |    CAST(sum(count(*)) OVER () AS BIGINT))::BIGINT AS load_pm_of_mean,
+         |  ((1000 * count(*) * $SkewPlanParts) //
+         |    CAST(sum(count(*)) OVER () AS BIGINT)) > $SkewAlarmPm AS skew_alarm
+         |FROM (
+         |  SELECT ('0x' || substring(md5($keyExpr), 1, 15))::BIGINT
+         |      % $SkewPlanParts AS partition_id,
+         |    $keyExpr AS k
+         |  FROM events)
+         |GROUP BY partition_id""".stripMargin
+    Seq(one("user_id::VARCHAR", "user_id"), one("event_type", "event_type"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY key_col, partition_id")
+  }
 }
