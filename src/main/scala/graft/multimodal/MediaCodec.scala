@@ -21,6 +21,15 @@ object MediaCodec {
   // a per-document codec call into two filesystem round trips. All our
   // payloads are small in-memory byte arrays — force memory-cached
   // streams process-wide and hand ImageIO Memory* streams explicitly.
+  // DELIBERATELY JVM-GLOBAL: setUseCache flips the default stream
+  // factory for every ImageIO user in the process, triggered here by
+  // class-init of the first codec call. In this engine that is the
+  // wanted behavior (all ImageIO traffic is ours and in-memory); a
+  // host application embedding this library alongside other ImageIO
+  // users should set its own policy at its entry point, after which
+  // this line is a no-op re-set of the same flag or is overridden by
+  // whoever runs last — the explicit Memory*ImageStream wrappers below
+  // keep OUR paths memory-backed either way.
   javax.imageio.ImageIO.setUseCache(false)
 
   // The registry scan (getImage{Writers,Readers}ByFormatName) plus

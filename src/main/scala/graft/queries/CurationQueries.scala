@@ -1209,9 +1209,14 @@ object CurationQueries {
     * swapped doc fails the gate.
     *
     * Scale shape: one scan → per-stratum window (rank by hash) + a
-    * broadcast quota join; `row_number ≤ k` plans with WindowGroupLimit
-    * (q52's shape) so each task keeps k rows, not the stratum. The
-    * quota table is |strata| rows. */
+    * broadcast quota join. NOTE: this does NOT get q52's
+    * WindowGroupLimit rewrite — that rewrite needs `row_number ≤
+    * LITERAL`, and the quota here is a join-derived column — so every
+    * stratum is fully sorted within its window partition. That is the
+    * honest cost of data-dependent quotas; a deployment that wants the
+    * per-task top-k shape computes the (|strata|-row) quota table in a
+    * separate driver step and injects each quota as a literal filter.
+    * The quota table is |strata| rows. */
   def quotaSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Hashing
     val docs = table(spark, dir, "documents")

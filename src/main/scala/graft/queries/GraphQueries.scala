@@ -372,7 +372,10 @@ object GraphQueries {
           .otherwise(0L)).as("hits_at_5"),
         sum(when(col("cand") === col("target") && col("rk") <= 10, 1L)
           .otherwise(0L)).as("hits_at_10"))
-      .withColumn("hit10_pm", expr("(1000 * hits_at_10) div n_test_users"))
+      // greatest(…, 1): an empty post-cutoff test cohort must yield 0,
+      // not NULL (Spark) / engine-dependent div-by-zero (DuckDB)
+      .withColumn("hit10_pm",
+        expr("(1000 * hits_at_10) div greatest(n_test_users, 1L)"))
   }
 
   val recEvalSql: String =
@@ -419,8 +422,8 @@ object GraphQueries {
        |  sum(CASE WHEN rk.cand = tgt.target AND rk.rk <= 10 THEN 1 ELSE 0 END
        |    )::BIGINT AS hits_at_10,
        |  ((1000 * sum(CASE WHEN rk.cand = tgt.target AND rk.rk <= 10
-       |      THEN 1 ELSE 0 END)) // count(DISTINCT tgt.user_id))::BIGINT
-       |    AS hit10_pm
+       |      THEN 1 ELSE 0 END)) // greatest(count(DISTINCT tgt.user_id), 1)
+       |    )::BIGINT AS hit10_pm
        |FROM tgt LEFT JOIN rk ON rk.user_id = tgt.user_id AND rk.rk <= 10"""
       .stripMargin
 }
