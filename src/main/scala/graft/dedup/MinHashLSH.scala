@@ -148,6 +148,107 @@ object MinHashLSH {
     graft.CachedResult(out, Seq(sig))
   }
 
+  /** Per-doc index rows AT REST — everything the incremental join
+    * needs, nothing derivable only from text at query time: the
+    * MinHash signature columns h0..h31 plus the sorted h60
+    * shingle-hash array `sh` (the exact-Jaccard verify sets). One row
+    * per doc; at 100 TB this is the disk-resident dedup index a crawl
+    * pipeline maintains (signature = 32×8 B, `sh` ≈ 8 B/shingle —
+    * a few hundred bytes/doc, orders of magnitude under the corpus),
+    * written bucketed by id so the incremental query's three id
+    * equi-joins read it shuffle-free. Band keys are NOT stored: they
+    * are a per-row projection of the signature (16 concats), cheaper
+    * to recompute than to read, and storing them would freeze the
+    * banding scheme into the index format. */
+  def indexRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val post = postings(
+      graft.Partitioning.spread(docs, col(idCol)), idCol, textCol, k)
+    val sets = post.select(col("id"), Hashing.h60(col("shingle")).as("h"))
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh"))
+    signatures(post).join(sets, "id")
+  }
+
+  /** [[incrementalNearDuplicatesResult]] where the corpus side comes
+    * from a STORED index ([[indexRows]] read back from disk) instead
+    * of being re-derived from base text — the true crawl-append shape:
+    * base documents are never an input, so zero re-derivation of base
+    * signatures/sets is guaranteed by construction (and spec-asserted
+    * on the plan: no text-bearing scan without the delta predicate).
+    *
+    * Work per append: hash the delta, equi-join band keys against the
+    * index's (recomputed-from-signature) band keys, verify with the
+    * index's stored `sh` arrays semi-joined to candidate ids. The
+    * index table is scanned, never shuffled on a non-id key; with the
+    * bucketed layout the id joins need no exchange on the index side.
+    *
+    * Result ≡ [[incrementalNearDuplicatesResult]] on (docs behind
+    * `index`, `delta`) — bitwise: every stored column is a
+    * deterministic per-doc function of the text. */
+  def incrementalFromIndexResult(
+      index: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): graft.CachedResult = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigCols = col("id") +: (0 until NumHashes).map(i => col(s"h$i"))
+    val baseSig = index.select(sigCols: _*)
+    val baseSets = index.select(col("id"), col("sh"))
+    val deltaPost = postings(
+      graft.Partitioning.spread(delta, col(idCol)), idCol, textCol, k)
+    // the delta signature aggregate feeds three scans (band keys +
+    // both estimate joins); the base side reads the index FILES three
+    // times instead — a scan of a tiny table, deliberately unpersisted
+    val deltaSig = signatures(deltaPost).persist(MEMORY_AND_DISK)
+    val baseBk = bandKeys(baseSig)
+    val deltaBk = bandKeys(deltaSig)
+    val cross = deltaBk.as("l").join(baseBk.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(least(col("l.id"), col("r.id")).as("doc_a"),
+        greatest(col("l.id"), col("r.id")).as("doc_b"))
+      .distinct()
+    val dd = deltaBk.as("l").join(deltaBk.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .distinct()
+    val pairs = cross.union(dd)
+    val allSig = baseSig.unionByName(deltaSig)
+    val sa = allSig.toDF(allSig.columns.map(c => if (c == "id") c else s"a_$c").toIndexedSeq: _*)
+    val sb = allSig.toDF(allSig.columns.map(c => if (c == "id") c else s"b_$c").toIndexedSeq: _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sa, pairs("doc_a") === sa("id")).drop("id")
+      .join(sb, pairs("doc_b") === sb("id")).drop("id")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+    val candIds = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    // delta sets re-aggregated from delta postings (∝ |delta|); base
+    // sets read straight off the index, semi-joined to candidates
+    val deltaSets = deltaPost
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), Hashing.h60(col("shingle")).as("h"))
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh"))
+    val sets = baseSets.join(candIds, Seq("id"), "left_semi")
+      .unionByName(deltaSets)
+    val sA = sets.toDF("doc_a", "sh_a")
+    val sB = sets.toDF("doc_b", "sh_b")
+    val out = est
+      .join(sA, "doc_a").join(sB, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"))
+    graft.CachedResult(out, Seq(deltaSig))
+  }
+
   /** Incremental near-dup: all pairs touching a NEW shard (`delta`)
     * against an already-indexed corpus (`base`) — without running the
     * pairwise step over the corpus again. Ids must be disjoint across

@@ -130,6 +130,58 @@ object PipelineQueries {
        |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q184: incremental near-dup from a PERSISTED index --------------
+
+  /** q81's crawl-append dedup with the corpus index read from DISK
+    * instead of recomputed from base text — the round trip that turns
+    * "the index could live at rest" into a gate. The index is
+    * [[graft.dedup.MinHashLSH.indexRows]] (signature + sorted verify
+    * sets per doc) written ONCE per (catalog, sf-dir fingerprint) as a
+    * parquet table bucketed by id ([[graft.sources.BucketedTables]]),
+    * then read back; base documents are NOT an input to the query —
+    * zero re-derivation of base signatures is structural, and
+    * StoredIndexSpec asserts it on the plan (every documents.parquet
+    * scan carries the delta predicate) plus bitwise equality with
+    * q81's recompute path. Oracle: identical to q81 — the full-corpus
+    * pipeline restricted to delta-touching pairs. */
+  def dedupStoredIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val index = spark.table(ensureDedupIndex(spark, dir))
+    MinHashLSH.incrementalFromIndexResult(
+        index, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", MinhashThreshold)
+      .df
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0,
+          lit("delta_delta")).otherwise(lit("base_delta")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupStoredIndexSql: String = dedupIncrementalSql
+
+  /** Write-once persisted dedup index over the base shard (doc_id %
+    * 10 != 0), bucketed by id: the q39 catalog convention (rebuilt per
+    * JVM when the in-memory catalog forgets it) + the q138 source
+    * fingerprint (regenerated test data invalidates the store instead
+    * of serving stale rows). Returns the catalog table name. */
+  def ensureDedupIndex(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.length}:${src.lastModified}"))
+      val name = s"dedup_idx_$tag"
+      if (!spark.catalog.tableExists(name)) {
+        val base = table(spark, dir, "documents")
+          .filter(col("doc_id") % 10 =!= 0)
+        graft.sources.BucketedTables.writeBucketed(
+          MinHashLSH.indexRows(base, "doc_id", "text"),
+          name, s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_$tag",
+          "id", 8)
+      }
+      name
+    }
+
   // ---- q11: SimHash near-dup -----------------------------------------
 
   val SimhashMaxHamming = 3
@@ -568,6 +620,70 @@ object PipelineQueries {
   /** Same oracle as q13 — exhaustive probing over the merged index
     * must equal brute force over the full corpus. */
   val annIncrementalSql: String = knnCosineSql
+
+  // ---- q185: ANN search over a PERSISTED IVF index --------------------
+
+  /** q108's append pattern with the index read from DISK: the frozen
+    * coarse quantizer (centroid table, nlist rows) and the assigned
+    * base corpus (vec_id, embedding, cell) live as parquet at rest —
+    * the corpus CELL-PARTITIONED, which is the on-disk layout a real
+    * IVF store uses so an economical nprobe search prunes whole
+    * partitions at the scan (here the gate regime probes all cells).
+    * Base vectors are never re-assigned and the quantizer never
+    * retrained: the query's only embeddings.parquet scans are the
+    * delta batch and the query vectors (StoredIndexSpec pins that on
+    * the plan, plus bitwise equality with q108's recompute path).
+    * Work per append: one assignment projection over the delta + the
+    * search itself. Oracle: q13 verbatim (exhaustive probe ≡ brute
+    * force). */
+  def annStoredIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val base = ensureIvfIndex(spark, dir)
+    val centroids = spark.read.parquet(s"$base/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val stored = spark.read.parquet(s"$base/corpus")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val delta = emb.filter(col("vec_id") % AnnDeltaMod === 0)
+    val merged = stored.unionByName(
+      IvfIndex.assign(delta, "vec_id", "embedding", centroids)
+        .select(col("vec_id"), col("embedding"), col("cell")))
+    val queries = emb.filter(col("vec_id") < KnnQueries)
+    IvfIndex.search(merged, "vec_id", "embedding", queries, centroids,
+        KnnK, nprobe = AnnNlist)
+      .orderBy("query_id", "rank")
+  }
+
+  val annStoredIndexSql: String = knnCosineSql
+
+  /** Write-once persisted IVF index over the base shard (vec_id %
+    * [[AnnDeltaMod]] != 0): `centroids/` (cell, centroid) + `corpus/`
+    * (vec_id, embedding) partitioned by cell. The q138 conventions:
+    * source-fingerprint tag, `_SUCCESS` existence gate, synchronized
+    * check-then-write. Returns the index root path. */
+  def ensureIvfIndex(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.length}:${src.lastModified}"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_$tag"
+      if (!new java.io.File(s"$base/corpus", "_SUCCESS").exists() ||
+          !new java.io.File(s"$base/centroids", "_SUCCESS").exists()) {
+        val emb = table(spark, dir, "embeddings")
+        val baseEmb = emb.filter(col("vec_id") % AnnDeltaMod =!= 0)
+        val centroids = IvfIndex.train(baseEmb, "vec_id", "embedding",
+          nlist = AnnNlist)
+        val centRows = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        import spark.implicits._
+        centRows.toSeq.toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+        IvfIndex.assign(baseEmb, "vec_id", "embedding", centroids)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$base/corpus")
+      }
+      base
+    }
 
   // ---- q119: metadata-filtered vector search -------------------------
 
