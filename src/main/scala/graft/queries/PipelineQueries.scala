@@ -160,24 +160,40 @@ object PipelineQueries {
   val dedupStoredIndexSql: String = dedupIncrementalSql
 
   /** Write-once persisted dedup index over the base shard (doc_id %
-    * 10 != 0), bucketed by id: the q39 catalog convention (rebuilt per
-    * JVM when the in-memory catalog forgets it) + the q138 source
-    * fingerprint (regenerated test data invalidates the store instead
-    * of serving stale rows). Returns the catalog table name. */
+    * 10 != 0), bucketed by id. Store lifecycle is
+    * [[graft.sources.IndexStore]]: content fingerprint over the
+    * CONTAINED data files (regenerated data — even an in-place rewrite
+    * inside a directory-backed dataset — invalidates the store instead
+    * of serving stale rows), build-into-staging + atomic-rename publish
+    * (a reader never sees a half-written store; two concurrent builders
+    * produce one valid index), and deletion of superseded generations
+    * (old fingerprint tags don't accrete forever). The catalog entry is
+    * re-registered per JVM over the published path (the q39 catalog
+    * convention). Returns the catalog table name. */
   def ensureDedupIndex(spark: SparkSession, dir: String): String =
     PipelineQueries.synchronized {
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val tag = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir:${src.length}:${src.lastModified}"))
-      val name = s"dedup_idx_$tag"
+      import graft.sources.{BucketedTables, IndexStore}
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val name = s"dedup_idx_${dirTag}_$fpTag"
       if (!spark.catalog.tableExists(name)) {
-        val base = table(spark, dir, "documents")
-          .filter(col("doc_id") % 10 =!= 0)
-        graft.sources.BucketedTables.writeBucketed(
-          MinHashLSH.indexRows(base, "doc_id", "text"),
-          name, s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_$tag",
-          "id", 8)
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, s"graft_dedup_idx_${dirTag}_$fpTag")
+        def indexDf = MinHashLSH.indexRows(
+          table(spark, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text")
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          // saveAsTable pins the staging path in the catalog; drop the
+          // entry (files survive — external table) and re-register over
+          // the final path after the rename
+          val stagingName = s"${name}_staging"
+          BucketedTables.writeBucketed(indexDf, stagingName, staging.getPath, "id", 8)
+          spark.sql(s"DROP TABLE IF EXISTS $stagingName")
+        }
+        IndexStore.registerBucketed(spark, name, dest.getPath, indexDf.schema, "id", 8)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_dedup_idx_${dirTag}_", dest.getName,
+          s"dedup_idx_${dirTag}_", name)
       }
       name
     }
@@ -658,18 +674,21 @@ object PipelineQueries {
 
   /** Write-once persisted IVF index over the base shard (vec_id %
     * [[AnnDeltaMod]] != 0): `centroids/` (cell, centroid) + `corpus/`
-    * (vec_id, embedding) partitioned by cell. The q138 conventions:
-    * source-fingerprint tag, `_SUCCESS` existence gate, synchronized
-    * check-then-write. Returns the index root path. */
+    * (vec_id, embedding) partitioned by cell. Store lifecycle is
+    * [[graft.sources.IndexStore]] — content fingerprint over the data
+    * files, staging + atomic-rename publish, superseded-generation
+    * cleanup (see [[ensureDedupIndex]]). Returns the index root path. */
   def ensureIvfIndex(spark: SparkSession, dir: String): String =
     PipelineQueries.synchronized {
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val tag = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir:${src.length}:${src.lastModified}"))
-      val base = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_$tag"
-      if (!new java.io.File(s"$base/corpus", "_SUCCESS").exists() ||
-          !new java.io.File(s"$base/centroids", "_SUCCESS").exists()) {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/embeddings.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot, s"graft_ivf_idx_${dirTag}_$fpTag")
+      def valid(root: java.io.File): Boolean =
+        IndexStore.hasSuccess(new java.io.File(root, "corpus")) &&
+          IndexStore.hasSuccess(new java.io.File(root, "centroids"))
+      IndexStore.publish(dest, valid) { staging =>
         val emb = table(spark, dir, "embeddings")
         val baseEmb = emb.filter(col("vec_id") % AnnDeltaMod =!= 0)
         val centroids = IvfIndex.train(baseEmb, "vec_id", "embedding",
@@ -677,12 +696,16 @@ object PipelineQueries {
         val centRows = centroids.zipWithIndex.map { case (c, i) => (i, c) }
         import spark.implicits._
         centRows.toSeq.toDF("cell", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
         IvfIndex.assign(baseEmb, "vec_id", "embedding", centroids)
           .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$base/corpus")
+          .parquet(s"$staging/corpus")
       }
-      base
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_ivf_idx_${dirTag}_", dest.getName,
+        // no catalog entries for the IVF store; prefix matches nothing
+        s"graft_ivf_idx_${dirTag}_", dest.getName)
+      dest.getPath
     }
 
   // ---- q119: metadata-filtered vector search -------------------------

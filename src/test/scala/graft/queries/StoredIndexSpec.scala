@@ -1,0 +1,178 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.{SparkEntry, SparkSpec}
+import graft.sources.IndexStore
+
+/** The properties that make q184/q185 STORED-INDEX operators rather
+  * than re-labeled recomputes — none of which the DuckDB oracle can
+  * see, because a silent recompute-from-source produces bitwise
+  * identical output:
+  *
+  *  1. row-for-row equality with the recompute paths (q184 ≡ q81,
+  *     q185 ≡ q108) — the stored columns are deterministic per-doc
+  *     functions of the source, so a correct store changes nothing;
+  *  2. plan-level no-recompute: every source scan in the query plan
+  *     carries the delta (or query-vector) predicate — base text /
+  *     base embeddings are never re-read — and the plan reads the
+  *     on-disk index;
+  *  3. store lifecycle ([[graft.sources.IndexStore]]): content
+  *     fingerprints change when any contained data file changes (the
+  *     directory-backed in-place-overwrite trap), a fingerprint change
+  *     rebuilds the index and deletes the superseded generation, and a
+  *     half-written store (no `_SUCCESS`) is rebuilt, not served.
+  */
+class StoredIndexSpec extends SparkSpec {
+
+  private def rows(q: String, dir: String = sfDir) =
+    SparkEntry.queries(q)(spark, dir).collect().toSeq
+
+  /** Every FileSourceScanExec in the (AQE-unwrapped) physical plan. */
+  private def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other =>
+          other.children.flatMap(unwrap) ++
+            other.subqueries.flatMap(unwrap)
+      }
+    unwrap(df.queryExecution.executedPlan)
+  }
+
+  private def scansOf(df: DataFrame, pathPart: String): Seq[FileSourceScanExec] =
+    fileScans(df).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(pathPart)))
+
+  // ---- 1. equality with the recompute paths ---------------------------
+
+  test("q184 equals q81's recompute path row-for-row") {
+    val stored = rows("q184_dedup_stored_index")
+    val recompute = rows("q81_dedup_incremental")
+    assert(stored.nonEmpty && stored == recompute)
+  }
+
+  test("q185 equals q108's recompute path row-for-row") {
+    val stored = rows("q185_ann_stored_index")
+    val recompute = rows("q108_ann_incremental")
+    assert(stored.nonEmpty && stored == recompute)
+  }
+
+  // ---- 2. plan-level no-recompute --------------------------------------
+
+  test("q184 plan: every documents scan carries the delta predicate; index read from disk") {
+    val df = SparkEntry.queries("q184_dedup_stored_index")(spark, sfDir)
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected delta scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% 10") && filters.contains("= 0"),
+        s"documents scan without the delta predicate (base text re-read!): $s")
+    }
+    assert(scansOf(df, "graft_dedup_idx_").nonEmpty,
+      "plan does not read the persisted dedup index")
+  }
+
+  test("q185 plan: every embeddings scan is delta or query vectors; index read from disk") {
+    val df = SparkEntry.queries("q185_ann_stored_index")(spark, sfDir)
+    val embScans = scansOf(df, "embeddings.parquet")
+    assert(embScans.nonEmpty, "expected delta/query scans of embeddings.parquet")
+    embScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      val isDelta = filters.contains("% 4") && filters.contains("= 0")
+      val isQueries = filters.contains("< " + PipelineQueries.KnnQueries)
+      assert(isDelta || isQueries,
+        s"embeddings scan without delta/query predicate (base vectors re-read!): $s")
+    }
+    assert(scansOf(df, "graft_ivf_idx_").nonEmpty,
+      "plan does not read the persisted IVF corpus")
+  }
+
+  // ---- 3. store lifecycle ----------------------------------------------
+
+  private def tmpCorpus(tables: String*): String = {
+    val d = Files.createTempDirectory("graft_storedindex_").toFile
+    d.deleteOnExit()
+    tables.foreach { t =>
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"),
+        Paths.get(d.getPath, s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    d.getPath
+  }
+
+  test("contentTag sees an in-place overwrite inside a directory-backed dataset") {
+    val root = Files.createTempDirectory("graft_fp_").toFile
+    val ds = new File(root, "documents.parquet")
+    assert(ds.mkdir())
+    val part = new File(ds, "part-00000.parquet")
+    Files.write(part.toPath, Array[Byte](1, 2, 3))
+    assert(part.setLastModified(1000000000000L))
+    assert(ds.setLastModified(2000000000000L))
+    val before = IndexStore.contentTag(ds)
+    // in-place overwrite: same file name, same length, newer mtime —
+    // and the DIRECTORY's own mtime pinned back to its old value
+    Files.write(part.toPath, Array[Byte](9, 9, 9))
+    assert(part.setLastModified(1500000000000L))
+    assert(ds.setLastModified(2000000000000L))
+    assert(IndexStore.contentTag(ds) != before,
+      "fingerprint missed an in-place data-file overwrite")
+  }
+
+  test("q184 rebuilds on source-fingerprint change and drops the superseded generation") {
+    val dir = tmpCorpus("documents")
+    val name1 = PipelineQueries.ensureDedupIndex(spark, dir)
+    assert(spark.catalog.tableExists(name1))
+    val dest1 = new File(sys.props("java.io.tmpdir"), s"graft_$name1")
+    assert(IndexStore.hasSuccess(dest1), s"no published store at $dest1")
+    // regenerate the source: content changes -> new fingerprint tag
+    val doc = new File(dir, "documents.parquet")
+    assert(doc.setLastModified(doc.lastModified() + 5000))
+    val name2 = PipelineQueries.ensureDedupIndex(spark, dir)
+    assert(name2 != name1, "fingerprint change did not mint a new index generation")
+    assert(spark.catalog.tableExists(name2))
+    val dest2 = new File(sys.props("java.io.tmpdir"), s"graft_$name2")
+    assert(IndexStore.hasSuccess(dest2))
+    // superseded generation: catalog entry dropped, files deleted
+    assert(!spark.catalog.tableExists(name1), "superseded catalog entry not dropped")
+    assert(!dest1.exists(), "superseded store files not deleted")
+    // and the rebuilt index answers the query identically to recompute
+    assert(rows("q184_dedup_stored_index", dir) == rows("q81_dedup_incremental", dir))
+  }
+
+  test("a half-written store (no _SUCCESS) is rebuilt, not served") {
+    val dir = tmpCorpus("documents")
+    val dirTag = IndexStore.pathTag(dir)
+    val fpTag = IndexStore.contentTag(new File(dir, "documents.parquet"))
+    val dest = new File(sys.props("java.io.tmpdir"),
+      s"graft_dedup_idx_${dirTag}_$fpTag")
+    // simulate a builder that died mid-write: files exist, no _SUCCESS
+    assert(dest.mkdirs())
+    Files.write(new File(dest, "part-00000-dead.parquet").toPath,
+      Array[Byte](0, 0, 0, 0))
+    val name = PipelineQueries.ensureDedupIndex(spark, dir)
+    assert(IndexStore.hasSuccess(dest), "half-written store was not replaced")
+    assert(!new File(dest, "part-00000-dead.parquet").exists(),
+      "garbage from the dead builder survived the publish")
+    assert(spark.catalog.tableExists(name))
+    assert(rows("q184_dedup_stored_index", dir) == rows("q81_dedup_incremental", dir))
+  }
+
+  test("q185's IVF store rebuilds on source-fingerprint change") {
+    val dir = tmpCorpus("embeddings")
+    val base1 = PipelineQueries.ensureIvfIndex(spark, dir)
+    assert(IndexStore.hasSuccess(new File(base1, "corpus")))
+    val emb = new File(dir, "embeddings.parquet")
+    assert(emb.setLastModified(emb.lastModified() + 5000))
+    val base2 = PipelineQueries.ensureIvfIndex(spark, dir)
+    assert(base2 != base1, "fingerprint change did not mint a new IVF generation")
+    assert(IndexStore.hasSuccess(new File(base2, "corpus")))
+    assert(!new File(base1).exists(), "superseded IVF store not deleted")
+    assert(rows("q185_ann_stored_index", dir) == rows("q108_ann_incremental", dir))
+  }
+}
