@@ -422,6 +422,137 @@ object MediaCodec {
     out.toByteArray
   }
 
+  // ---- AVI (MJPEG video-in-AVI, hand-rolled RIFF over the JDK JPEG) --
+  //
+  // A REAL video container with zero dependencies: AVI is RIFF (the
+  // same chunk grammar as WAV, little-endian) and MJPEG frames are
+  // plain baseline JPEGs — the JDK codec above. Layout per the
+  // original VFW spec: RIFF('AVI ') { LIST('hdrl'){ avih,
+  // LIST('strl'){ strh('vids'/'MJPG'), strf(BITMAPINFOHEADER) } },
+  // LIST('movi'){ '00dc' <jpeg> ... }, 'idx1' }. Chunks pad to even
+  // lengths. This upgrades frame sampling from the GIF stand-in to an
+  // actual video container; the codec UNDER it is still the JVM's
+  // JPEG, so per-pixel content carries q72's lossy contract.
+
+  private def fourCC(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Wrap pre-encoded JPEG frames as an MJPEG AVI at `fps`. */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "no frames")
+    val n = jpegFrames.length
+    def pad(len: Int): Int = len + (len & 1)
+    val moviBody = 4 + jpegFrames.map(f => 8 + pad(f.length)).sum
+    val idx1Body = 16 * n
+    val hdrlBody = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody) + (8 + idx1Body)
+    val b = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(fourCC("RIFF")).putInt(riffBody).put(fourCC("AVI "))
+    // LIST hdrl
+    b.put(fourCC("LIST")).putInt(hdrlBody).put(fourCC("hdrl"))
+    val maxFrame = jpegFrames.map(_.length).max
+    b.put(fourCC("avih")).putInt(56)
+      .putInt(1000000 / fps)            // dwMicroSecPerFrame
+      .putInt(maxFrame * fps)           // dwMaxBytesPerSec
+      .putInt(0)                        // dwPaddingGranularity
+      .putInt(0x10)                     // dwFlags: AVIF_HASINDEX
+      .putInt(n)                        // dwTotalFrames
+      .putInt(0).putInt(1)              // dwInitialFrames, dwStreams
+      .putInt(maxFrame)                 // dwSuggestedBufferSize
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
+    // LIST strl
+    b.put(fourCC("LIST")).putInt(4 + (8 + 56) + (8 + 40)).put(fourCC("strl"))
+    b.put(fourCC("strh")).putInt(56)
+      .put(fourCC("vids")).put(fourCC("MJPG"))
+      .putInt(0).putShort(0).putShort(0) // dwFlags, wPriority, wLanguage
+      .putInt(0)                         // dwInitialFrames
+      .putInt(1).putInt(fps)             // dwScale / dwRate = frame rate
+      .putInt(0).putInt(n)               // dwStart, dwLength (frames)
+      .putInt(maxFrame)                  // dwSuggestedBufferSize
+      .putInt(-1).putInt(0)              // dwQuality, dwSampleSize
+      .putShort(0).putShort(0)           // rcFrame
+      .putShort(width.toShort).putShort(height.toShort)
+    b.put(fourCC("strf")).putInt(40)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)          // biPlanes, biBitCount
+      .put(fourCC("MJPG"))               // biCompression
+      .putInt(width * height * 3)        // biSizeImage
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    // LIST movi
+    b.put(fourCC("LIST")).putInt(moviBody).put(fourCC("movi"))
+    val offsets = new Array[Int](n)
+    jpegFrames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = b.position() - 12 - (8 + hdrlBody) - 8 // rel. to 'movi'
+      b.put(fourCC("00dc")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte)
+    }
+    // idx1: one entry per frame, offsets relative to the movi list tag
+    b.put(fourCC("idx1")).putInt(idx1Body)
+    jpegFrames.zipWithIndex.foreach { case (f, i) =>
+      b.put(fourCC("00dc")).putInt(0x10).putInt(offsets(i)).putInt(f.length)
+    }
+    b.array()
+  }
+
+  /** Parse an MJPEG AVI to (width, height, fps, per-frame JPEG bytes).
+    * Validates the RIFF/AVI framing, the declared stream geometry, the
+    * MJPG fourcc, chunk bounds, and that the '00dc' frame count equals
+    * the avih dwTotalFrames. Same fail-loudly contract as the other
+    * decoders — a video pipeline must reject torn containers, not emit
+    * garbage frames. */
+  def decodeAviMjpeg(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val riffEnd = {
+      val sz = b.getInt(4)
+      require(sz >= 4 && 8 + sz <= bytes.length, "truncated AVI (RIFF size)")
+      8 + sz
+    }
+    var pos = 12
+    var width, height, fps, declared = -1
+    var sawMjpg = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def chunkId(p: Int) = new String(bytes, p, 4, "US-ASCII")
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = chunkId(p)
+        val len = b.getInt(p + 4)
+        require(len >= 0 && p + 8 + len <= to, s"truncated AVI ($id chunk)")
+        id match {
+          case "LIST" =>
+            val kind = chunkId(p + 8)
+            walk(p + 12, p + 8 + len, inMovi = kind == "movi")
+          case "avih" =>
+            require(len >= 40, "short avih")
+            declared = b.getInt(p + 8 + 16)
+            width = b.getInt(p + 8 + 32)
+            height = b.getInt(p + 8 + 36)
+            val usPerFrame = b.getInt(p + 8)
+            require(usPerFrame > 0, "bad frame rate")
+            fps = 1000000 / usPerFrame
+          case "strh" =>
+            require(len >= 8, "short strh")
+            if (chunkId(p + 8) == "vids")
+              sawMjpg = chunkId(p + 12) == "MJPG"
+          case "00dc" if inMovi =>
+            frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len)
+          case _ => () // strf/idx1/other streams: bounds already checked
+        }
+        p += 8 + len + (len & 1)
+      }
+    }
+    walk(12, riffEnd, inMovi = false)
+    require(width > 0 && height > 0, "missing avih geometry")
+    require(sawMjpg, "not an MJPEG video stream")
+    require(declared == frames.length,
+      s"frame count mismatch: avih says $declared, movi has ${frames.length}")
+    (width, height, fps, frames.toSeq)
+  }
+
   /** Decode every frame of a GIF to (width, height, frames) — gray
     * bytes per frame, row-major top-down. Fails loudly on corrupt
     * input (bad magic, truncation), same contract as the other

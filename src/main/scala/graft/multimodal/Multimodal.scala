@@ -346,6 +346,88 @@ object Multimodal {
       }
   }
 
+  // ---- MJPEG-in-AVI: real VIDEO container frame sampling --------------
+
+  val AviFrameW = 16
+  val AviFrameH = 8
+  val AviFrameBytes: Int = AviFrameW * AviFrameH // 128
+  val AviMaxFrames = 4
+  val AviFps = 10
+
+  /** Per-frame mean-gray tolerance for the q186 gate — the q72 JPEG
+    * contract applied frame-wise: per-pixel MJPEG output is a
+    * quantizer property, but each frame's MEAN survives quality-0.95
+    * quantization well under 1 gray level (AviSpec measures it);
+    * 2.0 carries the same ≥4× margin as [[JpegMeanTol]]. */
+  val AviMeanTol = 2.0
+
+  /** One row per document: the REAL video-container pipeline — AVI
+    * geometry, frame count, every-2nd-frame SOURCE sums (exact,
+    * oracle-recomputable), and the two gate booleans: `container_ok`
+    * (RIFF framing + geometry + fps + frame count survive the round
+    * trip) and `mean_ok` (every decoded frame's mean within
+    * [[AviMeanTol]] of its source frame — the lossy-codec claim). */
+  final case class AviFrames(
+      media_id: Long, w: Long, h: Long, n_frames: Long, n_sampled: Long,
+      src_sampled_sum: Long, src_all_sum: Long,
+      container_ok: Boolean, mean_ok: Boolean)
+
+  /** Text bytes → up to [[AviMaxFrames]] 16×8 grayscale frames → each
+    * encoded as a real baseline JPEG ([[MediaCodec.encodeJpegGray]]) →
+    * wrapped in a genuine RIFF/AVI MJPEG container
+    * ([[MediaCodec.encodeAviMjpeg]]) → full container parse + per-frame
+    * JPEG decode → every-2nd-frame sampling. The frame-extraction/
+    * frame-sampling stage of a video pipeline against an actual video
+    * container; source sums are exact facts the oracle recomputes from
+    * the bytes (the q99 construction), the lossy per-frame content
+    * rides the `mean_ok` bound (the q72 construction). */
+  def aviFrameSample(docs: DataFrame, idCol: String, textCol: String): Dataset[AviFrames] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = math.min(text.length, AviFrameBytes * AviMaxFrames)
+          val nF = math.max(1, (len + AviFrameBytes - 1) / AviFrameBytes)
+          val frames = (0 until nF).map { f =>
+            val px = new Array[Byte](AviFrameBytes)
+            val off = f * AviFrameBytes
+            val n = math.max(0, math.min(AviFrameBytes, len - off))
+            if (n > 0) System.arraycopy(text, off, px, 0, n)
+            px
+          }
+          val jpegs = frames.map(
+            MediaCodec.encodeJpegGray(AviFrameW, AviFrameH, _, JpegQuality))
+          val avi = MediaCodec.encodeAviMjpeg(AviFrameW, AviFrameH, AviFps, jpegs)
+          val (dw, dh, dfps, decJpegs) = MediaCodec.decodeAviMjpeg(avi)
+          val containerOk = dw == AviFrameW && dh == AviFrameH &&
+            dfps == AviFps && decJpegs.length == nF &&
+            jpegs.zip(decJpegs).forall { case (a, b) =>
+              java.util.Arrays.equals(a, b) // chunking is lossless
+            }
+          var meanOk = containerOk
+          var srcAll = 0L
+          var srcSampled = 0L
+          frames.zipWithIndex.foreach { case (f, i) =>
+            var s = 0L
+            f.foreach(px => s += (px & 0xff))
+            srcAll += s
+            if (i % 2 == 0) srcSampled += s
+            if (meanOk && i < decJpegs.length) {
+              val (jw, jh, dec) = MediaCodec.decodeJpegGray(decJpegs(i))
+              var ds = 0L
+              dec.foreach(px => ds += (px & 0xff))
+              meanOk = jw == AviFrameW && jh == AviFrameH &&
+                math.abs(ds.toDouble / dec.length -
+                  s.toDouble / f.length) <= AviMeanTol
+            }
+          }
+          AviFrames(id, AviFrameW.toLong, AviFrameH.toLong, nF.toLong,
+            (nF + 1L) / 2L, srcSampled, srcAll, containerOk, meanOk)
+        }
+      }
+  }
+
   // ---- real resize / frame-sample (on the containers we decode) ------
 
   /** Nearest-neighbor grayscale downscale by integer factor `f`:

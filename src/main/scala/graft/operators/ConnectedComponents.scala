@@ -32,6 +32,51 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Node cap for the partition-local union-find pre-pass in
+    * [[componentsStar]]: ~1M Long→Long entries ≈ tens of MB of task
+    * heap, far under any sane executor budget, and enough to fully
+    * contract every reasonably-split edge partition (128 MB of parquet
+    * edges holds ≪ 1M distinct nodes per partition unless the split is
+    * pathological — which is exactly when the cap must kick in). */
+  val LocalUnionFindMaxNodes: Int = 1 << 20
+
+  /** One partition's union-find contraction (the pre-pass body of
+    * [[componentsStar]]): replaces the partition's edges with a
+    * connectivity-equivalent star set (node → min-id local root),
+    * holding at most `cap` nodes in memory. Once the map is full,
+    * edges touching any NEW node stream through verbatim — lazily,
+    * never buffered — while edges between already-tracked nodes still
+    * contract; partial contraction is still connectivity-equivalent,
+    * so correctness never depends on the cap. */
+  private[operators] def contractPartition(
+      it: Iterator[(Long, Long)], cap: Int): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // lazy filter: true = pass the edge through unchanged
+    val passThrough = it.filter { case (a, b) =>
+      val newNodes = (if (parent.contains(a)) 0 else 1) +
+        (if (parent.contains(b)) 0 else 1)
+      if (parent.size + newNodes > cap) true
+      else {
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        false
+      }
+    }
+    // ++'s right side is by-name: the star emission only builds after
+    // the input (and with it the union-find) is exhausted
+    passThrough ++ parent.keysIterator.toArray.iterator
+      .map(n => (n, find(n))).filter { case (n, r) => n != r }
+  }
+
   /** Component label (the min node id reachable) for every node with
     * at least one edge, by MIN-LABEL PROPAGATION — O(diameter) rounds;
     * the right default for near-dup graphs (near-cliques, diameter
@@ -166,28 +211,22 @@ object ConnectedComponents {
     // first global round — q142's 9-round chain graph converges in 3
     // rounds after this pass. At 100 TB this is the standard first
     // move (GraphX/GraphFrames do the same): it costs one scan, no
-    // shuffle, O(partition) memory, and can only shrink the edge list
-    // the global rounds shuffle.
+    // shuffle, BOUNDED memory (node cap below), and can only shrink
+    // the edge list the global rounds shuffle.
+    //
+    // MEMORY CAP: the map holds one entry per distinct node seen in
+    // the partition — unbounded, that is O(partition nodes) executor
+    // heap, and a dense or badly-split partition could OOM a task the
+    // shuffle-only formulation never would. The pre-pass is an
+    // OPTIMIZATION (any subset of edges may be contracted; the rest
+    // pass through unchanged and the global rounds absorb them), so
+    // once the map reaches [[LocalUnionFindMaxNodes]] edges touching
+    // any NEW node stream through verbatim — lazily, never buffered —
+    // while edges between already-tracked nodes still contract.
     val contracted = raw.filter(col("x") =!= col("y"))
       .select(col("x"), col("y")).as[(Long, Long)]
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(a: Long): Long = {
-          var r = a
-          while (parent(r) != r) r = parent(r)
-          var c = a
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        it.foreach { case (a, b) =>
-          if (!parent.contains(a)) parent(a) = a
-          if (!parent.contains(b)) parent(b) = b
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        parent.keysIterator.toArray.iterator
-          .map(n => (n, find(n))).filter { case (n, r) => n != r }
-      }.toDF("x", "y")
+      .mapPartitions(contractPartition(_, LocalUnionFindMaxNodes))
+      .toDF("x", "y")
     // lazy: the loop-entry isEmpty check materializes it
     var e = rep(contracted
       .select(greatest(col("x"), col("y")).as("x"),

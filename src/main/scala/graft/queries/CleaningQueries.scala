@@ -98,6 +98,102 @@ object CleaningQueries {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- q187: gazetteer NER redaction (names, not patterns) -------------
+
+  /** The name list a gazetteer NER stage broadcasts. Capitalized, so
+    * no token of the all-lowercase corpus can collide — injected names
+    * are the only matches, making every count below exact. */
+  val Gazetteer: Seq[String] = Seq("Alice", "Bob", "Carol", "David",
+    "Erin", "Frank", "Grace", "Heidi", "Ivan", "Judy", "Mallory", "Oscar")
+
+  /** Two deterministic gazetteer names appended to every third doc —
+    * the q79 injection convention, for ENTITY pii instead of
+    * pattern-shaped pii. */
+  private def dirtyNames(spark: SparkSession, dir: String): DataFrame = {
+    val nameArr = array(Gazetteer.map(lit): _*)
+    table(spark, dir, "documents").withColumn("dirty",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" regards "),
+          element_at(nameArr, (col("doc_id") % 12 + 1).cast("int")),
+          lit(" "),
+          element_at(nameArr, (expr("(doc_id div 12) % 12") + 1).cast("int"))))
+      .otherwise(col("text")))
+  }
+
+  /** Gazetteer NER scrub — the PII class regex cannot reach (q79's
+    * scaladoc draws exactly this line: names need an entity list or a
+    * model, not a pattern). The gazetteer BROADCASTS and tokens join
+    * against it (the q127 vocab shape): posexplode → broadcast-hash
+    * left join → per-doc reassembly ordered by token position → the
+    * per-source scrub report. The corpus text never shuffles by
+    * anything but doc_id; at 100 TB the gazetteer stays a fixed-size
+    * broadcast whatever the corpus size, and the same plan carries a
+    * model-emitted span table in place of the static list.
+    *
+    * Report: docs, name tokens found, distinct names seen, characters
+    * removed by redaction, and the residual self-check (gazetteer hits
+    * in already-redacted text — must be 0, the q79 convention). */
+  def nerRedaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gaz = Gazetteer.toDF("name")
+    val alt = Gazetteer.mkString("\\b(", "|", ")\\b")
+    val toks = dirtyNames(spark, dir)
+      .select(col("source"), col("doc_id"),
+        length(col("dirty")).cast("long").as("dirty_len"),
+        posexplode(split(col("dirty"), " ")).as(Seq("pos", "tok")))
+    val marked = toks.join(broadcast(gaz), toks("tok") === gaz("name"), "left")
+    val perDoc = marked.groupBy("source", "doc_id", "dirty_len")
+      .agg(
+        sum(when(col("name").isNotNull, 1L).otherwise(0L)).as("n_names"),
+        // sort_array on (pos, out) structs restores token order; the
+        // getField projection keeps reassembly join-free
+        array_join(sort_array(collect_list(struct(col("pos"),
+            when(col("name").isNotNull, lit("[NAME]")).otherwise(col("tok"))
+              .as("out")))).getField("out"), " ").as("clean"))
+    val distinctNames = marked.filter(col("name").isNotNull)
+      .groupBy("source").agg(countDistinct(col("name")).as("n_distinct_names"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_names")).as("n_name_tokens"),
+        sum(col("dirty_len") - length(col("clean"))).as("chars_removed"),
+        sum(regexp_count(col("clean"), lit(alt))).as("n_residual"))
+      .join(distinctNames, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_name_tokens"),
+        coalesce(col("n_distinct_names"), lit(0L)).as("n_distinct_names"),
+        col("chars_removed"), col("n_residual"))
+      .orderBy("source")
+  }
+
+  val nerRedactionSql: String = {
+    val list = Gazetteer.map(n => s"'$n'").mkString("[", ", ", "]")
+    val alt = Gazetteer.mkString("\\b(", "|", ")\\b")
+    val inject = "CASE WHEN doc_id % 3 = 0 THEN text || ' regards ' ||" +
+      s" $list[(doc_id % 12 + 1)::INT] || ' ' ||" +
+      s" $list[((doc_id // 12) % 12 + 1)::INT] ELSE text END"
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $inject AS dirty FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, dirty,
+       |    array_to_string(list_transform(string_split(dirty, ' '),
+       |      t -> CASE WHEN list_contains($list, t)
+       |           THEN '[NAME]' ELSE t END), ' ') AS clean,
+       |    len(list_filter(string_split(dirty, ' '),
+       |      t -> list_contains($list, t)))::BIGINT AS n_names
+       |  FROM d),
+       |nt AS (
+       |  SELECT source, unnest(list_filter(string_split(dirty, ' '),
+       |    t -> list_contains($list, t))) AS nm
+       |  FROM d),
+       |nd AS (SELECT source, count(DISTINCT nm) AS n_dn FROM nt GROUP BY source)
+       |SELECT c.source, count(*) AS n_docs,
+       |  sum(n_names)::BIGINT AS n_name_tokens,
+       |  coalesce(max(nd.n_dn), 0)::BIGINT AS n_distinct_names,
+       |  sum(length(dirty) - length(clean))::BIGINT AS chars_removed,
+       |  sum(len(regexp_extract_all(clean, '$alt')))::BIGINT AS n_residual
+       |FROM c LEFT JOIN nd ON c.source = nd.source
+       |GROUP BY c.source ORDER BY c.source""".stripMargin
+  }
+
   // ---- q80: paragraph-level boilerplate dedup --------------------------
 
   /** Three boilerplate paragraphs (newsletter / copyright / cookies),

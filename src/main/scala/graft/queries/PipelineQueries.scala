@@ -198,6 +198,85 @@ object PipelineQueries {
       name
     }
 
+  // ---- q188: stored-index COMPACTION (small-file maintenance) ---------
+
+  /** Append batches the fragmented store accumulates before compaction
+    * (each lands [[CompactFilesPerFragment]] small files — the
+    * many-small-appends shape an incremental crawl index degrades
+    * into). */
+  val CompactFragments = 4
+  val CompactFilesPerFragment = 8
+
+  /** q184's stored-index dedup answered from a COMPACTED index: the
+    * store first accumulates [[CompactFragments]] append batches (a
+    * fragmented pile of [[CompactFragments]]×[[CompactFilesPerFragment]]
+    * small unbucketed files — k incremental appends at rest), then the
+    * maintenance pass rewrites it once into the bucketed layout
+    * ([[graft.sources.BucketedTables.writeBucketed]]: 8 buckets, one
+    * file per bucket, sorted by id) and the query runs against the
+    * rewrite. Compaction reads INDEX ROWS, never corpus text — work ∝
+    * index size — and by construction changes no row, so the oracle is
+    * q184's verbatim; CompactionSpec additionally pins the file-count
+    * collapse, fragmented≡compacted result equality, and the restored
+    * bucketed layout on the plan. This is the maintenance operator the
+    * q184/q185 stores were missing: without it, every append widens
+    * the scan's file list forever — the real 100 TB small-file pain. */
+  def dedupCompactedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val index = spark.table(ensureCompactedIndex(spark, dir))
+    MinHashLSH.incrementalFromIndexResult(
+        index, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", MinhashThreshold)
+      .df
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0,
+          lit("delta_delta")).otherwise(lit("base_delta")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupCompactedIndexSql: String = dedupIncrementalSql
+
+  /** Build-once fragmented store + compaction (lifecycle per
+    * [[graft.sources.IndexStore]], like [[ensureDedupIndex]]): the
+    * published root holds `fragments/` (the append pile, kept so the
+    * spec can audit the layout it replaced) and `compacted/` (the
+    * bucketed rewrite the catalog table points at). Fragment rows come
+    * from the q184 store — a real compactor reads the index it
+    * maintains, not the corpus. Returns the catalog table name. */
+  def ensureCompactedIndex(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      import graft.sources.{BucketedTables, IndexStore}
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val name = s"dedup_cidx_${dirTag}_$fpTag"
+      if (!spark.catalog.tableExists(name)) {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, s"graft_dedup_cidx_${dirTag}_$fpTag")
+        val baseIdx = spark.table(ensureDedupIndex(spark, dir))
+        def valid(root: java.io.File): Boolean =
+          IndexStore.hasSuccess(new java.io.File(root, "fragments")) &&
+            IndexStore.hasSuccess(new java.io.File(root, "compacted"))
+        IndexStore.publish(dest, valid) { staging =>
+          val frags = s"$staging/fragments"
+          (0 until CompactFragments).foreach { f =>
+            baseIdx.filter(col("id") % CompactFragments === f)
+              .repartition(CompactFilesPerFragment)
+              .write.mode("append").parquet(frags)
+          }
+          val stagingName = s"${name}_staging"
+          BucketedTables.writeBucketed(spark.read.parquet(frags),
+            stagingName, s"$staging/compacted", "id", 8)
+          spark.sql(s"DROP TABLE IF EXISTS $stagingName")
+        }
+        IndexStore.registerBucketed(spark, name,
+          new java.io.File(dest, "compacted").getPath, baseIdx.schema, "id", 8)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_dedup_cidx_${dirTag}_", dest.getName,
+          s"dedup_cidx_${dirTag}_", name)
+      }
+      name
+    }
+
   // ---- q11: SimHash near-dup -----------------------------------------
 
   val SimhashMaxHamming = 3

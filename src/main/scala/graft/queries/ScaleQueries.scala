@@ -1384,6 +1384,54 @@ object ScaleQueries {
        |FROM g ORDER BY media_id""".stripMargin
   }
 
+  // ---- q186: MJPEG-in-AVI video frame extraction + sampling ----------
+
+  /** Documents through a REAL video container
+    * ([[graft.multimodal.Multimodal.aviFrameSample]]): bytes → up to 4
+    * 16×8 frames → per-frame baseline JPEG → a hand-rolled RIFF/AVI
+    * MJPEG container → full container parse → per-frame decode →
+    * every-2nd-frame sample. Source frame sums are exact and
+    * oracle-recomputed from the bytes (the q99 construction);
+    * `container_ok` pins the RIFF round trip (framing, geometry, fps,
+    * frame count, byte-exact chunk payloads) and `mean_ok` carries the
+    * per-frame lossy-JPEG bound (the q72 construction). This retires
+    * the "video containers are an honest stub" line: the container is
+    * real; only non-JPEG video CODECS (H.264 …) stay out of JVM
+    * reach. */
+  def aviFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.multimodal.Multimodal.aviFrameSample(
+        graft.Partitioning.spread(docs, col("doc_id")), "doc_id", "text")
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val aviFramesSql: String = {
+    val fb = graft.multimodal.Multimodal.AviFrameBytes
+    val (w, h) = (graft.multimodal.Multimodal.AviFrameW,
+      graft.multimodal.Multimodal.AviFrameH)
+    val cap = fb * graft.multimodal.Multimodal.AviMaxFrames
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         least(octet_length(encode(text)), $cap) AS len
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, hx, len,
+       |         greatest(1, ceil(len / $fb.0))::BIGINT AS nf
+       |  FROM d)
+       |SELECT doc_id AS media_id, $w::BIGINT AS w, $h::BIGINT AS h,
+       |  nf AS n_frames, ((nf + 1) // 2)::BIGINT AS n_sampled,
+       |  coalesce(list_sum(list_transform(range(0, len::INT),
+       |    k -> CASE WHEN (k // $fb) % 2 = 0
+       |         THEN ${byteAtSql("hx", "k + 1")} ELSE 0 END)), 0)::BIGINT
+       |    AS src_sampled_sum,
+       |  coalesce(list_sum(list_transform(range(1, len::INT + 1),
+       |    i -> ${byteAtSql("hx", "i")})), 0)::BIGINT AS src_all_sum,
+       |  TRUE AS container_ok,
+       |  TRUE AS mean_ok
+       |FROM g ORDER BY media_id""".stripMargin
+  }
+
   // ---- q73: Bloom-pruned fact join (shuffle-volume cut) --------------
 
   val BloomFpp = 0.01

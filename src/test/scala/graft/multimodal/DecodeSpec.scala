@@ -319,4 +319,64 @@ class DecodeSpec extends SparkSpec {
     assert(out.sampled_sum == sampled)
     assert(out.n_sampled == (out.n_frames + 1) / 2)
   }
+
+  // ---- MJPEG-in-AVI ----------------------------------------------------
+
+  test("AVI round-trip: container framing, geometry, fps, byte-exact payloads") {
+    val rnd = new scala.util.Random(11)
+    for (nFrames <- Seq(1, 2, 4, 7); (w, h) <- Seq((16, 8), (5, 3))) {
+      val jpegs = (0 until nFrames).map { _ =>
+        val px = new Array[Byte](w * h); rnd.nextBytes(px)
+        MediaCodec.encodeJpegGray(w, h, px, 0.95f)
+      }
+      val avi = MediaCodec.encodeAviMjpeg(w, h, 10, jpegs)
+      val (dw, dh, fps, dec) = MediaCodec.decodeAviMjpeg(avi)
+      assert(dw == w && dh == h && fps == 10 && dec.length == nFrames)
+      jpegs.zip(dec).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), s"${w}x$h n=$nFrames")
+      }
+      // and the extracted payloads decode as the JPEGs they are
+      val (jw, jh, _) = MediaCodec.decodeJpegGray(dec.head)
+      assert(jw == w && jh == h)
+    }
+  }
+
+  test("corrupt AVIs fail loudly: bad magic, truncation, frame-count lie") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeAviMjpeg("RIFFxxxxWAVE not a video".getBytes)
+    }
+    val jpeg = MediaCodec.encodeJpegGray(8, 8, Array.tabulate(64)(_.toByte), 0.95f)
+    val good = MediaCodec.encodeAviMjpeg(8, 8, 10, Seq(jpeg, jpeg))
+    intercept[Exception] { MediaCodec.decodeAviMjpeg(good.take(40)) }
+    // a torn movi list (one frame chunk missing) must trip the
+    // avih-vs-movi frame-count cross-check, not silently emit 1 frame
+    val oneFrame = MediaCodec.encodeAviMjpeg(8, 8, 10, Seq(jpeg))
+    val lied = oneFrame.clone()
+    // dwTotalFrames lives at avih body offset 16; avih body starts at
+    // RIFF(12) + LIST hdr(12) + 'avih'+size(8) = 32
+    lied(32 + 16) = 2
+    intercept[IllegalArgumentException] { MediaCodec.decodeAviMjpeg(lied) }
+  }
+
+  test("aviFrameSample: source sums exact, container+mean gates hold") {
+    val s = spark
+    import s.implicits._
+    val text = Array.tabulate(300)(i => ((i * 7) % 94 + 32).toByte) // 3 frames
+    val docs = Seq((5L, new String(text, "US-ASCII")),
+      (6L, "")).toDF("doc_id", "text")
+    val out = Multimodal.aviFrameSample(docs, "doc_id", "text")
+      .collect().sortBy(_.media_id)
+    val bytes = text
+    val len = math.min(bytes.length, 512)
+    val all = bytes.take(len).map(_ & 0xff).map(_.toLong).sum
+    val sampled = bytes.take(len).zipWithIndex
+      .filter { case (_, k) => (k / 128) % 2 == 0 }.map(_._1 & 0xff).map(_.toLong).sum
+    val r5 = out(0)
+    assert(r5.container_ok && r5.mean_ok)
+    assert(r5.n_frames == 3 && r5.n_sampled == 2)
+    assert(r5.src_all_sum == all && r5.src_sampled_sum == sampled)
+    val r6 = out(1) // empty text: one zero-padded frame
+    assert(r6.container_ok && r6.mean_ok)
+    assert(r6.n_frames == 1 && r6.src_all_sum == 0)
+  }
 }

@@ -89,4 +89,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     val (got, _) = runStar(edges)
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
+
+  test("capped local contraction stays connectivity-equivalent and bounded") {
+    // a chain visiting many distinct nodes blows past a tiny cap fast;
+    // the pre-pass must then PASS EDGES THROUGH, never grow the map or
+    // drop connectivity. Equivalence check: same reference components.
+    val rnd = new Random(41)
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val noise = Seq.fill(150)(
+      (rnd.nextInt(300).toLong + 500, rnd.nextInt(300).toLong + 500))
+      .filter(e => e._1 != e._2)
+    val edges = rnd.shuffle(chain ++ noise)
+    for (cap <- Seq(0, 1, 7, 64, 1 << 20)) {
+      val out = ConnectedComponents
+        .contractPartition(edges.iterator, cap).toSeq
+      assert(ufComponents(out) == ufComponents(edges), s"cap=$cap")
+      // bounded: the emitted star edges (beyond pass-throughs) cover
+      // at most `cap` nodes — the map never grew past it
+      val starNodes = out.diff(edges).flatMap(e => Seq(e._1, e._2)).distinct
+      assert(starNodes.size <= cap, s"cap=$cap leaked ${starNodes.size} nodes")
+    }
+  }
 }

@@ -163,6 +163,60 @@ class StoredIndexSpec extends SparkSpec {
     assert(rows("q184_dedup_stored_index", dir) == rows("q81_dedup_incremental", dir))
   }
 
+  // ---- 4. compaction (q188) ---------------------------------------------
+
+  test("q188: compaction collapses the append pile into the bucketed layout") {
+    val dir = tmpCorpus("documents")
+    val name = PipelineQueries.ensureCompactedIndex(spark, dir)
+    val dest = new File(sys.props("java.io.tmpdir"), s"graft_$name")
+    def dataFiles(d: File): Int =
+      Option(d.listFiles()).toSeq.flatten
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val nFrag = dataFiles(new File(dest, "fragments"))
+    val nCompact = dataFiles(new File(dest, "compacted"))
+    assert(nFrag >= 2 * PipelineQueries.CompactFragments,
+      s"append pile not fragmented enough to exercise compaction ($nFrag files)")
+    assert(nCompact <= 8, s"compacted layout has $nCompact files (want ≤ 8 buckets)")
+    assert(nFrag >= 2 * nCompact, s"no file-count collapse: $nFrag -> $nCompact")
+  }
+
+  test("q188: compacted result equals the fragmented store's and the recompute path") {
+    val dir = tmpCorpus("documents")
+    val name = PipelineQueries.ensureCompactedIndex(spark, dir)
+    val dest = new File(sys.props("java.io.tmpdir"), s"graft_$name")
+    // compaction changes no row: fragmented pile and compacted table
+    // answer the incremental query identically
+    val delta = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    def run(index: org.apache.spark.sql.DataFrame) =
+      graft.dedup.MinHashLSH.incrementalFromIndexResult(
+          index, delta, "doc_id", "text", PipelineQueries.MinhashThreshold)
+        .df.orderBy("doc_a", "doc_b").collect().toSeq
+    val fromFrags = run(spark.read.parquet(
+      new File(dest, "fragments").getPath))
+    val fromCompacted = run(spark.table(name))
+    assert(fromFrags.nonEmpty && fromFrags == fromCompacted)
+    // and the registered query hash-matches the full recompute
+    assert(rows("q188_index_compaction", dir) == rows("q81_dedup_incremental", dir))
+  }
+
+  test("q188 plan: bucketed scan of the compacted store; delta-only source scans") {
+    val df = SparkEntry.queries("q188_index_compaction")(spark, sfDir)
+    val idxScans = scansOf(df, "graft_dedup_cidx_")
+    assert(idxScans.nonEmpty, "plan does not read the compacted store")
+    idxScans.foreach { s =>
+      assert(s.relation.bucketSpec.exists(_.numBuckets == 8),
+        s"compacted scan lost the bucketed layout: $s")
+    }
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty)
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% 10") && filters.contains("= 0"),
+        s"documents scan without the delta predicate: $s")
+    }
+  }
+
   test("q185's IVF store rebuilds on source-fingerprint change") {
     val dir = tmpCorpus("embeddings")
     val base1 = PipelineQueries.ensureIvfIndex(spark, dir)
