@@ -158,6 +158,17 @@ object QueryUtil {
     * start, exactly like a production job picks it at deploy time). */
   val StreamStatePartitions = 8
 
+  /** One POOLED streaming child session per parent session, lazily
+    * created (see [[withStreamStatePartitions]]). Pooling — instead of
+    * a fresh `newSession` per streaming query — amortizes the
+    * session-scoped streaming machinery (StreamingQueryManager,
+    * listener bus, state-store coordinator registration) across the
+    * ~17 gated streaming queries: that setup is a per-SESSION cost the
+    * per-call variant paid on every invocation. One entry per parent
+    * session — a handful per JVM at most (harness mains hold one). */
+  private val streamSessionPool =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   /** Run `body` (typically: build + start + await a streaming query)
     * against an ISOLATED child session (`newSession`: own SQLConf and
     * temp views, shared SparkContext/state) whose
@@ -166,10 +177,17 @@ object QueryUtil {
     * must span planning; results never depend on it. A child session —
     * not set/restore on the shared session — because two overlapping
     * wraps on one session can interleave (B reads A's override as
-    * "old") and leak the override to concurrent batch planning. */
+    * "old") and leak the override to concurrent batch planning. The
+    * child is POOLED per parent ([[streamSessionPool]]): every gated
+    * streaming query wants the identical conf override, so sharing one
+    * warmed child is safe (memory-sink temp views are per-query-named
+    * and re-created defensively at each call site). */
   def withStreamStatePartitions[T](spark: SparkSession)(body: SparkSession => T): T = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    val s = streamSessionPool.computeIfAbsent(spark, { p =>
+      val c = p.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+      c
+    })
     body(s)
   }
 }
