@@ -125,10 +125,13 @@ object CleaningQueries {
     * model, not a pattern). The gazetteer BROADCASTS and tokens join
     * against it (the q127 vocab shape): posexplode → broadcast-hash
     * left join → per-doc reassembly ordered by token position → the
-    * per-source scrub report. The corpus text never shuffles by
-    * anything but doc_id; at 100 TB the gazetteer stays a fixed-size
-    * broadcast whatever the corpus size, and the same plan carries a
-    * model-emitted span table in place of the static list.
+    * per-source scrub report, all on ONE corpus scan (PlanSpec pins
+    * it). The corpus text never shuffles by anything but doc_id — the
+    * map-side partial collect means the exchange carries one
+    * reassembly buffer per doc, not per token; at 100 TB the gazetteer
+    * stays a fixed-size broadcast whatever the corpus size, and the
+    * same plan carries a model-emitted span table in place of the
+    * static list.
     *
     * Report: docs, name tokens found, distinct names seen, characters
     * removed by redaction, and the residual self-check (gazetteer hits
@@ -142,25 +145,30 @@ object CleaningQueries {
         length(col("dirty")).cast("long").as("dirty_len"),
         posexplode(split(col("dirty"), " ")).as(Seq("pos", "tok")))
     val marked = toks.join(broadcast(gaz), toks("tok") === gaz("name"), "left")
+    // ONE corpus pass: the per-doc aggregate carries the redacted text
+    // AND the doc's found-name SET (sort_array canonicalizes it; the
+    // set is bounded by the gazetteer, not the doc), so the per-source
+    // distinct-name count needs no second scan/explode/join — its
+    // aggregation state is the set of distinct per-doc name-sets,
+    // ≤ 2^|gazetteer| tiny arrays in the worst case.
     val perDoc = marked.groupBy("source", "doc_id", "dirty_len")
       .agg(
         sum(when(col("name").isNotNull, 1L).otherwise(0L)).as("n_names"),
+        sort_array(collect_set(col("name"))).as("doc_names"),
         // sort_array on (pos, out) structs restores token order; the
         // getField projection keeps reassembly join-free
         array_join(sort_array(collect_list(struct(col("pos"),
             when(col("name").isNotNull, lit("[NAME]")).otherwise(col("tok"))
               .as("out")))).getField("out"), " ").as("clean"))
-    val distinctNames = marked.filter(col("name").isNotNull)
-      .groupBy("source").agg(countDistinct(col("name")).as("n_distinct_names"))
     perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_names")).as("n_name_tokens"),
+        size(array_distinct(flatten(collect_set(col("doc_names")))))
+          .cast("long").as("n_distinct_names"),
         sum(col("dirty_len") - length(col("clean"))).as("chars_removed"),
         sum(regexp_count(col("clean"), lit(alt))).as("n_residual"))
-      .join(distinctNames, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_name_tokens"),
-        coalesce(col("n_distinct_names"), lit(0L)).as("n_distinct_names"),
-        col("chars_removed"), col("n_residual"))
+        col("n_distinct_names"), col("chars_removed"), col("n_residual"))
       .orderBy("source")
   }
 

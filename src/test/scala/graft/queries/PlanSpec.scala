@@ -248,6 +248,16 @@ class PlanSpec extends SparkSpec {
       s"expected the lag window (+ row_total window) only:\n$p")
   }
 
+  test("q187: gazetteer broadcasts; one corpus scan feeds the whole report") {
+    val p = plan("q187_ner_redaction")
+    assert(p.contains("BroadcastHashJoin"), s"gazetteer join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gazetteer must never shuffle-join:\n$p")
+    // the distinct-name count rides the same per-doc aggregate — a
+    // second corpus scan for it is the regression this pins against
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan:\n$p")
+  }
+
   test("q146: view maintenance scans raw data only for the delta slice") {
     val p = plan("q146_incremental_agg")
     // the base side must come from the materialized view (checkpoint
