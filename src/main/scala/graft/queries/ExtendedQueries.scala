@@ -681,4 +681,134 @@ object ExtendedQueries {
        |    // count(*))::BIGINT AS match_pm
        |FROM lk WHERE rn = 1
        |GROUP BY prio ORDER BY prio""".stripMargin
+
+  // ---- q190: probabilistic record linkage (Fellegi-Sunter) ------------
+
+  /** (m, u) per comparison field: P(agree | match) from the known
+    * perturbation rates below; P(agree | non-match) from the field's
+    * collision odds. Real deployments estimate these by EM (Splink's
+    * job); fixing them keeps the operator deterministic — the SCORING
+    * machinery is what this gates. */
+  private val LinkFields: Seq[(String, Double, Double)] = Seq(
+    // field, m = P(agree|match), u = P(agree|nonmatch)
+    ("name", 4.0 / 5, 0.001), // 1 in 5 matches has a rotated digit
+    ("bal", 6.0 / 7, 0.001),  // 1 in 7 has a 1-cent discrepancy
+    ("seg", 10.0 / 11, 0.2))  // 1 in 11 re-segmented; 5 uniform values
+
+  /** Integer milli-log₂-odds weights, inlined identically into the
+    * oracle SQL: agreement wₐ = ⌊1000·log₂(m/u)⌉, disagreement
+    * w_d = ⌊1000·log₂((1−m)/(1−u))⌉. */
+  private[queries] val LinkWeights: Map[String, (Long, Long)] =
+    LinkFields.map { case (f, m, u) =>
+      def w(p: Double, q: Double) = math.round(1000.0 * math.log(p / q) / math.log(2.0))
+      f -> (w(m, u), w(1 - m, 1 - u))
+    }.toMap
+
+  /** Decision thresholds on the summed milli-log-odds score: ≥ upper →
+    * match, < 0 → non-match, between → clerical-review band. Sized so
+    * single-field discrepancies still auto-match, the phone+segment
+    * double hit lands in review, and phone+balance (or any block
+    * collision) auto-rejects — all three bands provably populated. */
+  val LinkUpper = 9000L
+
+  /** Fellegi-Sunter probabilistic record linkage (the 1969 model under
+    * Splink/RecordLinkage toolkits) — the entity-resolution step a
+    * training-data pipeline runs when two feeds carry the same real-
+    * world entities without a shared key. Fixture: customers linked
+    * against a deterministically perturbed re-extract of themselves
+    * (rotated last name digit for custkey%5=1 — a typo that COLLIDES
+    * with a neighboring real entity, the hard case; one-cent balance
+    * drift for %7=2; re-segmentation for %11=3 — each a pure function
+    * of the key, so the oracle regenerates the identical B side).
+    *
+    * Shape: BLOCK on the 17-char name prefix (last digit dropped —
+    * perturbations preserve it; blocking keys are chosen to survive
+    * the noise they block through), score candidate pairs by summed
+    * integer milli-log₂-odds per-field agreement weights
+    * ([[LinkWeights]]), cut at [[LinkUpper]]/0 into match / possible /
+    * non-match, report per band with true-pair and checksum columns —
+    * the collided-typo false positives land in the match band's
+    * n_false honestly. Everything integer: hash-exact across engines.
+    *
+    * Scale: candidates = one equi-join on the block key — quadratic
+    * only within a block (name-prefix blocks are O(10); a production
+    * run picks keys by block-size census, exactly q183's planner), and
+    * scoring is a codegen projection. No all-pairs product anywhere. */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val (wpA, wpD) = LinkWeights("name")
+    val (wbA, wbD) = LinkWeights("bal")
+    val (wsA, wsD) = LinkWeights("seg")
+    def side(df: DataFrame, p: String) = df.select(
+      col("c_custkey").as(s"${p}_key"),
+      col("name").as(s"${p}_name"),
+      substring(col("name"), 1, 17).as(s"${p}_block"),
+      col("bal_cents").as(s"${p}_bal"),
+      col("seg").as(s"${p}_seg"))
+    val base = table(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name").as("name"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+      col("c_mktsegment").as("seg"))
+    val a = side(base, "a")
+    val b = side(base.select(
+      col("c_custkey"),
+      when(col("c_custkey") % 5 === 1,
+        expr("concat(substring(name, 1, length(name)-1), " +
+          "cast((cast(substring(name, length(name), 1) as int) + 1) % 10 as string))"))
+        .otherwise(col("name")).as("name"),
+      when(col("c_custkey") % 7 === 2, col("bal_cents") + 1)
+        .otherwise(col("bal_cents")).as("bal_cents"),
+      when(col("c_custkey") % 11 === 3, lit("REEXTRACT"))
+        .otherwise(col("seg")).as("seg")), "b")
+    val scored = a.join(b, col("a_block") === col("b_block"))
+      .withColumn("score",
+        when(col("a_name") === col("b_name"), wpA).otherwise(wpD) +
+        when(col("a_bal") === col("b_bal"), wbA).otherwise(wbD) +
+        when(col("a_seg") === col("b_seg"), wsA).otherwise(wsD))
+      .withColumn("decision",
+        when(col("score") >= LinkUpper, "match")
+          .when(col("score") < 0, "non_match")
+          .otherwise("possible"))
+    scored.groupBy("decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a_key") === col("b_key"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("a_key") =!= col("b_key"), 1L).otherwise(0L)).as("n_false"),
+        sum(col("score")).as("score_sum"),
+        sum(col("a_key") + col("b_key")).as("id_checksum"))
+      .orderBy("decision")
+  }
+
+  val recordLinkageSql: String = {
+    val (wpA, wpD) = LinkWeights("name")
+    val (wbA, wbD) = LinkWeights("bal")
+    val (wsA, wsD) = LinkWeights("seg")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS key, c_name AS name,
+       |    floor(c_acctbal * 100)::BIGINT AS bal, c_mktsegment AS seg
+       |  FROM customer),
+       |b AS (
+       |  SELECT key,
+       |    CASE WHEN key % 5 = 1 THEN substr(name, 1, length(name)-1) ||
+       |      ((substr(name, length(name), 1)::INT + 1) % 10)::VARCHAR
+       |      ELSE name END AS name,
+       |    CASE WHEN key % 7 = 2 THEN bal + 1 ELSE bal END AS bal,
+       |    CASE WHEN key % 11 = 3 THEN 'REEXTRACT' ELSE seg END AS seg
+       |  FROM base),
+       |scored AS (
+       |  SELECT a.key AS a_key, b.key AS b_key,
+       |    (CASE WHEN a.name = b.name THEN $wpA ELSE $wpD END
+       |     + CASE WHEN a.bal = b.bal THEN $wbA ELSE $wbD END
+       |     + CASE WHEN a.seg = b.seg THEN $wsA ELSE $wsD END)::BIGINT AS score
+       |  FROM base a JOIN b ON substr(a.name, 1, 17) = substr(b.name, 1, 17)),
+       |dec AS (
+       |  SELECT *, CASE WHEN score >= $LinkUpper THEN 'match'
+       |                 WHEN score < 0 THEN 'non_match'
+       |                 ELSE 'possible' END AS decision
+       |  FROM scored)
+       |SELECT decision, count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN a_key = b_key THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       |  sum(CASE WHEN a_key <> b_key THEN 1 ELSE 0 END)::BIGINT AS n_false,
+       |  sum(score)::BIGINT AS score_sum,
+       |  sum(a_key + b_key)::BIGINT AS id_checksum
+       |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
+  }
 }

@@ -1432,6 +1432,79 @@ object ScaleQueries {
        |FROM g ORDER BY media_id""".stripMargin
   }
 
+  // ---- q189: HLL sketch store AT REST (mergeable distinct counts) ----
+
+  /** Re-aggregation tolerance for the q189 gate: Datasketches HLL at
+    * the default lgK=12 carries ~1.6% relative standard error; 50‰ is
+    * ≥3σ (and on this corpus's cardinalities the sketch is still in
+    * its exact sparse regime, so the realized error is 0). */
+  val SketchErrBudgetPm = 50L
+
+  /** The sketch sibling of the q184/q185/q188 index-at-rest story —
+    * distinct-count maintenance WITHOUT raw-history re-scans: per
+    * (event_type, day) HLL sketches (Datasketches, the binary-column
+    * `hll_sketch_agg` family) are built once and PERSISTED (the
+    * [[graft.sources.IndexStore]] lifecycle: content fingerprint,
+    * staging+rename publish, superseded-generation cleanup); the
+    * dashboard question "distinct users per type, all time" then
+    * merges |days|×|types| KB-sized sketches (`hll_union_agg`) instead
+    * of scanning history. At 100 TB each daily build touches ONE day's
+    * partition and appends |types| rows; the merge is catalog-sized.
+    *
+    * Gate (the q22 pattern for approximate operators): exact distinct
+    * counts hash-match the oracle; `merged_eq_direct` pins the ALGEBRA
+    * — HLL register state is order- and grouping-independent, so the
+    * union of stored per-day sketches must estimate IDENTICALLY to a
+    * direct one-shot sketch over the raw stream (a torn sketch binary,
+    * a lossy parquet round trip, or a bad union all break the
+    * equality); `err_ok` bounds the estimate against the exact count
+    * ([[SketchErrBudgetPm]]). */
+  def sketchStore(spark: SparkSession, dir: String): DataFrame = {
+    val stored = spark.read.parquet(ensureSketchStore(spark, dir))
+    val merged = stored.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_stored"))
+    val ev = QueryUtil.eventsTsUs(spark, dir)
+    val raw = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+    raw.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (col("est_stored") === col("est_direct")).as("merged_eq_direct"),
+        (abs(col("est_stored") - col("n_exact")) * 1000 <=
+          col("n_exact") * SketchErrBudgetPm).as("err_ok"))
+      .orderBy("event_type")
+  }
+
+  val sketchStoreSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |  TRUE AS merged_eq_direct, TRUE AS err_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Write-once persisted sketch table: one HLL sketch per
+    * (event_type, day) — the incremental unit a daily job appends.
+    * Same store lifecycle as q184/q185 ([[graft.sources.IndexStore]]).
+    * Returns the store path. */
+  def ensureSketchStore(spark: SparkSession, dir: String): String = {
+    import graft.sources.IndexStore
+    ScaleQueries.synchronized {
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/events.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot, s"graft_hll_store_${dirTag}_$fpTag")
+      IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+        QueryUtil.eventsTsUs(spark, dir)
+          .withColumn("day_num", expr("ts_us div 86400000000"))
+          .groupBy("event_type", "day_num")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .write.mode("overwrite").parquet(staging.getPath)
+      }
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_hll_store_${dirTag}_", dest.getName,
+        s"graft_hll_store_${dirTag}_", dest.getName)
+      dest.getPath
+    }
+  }
+
   // ---- q73: Bloom-pruned fact join (shuffle-volume cut) --------------
 
   val BloomFpp = 0.01
