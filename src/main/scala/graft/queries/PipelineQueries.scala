@@ -277,6 +277,83 @@ object PipelineQueries {
       name
     }
 
+  // ---- q191: forget (right-to-erasure) applied to the stored index ----
+
+  /** Forgotten cohort: base docs with doc_id % 50 == 7 (all base-side
+    * by construction — 7 mod 10 ≠ 0 — so the delta shard is never
+    * touched by the erasure). */
+  val ForgetMod = 50L
+  val ForgetRem = 7L
+
+  /** The erasure half of index maintenance (q132 audits the cascade;
+    * q188 compacts; this DELETES): a right-to-erasure request against
+    * the q184 store must remove the cohort's rows from the index AT
+    * REST — not just filter query output — because the index IS
+    * derived personal data (signatures + shingle hashes reconstruct
+    * membership). The forget pass anti-filters the index rows and
+    * rewrites the bucketed layout (work ∝ index size, never corpus
+    * text; when the forget set hashes into few buckets a targeted
+    * per-bucket rewrite is the same code over a pruned scan), then the
+    * standard incremental query runs against the post-forget store.
+    * Oracle: the full-corpus pipeline restricted to delta pairs with
+    * BOTH endpoints outside the forgotten cohort — erased docs can
+    * produce no pair, which is exactly the property a compliance
+    * auditor checks. StoredIndexSpec additionally pins that the
+    * forgotten ids are GONE from the stored table itself. */
+  def dedupForgetIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val index = spark.table(ensureForgetIndex(spark, dir))
+    MinHashLSH.incrementalFromIndexResult(
+        index, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", MinhashThreshold)
+      .df
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0,
+          lit("delta_delta")).otherwise(lit("base_delta")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupForgetIndexSql: String =
+    s"""$minhashVerifiedCte
+       |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
+       |  round(jaccard, 6) AS jaccard,
+       |  CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0 THEN 'delta_delta'
+       |       ELSE 'base_delta' END AS pair_type
+       |FROM verified
+       |WHERE jaccard >= $MinhashThreshold
+       |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+       |  AND doc_a % $ForgetMod <> $ForgetRem
+       |  AND doc_b % $ForgetMod <> $ForgetRem
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Post-forget index store: the q184 store anti-filtered to drop
+    * the [[ForgetRem]] cohort, rewritten bucketed (IndexStore
+    * lifecycle, q188's conventions). Returns the catalog table name. */
+  def ensureForgetIndex(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      import graft.sources.{BucketedTables, IndexStore}
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val name = s"dedup_fidx_${dirTag}_$fpTag"
+      if (!spark.catalog.tableExists(name)) {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, s"graft_dedup_fidx_${dirTag}_$fpTag")
+        val baseIdx = spark.table(ensureDedupIndex(spark, dir))
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          val stagingName = s"${name}_staging"
+          BucketedTables.writeBucketed(
+            baseIdx.filter(col("id") % ForgetMod =!= ForgetRem),
+            stagingName, staging.getPath, "id", 8)
+          spark.sql(s"DROP TABLE IF EXISTS $stagingName")
+        }
+        IndexStore.registerBucketed(spark, name, dest.getPath, baseIdx.schema, "id", 8)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_dedup_fidx_${dirTag}_", dest.getName,
+          s"dedup_fidx_${dirTag}_", name)
+      }
+      name
+    }
+
   // ---- q11: SimHash near-dup -----------------------------------------
 
   val SimhashMaxHamming = 3

@@ -217,6 +217,29 @@ class StoredIndexSpec extends SparkSpec {
     }
   }
 
+  // ---- 5. forget / right-to-erasure (q191) ------------------------------
+
+  test("q191: forgotten cohort is gone from the stored index AND from every pair") {
+    val dir = tmpCorpus("documents")
+    val name = PipelineQueries.ensureForgetIndex(spark, dir)
+    // the index at rest carries no forgotten row — erasure of the
+    // DERIVED data, not output filtering
+    val leaked = spark.table(name)
+      .filter(org.apache.spark.sql.functions.col("id")
+        % PipelineQueries.ForgetMod === PipelineQueries.ForgetRem)
+      .count()
+    assert(leaked == 0, s"$leaked forgotten rows survive in the stored index")
+    // and the query result equals q184's minus pairs touching the cohort
+    val got = rows("q191_index_forget", dir)
+    val want = rows("q184_dedup_stored_index", dir).filter { r =>
+      r.getLong(0) % PipelineQueries.ForgetMod != PipelineQueries.ForgetRem &&
+        r.getLong(1) % PipelineQueries.ForgetMod != PipelineQueries.ForgetRem
+    }
+    assert(got == want)
+    assert(got.size < rows("q184_dedup_stored_index", dir).size ||
+      want.size == got.size) // erasure is exact, never over-broad
+  }
+
   test("q185's IVF store rebuilds on source-fingerprint change") {
     val dir = tmpCorpus("embeddings")
     val base1 = PipelineQueries.ensureIvfIndex(spark, dir)
