@@ -240,6 +240,33 @@ class StoredIndexSpec extends SparkSpec {
       want.size == got.size) // erasure is exact, never over-broad
   }
 
+  test("two concurrent builders produce one valid store (publish race)") {
+    val root = Files.createTempDirectory("graft_race_").toFile
+    val dest = new File(root, "store")
+    val started = new java.util.concurrent.CountDownLatch(2)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(tag: String): Unit =
+      IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+        builds.incrementAndGet()
+        started.countDown()
+        started.await() // force both builders into the build phase
+        assert(staging.mkdirs())
+        Files.write(new File(staging, s"data_$tag.bin").toPath,
+          Array[Byte](1, 2, 3))
+        Files.write(new File(staging, "_SUCCESS").toPath, Array.emptyByteArray)
+      }
+    val t1 = new Thread(() => build("a"))
+    val t2 = new Thread(() => build("b"))
+    t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+    assert(builds.get() == 2, "both builders should have raced")
+    assert(IndexStore.hasSuccess(dest), "no valid store after the race")
+    // exactly one winner's data file; no staging leftovers
+    val files = dest.listFiles().map(_.getName).sorted.toSeq
+    assert(files.count(_.startsWith("data_")) == 1, files.toString)
+    assert(!root.listFiles().exists(_.getName.contains("staging")),
+      "loser's staging directory not cleaned up")
+  }
+
   test("q185's IVF store rebuilds on source-fingerprint change") {
     val dir = tmpCorpus("embeddings")
     val base1 = PipelineQueries.ensureIvfIndex(spark, dir)
