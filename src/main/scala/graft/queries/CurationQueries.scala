@@ -1572,4 +1572,70 @@ object CurationQueries {
        |WHERE a.source < b2.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- q200: differentially-private histogram release ------------------
+
+  /** Per-release privacy budget ε (sensitivity 1 for a counting query,
+    * so the Laplace scale is b = 1/ε). */
+  val DpEpsilon = 0.5
+
+  /** Salt versioning the release — a second release with a new salt
+    * draws fresh noise and spends another ε (sequential composition,
+    * reported in the output). */
+  val DpSalt = "dp:v1"
+
+  /** Differentially-private histogram release — the mechanism a
+    * pipeline uses to publish corpus statistics (per-type event
+    * counts here) without leaking any individual row: exact counts +
+    * Laplace(1/ε) noise via the inverse CDF,
+    * `−b·sign(u−½)·ln(1−2|u−½|)`.
+    *
+    * The twist that makes it testable: `u` is the deterministic
+    * md5-uniform of `event_type:salt` ([[graft.text.Hashing.h60]] /
+    * 2⁶⁰ — the q75 weighted-sampling convention), so the release is
+    * reproducible cross-engine and the oracle regenerates the
+    * identical noise. A production run swaps the salt for a secret
+    * per-release nonce; NOTHING else changes — determinism is a
+    * property of the seed, not the mechanism. Noise is rounded to
+    * 12dp (the q75 ulp-guard) and every derived column comes from the
+    * rounded value, so a last-ulp `ln` difference cannot flip a digit.
+    *
+    * Output per type: exact count (the private input, shown for the
+    * audit), the released noisy count, the drawn noise, ε, and the
+    * 99% Laplace bound check `|noise| ≤ b·ln(100)`. Scale: one
+    * group-aggregate over events + a constant-per-row projection —
+    * the noise adds zero shuffles at any scale. */
+  def dpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val b = 1.0 / DpEpsilon
+    val u = graft.text.Hashing.h60(
+        concat(col("event_type"), lit(":" + DpSalt)))
+      .cast("double") / lit(1152921504606846976.0d)
+    val shifted = u - lit(0.5d)
+    val noise = round(lit(-b) * signum(shifted) *
+      log(lit(1.0d) - lit(2.0d) * abs(shifted)), 12)
+    table(spark, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      .withColumn("noise", noise)
+      .select(col("event_type"), col("n_exact"),
+        round(col("n_exact") + col("noise"), 12).as("noisy_n"),
+        col("noise"), lit(DpEpsilon).as("epsilon"),
+        (abs(col("noise")) <= lit(b * math.log(100.0))).as("within_99pct"))
+      .orderBy("event_type")
+  }
+
+  val dpHistogramSql: String = {
+    val b = 1.0 / DpEpsilon
+    val u = s"(${graft.text.Hashing.h60Sql(s"event_type || ':$DpSalt'")}::DOUBLE" +
+      " / 1152921504606846976.0)"
+    val noise = s"round(-$b * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)), 12)"
+    s"""WITH h AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_exact,
+       |    $noise AS noise
+       |  FROM events GROUP BY event_type)
+       |SELECT event_type, n_exact,
+       |  round(n_exact + noise, 12) AS noisy_n,
+       |  noise, ($DpEpsilon)::DOUBLE AS epsilon,
+       |  (abs(noise) <= ${b * math.log(100.0)}) AS within_99pct
+       |FROM h ORDER BY event_type""".stripMargin
+  }
 }

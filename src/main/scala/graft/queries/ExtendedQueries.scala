@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -810,5 +811,125 @@ object ExtendedQueries {
        |  sum(score)::BIGINT AS score_sum,
        |  sum(a_key + b_key)::BIGINT AS id_checksum
        |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
+  }
+
+  // ---- q198: golden-record survivorship --------------------------------
+
+  /** Survivorship — the step AFTER q190's linkage that MDM stacks
+    * (Informatica, Talend; Splink's cluster step) run: fuse each
+    * linked pair into ONE golden record under per-field rules, with
+    * provenance. Rules are the three classic ones, one per field:
+    *
+    *  - name: SOURCE PRIORITY — feed A is the system of record;
+    *  - balance: FRESHNESS — feed B is the newer extract, its value
+    *    wins when a match exists;
+    *  - segment: CONSENSUS — agreement keeps the value, disagreement
+    *    falls back to A and raises `seg_conflict` (the clerical-review
+    *    flag; q190's re-segmented cohort lands here by construction).
+    *
+    * Each A entity takes its best match-band candidate (argmax score,
+    * min b_key tie-break — a window per blocking key's worth of rows);
+    * entities whose candidates all fell below the match band pass
+    * through as A-only golden records. The collided-typo false
+    * positives fuse an honest wrong pair — exactly what production
+    * survivorship does with a linkage false positive; the gate pins
+    * the behavior rather than hiding it.
+    *
+    * Scale: inherits q190's blocking (candidates = one equi-join,
+    * quadratic only within O(10) blocks); the argmax window partitions
+    * by entity key; the final left join shuffles by key — or
+    * broadcasts the match-band winners when small. All integer/string
+    * equality, hash-exact. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val (wpA, wpD) = LinkWeights("name")
+    val (wbA, wbD) = LinkWeights("bal")
+    val (wsA, wsD) = LinkWeights("seg")
+    val base = table(spark, dir, "customer").select(
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      floor(col("c_acctbal") * 100).cast("long").as("a_bal"),
+      col("c_mktsegment").as("a_seg"))
+    val b = base.select(
+      col("a_key").as("b_key"),
+      when(col("a_key") % 5 === 1,
+        expr("concat(substring(a_name, 1, length(a_name)-1), " +
+          "cast((cast(substring(a_name, length(a_name), 1) as int) + 1) % 10 as string))"))
+        .otherwise(col("a_name")).as("b_name"),
+      when(col("a_key") % 7 === 2, col("a_bal") + 1)
+        .otherwise(col("a_bal")).as("b_bal"),
+      when(col("a_key") % 11 === 3, lit("REEXTRACT"))
+        .otherwise(col("a_seg")).as("b_seg"))
+    val scored = base.join(b,
+        substring(col("a_name"), 1, 17) === substring(col("b_name"), 1, 17))
+      .withColumn("score",
+        when(col("a_name") === col("b_name"), wpA).otherwise(wpD) +
+        when(col("a_bal") === col("b_bal"), wbA).otherwise(wbD) +
+        when(col("a_seg") === col("b_seg"), wsA).otherwise(wsD))
+      .filter(col("score") >= LinkUpper)
+    val w = Window.partitionBy("a_key")
+      .orderBy(col("score").desc, col("b_key").asc)
+    val best = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a_key").as("m_key"), col("b_key"), col("b_name"),
+        col("b_bal"), col("b_seg"))
+    base.join(best, col("a_key") === col("m_key"), "left")
+      .select(
+        col("a_key").as("entity_key"),
+        col("m_key").isNotNull.as("matched"),
+        col("b_key"),
+        col("a_name").as("golden_name"),
+        when(col("m_key").isNotNull, col("b_bal")).otherwise(col("a_bal"))
+          .as("golden_bal"),
+        when(col("m_key").isNotNull && col("a_seg") =!= col("b_seg"),
+          col("a_seg")).otherwise(coalesce(col("b_seg"), col("a_seg")))
+          .as("golden_seg"),
+        (col("m_key").isNotNull && col("a_bal") =!= col("b_bal"))
+          .as("bal_changed"),
+        (col("m_key").isNotNull && col("a_seg") =!= col("b_seg"))
+          .as("seg_conflict"))
+      .orderBy("entity_key")
+  }
+
+  val goldenRecordSql: String = {
+    val (wpA, wpD) = LinkWeights("name")
+    val (wbA, wbD) = LinkWeights("bal")
+    val (wsA, wsD) = LinkWeights("seg")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS a_key, c_name AS a_name,
+       |    floor(c_acctbal * 100)::BIGINT AS a_bal, c_mktsegment AS a_seg
+       |  FROM customer),
+       |b AS (
+       |  SELECT a_key AS b_key,
+       |    CASE WHEN a_key % 5 = 1 THEN substr(a_name, 1, length(a_name)-1) ||
+       |      ((substr(a_name, length(a_name), 1)::INT + 1) % 10)::VARCHAR
+       |      ELSE a_name END AS b_name,
+       |    CASE WHEN a_key % 7 = 2 THEN a_bal + 1 ELSE a_bal END AS b_bal,
+       |    CASE WHEN a_key % 11 = 3 THEN 'REEXTRACT' ELSE a_seg END AS b_seg
+       |  FROM base),
+       |scored AS (
+       |  SELECT a.*, b.*,
+       |    (CASE WHEN a_name = b_name THEN $wpA ELSE $wpD END
+       |     + CASE WHEN a_bal = b_bal THEN $wbA ELSE $wbD END
+       |     + CASE WHEN a_seg = b_seg THEN $wsA ELSE $wsD END)::BIGINT AS score
+       |  FROM base a JOIN b ON substr(a_name, 1, 17) = substr(b_name, 1, 17)
+       |  WHERE (CASE WHEN a_name = b_name THEN $wpA ELSE $wpD END
+       |     + CASE WHEN a_bal = b_bal THEN $wbA ELSE $wbD END
+       |     + CASE WHEN a_seg = b_seg THEN $wsA ELSE $wsD END) >= $LinkUpper),
+       |best AS (
+       |  SELECT * FROM (
+       |    SELECT a_key AS m_key, b_key, b_name, b_bal, b_seg,
+       |      row_number() OVER (PARTITION BY a_key
+       |        ORDER BY score DESC, b_key ASC) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT base.a_key AS entity_key,
+       |  (m_key IS NOT NULL) AS matched,
+       |  b_key,
+       |  a_name AS golden_name,
+       |  CASE WHEN m_key IS NOT NULL THEN b_bal ELSE a_bal END AS golden_bal,
+       |  CASE WHEN m_key IS NOT NULL AND a_seg <> b_seg THEN a_seg
+       |       ELSE coalesce(b_seg, a_seg) END AS golden_seg,
+       |  (m_key IS NOT NULL AND a_bal <> b_bal) AS bal_changed,
+       |  (m_key IS NOT NULL AND a_seg <> b_seg) AS seg_conflict
+       |FROM base LEFT JOIN best ON base.a_key = best.m_key
+       |ORDER BY entity_key""".stripMargin
   }
 }

@@ -48,8 +48,9 @@ object PipelineQueries {
   /** The full MinHash pipeline as SQL CTEs ending in `verified
     * (doc_a, doc_b, est_jaccard, jaccard)` — shared by the q10 oracle
     * and the q81 incremental oracle (which is by construction the same
-    * pipeline restricted to delta-touching pairs). */
-  private val minhashVerifiedCte: String = {
+    * pipeline restricted to delta-touching pairs). `docsSql` is the
+    * corpus source relation (a subquery for q193's upserted corpus). */
+  private def minhashVerifiedCteFrom(docsSql: String): String = {
     val n = MinHashLSH.NumHashes
     val sigMins = (0 until n)
       .map(i => s"min(${Hashing.affineSql(i, "x")}) AS h$i").mkString(",\n    ")
@@ -64,7 +65,7 @@ object PipelineQueries {
       .mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
-       |  FROM documents),
+       |  FROM $docsSql),
        |sets AS (
        |  SELECT id, ${Hashing.wordShinglesSql("w", 3)} AS sh FROM tok),
        |post AS (SELECT id, unnest(sh) AS shingle FROM sets),
@@ -88,6 +89,8 @@ object PipelineQueries {
        |  JOIN sets a ON a.id = e.doc_a
        |  JOIN sets b ON b.id = e.doc_b)""".stripMargin
   }
+
+  private val minhashVerifiedCte: String = minhashVerifiedCteFrom("documents")
 
   val dedupMinhashSql: String =
     s"""$minhashVerifiedCte
@@ -350,6 +353,99 @@ object PipelineQueries {
         IndexStore.cleanupSuperseded(spark, storeRoot,
           s"graft_dedup_fidx_${dirTag}_", dest.getName,
           s"dedup_fidx_${dirTag}_", name)
+      }
+      name
+    }
+
+  // ---- q193: CDC upsert applied to the stored index -------------------
+
+  /** Revised cohort: docs with doc_id % 40 == 3 play the "document was
+    * edited upstream" CDC batch. 40k+3 ≡ 3 (mod 10), so every cohort
+    * doc is base-side by construction — the edit batch and the q81
+    * delta shard are disjoint. */
+  val UpsertMod = 40L
+  val UpsertRem = 3L
+
+  /** The revision every cohort doc receives — a pure SQL-expressible
+    * function of the stored text so the oracle regenerates the edited
+    * corpus exactly. */
+  val UpsertSuffix = " rev rev rev"
+
+  /** The update quadrant of index maintenance (q184 creates/reads,
+    * q188 compacts, q191 deletes — this UPSERTS): a CDC batch of
+    * edited documents must replace their rows in the stored dedup
+    * index, recomputing signatures ONLY for the edited cohort — work ∝
+    * changed docs + index size for the rewrite, never ∝ corpus text.
+    * The upsert is an anti-filter of the old rows + a union of the
+    * cohort's re-derived rows, rewritten into the bucketed layout; the
+    * standard incremental query then runs against the upserted store.
+    * Oracle: the full-corpus pipeline over the EDITED corpus (the
+    * cohort's revision applied in SQL) restricted to delta-touching
+    * pairs — so a stale index row, a missed edit, or an over-broad
+    * rewrite all change pair membership and fail the hash.
+    * StoredIndexSpec pins the structural side: documents scans carry
+    * the delta or cohort predicate only, and the stored rows for the
+    * cohort differ from the pre-upsert store. */
+  def dedupUpsertIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val index = spark.table(ensureUpsertIndex(spark, dir))
+    MinHashLSH.incrementalFromIndexResult(
+        index, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", MinhashThreshold)
+      .df
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0,
+          lit("delta_delta")).otherwise(lit("base_delta")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupUpsertIndexSql: String = {
+    val editedDocs =
+      s"""(SELECT doc_id,
+         |     CASE WHEN doc_id % $UpsertMod = $UpsertRem
+         |          THEN text || '$UpsertSuffix' ELSE text END AS text
+         |   FROM documents)""".stripMargin
+    s"""${minhashVerifiedCteFrom(editedDocs)}
+       |SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard,
+       |  round(jaccard, 6) AS jaccard,
+       |  CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0 THEN 'delta_delta'
+       |       ELSE 'base_delta' END AS pair_type
+       |FROM verified
+       |WHERE jaccard >= $MinhashThreshold
+       |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Post-upsert index store: the q184 store with the [[UpsertRem]]
+    * cohort's rows replaced by rows re-derived from the REVISED text
+    * (IndexStore lifecycle, q188/q191's conventions). Only the cohort's
+    * documents are read — the anti-filtered survivors come from the
+    * stored index, not from text. Returns the catalog table name. */
+  def ensureUpsertIndex(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      import graft.sources.{BucketedTables, IndexStore}
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val name = s"dedup_uidx_${dirTag}_$fpTag"
+      if (!spark.catalog.tableExists(name)) {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, s"graft_dedup_uidx_${dirTag}_$fpTag")
+        val baseIdx = spark.table(ensureDedupIndex(spark, dir))
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          val revised = table(spark, dir, "documents")
+            .filter(col("doc_id") % UpsertMod === UpsertRem &&
+              col("doc_id") % 10 =!= 0)
+            .withColumn("text", concat(col("text"), lit(UpsertSuffix)))
+          val upserted = baseIdx.filter(col("id") % UpsertMod =!= UpsertRem)
+            .unionByName(MinHashLSH.indexRows(revised, "doc_id", "text"))
+          val stagingName = s"${name}_staging"
+          BucketedTables.writeBucketed(upserted, stagingName, staging.getPath, "id", 8)
+          spark.sql(s"DROP TABLE IF EXISTS $stagingName")
+        }
+        IndexStore.registerBucketed(spark, name, dest.getPath, baseIdx.schema, "id", 8)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_dedup_uidx_${dirTag}_", dest.getName,
+          s"dedup_uidx_${dirTag}_", name)
       }
       name
     }
@@ -861,6 +957,76 @@ object PipelineQueries {
         s"graft_ivf_idx_${dirTag}_", dest.getName,
         // no catalog entries for the IVF store; prefix matches nothing
         s"graft_ivf_idx_${dirTag}_", dest.getName)
+      dest.getPath
+    }
+
+  // ---- q202: ANN served from PERSISTED PQ codes -----------------------
+
+  /** q102's PQ search with the codebooks AND the 16-byte codes read
+    * from DISK — the compressed-vector store a memory-bound ANN tier
+    * actually serves from (the raw float corpus can live in cold
+    * storage; the hot path is 16 B/vector): codebooks are the KB-scale
+    * sidecar (M·K rows), codes one row per vector, both published once
+    * under the [[graft.sources.IndexStore]] lifecycle. At query time
+    * the ADC scan reads ONLY the stored codes against broadcast
+    * per-query LUTs; raw embeddings are touched for the query vectors
+    * and the topC exact re-rank — never re-encoded (StoredIndexSpec
+    * pins `pq_encode` out of the serving plan and q202 ≡ q102
+    * row-for-row; the training Lloyd iterations run at publish time
+    * only). Oracle: q13 verbatim (covering candidates + exact re-rank
+    * ≡ brute force — q102's gate). */
+  def pqStoredIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val root = ensurePqIndex(spark, dir)
+    val cbRows = spark.read.parquet(s"$root/codebooks").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, k)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+      r.getAs[scala.collection.Seq[Double]]("word").toArray)
+    val codes = spark.read.parquet(s"$root/codes")
+    ProductQuantizer.searchTopKFromCodes(codes, emb, "vec_id", "embedding",
+        KnnQueries, cb, PqTopC, KnnK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Same oracle as q13/q102 — serving from stored codes must equal
+    * brute force. */
+  val pqStoredIndexSql: String = knnCosineSql
+
+  /** Write-once persisted PQ store: `codebooks/` (m, k, word — the
+    * M×K codeword matrix, rebuilt driver-side at read) + `codes/`
+    * (id, code: array<int> of length M). Training (the only expensive
+    * step) and the encode projection run at publish time; lifecycle —
+    * content fingerprint, staged atomic publish, superseded-generation
+    * cleanup — is [[graft.sources.IndexStore]]'s, as in
+    * [[ensureIvfIndex]]. Returns the store root path. */
+  def ensurePqIndex(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/embeddings.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot, s"graft_pq_idx_${dirTag}_$fpTag")
+      def valid(root: java.io.File): Boolean =
+        IndexStore.hasSuccess(new java.io.File(root, "codes")) &&
+          IndexStore.hasSuccess(new java.io.File(root, "codebooks"))
+      IndexStore.publish(dest, valid) { staging =>
+        val emb = table(spark, dir, "embeddings")
+        val cb = ProductQuantizer.train(emb, "vec_id", "embedding",
+          PqM, PqKwords, PqIters)
+        import spark.implicits._
+        val rows = for { s <- cb.indices; c <- cb(s).indices }
+          yield (s, c, cb(s)(c).toSeq)
+        rows.toDF("m", "k", "word")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
+        ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+          .write.mode("overwrite").parquet(s"$staging/codes")
+      }
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_pq_idx_${dirTag}_", dest.getName,
+        // no catalog entries for the PQ store; prefix matches nothing
+        s"graft_pq_idx_${dirTag}_", dest.getName)
       dest.getPath
     }
 

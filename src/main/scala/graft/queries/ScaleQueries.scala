@@ -745,6 +745,71 @@ object ScaleQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---- q203: decontamination against a STORED eval-fp index ----------
+
+  /** q57's decontamination with the EVAL-SUITE side served from DISK —
+    * the operational shape: benchmark suites are fixed and tiny while
+    * training batches arrive forever, so the bench fingerprint set
+    * (distinct sampled [[DecontamGram]]-char h60s of the bench split)
+    * is computed ONCE, persisted under the
+    * [[graft.sources.IndexStore]] lifecycle, and every screening run
+    * reads ONLY training text — the bench documents are never
+    * re-fingerprinted (StoredIndexSpec pins that on the plan: every
+    * documents scan carries the not-bench predicate; plus q203 ≡ q57
+    * row-for-row). The stored set broadcasts into the semi-join
+    * exactly as q57's in-flight one does; work per run ∝ the batch
+    * being screened. Oracle: q57's SQL verbatim. */
+  def decontaminateStored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val benchFp = spark.read.parquet(ensureBenchFpIndex(spark, dir))
+    val train = docs.filter(col("doc_id") % BenchMod =!= 0)
+    val fp = graft.Partitioning.spread(train, col("doc_id"))
+      .select(col("doc_id").as("id"),
+        explode(graft.text.Hashing.charNgrams(col("text"), DecontamGram)).as("gram"))
+      .select(col("id"), graft.text.Hashing.x31(col("gram")).as("h"))
+      .filter(col("h") % DecontamModP === 0)
+      .distinct()
+    val contaminated = fp.join(broadcast(benchFp), Seq("h"))
+      .select(col("id").as("doc_id")).distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  /** Same oracle as q57 — the stored bench side must change nothing. */
+  val decontaminateStoredSql: String = decontaminateSql
+
+  /** Write-once persisted benchmark fingerprint set: one `h` column,
+    * the distinct mod-p-sampled long-n-gram hashes of the bench split.
+    * KBs per eval suite at any corpus scale — the 100 TB story is that
+    * THIS is the side that persists while training shards stream
+    * through. Returns the store root path. */
+  def ensureBenchFpIndex(spark: SparkSession, dir: String): String =
+    ScaleQueries.synchronized {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot, s"graft_bench_fp_${dirTag}_$fpTag")
+      IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+        val bench = table(spark, dir, "documents")
+          .filter(col("doc_id") % BenchMod === 0)
+        graft.Partitioning.spread(bench, col("doc_id"))
+          .select(explode(
+            graft.text.Hashing.charNgrams(col("text"), DecontamGram)).as("gram"))
+          .select(graft.text.Hashing.x31(col("gram")).as("h"))
+          .filter(col("h") % DecontamModP === 0)
+          .distinct()
+          .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+      }
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_bench_fp_${dirTag}_", dest.getName,
+        // no catalog entries for the fp store; prefix matches nothing
+        s"graft_bench_fp_${dirTag}_", dest.getName)
+      dest.getPath
+    }
+
   // ---- q58: end-to-end training-mix materialization ------------------
 
   val MixMinQuality = 0.5

@@ -966,4 +966,132 @@ object SeriesQueries {
        |  (($DecayRefUs - max(ts_us)) // 3600000000)::BIGINT AS staleness_hours,
        |  ($DecayRefUs - max(ts_us)) // 3600000000 >= $StaleHours AS stale
        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q196: lead-lag cross-correlation --------------------------------
+
+  /** The two daily series whose lead-lag structure the audit probes —
+    * does click activity LEAD purchases, and by how many days? */
+  val XcorrLead = "click"
+  val XcorrFollow = "purchase"
+  val XcorrMaxLag = 3L
+
+  /** Lead-lag cross-correlation between two event-type daily series:
+    * Pearson r between clicks on day t and purchases on day t+lag, for
+    * every lag in ±[[XcorrMaxLag]] — the standard causal-precedence
+    * probe (marketing attribution, leading-indicator discovery) that
+    * none of the single-series detectors (q90 MAD, q161 CUSUM, q175
+    * Theil-Sen) can see. Inner join on the shifted day, so each lag
+    * correlates only days where BOTH series have observations; n_days
+    * reports that support.
+    *
+    * Scale shape: raw events collapse to the (day, type) aggregate in
+    * one scan; the lag fan-out and shifted self-join run over the
+    * bounded daily series (time span × 2 rows), which AQE
+    * broadcast-joins. `corr` is Spark's one-pass mergeable co-moment
+    * aggregate (the q27 convention), rounded to 6dp in both engines. */
+  def lagCrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTsUs(spark, dir)
+      .filter(col("event_type").isin(XcorrLead, XcorrFollow))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val x = daily.filter(col("event_type") === XcorrLead)
+      .select(col("day"), col("n").cast("double").as("x"))
+    val y = daily.filter(col("event_type") === XcorrFollow)
+      .select(col("day").as("y_day"), col("n").cast("double").as("y"))
+    val lags = spark.range(-XcorrMaxLag, XcorrMaxLag + 1)
+      .select(col("id").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("y_day") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"), r6(corr(col("x"), col("y"))).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  val lagCrossCorrSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts::TIMESTAMP) // $DayUs AS day, event_type,
+       |    count(*) AS n
+       |  FROM events
+       |  WHERE event_type IN ('$XcorrLead', '$XcorrFollow')
+       |  GROUP BY 1, 2),
+       |x AS (SELECT day, n::DOUBLE AS x FROM daily
+       |      WHERE event_type = '$XcorrLead'),
+       |y AS (SELECT day, n::DOUBLE AS y FROM daily
+       |      WHERE event_type = '$XcorrFollow'),
+       |lags AS (SELECT unnest(generate_series(-$XcorrMaxLag, $XcorrMaxLag))
+       |           AS lag)
+       |SELECT lag, count(*)::BIGINT AS n_days, round(corr(x.x, y.y), 6) AS xcorr
+       |FROM x CROSS JOIN lags JOIN y ON y.day = x.day + lag
+       |GROUP BY lag ORDER BY lag""".stripMargin
+
+  // ---- q199: classical seasonal decomposition --------------------------
+
+  /** Classical additive seasonal decomposition of daily revenue —
+    * statsmodels' `seasonal_decompose` / the first pass of STL:
+    * `trend` = centered 7-day moving average (defined only where the
+    * full window exists), `seasonal` = per-day-of-week mean of the
+    * detrended series, `residual` = the rest. The decomposition every
+    * forecasting pipeline runs before modeling; q162's Holt-Winters
+    * FITS a seasonal model, this DESCRIBES the series model-free.
+    *
+    * Exactness discipline (the q93 convention): daily revenue is
+    * cent-quantized, the centered window and the ×7-scaled detrended
+    * series (`7·cents − Σwindow`) stay integer, the per-dow seasonal
+    * numerator/denominator stay integer, and only the final projection
+    * divides in DOUBLE, rounded to 6dp from identical expression
+    * trees in both engines.
+    *
+    * Scale shape: raw orders collapse to one row per day in one scan;
+    * the ordered window runs over that bounded daily series (q93's
+    * documented single-partition concession — ~years × 365 rows); the
+    * seasonal means are a 7-row aggregate joined back by broadcast. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val day = expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs")
+    val daily = o.groupBy(day.as("day")).agg(
+      sum(floor(col("o_totalprice") * lit(100d)).cast("long")).as("cents"))
+    val w = Window.orderBy("day").rangeBetween(-3, 3)
+    val full = daily.select(col("day"), col("cents"),
+        sum(col("cents")).over(w).as("t7"), count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === 7)
+      .withColumn("dow", col("day") % 7)
+      .withColumn("d7", lit(7) * col("cents") - col("t7"))
+    val seas = full.groupBy("dow")
+      .agg(sum(col("d7")).as("s7"), count(lit(1)).as("n"))
+    full.join(broadcast(seas), Seq("dow"))
+      .select(col("day"), col("dow"),
+        (col("cents").cast("double") / 100d).as("revenue"),
+        r6(col("t7").cast("double") / 700d).as("trend"),
+        r6(col("s7").cast("double") / (col("n") * 700).cast("double"))
+          .as("seasonal"),
+        r6(col("cents").cast("double") / 100d -
+          col("t7").cast("double") / 700d -
+          col("s7").cast("double") / (col("n") * 700).cast("double"))
+          .as("residual"))
+      .orderBy("day")
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
+       |    sum(floor(o_totalprice * 100)::BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |t AS (
+       |  SELECT day, cents,
+       |    sum(cents) OVER (ORDER BY day
+       |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+       |    count(*) OVER (ORDER BY day
+       |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt
+       |  FROM daily),
+       |f AS (
+       |  SELECT day, cents, t7, day % 7 AS dow, 7*cents - t7 AS d7
+       |  FROM t WHERE cnt = 7),
+       |seas AS (SELECT dow, sum(d7) AS s7, count(*)::BIGINT AS n
+       |         FROM f GROUP BY dow)
+       |SELECT day, dow, (cents::DOUBLE / 100) AS revenue,
+       |  round(t7::DOUBLE / 700, 6) AS trend,
+       |  round(s7::DOUBLE / (n * 700)::DOUBLE, 6) AS seasonal,
+       |  round(cents::DOUBLE / 100 - t7::DOUBLE / 700
+       |    - s7::DOUBLE / (n * 700)::DOUBLE, 6) AS residual
+       |FROM f JOIN seas USING (dow) ORDER BY day""".stripMargin
 }

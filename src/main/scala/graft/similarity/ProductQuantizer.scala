@@ -114,6 +114,17 @@ object ProductQuantizer {
     * query's broadcast M×K lookup table. */
   def adcCandidates(corpus: DataFrame, idCol: String, vecCol: String,
       nQueries: Int, cb: Array[Array[Array[Double]]],
+      topC: Int): DataFrame =
+    adcFromCodes(encode(corpus, idCol, vecCol, cb),
+      corpus, idCol, vecCol, nQueries, cb, topC)
+
+  /** [[adcCandidates]] over a PRECOMPUTED `(id, code)` relation — the
+    * stored-codes serving path (q202): the raw corpus is touched only
+    * to collect the query vectors for the LUTs; no [[encode]]
+    * projection (and so no `pq_encode` expression) appears in the
+    * query plan. */
+  def adcFromCodes(codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nQueries: Int, cb: Array[Array[Array[Double]]],
       topC: Int): DataFrame = {
     val spark = corpus.sparkSession
     val m = cb.length
@@ -145,7 +156,7 @@ object ProductQuantizer {
     val adc = expr(s"aggregate(sequence(1, $m), cast(0.0 as double)," +
       " (acc, i) -> acc + element_at(element_at(lut, i)," +
       " element_at(code, i) + 1))")
-    encode(corpus, idCol, vecCol, cb)
+    codes
       .join(broadcast(luts), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), adc.as("adc"))
       .withColumn("rk", row_number().over(
@@ -161,8 +172,20 @@ object ProductQuantizer {
     * (the gated regime). */
   def searchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       nQueries: Int, cb: Array[Array[Array[Double]]],
+      topC: Int, topK: Int): DataFrame =
+    searchTopKFromCodes(encode(corpus, idCol, vecCol, cb),
+      corpus, idCol, vecCol, nQueries, cb, topC, topK)
+
+  /** [[searchTopK]] with the ADC scan running over a PRECOMPUTED
+    * `(id, code)` relation (the persisted-codes store): identical
+    * output whenever the codes equal [[encode]] of the corpus — raw
+    * vectors are read only for the query LUTs and the topC exact
+    * re-rank. */
+  def searchTopKFromCodes(codes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nQueries: Int,
+      cb: Array[Array[Array[Double]]],
       topC: Int, topK: Int): DataFrame = {
-    val cands = adcCandidates(corpus, idCol, vecCol, nQueries, cb, topC)
+    val cands = adcFromCodes(codes, corpus, idCol, vecCol, nQueries, cb, topC)
       .select("query_id", "id")
 
     val vecs = corpus.select(col(idCol).cast("long").as("id"),

@@ -50,6 +50,14 @@ class StoredIndexSpec extends SparkSpec {
     fileScans(df).filter(
       _.relation.location.rootPaths.exists(_.toString.contains(pathPart)))
 
+  /** Build the query's COLD plan: a subtree persisted by another suite
+    * would otherwise be substituted as an InMemoryRelation, hiding the
+    * file scans these tests assert on (and their pushed filters). */
+  private def coldPlan(q: String): DataFrame = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(q)(spark, sfDir)
+  }
+
   // ---- 1. equality with the recompute paths ---------------------------
 
   test("q184 equals q81's recompute path row-for-row") {
@@ -67,7 +75,7 @@ class StoredIndexSpec extends SparkSpec {
   // ---- 2. plan-level no-recompute --------------------------------------
 
   test("q184 plan: every documents scan carries the delta predicate; index read from disk") {
-    val df = SparkEntry.queries("q184_dedup_stored_index")(spark, sfDir)
+    val df = coldPlan("q184_dedup_stored_index")
     val docScans = scansOf(df, "documents.parquet")
     assert(docScans.nonEmpty, "expected delta scans of documents.parquet")
     docScans.foreach { s =>
@@ -80,7 +88,7 @@ class StoredIndexSpec extends SparkSpec {
   }
 
   test("q185 plan: every embeddings scan is delta or query vectors; index read from disk") {
-    val df = SparkEntry.queries("q185_ann_stored_index")(spark, sfDir)
+    val df = coldPlan("q185_ann_stored_index")
     val embScans = scansOf(df, "embeddings.parquet")
     assert(embScans.nonEmpty, "expected delta/query scans of embeddings.parquet")
     embScans.foreach { s =>
@@ -201,7 +209,7 @@ class StoredIndexSpec extends SparkSpec {
   }
 
   test("q188 plan: bucketed scan of the compacted store; delta-only source scans") {
-    val df = SparkEntry.queries("q188_index_compaction")(spark, sfDir)
+    val df = coldPlan("q188_index_compaction")
     val idxScans = scansOf(df, "graft_dedup_cidx_")
     assert(idxScans.nonEmpty, "plan does not read the compacted store")
     idxScans.foreach { s =>
@@ -238,6 +246,132 @@ class StoredIndexSpec extends SparkSpec {
     assert(got == want)
     assert(got.size < rows("q184_dedup_stored_index", dir).size ||
       want.size == got.size) // erasure is exact, never over-broad
+  }
+
+  // ---- 6. upsert / CDC apply (q193) --------------------------------------
+
+  test("q193: upsert replaces exactly the cohort's rows, derived from the revised text") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = tmpCorpus("documents")
+    val upName = PipelineQueries.ensureUpsertIndex(spark, dir)
+    val base = spark.table(PipelineQueries.ensureDedupIndex(spark, dir))
+    val up = spark.table(upName)
+    val cohort = (df: DataFrame) =>
+      df.filter(col("id") % PipelineQueries.UpsertMod === PipelineQueries.UpsertRem)
+    val rest = (df: DataFrame) =>
+      df.filter(col("id") % PipelineQueries.UpsertMod =!= PipelineQueries.UpsertRem)
+    val byId = (df: DataFrame) => df.orderBy("id").collect().toSeq
+    // non-cohort rows ride through the upsert byte-for-byte
+    assert(byId(rest(up)) == byId(rest(base)))
+    // cohort rows are the fresh derivation from the REVISED text —
+    // and genuinely differ from the stale pre-upsert rows
+    val revised = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % PipelineQueries.UpsertMod === PipelineQueries.UpsertRem &&
+        col("doc_id") % 10 =!= 0)
+      .withColumn("text", concat(col("text"), lit(PipelineQueries.UpsertSuffix)))
+    val want = graft.dedup.MinHashLSH.indexRows(revised, "doc_id", "text")
+    assert(byId(cohort(up)).nonEmpty && byId(cohort(up)) == byId(want))
+    assert(byId(cohort(up)) != byId(cohort(base)),
+      "upserted cohort rows identical to the stale store — the edit was lost")
+  }
+
+  test("q193 equals the full recompute over the edited corpus row-for-row") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val dir = tmpCorpus("documents")
+    // materialize the edited corpus and run the scratch incremental
+    // pipeline (q81) on it: the index-served q193 must match it exactly
+    val dir2 = Files.createTempDirectory("graft_upsert_recompute_").toFile
+    dir2.deleteOnExit()
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % PipelineQueries.UpsertMod === PipelineQueries.UpsertRem,
+          concat(col("text"), lit(PipelineQueries.UpsertSuffix)))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"${dir2.getPath}/documents.parquet")
+    val stored = rows("q193_index_upsert", dir)
+    val recompute = rows("q81_dedup_incremental", dir2.getPath)
+    assert(stored.nonEmpty && stored == recompute)
+  }
+
+  test("q193 plan: documents scans are delta-only; upserted store read from disk") {
+    val df = coldPlan("q193_index_upsert")
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected delta scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% 10") && filters.contains("= 0"),
+        s"documents scan without the delta predicate (base text re-read!): $s")
+    }
+    assert(scansOf(df, "graft_dedup_uidx_").nonEmpty,
+      "plan does not read the persisted upserted index")
+  }
+
+  // ---- 7. PQ codes at rest (q202) ----------------------------------------
+
+  test("q202 equals q102's train-encode-search recompute path row-for-row") {
+    val stored = rows("q202_pq_stored_index")
+    val recompute = rows("q102_pq_ann")
+    assert(stored.nonEmpty && stored == recompute)
+  }
+
+  test("q202 plan: codes read from the store; no pq_encode at query time") {
+    val df = coldPlan("q202_pq_stored_index")
+    assert(scansOf(df, "graft_pq_idx_").nonEmpty,
+      "plan does not read the persisted PQ codes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("pq_encode"),
+      "pq_encode in the serving plan — the corpus is being re-encoded at query time")
+    // the counterfactual: the scratch q102 path DOES encode inline
+    spark.catalog.clearCache()
+    val scratch = SparkEntry.queries("q102_pq_ann")(spark, sfDir)
+    assert(scratch.queryExecution.executedPlan.toString
+      .toLowerCase.contains("pq_encode"),
+      "q102's scratch plan no longer encodes inline — counterfactual broken")
+  }
+
+  test("q202's PQ store rebuilds on source-fingerprint change") {
+    val dir = tmpCorpus("embeddings")
+    val root1 = PipelineQueries.ensurePqIndex(spark, dir)
+    assert(IndexStore.hasSuccess(new File(root1, "codes")))
+    val emb = new File(dir, "embeddings.parquet")
+    assert(emb.setLastModified(emb.lastModified() + 5000))
+    val root2 = PipelineQueries.ensurePqIndex(spark, dir)
+    assert(root2 != root1, "fingerprint change did not mint a new PQ store")
+    assert(!new File(root1).exists(), "superseded PQ generation not cleaned")
+    assert(IndexStore.hasSuccess(new File(root2, "codes")))
+  }
+
+  // ---- 8. stored eval-fp decontamination (q203) ---------------------------
+
+  test("q203 equals the full-scan q57 decontamination row-for-row") {
+    val stored = rows("q203_decontam_stored")
+    val fullScan = rows("q57_decontaminate")
+    assert(stored.nonEmpty && stored == fullScan)
+  }
+
+  test("q203 plan: every documents scan is not-bench; bench fp read from the store") {
+    val df = coldPlan("q203_decontam_stored")
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected training-side scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% " + ScaleQueries.BenchMod),
+        s"documents scan without the not-bench predicate (eval text re-read!): $s")
+    }
+    assert(scansOf(df, "graft_bench_fp_").nonEmpty,
+      "plan does not read the persisted bench fingerprint set")
+  }
+
+  test("q203's bench-fp store rebuilds on source-fingerprint change") {
+    val dir = tmpCorpus("documents")
+    val root1 = ScaleQueries.ensureBenchFpIndex(spark, dir)
+    assert(IndexStore.hasSuccess(new File(root1)))
+    val doc = new File(dir, "documents.parquet")
+    assert(doc.setLastModified(doc.lastModified() + 5000))
+    val root2 = ScaleQueries.ensureBenchFpIndex(spark, dir)
+    assert(root2 != root1, "fingerprint change did not mint a new fp store")
+    assert(!new File(root1).exists(), "superseded fp generation not cleaned")
+    assert(IndexStore.hasSuccess(new File(root2)))
   }
 
   test("two concurrent builders produce one valid store (publish race)") {
