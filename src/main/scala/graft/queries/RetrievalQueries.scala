@@ -226,6 +226,112 @@ object RetrievalQueries {
       name
     }
 
+  // ---- q204: STREAMING segment ingestion into the inverted index ------
+
+  /** The inverted index built by STREAMING ingestion — the pipe a live
+    * crawl actually feeds: documents arrive as a file stream and every
+    * micro-batch publishes its postings + mergeable stats as an
+    * immutable segment named by the BATCH ID. Spark's streaming
+    * checkpoint is what makes ingestion exactly-once: a restarted
+    * stream re-runs only batches the checkpoint has not committed, and
+    * a re-run batch overwrites its OWN `seg_<batchId>` directory
+    * idempotently — never another's, so a crash at any point leaves
+    * either a committed batch (skipped on restart) or a torn segment
+    * that its own replay rewrites. A COMPLETED checkpoint makes
+    * re-invocation a no-op: the stream starts, finds no new files,
+    * writes nothing (InvertedIndexSpec pins the byte-identical
+    * segment snapshot across a re-run, plus the multi-batch case:
+    * one file per trigger → one segment per batch, union ≡ full
+    * rebuild). Serving is q197's segment union — term-filtered
+    * postings from every segment, scored with stats merged from the
+    * integer sidecars, so N/avgdl are exact however many batches
+    * landed. Oracle: q63's full-scan SQL verbatim. */
+  def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val dest = streamIndexLocation(dir)
+    ensureStreamIngestedIndex(spark, dir)
+    val segs = segmentDirs(dest)
+    require(segs.nonEmpty, s"stream ingest produced no segments under $dest")
+    val postings = segs.map(s => spark.read.parquet(s"${s.getPath}/postings"))
+      .reduce(_.unionByName(_))
+    val m = segs.map(s => spark.read.parquet(s"${s.getPath}/stats"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl"),
+        sum(col("n_indexed")).as("ni"))
+      .head()
+    bm25FromPostings(postings, m.getLong(0).toDouble,
+      m.getLong(1).toDouble / m.getLong(2).toDouble)
+  }
+
+  val streamIndexIngestSql: String = ScaleQueries.bm25Sql
+
+  private[graft] def streamIndexLocation(dir: String): java.io.File = {
+    val dirTag = IndexStore.pathTag(dir)
+    val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_inv_stream_${dirTag}_$fpTag")
+  }
+
+  private[graft] def segmentDirs(dest: java.io.File): Seq[java.io.File] =
+    Option(dest.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      .sortBy(_.getName).toSeq
+
+  /** Run the ingestion stream to completion (AvailableNow) against the
+    * corpus file(s) matched by `glob` under `dir`. Checkpoint and
+    * segments live under the content-fingerprinted store root, so a
+    * data change mints a fresh root (empty checkpoint → full
+    * re-ingest) and the superseded generation is cleaned. */
+  private[graft] def ensureStreamIngestedIndex(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0): java.io.File =
+    RetrievalQueries.synchronized {
+      val dest = streamIndexLocation(dir)
+      dest.mkdirs()
+      // Fast path WITHIN a fingerprint generation: once a run of this
+      // source version has drained (marker below), skip stream startup
+      // — new data mints a new root, so staleness is impossible; a
+      // crash mid-ingest leaves no marker and the checkpoint replays
+      // exactly the uncommitted batches.
+      val drained = new java.io.File(dest, "_INGESTED")
+      if (!drained.exists()) {
+        runIngestStream(spark, dir, glob, maxFilesPerTrigger, dest)
+        java.nio.file.Files.write(drained.toPath, Array.emptyByteArray)
+        IndexStore.cleanupSuperseded(spark,
+          new java.io.File(sys.props("java.io.tmpdir")),
+          s"graft_inv_stream_${IndexStore.pathTag(dir)}_", dest.getName,
+          // no catalog entries for the streamed segments
+          s"graft_inv_stream_${IndexStore.pathTag(dir)}_", dest.getName)
+      }
+      dest
+    }
+
+  /** One AvailableNow drain of the ingestion stream (the checkpointed,
+    * exactly-once layer under [[ensureStreamIngestedIndex]]'s marker
+    * fast path — callable directly to exercise a restart). */
+  private[graft] def runIngestStream(spark: SparkSession, dir: String,
+      glob: String, maxFilesPerTrigger: Int, dest: java.io.File): Unit =
+      QueryUtil.withStreamStatePartitions(spark) { spark =>
+        val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+        var reader = spark.readStream.schema(schema)
+          .option("pathGlobFilter", glob)
+        if (maxFilesPerTrigger > 0)
+          reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        val src = reader.parquet(dir)
+        val publishSegment: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (batch, batchId) => {
+            val seg = new java.io.File(dest, f"seg_$batchId%05d")
+            InvertedIndex.postingsDf(batch.toDF(), "doc_id", "text", MinTermLen)
+              .write.mode("overwrite").parquet(s"${seg.getPath}/postings")
+            InvertedIndex.segmentStatsDf(batch.toDF(), "doc_id", "text", MinTermLen)
+              .coalesce(1).write.mode("overwrite").parquet(s"${seg.getPath}/stats")
+          }
+        val q = src.writeStream
+          .foreachBatch(publishSegment)
+          .option("checkpointLocation", s"${dest.getPath}/checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
+
   // ---- q201: hybrid retrieval served entirely from stored indexes -----
 
   /** q150's reciprocal-rank fusion with BOTH retrievers swapped to

@@ -196,6 +196,79 @@ class InvertedIndexSpec extends SparkSpec {
 
   // ---- 5. hybrid serving (q201) ----------------------------------------
 
+  // ---- 5. streaming segment ingestion (q204) -----------------------------
+
+  test("q204 stream-ingested BM25 equals the full-scan q63 row-for-row") {
+    val ingested = SparkEntry.queries("q204_stream_index_ingest")(spark, sfDir)
+      .collect().toSeq
+    val fullScan = SparkEntry.queries("q63_bm25")(spark, sfDir).collect().toSeq
+    assert(ingested.nonEmpty && ingested == fullScan)
+  }
+
+  test("q204 re-invocation is a no-op at BOTH layers: marker fast path and checkpoint") {
+    val dest = RetrievalQueries.ensureStreamIngestedIndex(spark, sfDir)
+    def snapshot(): Seq[(String, Long, Long)] =
+      RetrievalQueries.segmentDirs(dest).flatMap { seg =>
+        def walk(f: File): Seq[File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(seg).filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length, f.lastModified))
+      }.sortBy(_._1)
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // layer 1: the _INGESTED marker short-circuits stream startup
+    RetrievalQueries.ensureStreamIngestedIndex(spark, sfDir)
+    assert(snapshot() == before, "marker fast path rewrote segment files")
+    // layer 2: without the marker, the CHECKPOINT makes the drained
+    // stream a no-op — it starts, finds no uncommitted files, writes
+    // nothing (the exactly-once property a restart relies on)
+    assert(new File(dest, "_INGESTED").delete())
+    RetrievalQueries.runIngestStream(spark, sfDir,
+      "documents.parquet", 0, dest)
+    assert(snapshot() == before,
+      "checkpointed re-run rewrote committed segments — ingestion is not exactly-once")
+    java.nio.file.Files.write(new File(dest, "_INGESTED").toPath,
+      Array.emptyByteArray)
+  }
+
+  test("q204 multi-batch: one file per trigger yields one immutable segment per batch") {
+    val dir = Files.createTempDirectory("graft_streamidx_").toFile
+    dir.deleteOnExit()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      Paths.get(dir.getPath, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // split the corpus into 3 single-file shards arriving as a stream
+    val staging = new File(dir, "staging")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.repartition(3).write.parquet(staging.getPath)
+    val parts = Option(staging.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.size == 3)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p.toPath, Paths.get(dir.getPath, s"docpart_$i.parquet"))
+    }
+    val dest = RetrievalQueries.ensureStreamIngestedIndex(spark, dir.getPath,
+      glob = "docpart_*.parquet", maxFilesPerTrigger = 1)
+    val segs = RetrievalQueries.segmentDirs(dest)
+    assert(segs.size == 3, s"expected 3 segments for 3 files, got ${segs.size}")
+    // segment union ≡ a full single-segment rebuild of the same corpus
+    val key = (df: DataFrame) => df.orderBy("term", "doc_id").collect().toSeq
+    val union = segs.map(s => spark.read.parquet(s"${s.getPath}/postings"))
+      .reduce(_.unionByName(_))
+    val rebuild = InvertedIndex.postingsDf(
+      docs, "doc_id", "text", graft.queries.ScaleQueries.MinTermLen)
+    assert(key(union).nonEmpty && key(union) == key(rebuild))
+    // mergeable stats sum to the exact full-corpus stats
+    import org.apache.spark.sql.functions.{col, sum}
+    val merged = segs.map(s => spark.read.parquet(s"${s.getPath}/stats"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")), sum(col("n_indexed")), sum(col("sum_dl"))).head()
+    val full = InvertedIndex.segmentStatsDf(
+      docs, "doc_id", "text", graft.queries.ScaleQueries.MinTermLen).head()
+    assert(merged.getLong(0) == full.getLong(0) &&
+      merged.getLong(1) == full.getLong(1) && merged.getLong(2) == full.getLong(2))
+  }
+
   test("q201 equals the full-scan q150 fusion row-for-row") {
     val stored = SparkEntry.queries("q201_hybrid_stored_search")(spark, sfDir)
       .collect().toSeq
