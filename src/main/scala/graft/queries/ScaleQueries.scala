@@ -810,6 +810,154 @@ object ScaleQueries {
       dest.getPath
     }
 
+  // ---- q205: LM quality filter from a STORED reference model ---------
+
+  /** Reference slice for the n-gram model: every 13th doc (disjoint
+    * role from [[BenchMod]]'s eval split — a curated "clean" sample). */
+  val LmRefMod = 13
+  /** Familiarity cap per bigram: frequent-bigram credit saturates so a
+    * single stop-bigram cannot dominate a document's score. */
+  val LmFamCap = 100L
+
+  /** KenLM-style corpus quality filtering stripped to INTEGER-exact
+    * signals, served from a persisted reference n-gram model: a vocab
+    * + bigram-count model is built ONCE from the reference slice and
+    * stored ([[ensureLmRefModel]]); each scoring run reads only the
+    * candidate documents and joins the broadcast model. Per doc:
+    * token/bigram totals, OOV tokens (absent from the stored vocab),
+    * novel bigrams (absent from the stored bigram table), a capped
+    * familiarity score Σ min(c2, [[LmFamCap]]) — the linear-space
+    * stand-in for log-prob that stays hash-exact (FP log-sums are
+    * engine- and order-dependent; integer counts are not, the
+    * q93/q199 exactness discipline) — and the novelty rate in
+    * per-mille (integer div). Scale shape: the model is KBs-per-GB
+    * (distinct n-grams of a fixed reference), broadcast into two
+    * explode→join→agg passes over the candidates; no shuffle carries
+    * text. StoredIndexSpec pins the not-ref predicate on every
+    * documents scan (the reference is never re-tokenized at scoring)
+    * and the model-store read. */
+  def lmQualityStored(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureLmRefModel(spark, dir)
+    val vocab = spark.read.parquet(s"$root/vocab")
+    val bigCounts = spark.read.parquet(s"$root/bigrams")
+    val base = table(spark, dir, "documents")
+      .filter(col("doc_id") % LmRefMod =!= 0)
+      .select(col("doc_id"), lmTokens(col("text")).as("toks"))
+      .withColumn("bigs", lmBigrams(col("toks")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        size(col("bigs")).cast("long").as("n_bigrams"),
+        col("toks"), col("bigs"))
+    val oov = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("oov"))
+    val bigAgg = base.select(col("doc_id"), explode(col("bigs")).as("big"))
+      .join(broadcast(bigCounts), Seq("big"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(when(col("c2").isNull, 1L).otherwise(0L)).as("novel"),
+        sum(coalesce(least(col("c2"), lit(LmFamCap)), lit(0L))).as("fam"))
+    base.select("doc_id", "n_tokens", "n_bigrams")
+      .join(oov, Seq("doc_id"), "left_outer")
+      .join(bigAgg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("oov"), lit(0L)).as("n_oov"),
+        col("n_bigrams"),
+        coalesce(col("novel"), lit(0L)).as("n_novel"),
+        coalesce(col("fam"), lit(0L)).as("fam_score"),
+        expr("1000 * coalesce(novel, 0) div greatest(n_bigrams, 1)")
+          .as("novelty_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle rebuilds the identical model in SQL — vocabulary and
+    * bigram counts of the reference slice — and scores with the same
+    * integer arithmetic. */
+  val lmQualityStoredSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                t -> len(t) >= 1) AS t
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |    ELSE [] END AS b, t
+       |  FROM tok),
+       |vocab AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT unnest(t) AS tok FROM tok WHERE doc_id % $LmRefMod = 0)),
+       |refbig AS (
+       |  SELECT bg, count(*)::BIGINT AS c2 FROM (
+       |    SELECT unnest(b) AS bg FROM big WHERE doc_id % $LmRefMod = 0)
+       |  GROUP BY 1),
+       |cand AS (SELECT * FROM big WHERE doc_id % $LmRefMod <> 0),
+       |oov AS (
+       |  SELECT c.doc_id, count(*) FILTER (WHERE v.tok IS NULL)::BIGINT AS n_oov
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM cand) c
+       |  LEFT JOIN vocab v USING (tok)
+       |  GROUP BY 1),
+       |ba AS (
+       |  SELECT c.doc_id,
+       |    count(*) FILTER (WHERE r.c2 IS NULL)::BIGINT AS n_novel,
+       |    coalesce(sum(least(r.c2, $LmFamCap)), 0)::BIGINT AS fam_score
+       |  FROM (SELECT doc_id, unnest(b) AS bg FROM cand) c
+       |  LEFT JOIN refbig r USING (bg)
+       |  GROUP BY 1)
+       |SELECT c.doc_id, len(c.t)::BIGINT AS n_tokens,
+       |  coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+       |  len(c.b)::BIGINT AS n_bigrams,
+       |  coalesce(ba.n_novel, 0)::BIGINT AS n_novel,
+       |  coalesce(ba.fam_score, 0)::BIGINT AS fam_score,
+       |  (1000 * coalesce(ba.n_novel, 0) // greatest(len(c.b), 1))::BIGINT
+       |    AS novelty_pm
+       |FROM cand c
+       |LEFT JOIN oov o USING (doc_id)
+       |LEFT JOIN ba USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Non-empty lowercase alpha tokens, compacted (parity with DuckDB's
+    * `list_filter(string_split_regex(...))`). */
+  private def lmTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(text), "[^a-z]+"), t => length(t) >= 1)
+
+  /** Adjacent-token bigrams over the COMPACT token array. Guarded:
+    * Spark's `sequence(1, 0)` steps DOWNWARD, so the <2-token case
+    * must short-circuit to an empty array. */
+  private def lmBigrams(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Write-once persisted reference n-gram model: `vocab/` (tok) +
+    * `bigrams/` (big, c2), built from the [[LmRefMod]] slice under the
+    * [[graft.sources.IndexStore]] lifecycle. Returns the store root. */
+  def ensureLmRefModel(spark: SparkSession, dir: String): String =
+    ScaleQueries.synchronized {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot, s"graft_lm_ref_${dirTag}_$fpTag")
+      def valid(root: java.io.File): Boolean =
+        IndexStore.hasSuccess(new java.io.File(root, "vocab")) &&
+          IndexStore.hasSuccess(new java.io.File(root, "bigrams"))
+      IndexStore.publish(dest, valid) { staging =>
+        val ref = table(spark, dir, "documents")
+          .filter(col("doc_id") % LmRefMod === 0)
+          .select(col("doc_id"), lmTokens(col("text")).as("toks"))
+        ref.select(explode(col("toks")).as("tok")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/vocab")
+        ref.select(explode(lmBigrams(col("toks"))).as("big"))
+          .groupBy("big").agg(count(lit(1)).as("c2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/bigrams")
+      }
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_lm_ref_${dirTag}_", dest.getName,
+        // no catalog entries for the LM store; prefix matches nothing
+        s"graft_lm_ref_${dirTag}_", dest.getName)
+      dest.getPath
+    }
+
   // ---- q58: end-to-end training-mix materialization ------------------
 
   val MixMinQuality = 0.5

@@ -374,6 +374,33 @@ class StoredIndexSpec extends SparkSpec {
     assert(IndexStore.hasSuccess(new File(root2)))
   }
 
+  // ---- 9. stored reference LM quality filter (q205) -----------------------
+
+  test("q205 plan: every documents scan is not-ref; model read from the store") {
+    val df = coldPlan("q205_lm_quality_stored")
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected candidate-side scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% " + ScaleQueries.LmRefMod),
+        s"documents scan without the not-ref predicate (reference re-tokenized!): $s")
+    }
+    assert(scansOf(df, "graft_lm_ref_").nonEmpty,
+      "plan does not read the persisted reference model")
+  }
+
+  test("q205's reference model rebuilds on source-fingerprint change") {
+    val dir = tmpCorpus("documents")
+    val root1 = ScaleQueries.ensureLmRefModel(spark, dir)
+    assert(IndexStore.hasSuccess(new File(root1, "vocab")) &&
+      IndexStore.hasSuccess(new File(root1, "bigrams")))
+    val doc = new File(dir, "documents.parquet")
+    assert(doc.setLastModified(doc.lastModified() + 5000))
+    val root2 = ScaleQueries.ensureLmRefModel(spark, dir)
+    assert(root2 != root1, "fingerprint change did not mint a new model store")
+    assert(!new File(root1).exists(), "superseded model generation not cleaned")
+  }
+
   test("two concurrent builders produce one valid store (publish race)") {
     val root = Files.createTempDirectory("graft_race_").toFile
     val dest = new File(root, "store")
