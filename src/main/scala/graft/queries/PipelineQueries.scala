@@ -1030,6 +1030,63 @@ object PipelineQueries {
       dest.getPath
     }
 
+  // ---- q206: perceptual image near-dup (dHash over decoded BMPs) ------
+
+  /** Visual near-duplicate detection ([[graft.multimodal.ImageDedup]]):
+    * dHash over really-decoded BMP pixels, perturbed twins as the
+    * planted duplicates, SimHash-style 8×8-bit banding with the
+    * pigeonhole exhaustiveness guarantee (Hamming ≤ 7 < 8 bands ⇒ a
+    * band collides). The oracle recomputes the identical 64 gradient
+    * bits from the text-derived pixels and brute-forces ALL pairs —
+    * so the banded Spark result is hash-gated as provably exhaustive,
+    * incidental (non-twin) collisions included. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val docs = table(spark, dir, "documents")
+    ImageDedup.nearDupPairs(ImageDedup.imageHashes(docs, "doc_id", "text"))
+  }
+
+  val imageNearDupSql: String = {
+    import graft.multimodal.ImageDedup.{Stride, Tau, TwinOffset}
+    import graft.multimodal.Multimodal.{BmpMaxBytes, BmpWidth}
+    // pixel index of grid cell j (0..71): row = j//9 of 8 sampled rows,
+    // col = j%9 of 9 sampled cols; 1-based char position in s
+    val pos = s"(((j // 9) * h // 8) * $BmpWidth + ((j % 9) * $BmpWidth // 9) + 1)"
+    s"""WITH uni AS (
+       |  SELECT doc_id AS id, FALSE AS twin,
+       |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $TwinOffset, TRUE,
+       |    regexp_replace(text, '[^ -~]', '', 'g')
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |geo AS (
+       |  SELECT id, twin, s, least(length(s), $BmpMaxBytes) AS len,
+       |    greatest(1, (least(length(s), $BmpMaxBytes) + ${BmpWidth - 1}) // $BmpWidth) AS h
+       |  FROM uni),
+       |g AS (
+       |  SELECT id, list_transform(range(0, 72), j ->
+       |    CASE WHEN $pos <= len THEN
+       |      CASE WHEN twin AND $pos % $Stride = 0 THEN 126
+       |           ELSE ascii(substr(s, $pos::INT, 1)) END
+       |    ELSE 0 END) AS gg
+       |  FROM geo),
+       |bits AS (
+       |  SELECT id, list_transform(range(0, 64), k ->
+       |    CASE WHEN gg[(k // 8) * 9 + (k % 8) + 1] > gg[(k // 8) * 9 + (k % 8) + 2]
+       |         THEN 1 ELSE 0 END) AS bb
+       |  FROM g)
+       |SELECT id_a, id_b, hamming, twin_pair FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    list_sum(list_transform(range(0, 64), k ->
+       |      CASE WHEN a.bb[k + 1] <> b.bb[k + 1] THEN 1 ELSE 0 END))::BIGINT
+       |      AS hamming,
+       |    (b.id - a.id = $TwinOffset) AS twin_pair
+       |  FROM bits a JOIN bits b ON a.id < b.id)
+       |WHERE hamming <= $Tau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- q119: metadata-filtered vector search -------------------------
 
   /** Filtered ANN — "top-k most similar WITH label = X" — done as TRUE
