@@ -1087,6 +1087,61 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q207: acoustic fingerprint near-dup (energy-gradient hash) -----
+
+  /** Audio near-duplicate detection ([[graft.multimodal.AudioDedup]]):
+    * 64-bit energy-gradient fingerprints over really-decoded PCM (the
+    * WAV codec is in the gated path), perturbed transient twins as
+    * the planted duplicates, and the q206 banded detector REUSED
+    * verbatim — one banding/pigeonhole engine serving both
+    * modalities. Oracle: identical integer frame energies + gradient
+    * bits recomputed from text in SQL, brute-forced over all pairs. */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioDedup, ImageDedup}
+    val docs = table(spark, dir, "documents")
+    ImageDedup.nearDupPairs(AudioDedup.audioHashes(docs, "doc_id", "text"))
+  }
+
+  val audioNearDupSql: String = {
+    import graft.multimodal.AudioDedup.{Spike, Stride}
+    import graft.multimodal.ImageDedup.{Tau, TwinOffset}
+    import graft.multimodal.Multimodal.WavMaxSamples
+    // |sample i| (1-based) of the clip: spike at twin positions, else
+    // the centered 16-bit sample of the sanitized text code
+    def absSamp(i: String) =
+      s"CASE WHEN twin AND $i % $Stride = 0 THEN $Spike " +
+        s"ELSE abs((ascii(substr(s, ($i)::INT, 1)) - 128) * 256) END"
+    s"""WITH uni AS (
+       |  SELECT doc_id AS id, FALSE AS twin,
+       |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $TwinOffset, TRUE,
+       |    regexp_replace(text, '[^ -~]', '', 'g')
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |geo AS (
+       |  SELECT id, twin, s, least(length(s), $WavMaxSamples) AS n FROM uni),
+       |nrg AS (
+       |  SELECT id, list_transform(range(0, 65), f ->
+       |    coalesce(list_sum(list_transform(
+       |      range(f * n // 65, (f + 1) * n // 65),
+       |      i -> ${absSamp("(i + 1)")})), 0)) AS e
+       |  FROM geo),
+       |bits AS (
+       |  SELECT id, list_transform(range(0, 64), k ->
+       |    CASE WHEN e[k + 1] > e[k + 2] THEN 1 ELSE 0 END) AS bb
+       |  FROM nrg)
+       |SELECT id_a, id_b, hamming, twin_pair FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    list_sum(list_transform(range(0, 64), k ->
+       |      CASE WHEN a.bb[k + 1] <> b.bb[k + 1] THEN 1 ELSE 0 END))::BIGINT
+       |      AS hamming,
+       |    (b.id - a.id = $TwinOffset) AS twin_pair
+       |  FROM bits a JOIN bits b ON a.id < b.id)
+       |WHERE hamming <= $Tau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- q119: metadata-filtered vector search -------------------------
 
   /** Filtered ANN — "top-k most similar WITH label = X" — done as TRUE
