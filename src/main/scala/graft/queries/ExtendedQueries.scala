@@ -932,4 +932,53 @@ object ExtendedQueries {
        |FROM base LEFT JOIN best ON base.a_key = best.m_key
        |ORDER BY entity_key""".stripMargin
   }
+
+  // ---- q208: salted skew join -----------------------------------------
+
+  /** Skew key: 70% of orders collapse onto custkey 1 (the hot-segment
+    * regime — one viral account, one default bucket). Real dim rows
+    * (customer is unique per custkey), so salting's dim contract
+    * holds. */
+  val SkewHotMod = 10
+  val SkewHotMax = 7
+  /** Salt fan-out: the hot key's rows spread over 16 shuffle
+    * partitions. */
+  val SkewSalts = 16
+
+  /** Revenue by market segment over a deliberately skew-keyed
+    * fact-dim join, executed with [[graft.operators.Salting]] — the
+    * explicit skew tool for when the dim cannot broadcast and AQE's
+    * runtime split cannot reach the shape (stateful pipelines,
+    * partitioning reuse). Result is provably the PLAIN join's (the
+    * oracle is the unsalted SQL): salt changes row placement, never
+    * pair membership. SaltingSpec measures the placement claim on a
+    * forced shuffle join (hot partition ~70% unsalted → ≤ ~2× the
+    * mean salted) — at bench scale AQE/broadcast would mask it, so
+    * the gate here is identity, the spec carries the balance. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Salting
+    val fact = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_custkey") % SkewHotMod < SkewHotMax, lit(1L))
+          .otherwise(col("o_custkey")).as("cust"))
+    val dim = table(spark, dir, "customer")
+      .select(col("c_custkey").as("cust"), col("c_mktsegment"))
+    Salting.saltedJoin(fact, dim, "cust", col("o_orderkey"), SkewSalts)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The UNSALTED join — salting must be invisible in the result. */
+  val saltedSkewJoinSql: String =
+    s"""SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       |  ${moneySumSql("o_totalprice")} AS revenue
+       |FROM (SELECT o_orderkey, o_totalprice,
+       |        CASE WHEN o_custkey % $SkewHotMod < $SkewHotMax THEN 1
+       |             ELSE o_custkey END AS cust
+       |      FROM orders) f
+       |JOIN customer ON cust = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
 }
