@@ -958,6 +958,132 @@ object ScaleQueries {
       dest.getPath
     }
 
+  // ---- q209: release gate composed from BOTH quality stores ----------
+
+  /** Novelty ceiling for release: docs above this per-mille novel-
+    * bigram rate (≈ the reference-model p90) drop for quality. */
+  val ReleaseNoveltyMax = 200L
+
+  /** The corpus release gate run the way production runs it — EVERY
+    * screening input served from a store: candidates (neither the
+    * eval split nor the reference slice) are checked against the
+    * q203 bench-fingerprint store (contamination) and scored against
+    * the q205 reference n-gram store (bigram novelty), in one pass
+    * over candidate text. Per-language manifest: kept /
+    * dropped-contaminated / dropped-quality counts (contamination
+    * takes precedence — a contaminated doc never counts as a quality
+    * drop) and the kept id-checksum. All integers; work ∝ candidate
+    * text; both stores broadcast. StoredIndexSpec pins that every
+    * documents scan carries BOTH not-eval and not-ref predicates and
+    * that both stores are read — the composition never re-derives
+    * either store's contents. */
+  def releaseGate(spark: SparkSession, dir: String): DataFrame = {
+    val benchFp = spark.read.parquet(ensureBenchFpIndex(spark, dir))
+    val lmRoot = ensureLmRefModel(spark, dir)
+    val bigCounts = spark.read.parquet(s"$lmRoot/bigrams")
+    val cand = table(spark, dir, "documents")
+      .filter(col("doc_id") % BenchMod =!= 0 && col("doc_id") % LmRefMod =!= 0)
+    val fp = graft.Partitioning.spread(cand, col("doc_id"))
+      .select(col("doc_id").as("id"),
+        explode(graft.text.Hashing.charNgrams(col("text"), DecontamGram)).as("gram"))
+      .select(col("id"), graft.text.Hashing.x31(col("gram")).as("h"))
+      .filter(col("h") % DecontamModP === 0)
+      .distinct()
+    val contaminated = fp.join(broadcast(benchFp), Seq("h"))
+      .select(col("id").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val novelty = cand
+      .select(col("doc_id"), lmBigrams(lmTokens(col("text"))).as("bigs"))
+      .select(col("doc_id"), size(col("bigs")).cast("long").as("n_bigrams"),
+        explode_outer(col("bigs")).as("big"))
+      .join(broadcast(bigCounts), Seq("big"), "left_outer")
+      .groupBy("doc_id", "n_bigrams")
+      .agg(sum(when(col("big").isNotNull && col("c2").isNull, 1L)
+        .otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"),
+        expr("1000 * n_novel div greatest(n_bigrams, 1)").as("novelty_pm"))
+    cand.select(col("doc_id"), col("lang"))
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .join(novelty, Seq("doc_id"), "left_outer")
+      .withColumn("verdict",
+        when(coalesce(col("contaminated"), lit(false)), "dropped_contaminated")
+          .when(coalesce(col("novelty_pm"), lit(0L)) > ReleaseNoveltyMax,
+            "dropped_quality")
+          .otherwise("kept"))
+      .groupBy("lang")
+      .agg(
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "dropped_contaminated", 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(when(col("verdict") === "dropped_quality", 1L).otherwise(0L))
+          .as("n_quality_dropped"),
+        sum(when(col("verdict") === "kept", col("doc_id")).otherwise(0L))
+          .as("kept_checksum"))
+      .orderBy("lang")
+  }
+
+  /** The oracle re-derives both stores' contents in SQL and applies
+    * the identical precedence + thresholds. */
+  val releaseGateSql: String = {
+    import graft.text.Hashing
+    s"""WITH fp AS (
+       |  SELECT DISTINCT id, h FROM (
+       |    SELECT doc_id AS id, ${Hashing.x31Sql("gram")} AS h
+       |    FROM (SELECT doc_id,
+       |            unnest(${Hashing.charNgramsSql("text", DecontamGram)}) AS gram
+       |          FROM documents))
+       |  WHERE h % $DecontamModP = 0),
+       |bench AS (SELECT DISTINCT h FROM fp WHERE id % $BenchMod = 0),
+       |cand AS (SELECT doc_id, lang, text FROM documents
+       |         WHERE doc_id % $BenchMod <> 0 AND doc_id % $LmRefMod <> 0),
+       |cont AS (
+       |  SELECT DISTINCT id AS doc_id FROM fp
+       |  WHERE id % $BenchMod <> 0 AND id % $LmRefMod <> 0
+       |    AND h IN (SELECT h FROM bench)),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                t -> len(t) >= 1) AS t
+       |  FROM documents),
+       |big AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |    ELSE [] END AS b
+       |  FROM tok),
+       |refbig AS (
+       |  SELECT bg, count(*)::BIGINT AS c2 FROM (
+       |    SELECT unnest(b) AS bg FROM big WHERE doc_id % $LmRefMod = 0)
+       |  GROUP BY 1),
+       |nov AS (
+       |  SELECT c.doc_id,
+       |    1000 * count(*) FILTER (WHERE r.c2 IS NULL AND c.bg IS NOT NULL)
+       |      // greatest(any_value(c.nb), 1) AS novelty_pm
+       |  FROM (SELECT doc_id, len(b) AS nb, unnest(
+       |          CASE WHEN len(b) = 0 THEN [NULL] ELSE b END) AS bg
+       |        FROM big
+       |        WHERE doc_id % $BenchMod <> 0 AND doc_id % $LmRefMod <> 0) c
+       |  LEFT JOIN refbig r USING (bg)
+       |  GROUP BY c.doc_id),
+       |verdicts AS (
+       |  SELECT cand.doc_id, cand.lang,
+       |    CASE WHEN cont.doc_id IS NOT NULL THEN 'dropped_contaminated'
+       |         WHEN coalesce(nov.novelty_pm, 0) > $ReleaseNoveltyMax
+       |           THEN 'dropped_quality'
+       |         ELSE 'kept' END AS verdict
+       |  FROM cand LEFT JOIN cont USING (doc_id) LEFT JOIN nov USING (doc_id))
+       |SELECT lang,
+       |  count(*) FILTER (WHERE verdict = 'kept')::BIGINT AS n_kept,
+       |  count(*) FILTER (WHERE verdict = 'dropped_contaminated')::BIGINT
+       |    AS n_contaminated,
+       |  count(*) FILTER (WHERE verdict = 'dropped_quality')::BIGINT
+       |    AS n_quality_dropped,
+       |  coalesce(sum(doc_id) FILTER (WHERE verdict = 'kept'), 0)::BIGINT
+       |    AS kept_checksum
+       |FROM verdicts
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   // ---- q58: end-to-end training-mix materialization ------------------
 
   val MixMinQuality = 0.5

@@ -401,6 +401,37 @@ class StoredIndexSpec extends SparkSpec {
     assert(!new File(root1).exists(), "superseded model generation not cleaned")
   }
 
+  // ---- 10. composed release gate (q209) -----------------------------------
+
+  test("q209 plan: every documents scan excludes eval AND ref; both stores read") {
+    val df = coldPlan("q209_release_gate")
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected candidate-side scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% " + ScaleQueries.BenchMod) &&
+        filters.contains("% " + ScaleQueries.LmRefMod),
+        s"documents scan missing a split predicate (store contents re-derived!): $s")
+    }
+    assert(scansOf(df, "graft_bench_fp_").nonEmpty,
+      "plan does not read the bench fingerprint store")
+    assert(scansOf(df, "graft_lm_ref_").nonEmpty,
+      "plan does not read the reference n-gram store")
+  }
+
+  test("q209 verdicts conserve the candidate universe and respect precedence") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q209_release_gate")(spark, sfDir).collect()
+    val total = out.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    val candidates = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % ScaleQueries.BenchMod =!= 0 &&
+        col("doc_id") % ScaleQueries.LmRefMod =!= 0).count()
+    assert(total == candidates, s"verdicts $total != candidates $candidates")
+    // the gate is live: at least one doc dropped on each ground overall
+    assert(out.map(_.getLong(2)).sum > 0, "no contamination drops — gate is dead")
+    assert(out.map(_.getLong(3)).sum > 0, "no quality drops — threshold is dead")
+  }
+
   test("two concurrent builders produce one valid store (publish race)") {
     val root = Files.createTempDirectory("graft_race_").toFile
     val dest = new File(root, "store")
