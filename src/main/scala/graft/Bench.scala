@@ -63,6 +63,26 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARMUP SKIPPED ($q @ $warmDir): ${e.getMessage}") }
     }
+    // Speed canary: a fixed small reference query (q18, a plain
+    // broadcast join + agg) timed warm after the JVM warmups. Known
+    // good on this machine: ~0.5 s at sf0.1. The canary catches the
+    // failure mode the load stamp CANNOT: hypervisor-level degradation
+    // at zero load (observed 2026-08-15: q18 warm at 1.4-3.6 s with
+    // loadavg < 0.5, whole board uniformly ~2x — such totals must not
+    // set an anchor even though "contended" stays false).
+    val canary = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries("q18_join_revenue_nation")(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    val degraded = canary >= 1.5 // 3x the known-good q18 warm time
+    if (degraded)
+      System.err.println(f"[bench] DEGRADED MACHINE: canary q18 = $canary%.2f s (known-good ~0.5)")
     // sorted order + cache clearing between queries: per-query persists
     // (dedup postings etc.) are internal scratch state; letting them
     // accumulate distorts later queries' memory and GC
@@ -125,7 +145,7 @@ object Bench {
     // diagnose, never convict. Self-stamped so no artifact consumer has
     // to reconstruct the run's load after the fact.
     val contended = loadStart.take(2).exists(_ >= 2.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"rep_times":$repsJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"canary_sec":${f"$canary%.3f"},"degraded":$degraded,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"rep_times":$repsJson}"""
     println(json)
     // Also persist to a file: sbt prefixes stdout with [info], which broke
     // the driver's JSON parse in rounds 1 and 2 ("parsed": null). A bare
