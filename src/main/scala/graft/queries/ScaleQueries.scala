@@ -968,8 +968,10 @@ object ScaleQueries {
     * screening input served from a store: candidates (neither the
     * eval split nor the reference slice) are checked against the
     * q203 bench-fingerprint store (contamination) and scored against
-    * the q205 reference n-gram store (bigram novelty), in one pass
-    * over candidate text. Per-language manifest: kept /
+    * the q205 reference n-gram store (bigram novelty). Candidate
+    * text is read only on the candidate side — two derivation scans
+    * (char-ngram fingerprints; token bigrams), both pruned by the
+    * split predicates, and no shuffle ever carries text. Per-language manifest: kept /
     * dropped-contaminated / dropped-quality counts (contamination
     * takes precedence — a contaminated doc never counts as a quality
     * drop) and the kept id-checksum. All integers; work ∝ candidate
