@@ -28,4 +28,25 @@ abstract class SparkSpec extends AnyFunSuite {
     s
   }
   def sfDir: String = TestSpark.sfDir
+
+  /** Remove every persisted store (tmpdir `graft_*` directory + catalog
+    * table) derived from a TEST-LOCAL corpus dir. Lifecycle tests mint
+    * a fresh tmp corpus per run, so their stores' path tags never
+    * repeat — without this, each `sbt test` leaks a handful of
+    * orphaned store generations into java.io.tmpdir forever. */
+  def purgeDerivedStores(corpusDir: String): Unit = {
+    val tag = graft.sources.IndexStore.pathTag(corpusDir)
+    val root = new java.io.File(sys.props("java.io.tmpdir"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("graft_") && f.getName.contains(tag))
+      .foreach(rm)
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.contains(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    rm(new java.io.File(corpusDir)) // deleteOnExit cannot remove non-empty dirs
+  }
 }

@@ -28,7 +28,8 @@ import graft.sources.IndexStore
   *     rebuilds the index and deletes the superseded generation, and a
   *     half-written store (no `_SUCCESS`) is rebuilt, not served.
   */
-class StoredIndexSpec extends SparkSpec {
+class StoredIndexSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private def rows(q: String, dir: String = sfDir) =
     SparkEntry.queries(q)(spark, dir).collect().toSeq
@@ -104,8 +105,18 @@ class StoredIndexSpec extends SparkSpec {
 
   // ---- 3. store lifecycle ----------------------------------------------
 
+  private val tmpCorpora = scala.collection.mutable.Buffer[String]()
+
+  override def afterAll(): Unit = {
+    // test corpora mint never-repeating path tags — purge their derived
+    // stores or every suite run leaks orphaned generations into tmpdir
+    tmpCorpora.foreach(purgeDerivedStores)
+    super.afterAll()
+  }
+
   private def tmpCorpus(tables: String*): String = {
     val d = Files.createTempDirectory("graft_storedindex_").toFile
+    tmpCorpora += d.getPath
     d.deleteOnExit()
     tables.foreach { t =>
       Files.copy(Paths.get(s"$sfDir/$t.parquet"),
@@ -116,6 +127,7 @@ class StoredIndexSpec extends SparkSpec {
 
   test("contentTag sees an in-place overwrite inside a directory-backed dataset") {
     val root = Files.createTempDirectory("graft_fp_").toFile
+    tmpCorpora += root.getPath
     val ds = new File(root, "documents.parquet")
     assert(ds.mkdir())
     val part = new File(ds, "part-00000.parquet")
@@ -281,6 +293,7 @@ class StoredIndexSpec extends SparkSpec {
     // materialize the edited corpus and run the scratch incremental
     // pipeline (q81) on it: the index-served q193 must match it exactly
     val dir2 = Files.createTempDirectory("graft_upsert_recompute_").toFile
+    tmpCorpora += dir2.getPath
     dir2.deleteOnExit()
     spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("text",
@@ -434,6 +447,7 @@ class StoredIndexSpec extends SparkSpec {
 
   test("two concurrent builders produce one valid store (publish race)") {
     val root = Files.createTempDirectory("graft_race_").toFile
+    tmpCorpora += root.getPath
     val dest = new File(root, "store")
     val started = new java.util.concurrent.CountDownLatch(2)
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -26,7 +26,15 @@ import graft.queries.RetrievalQueries
   *  4. store lifecycle: a source-fingerprint change rebuilds the index
   *     and drops the superseded generation (IndexStore conventions).
   */
-class InvertedIndexSpec extends SparkSpec {
+class InvertedIndexSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val tmpCorpora = scala.collection.mutable.Buffer[String]()
+
+  override def afterAll(): Unit = {
+    tmpCorpora.foreach(purgeDerivedStores)
+    super.afterAll()
+  }
 
   private def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
     def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
@@ -235,6 +243,7 @@ class InvertedIndexSpec extends SparkSpec {
   test("q204 multi-batch: one file per trigger yields one immutable segment per batch") {
     val dir = Files.createTempDirectory("graft_streamidx_").toFile
     dir.deleteOnExit()
+    tmpCorpora += dir.getPath
     Files.copy(Paths.get(s"$sfDir/documents.parquet"),
       Paths.get(dir.getPath, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
     // split the corpus into 3 single-file shards arriving as a stream
@@ -302,6 +311,7 @@ class InvertedIndexSpec extends SparkSpec {
   test("inverted index rebuilds on source-fingerprint change, drops the old generation") {
     val dir = Files.createTempDirectory("graft_invidx_").toFile
     dir.deleteOnExit()
+    tmpCorpora += dir.getPath
     Files.copy(Paths.get(s"$sfDir/documents.parquet"),
       Paths.get(dir.getPath, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val name1 = RetrievalQueries.ensureInvertedIndex(spark, dir.getPath)
