@@ -80,7 +80,11 @@ object Bench {
       }
       ts.min
     }
-    val degraded = canary >= 1.5 // 3x the known-good q18 warm time
+    // 1.6x the known-good q18 warm time (~0.5 s). Calibration note: a
+    // 2026-08-15 run with canary 1.33 s still read uniformly ~1.7x the
+    // healthy anchor — the first threshold (1.5) let it pass, so the
+    // gate sits just above healthy-run jitter instead.
+    val degraded = canary >= 0.8
     if (degraded)
       System.err.println(f"[bench] DEGRADED MACHINE: canary q18 = $canary%.2f s (known-good ~0.5)")
     // sorted order + cache clearing between queries: per-query persists
