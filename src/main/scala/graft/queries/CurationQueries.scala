@@ -1086,6 +1086,129 @@ object CurationQueries {
        |FROM tok GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- q213: tokenizer AT REST (stored BPE merges) --------------------
+
+  /** q144/q145 split across the store boundary the way production
+    * tokenizers actually ship: the merge sequence is LEARNED once from
+    * the reference slice (q205's every-[[ScaleQueries.LmRefMod]]th-doc
+    * convention), versioned AT REST as the tokenizer model, and
+    * APPLIED to candidate documents only. Training text is never
+    * re-read at tokenize time — the only documents scan carries the
+    * not-ref predicate — and the tokenizer cannot drift when
+    * candidates change: the model is pinned by the store fingerprint,
+    * rebuilt only when the corpus generation changes (the property
+    * that makes token counts comparable across pipeline runs). The
+    * stored model is the (step, left_sym, right_sym, pair_count)
+    * merge table — KB-scale, read back and inlined as q145's literal
+    * replace chain, so the corpus-side work stays ONE codegen'd scan
+    * of candidate text with zero UDFs. Oracle: q145's unrolled
+    * recurrence with training restricted to the ref slice and
+    * application to candidates — the gate spans train AND apply
+    * cross-engine. StoredIndexSpec pins the not-ref scans, equality
+    * with a scratch relearn, and fingerprint-invalidation. */
+  def bpeStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeLearner
+    val store = ensureBpeStore(spark, dir)
+    val merges = spark.read
+      .parquet(new java.io.File(store, "merges").getPath)
+      .select("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step").collect()
+      .map(r => BpeLearner.Merge(r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    val applied = BpeLearner.applySql(merges, "s")
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % ScaleQueries.LmRefMod =!= 0)
+      .select(col("source"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .withColumn("s",
+        concat(lit("__"), regexp_replace(col("word"), "(.)", "$1__")))
+      .withColumn("bpe_tok",
+        expr(BpeLearner.tokenCountSql(applied)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum("bpe_tok").as("bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("bpe_tokens"),
+        expr("(1000 * bpe_tokens) div n_words").as("bpe_per_word_pm"),
+        expr("(1000 * n_chars) div bpe_tokens").as("chars_per_bpe_pm"))
+      .orderBy("source")
+  }
+
+  val bpeStoredSql: String = {
+    import graft.text.BpeLearner
+    val iters = (1 to BpeMerges).map(BpeLearner.mergeIterationSql).mkString(",\n")
+    val applied = (1 to BpeMerges).foldLeft("s") { (acc, t) =>
+      s"replace($acc, (SELECT '_' || a || '__' || b || '_' FROM best$t)," +
+        s" (SELECT '_' || a || b || '_' FROM best$t))"
+    }
+    s"""WITH w0 AS (
+       |  SELECT word, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents WHERE doc_id % ${ScaleQueries.LmRefMod} = 0)
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT $BpeVocab),
+       |p0 AS (
+       |  SELECT word, cnt, i, substring(word, i::INT, 1) AS sym FROM (
+       |    SELECT word, cnt, unnest(generate_series(1, length(word))) AS i
+       |    FROM w0)),
+       |$iters,
+       |cw AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents WHERE doc_id % ${ScaleQueries.LmRefMod} <> 0),
+       |enc AS (
+       |  SELECT source, word,
+       |    '__' || regexp_replace(word, '(.)', '\\1__', 'g') AS s
+       |  FROM cw),
+       |tok AS (
+       |  SELECT source, length(word)::BIGINT AS chars,
+       |    (length($applied) - length(replace($applied, '__', '_')) - 1)::BIGINT AS t
+       |  FROM enc)
+       |SELECT source, count(*)::BIGINT AS n_words, sum(chars)::BIGINT AS n_chars,
+       |  sum(t)::BIGINT AS bpe_tokens,
+       |  ((1000 * sum(t)) // count(*))::BIGINT AS bpe_per_word_pm,
+       |  ((1000 * sum(chars)) // sum(t))::BIGINT AS chars_per_bpe_pm
+       |FROM tok GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** The ref-slice training dictionary (exact top-[[BpeVocab]], the
+    * q144 pipeline restricted to the reference slice). */
+  private def refDict(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % ScaleQueries.LmRefMod === 0)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(BpeVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Persisted tokenizer model ([[graft.sources.IndexStore]]
+    * lifecycle): `merges/` holds the (step, left_sym, right_sym,
+    * pair_count) table learned from the ref slice. Returns the
+    * published store root. */
+  def ensureBpeStore(spark: SparkSession, dir: String): java.io.File =
+    CurationQueries.synchronized {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot, s"graft_bpe_model_${dirTag}_$fpTag")
+      def valid(root: java.io.File): Boolean =
+        IndexStore.hasSuccess(new java.io.File(root, "merges"))
+      IndexStore.publish(dest, valid) { staging =>
+        val merges = graft.text.BpeLearner.learn(refDict(spark, dir), BpeMerges)
+        val s = spark
+        import s.implicits._
+        merges.map(m => (m.step, m.left, m.right, m.count))
+          .toDF("step", "left_sym", "right_sym", "pair_count")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(staging, "merges").getPath)
+      }
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_bpe_model_${dirTag}_", dest.getName,
+        s"graft_bpe_model_${dirTag}_", dest.getName)
+      dest
+    }
+
   // ---- q154: DSIR importance weights (data selection) -----------------
 
   /** Hashed-feature buckets (DSIR's hashed n-gram feature space). */

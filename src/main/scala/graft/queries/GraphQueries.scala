@@ -33,18 +33,7 @@ object GraphQueries {
     * per-iteration shuffle story is documented on the operator; final
     * top-K is TakeOrderedAndProject, never a global sort. */
   def purchasePagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
-      .join(table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2L).as("c"),
-        (col("l_suppkey") * 2L + 1L).as("s"))
-      .distinct()
-    val edges = pairs
-      .select(explode(array(
-        struct(col("c").as("src"), col("s").as("dst")),
-        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
-      .select("e.src", "e.dst")
-    PageRank.run(edges, PrIterations)
+    PageRank.run(purchaseArcs(spark, dir), PrIterations)
       .select(
         when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
           .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
@@ -73,6 +62,74 @@ object GraphQueries {
        |FROM r3
        |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin
   }
+
+  /** Both directed arcs of the customer↔supplier purchase graph with
+    * packed-long node ids (`2·custkey` / `2·suppkey+1`) — the shared
+    * edge construction of q111 and q211: one orders⋈lineitem join, a
+    * distinct collapse, both arcs from one `explode` pass. */
+  private def purchaseArcs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+    pairs
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+  }
+
+  /** The shared edge/seed CTE prefix of the q211 oracle. */
+  private val arcsCtePrefix =
+    """p AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e0 AS (
+      |  SELECT c AS src, s AS dst FROM p
+      |  UNION ALL SELECT s, c FROM p)""".stripMargin
+
+  // ---- q211: single-source BFS hop distances ---------------------------
+
+  val BfsMaxHops = 4
+
+  /** Hop distances from the minimum-id node of the purchase graph —
+    * the crawl-depth / reachability audit ("how many hops from the
+    * seed is each node?") run with [[graft.operators.Bfs]]'s
+    * frontier iteration. The seed is a one-row bounded aggregate
+    * (min node id — deterministic, exists at every SF); distances are
+    * exact integers so the gate is hash-exact. The depth bound
+    * [[BfsMaxHops]] is the operator's contract, not a truncation: on
+    * this near-bipartite-complete graph everything reachable is
+    * reached well inside it (unreached nodes are absent rows, a
+    * checkable property, not a silent cap). Scale shape documented on
+    * [[graft.operators.Bfs]]: edges persist once; per round only
+    * frontier-sized tables shuffle. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseArcs(spark, dir)
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    graft.operators.Bfs.run(edges, seed, BfsMaxHops)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
+        col("dist"))
+      .orderBy("dist", "node")
+  }
+
+  val bfsHopsSql: String =
+    s"""WITH RECURSIVE $arcsCtePrefix,
+       |seed AS (SELECT min(src) AS s FROM e0),
+       |walk(node, dist) AS (
+       |  SELECT s, 0 FROM seed
+       |  UNION
+       |  SELECT e0.dst, w.dist + 1
+       |  FROM walk w JOIN e0 ON e0.src = w.node
+       |  WHERE w.dist < $BfsMaxHops),
+       |d AS (SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)::VARCHAR
+       |            ELSE 'S' || (node // 2)::VARCHAR END AS node, dist
+       |FROM d ORDER BY dist, node""".stripMargin
 
   // ---- q114: item co-occurrence lift ---------------------------------
 

@@ -357,6 +357,120 @@ object PipelineQueries {
       name
     }
 
+  // ---- q210: STREAMING near-dup screening against the stored index ----
+
+  /** The ONLINE dedup loop a live crawl runs against the q184 store:
+    * delta documents arrive as a stream, and every micro-batch is
+    * (1) SCREENED — near-dup pairs against the stored base index PLUS
+    * every previously ingested streamed segment, plus the batch's own
+    * self-pairs ([[graft.dedup.MinHashLSH.incrementalFromIndexResult]]
+    * computes exactly that cross+self set) — then (2) INGESTED: the
+    * batch's own [[graft.dedup.MinHashLSH.indexRows]] land as an
+    * immutable `seg_<batchId>` (q204's exactly-once convention: the
+    * checkpoint replays only uncommitted batches, and a replayed batch
+    * overwrites its OWN segment idempotently, so a crash at any point
+    * leaves either a committed batch or a torn segment its own replay
+    * rewrites). Screen-before-ingest plus the within-batch self-join
+    * makes the emitted pair set INVARIANT to batch boundaries: both
+    * sides in one batch → the self-join finds the pair; split across
+    * batches → the later batch screens against the earlier's segment;
+    * base pairs → the delta side's own batch finds them — and no pair
+    * is found twice, because a segment is screened against only by
+    * strictly later batches. The union over ANY batching is therefore
+    * exactly q81's delta-touching pair set, which is how the oracle
+    * gates it (the full-corpus SQL restricted to delta-touching pairs,
+    * verbatim). Base text is never read: the corpus side is the stored
+    * index + streamed segments, and the only documents scan is the
+    * stream source with the delta predicate on it. Work per batch ∝
+    * batch + collisions (verify sets semi-joined to candidate ids
+    * exactly as in q184). StreamScreenSpec pins the batching
+    * invariance (1-file-per-trigger multi-batch ≡ single batch ≡ the
+    * recompute path), per-segment no-duplicate-pair coverage, the
+    * exactly-once replay (drained marker → re-invoke touches no
+    * segment bytes), and fingerprint-change re-screening. */
+  def streamDedupScreen(spark: SparkSession, dir: String): DataFrame = {
+    val dest = ensureScreenedStream(spark, dir)
+    val segs = RetrievalQueries.segmentDirs(dest)
+    require(segs.nonEmpty, s"screen stream produced no segments under $dest")
+    segs.map(s => spark.read.parquet(s"${s.getPath}/pairs"))
+      .reduce(_.unionByName(_))
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0,
+          lit("delta_delta")).otherwise(lit("base_delta")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val streamDedupScreenSql: String = dedupIncrementalSql
+
+  private[graft] def streamScreenLocation(dir: String): java.io.File = {
+    import graft.sources.IndexStore
+    val dirTag = IndexStore.pathTag(dir)
+    val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_dedup_stream_${dirTag}_$fpTag")
+  }
+
+  /** Drain the screen-and-ingest stream once per (sf-dir fingerprint)
+    * generation — marker fast path, superseded-generation cleanup and
+    * crash semantics exactly as
+    * [[RetrievalQueries.ensureStreamIngestedIndex]] (no catalog
+    * entries: segments are read by path). */
+  private[graft] def ensureScreenedStream(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Int = 0): java.io.File =
+    PipelineQueries.synchronized {
+      import graft.sources.IndexStore
+      val dest = streamScreenLocation(dir)
+      dest.mkdirs()
+      val drained = new java.io.File(dest, "_SCREENED")
+      if (!drained.exists()) {
+        runScreenStream(spark, dir, glob, maxFilesPerTrigger, dest)
+        java.nio.file.Files.write(drained.toPath, Array.emptyByteArray)
+        IndexStore.cleanupSuperseded(spark,
+          new java.io.File(sys.props("java.io.tmpdir")),
+          s"graft_dedup_stream_${IndexStore.pathTag(dir)}_", dest.getName,
+          s"graft_dedup_stream_${IndexStore.pathTag(dir)}_", dest.getName)
+      }
+      dest
+    }
+
+  /** One AvailableNow drain of the screen-and-ingest stream (the
+    * checkpointed exactly-once layer under [[ensureScreenedStream]]'s
+    * marker fast path — callable directly to exercise a restart). */
+  private[graft] def runScreenStream(spark: SparkSession, dir: String,
+      glob: String, maxFilesPerTrigger: Int, dest: java.io.File): Unit = {
+    val baseName = ensureDedupIndex(spark, dir)
+    QueryUtil.withStreamStatePartitions(spark) { s =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      var reader = s.readStream.schema(schema).option("pathGlobFilter", glob)
+      if (maxFilesPerTrigger > 0)
+        reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      val src = reader.parquet(dir).filter(col("doc_id") % 10 === 0)
+      val screenThenIngest: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, batchId) => {
+          val ss = batch.sparkSession
+          val segName = f"seg_$batchId%05d"
+          val prior = RetrievalQueries.segmentDirs(dest)
+            .filter(_.getName < segName)
+            .map(f => ss.read.parquet(s"${f.getPath}/index"))
+          val idx = prior.foldLeft(ss.table(baseName))(_.unionByName(_))
+          val res = MinHashLSH.incrementalFromIndexResult(
+            idx, batch.toDF(), "doc_id", "text", MinhashThreshold)
+          val seg = new java.io.File(dest, segName)
+          res.df.write.mode("overwrite").parquet(s"${seg.getPath}/pairs")
+          res.release()
+          MinHashLSH.indexRows(batch.toDF(), "doc_id", "text")
+            .write.mode("overwrite").parquet(s"${seg.getPath}/index")
+        }
+      val q = src.writeStream
+        .foreachBatch(screenThenIngest)
+        .option("checkpointLocation", s"${dest.getPath}/checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+    }
+  }
+
   // ---- q193: CDC upsert applied to the stored index -------------------
 
   /** Revised cohort: docs with doc_id % 40 == 3 play the "document was

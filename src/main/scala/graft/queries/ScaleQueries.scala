@@ -676,6 +676,96 @@ object ScaleQueries {
        |GROUP BY comp
        |ORDER BY cluster_rep""".stripMargin
 
+  // ---- q212: cluster maintenance on append (stored labels + delta) ----
+
+  /** q56's duplicate clusters maintained INCREMENTALLY from a stored
+    * label table instead of recomputed from scratch — the clustering
+    * counterpart of q184: base cluster labels live AT REST (CC over
+    * the base shard's near-dup pairs, bucketed by id), a crawl delta
+    * contributes only its q184-style stored-index screen pairs, and
+    * the merge is CC over (label star edges ∪ delta-touching pairs).
+    *
+    * Why that merge is exact: each base component is contracted to a
+    * star `(id → comp)` whose endpoints include every base pair-node,
+    * so CC(stars ∪ delta pairs) has the same connectivity — and the
+    * same min-id representatives — as CC(base pairs ∪ delta pairs),
+    * which is CC over the FULL corpus pair set (pair candidacy and
+    * verification are pair-local, the q81 argument). The oracle is
+    * therefore q56's full-recompute SQL VERBATIM.
+    *
+    * Work at append time: the delta screen (∝ delta + collisions,
+    * never corpus) + CC over |labels| + |delta pairs| edges — and the
+    * star edges converge in O(1) propagation rounds where the raw
+    * base pair graph needs O(diameter). Base documents are never
+    * re-read (delta predicate on every documents scan), base pairs
+    * never re-detected: the MinHash detector runs only inside the
+    * store builds. StoredIndexSpec pins equality with q56, the
+    * delta-only scans, the label store read, and that the store holds
+    * base-side ids only. */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersFrom(incrementalClusterEdges(spark, dir))
+
+  /** The LAZY merged edge list (label stars ∪ delta screen pairs) —
+    * the plan [[incrementalClusters]] feeds to the eager CC loop,
+    * exposed so StoredIndexSpec can assert its scans (the CC result's
+    * own plan is checkpoint-decoupled from the inputs). */
+  private[graft] def incrementalClusterEdges(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val labels = spark.table(ensureClusterStore(spark, dir))
+    val index = spark.table(PipelineQueries.ensureDedupIndex(spark, dir))
+    val deltaPairs = graft.dedup.MinHashLSH.incrementalFromIndexResult(
+        index, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", PipelineQueries.MinhashThreshold)
+      .df.select(col("doc_a"), col("doc_b"))
+    labels.select(col("id").as("doc_a"), col("comp").as("doc_b"))
+      .unionByName(deltaPairs)
+  }
+
+  val incrementalClustersSql: String = dedupClustersSql
+
+  /** Stored base cluster labels: CC over the base shard's near-dup
+    * pairs, one (id, comp) row per base pair-node, bucketed by id —
+    * [[graft.sources.IndexStore]] lifecycle exactly as
+    * [[PipelineQueries.ensureDedupIndex]]. The MinHash detection over
+    * base text happens HERE, once per store generation, never at
+    * query time. Returns the catalog table name. */
+  def ensureClusterStore(spark: SparkSession, dir: String): String =
+    ScaleQueries.synchronized {
+      import graft.sources.{BucketedTables, IndexStore}
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val name = s"cluster_idx_${dirTag}_$fpTag"
+      if (!spark.catalog.tableExists(name)) {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, s"graft_cluster_idx_${dirTag}_$fpTag")
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
+            table(spark, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", PipelineQueries.MinhashThreshold)
+          val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
+          pairs.count() // exactly one MinHash evaluation (q56's discipline)
+          val labels = graft.operators.ConnectedComponents
+            .components(pairs, "doc_a", "doc_b", partitions = 8)
+          pairs.unpersist(blocking = false)
+          minhash.release()
+          val stagingName = s"${name}_staging"
+          BucketedTables.writeBucketed(labels, stagingName, staging.getPath, "id", 8)
+          spark.sql(s"DROP TABLE IF EXISTS $stagingName")
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("comp",
+            org.apache.spark.sql.types.LongType)))
+        IndexStore.registerBucketed(spark, name, dest.getPath, schema, "id", 8)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_cluster_idx_${dirTag}_", dest.getName,
+          s"cluster_idx_${dirTag}_", name)
+      }
+      name
+    }
+
   // ---- q57: benchmark decontamination --------------------------------
 
   /** Long n-grams so shared fingerprints mean real passage overlap,

@@ -445,6 +445,92 @@ class StoredIndexSpec extends SparkSpec
     assert(out.map(_.getLong(3)).sum > 0, "no quality drops — threshold is dead")
   }
 
+  // ---- 11. cluster maintenance on append (q212) ---------------------------
+
+  test("q212 equals q56's full-recompute clusters row-for-row") {
+    val inc = rows("q212_incremental_clusters")
+    val full = rows("q56_dedup_clusters")
+    assert(inc.nonEmpty && inc == full)
+  }
+
+  test("q212 edge plan: documents scans are delta-only; label store + dedup index read") {
+    spark.catalog.clearCache()
+    val df = ScaleQueries.incrementalClusterEdges(spark, sfDir)
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected delta scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% 10") && filters.contains("= 0"),
+        s"documents scan without the delta predicate (base text re-read!): $s")
+    }
+    assert(scansOf(df, "graft_cluster_idx_").nonEmpty,
+      "plan does not read the persisted label store")
+    assert(scansOf(df, "graft_dedup_idx_").nonEmpty,
+      "plan does not read the persisted dedup index")
+  }
+
+  test("q212's label store holds base-side pair nodes only, labeled by min id") {
+    val labels = spark.table(ScaleQueries.ensureClusterStore(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.nonEmpty)
+    assert(labels.forall { case (id, _) => id % 10 != 0 },
+      "a delta doc leaked into the stored base labels")
+    val byComp = labels.groupBy(_._2)
+    assert(byComp.forall { case (comp, members) => members.map(_._1).min == comp },
+      "a stored component label is not its member minimum")
+  }
+
+  // ---- 12. tokenizer at rest (q213) ---------------------------------------
+
+  test("q213 plan: every documents scan is not-ref; token counts nonzero") {
+    val df = coldPlan("q213_bpe_stored")
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected candidate-side scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% " + ScaleQueries.LmRefMod),
+        s"documents scan without the not-ref predicate (training text re-read!): $s")
+    }
+    val out = df.collect()
+    assert(out.nonEmpty && out.forall(_.getLong(3) > 0))
+  }
+
+  test("q213's stored merges equal an independent relearn from the ref dict") {
+    import org.apache.spark.sql.functions._
+    val store = CurationQueries.ensureBpeStore(spark, sfDir)
+    val stored = spark.read
+      .parquet(new File(store, "merges").getPath)
+      .select("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // independent derivation of the same dictionary + recurrence
+    val dict = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % ScaleQueries.LmRefMod === 0)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(CurationQueries.BpeVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fresh = graft.text.BpeLearner.learn(dict, CurationQueries.BpeMerges)
+      .map(m => (m.step, m.left, m.right, m.count))
+    assert(stored.nonEmpty && stored == fresh)
+    assert(stored.map(_._1) == (1L to CurationQueries.BpeMerges.toLong))
+  }
+
+  test("q213's tokenizer model rebuilds on source-fingerprint change") {
+    val dir = tmpCorpus("documents")
+    val root1 = CurationQueries.ensureBpeStore(spark, dir)
+    assert(IndexStore.hasSuccess(new File(root1, "merges")))
+    val doc = new File(dir, "documents.parquet")
+    assert(doc.setLastModified(doc.lastModified() + 5000))
+    val root2 = CurationQueries.ensureBpeStore(spark, dir)
+    assert(root2 != root1, "fingerprint change did not mint a new tokenizer model")
+    assert(!root1.exists(), "superseded tokenizer generation not cleaned")
+    assert(IndexStore.hasSuccess(new File(root2, "merges")))
+  }
+
   test("two concurrent builders produce one valid store (publish race)") {
     val root = Files.createTempDirectory("graft_race_").toFile
     tmpCorpora += root.getPath
