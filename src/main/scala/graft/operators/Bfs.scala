@@ -41,21 +41,40 @@ object Bfs {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = edges.sparkSession
+    // one hash exchange on src, then never again: every round's
+    // frontier⋈edges join sees the frontier as the (runtime-small)
+    // side — AQE broadcasts it — while the persisted edge partitions
+    // are read in place (the PageRank edge-economics)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).persist(MEMORY_AND_DISK)
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src")).persist(MEMORY_AND_DISK)
+    // total node count bounds the loop from above: once the visited
+    // tally reaches it, no round can add a row — this skips the
+    // mostly-empty trailing rounds a generous maxHops would otherwise
+    // pay (each still a full expand-distinct over the edge list)
     val seed0 = spark.range(1)
       .select(lit(seed).as("node"), lit(0L).as("dist"))
+    val totalNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .union(seed0.select("node")) // seed may be edge-less
+      .distinct().count()
     var levels = Vector(seed0.persist(MEMORY_AND_DISK))
+    var visited = 1L
     var frontier = seed0.select("node")
-    for (i <- 1 to maxHops if frontier != null) {
+    var i = 1
+    while (frontier != null && i <= maxHops && visited < totalNodes) {
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(levels.map(_.select("node")).reduce(_.union(_)),
           Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("dist"))
         .persist(MEMORY_AND_DISK)
-      if (next.isEmpty) { next.unpersist(blocking = false); frontier = null }
-      else { levels :+= next; frontier = next.select("node") }
+      // count, not isEmpty: fully materializes the level (so the final
+      // union reads cache instead of recomputing) and feeds the tally
+      val n = next.count()
+      if (n == 0) { next.unpersist(blocking = false); frontier = null }
+      else { levels :+= next; visited += n; frontier = next.select("node") }
+      i += 1
     }
     val result = levels.reduce(_.unionByName(_)).localCheckpoint(true)
     levels.foreach(_.unpersist(blocking = false))

@@ -434,6 +434,124 @@ object PipelineQueries {
       dest
     }
 
+  // ---- q214: Bloom seen-set store (crawl frontier dedup) --------------
+
+  /** Bloom bit-array size (2^20) and hash count. At 10⁸ base docs a
+    * production deployment scales m with n (bits ≈ 10·n for ~1% FP);
+    * the occupied-position encoding below stores only SET bits, so
+    * the store stays ∝ occupancy either way. */
+  val BloomM = 1 << 20
+  val BloomK = 3
+
+  /** Revisit slice: every 7th base doc re-enters the frontier (the
+    * crawler re-encountering a known URL) — the rows that make the
+    * Bloom guarantee LIVE in the gate at every SF (the corpus has no
+    * natural cross-shard exact dup, so without them the hit branch
+    * would be exercised only by rare FPs). */
+  val BloomRevisitMod = 7L
+
+  /** The crawl frontier's FIRST gate: an already-seen check against a
+    * Bloom filter of the base corpus's exact text digests, persisted
+    * AT REST — the screen a fetcher consults before wasting a fetch /
+    * a dedup pass consults before hashing shingles. The frontier
+    * under test is fresh delta docs (doc_id % 10 == 0) plus a
+    * [[BloomRevisitMod]] revisit slice of base docs. The stored
+    * object is the SET BITS as an occupied-position table (distinct
+    * `pos` longs — KB-to-MB scale, broadcastable; an explicit bitmap
+    * blob would need a UDF to probe, a position table probes with a
+    * plain broadcast equi-join, and empty-vs-set density is the
+    * store's own documentation). Positions are md5-derived
+    * ([[graft.text.Hashing.x31]] over `"j:" || digest`, j = 1..k, mod
+    * [[BloomM]]), so the filter — INCLUDING its false positives — is
+    * a deterministic pure function of the base text: the oracle
+    * rebuilds the identical bit set in SQL and the verdicts gate
+    * hash-exact, FPs and all. Per frontier doc: `bloom_hit` ⇔ all k
+    * positions occupied. Every revisit row MUST hit — no false
+    * negative is possible by construction (a seen digest's positions
+    * are all set: the Bloom guarantee, live in the oracle via the
+    * revisit slice and spec-pinned besides); false positives on the
+    * fresh side are the documented trade (measured, never hidden:
+    * the verdict is `maybe-seen`, not `seen`). Serving scans ONLY
+    * frontier documents (the frontier predicate on the one documents
+    * scan) + the broadcast store. */
+  def bloomSeen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Hashing
+    val store = ensureBloomStore(spark, dir)
+    val occ = spark.read.parquet(new java.io.File(store, "positions").getPath)
+    val frontier = table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0 ||
+        (col("doc_id") % 10 =!= 0 && col("doc_id") % BloomRevisitMod === 0))
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit("fresh"))
+          .otherwise(lit("revisit")).as("probe_type"),
+        md5(col("text")).as("d"))
+    val dp = frontier.select(col("doc_id"), explode(array(
+      (1 to BloomK).map(j =>
+        Hashing.x31(concat(lit(s"$j:"), col("d"))) % BloomM): _*)).as("pos"))
+    val hits = dp.join(occ, "pos")
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    frontier.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("probe_type"),
+        (coalesce(col("h"), lit(0L)) === BloomK).as("bloom_hit"))
+      .orderBy("doc_id")
+  }
+
+  val bloomSeenSql: String = {
+    import graft.text.Hashing
+    def posSql(j: Int): String =
+      s"(${Hashing.x31Sql(s"'$j:' || d")} % $BloomM)"
+    val posList = (1 to BloomK).map(posSql).mkString(", ")
+    s"""WITH base AS (
+       |  SELECT md5(text) AS d FROM documents WHERE doc_id % 10 <> 0),
+       |occ AS (
+       |  SELECT DISTINCT unnest([$posList]) AS pos FROM base),
+       |frontier AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0 THEN 'fresh' ELSE 'revisit' END
+       |      AS probe_type,
+       |    md5(text) AS d
+       |  FROM documents
+       |  WHERE doc_id % 10 = 0
+       |     OR (doc_id % 10 <> 0 AND doc_id % $BloomRevisitMod = 0)),
+       |dp AS (
+       |  SELECT doc_id, unnest([$posList]) AS pos FROM frontier),
+       |hits AS (
+       |  SELECT doc_id, count(*)::BIGINT AS h
+       |  FROM dp JOIN occ USING (pos) GROUP BY doc_id)
+       |SELECT frontier.doc_id, probe_type, coalesce(h, 0) = $BloomK AS bloom_hit
+       |FROM frontier LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Persisted Bloom seen-set over the base shard's text digests
+    * (occupied positions only), [[graft.sources.IndexStore]]
+    * lifecycle. Returns the published store root. */
+  def ensureBloomStore(spark: SparkSession, dir: String): java.io.File =
+    PipelineQueries.synchronized {
+      import graft.sources.IndexStore
+      import graft.text.Hashing
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot, s"graft_bloom_seen_${dirTag}_$fpTag")
+      def valid(root: java.io.File): Boolean =
+        IndexStore.hasSuccess(new java.io.File(root, "positions"))
+      IndexStore.publish(dest, valid) { staging =>
+        table(spark, dir, "documents")
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(md5(col("text")).as("d"))
+          .select(explode(array((1 to BloomK).map(j =>
+            Hashing.x31(concat(lit(s"$j:"), col("d"))) % BloomM): _*)).as("pos"))
+          .distinct()
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(staging, "positions").getPath)
+      }
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_bloom_seen_${dirTag}_", dest.getName,
+        s"graft_bloom_seen_${dirTag}_", dest.getName)
+      dest
+    }
+
   /** One AvailableNow drain of the screen-and-ingest stream (the
     * checkpointed exactly-once layer under [[ensureScreenedStream]]'s
     * marker fast path — callable directly to exercise a restart). */

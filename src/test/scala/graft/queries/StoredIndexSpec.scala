@@ -531,6 +531,77 @@ class StoredIndexSpec extends SparkSpec
     assert(IndexStore.hasSuccess(new File(root2, "merges")))
   }
 
+  // ---- 13. Bloom seen-set store (q214) ------------------------------------
+
+  test("q214: no false negative — every revisit row hits; any fresh hit is a measured FP") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q214_bloom_seen")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    val (revisit, fresh) = out.partition(_._2 == "revisit")
+    assert(revisit.nonEmpty && revisit.forall(_._3),
+      "a revisit (known-seen) doc was missed — Bloom false negative!")
+    // fresh hits can only be (a) a genuine cross-shard dup or (b) an FP;
+    // neither may be a miss of a genuine dup
+    val baseDigests = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0)
+      .selectExpr("md5(text) AS d").collect().map(_.getString(0)).toSet
+    val freshDigest = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .selectExpr("doc_id", "md5(text) AS d").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fresh.foreach { case (id, _, hit) =>
+      if (baseDigests.contains(freshDigest(id)))
+        assert(hit, s"fresh doc $id duplicates a base doc but was not flagged")
+    }
+  }
+
+  test("q214: a planted exact dup in the frontier is guaranteed to hit") {
+    val tA = "the planted duplicate text that the crawler has already seen before"
+    val docs = Seq(
+      (1L, tA), (2L, "a unique base document with its own words"),
+      (3L, "another base document nothing like the rest"),
+      (10L, tA), (20L, "a genuinely fresh document never seen by the crawler"))
+    val dir = Files.createTempDirectory("graft_bloom_").toFile
+    dir.deleteOnExit()
+    tmpCorpora += dir.getPath
+    val s = spark
+    import s.implicits._
+    docs.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"${dir.getPath}/documents.parquet")
+    val out = SparkEntry.queries("q214_bloom_seen")(spark, dir.getPath)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(out(10L), "planted dup not flagged — Bloom false negative")
+    assert(!out(20L), "unique doc flagged at ~0 occupancy — hashing broken?")
+  }
+
+  test("q214 plan: one frontier-predicated documents scan; position store read") {
+    val df = coldPlan("q214_bloom_seen")
+    val docScans = scansOf(df, "documents.parquet")
+    assert(docScans.nonEmpty, "expected frontier scans of documents.parquet")
+    docScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("% 10") &&
+        filters.contains("% " + PipelineQueries.BloomRevisitMod),
+        s"documents scan without the frontier predicate (base text re-read!): $s")
+    }
+    assert(scansOf(df, "graft_bloom_seen_").nonEmpty,
+      "plan does not read the persisted position table")
+  }
+
+  test("q214's seen-set rebuilds on source-fingerprint change") {
+    val dir = tmpCorpus("documents")
+    val root1 = PipelineQueries.ensureBloomStore(spark, dir)
+    assert(IndexStore.hasSuccess(new File(root1, "positions")))
+    val doc = new File(dir, "documents.parquet")
+    assert(doc.setLastModified(doc.lastModified() + 5000))
+    val root2 = PipelineQueries.ensureBloomStore(spark, dir)
+    assert(root2 != root1, "fingerprint change did not mint a new seen-set")
+    assert(!root1.exists(), "superseded seen-set generation not cleaned")
+    assert(IndexStore.hasSuccess(new File(root2, "positions")))
+  }
+
   test("two concurrent builders produce one valid store (publish race)") {
     val root = Files.createTempDirectory("graft_race_").toFile
     tmpCorpora += root.getPath
