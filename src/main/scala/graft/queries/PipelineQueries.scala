@@ -1374,6 +1374,75 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q215: perceptual video near-dup (frame-dHash sequences) --------
+
+  /** Video near-duplicate detection
+    * ([[graft.multimodal.VideoDedup]]) — the fourth modality of the
+    * dedup family: per-frame dHashes over frames that round-trip the
+    * REAL RIFF/AVI container (carrying uncompressed gray frames — the
+    * lossless flavor, which is what lets the oracle recompute the
+    * identical bits from text; MJPEG in the same container is q186).
+    * Perturbed twins as the planted duplicates, Hamming budget scaled
+    * to frame count (2·nf+1 < 8·nf bands ⇒ pigeonhole
+    * exhaustiveness), candidates from (frame, band, value) buckets
+    * with equal frame counts. Oracle: identical per-frame grid bits
+    * from sanitized text, brute-forced over all equal-length pairs. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.VideoDedup
+    val docs = table(spark, dir, "documents")
+    VideoDedup.nearDupPairs(VideoDedup.videoHashes(docs, "doc_id", "text"))
+  }
+
+  val videoNearDupSql: String = {
+    import graft.multimodal.VideoDedup.{Stride, TwinOffset}
+    import graft.multimodal.Multimodal.{AviFrameBytes, AviMaxFrames}
+    val cap = AviFrameBytes * AviMaxFrames
+    // 1-based char position of grid cell j (0..71) of frame f:
+    // row = j//9 of 8 rows (h = 8 ⇒ row maps to pixel row directly),
+    // col = j%9 of 9 sampled cols over the 16-wide frame
+    val pos = s"(f * $AviFrameBytes + (j // 9) * 16 + ((j % 9) * 16 // 9) + 1)"
+    s"""WITH uni AS (
+       |  SELECT doc_id AS id, FALSE AS twin,
+       |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+       |  FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $TwinOffset, TRUE,
+       |    regexp_replace(text, '[^ -~]', '', 'g')
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |geo AS (
+       |  SELECT id, twin, s, least(length(s), $cap) AS len,
+       |    greatest(1, (least(length(s), $cap) + ${AviFrameBytes - 1})
+       |      // $AviFrameBytes) AS nf
+       |  FROM uni),
+       |fr AS (
+       |  SELECT id, twin, s, len, nf, f
+       |  FROM geo, (SELECT unnest([0, 1, 2, 3]) AS f) WHERE f < nf),
+       |g AS (
+       |  SELECT id, nf, f, list_transform(range(0, 72), j ->
+       |    CASE WHEN $pos <= len THEN
+       |      CASE WHEN twin AND $pos % $Stride = 0 THEN 126
+       |           ELSE ascii(substr(s, $pos::INT, 1)) END
+       |    ELSE 0 END) AS gg
+       |  FROM fr),
+       |bits AS (
+       |  SELECT id, nf, f, list_transform(range(0, 64), k ->
+       |    CASE WHEN gg[(k // 8) * 9 + (k % 8) + 1] > gg[(k // 8) * 9 + (k % 8) + 2]
+       |         THEN 1 ELSE 0 END) AS bb
+       |  FROM g),
+       |ham AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.nf AS n_frames,
+       |    sum(list_sum(list_transform(range(0, 64), k ->
+       |      CASE WHEN a.bb[k + 1] <> b.bb[k + 1] THEN 1 ELSE 0 END)))::BIGINT
+       |      AS hamming
+       |  FROM bits a JOIN bits b
+       |    ON a.id < b.id AND a.f = b.f AND a.nf = b.nf
+       |  GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, n_frames, hamming,
+       |  (id_b - id_a = $TwinOffset) AS twin_pair
+       |FROM ham WHERE hamming <= 2 * n_frames + 1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- q119: metadata-filtered vector search -------------------------
 
   /** Filtered ANN — "top-k most similar WITH label = X" — done as TRUE
