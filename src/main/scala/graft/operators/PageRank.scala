@@ -111,4 +111,59 @@ object PageRank {
        |  FROM e JOIN $prev ON e.src = $prev.node
        |  GROUP BY e.dst) c USING (node)""".stripMargin
   }
+
+  /** PERSONALIZED PageRank (random walk with restart to a seed SET):
+    * the teleport mass lands only on seeds — `r'(v) = 1[v∈S]·(1-d)·10⁶
+    * + (d·Σ contributions) div 100` — so rank measures authority AS
+    * SEEN FROM the seed slice (topic-/domain-conditional authority,
+    * the recommendation and focused-crawl variant of [[run]]). Same
+    * integer-millionths determinism, same per-iteration shuffle
+    * economics; `seeds` is one `node` column, restricted to graph
+    * nodes by the flag join. Init: 10⁶ on seeds, 0 elsewhere. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = (100 - dampingPct) * RankUnit / 100
+    val e = edges.persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val flagged = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .join(seeds.select(col("node")).distinct().withColumn("__s", lit(1)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0)).as("is_seed"))
+      .persist()
+    var ranks = flagged.select(col("node"),
+      (col("is_seed").cast("long") * RankUnit).as("rank"))
+    for (_ <- 1 to iterations) {
+      val rd = ranks.join(deg, col("node") === col("src"))
+        .select(col("node").as("u"), expr("rank div deg").as("rd"))
+      val contrib = e.join(rd, col("src") === col("u"))
+        .groupBy(col("dst").as("n"))
+        .agg(sum("rd").as("c"))
+      ranks = flagged
+        .join(contrib, col("node") === col("n"), "left")
+        .select(col("node"),
+          (col("is_seed").cast("long") * base +
+            expr(s"($dampingPct * coalesce(c, 0L)) div 100")).as("rank"))
+    }
+    val result = ranks.localCheckpoint(true)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    flagged.unpersist(blocking = false)
+    result
+  }
+
+  /** DuckDB mirror of one [[runPersonalized]] iteration: node CTE is
+    * `n2 (node, is_seed)`. */
+  def personalizedIterationSql(prev: String, dampingPct: Int = 85): String = {
+    val base = (100 - dampingPct) * RankUnit / 100
+    s"""SELECT n2.node,
+       |  (n2.is_seed * $base + ($dampingPct * coalesce(c.c, 0)) // 100)::BIGINT
+       |    AS rank
+       |FROM n2 LEFT JOIN (
+       |  SELECT e.dst AS node, sum($prev.rank // e.deg)::BIGINT AS c
+       |  FROM e JOIN $prev ON e.src = $prev.node
+       |  GROUP BY e.dst) c USING (node)""".stripMargin
+  }
 }

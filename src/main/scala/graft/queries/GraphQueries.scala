@@ -131,6 +131,60 @@ object GraphQueries {
        |            ELSE 'S' || (node // 2)::VARCHAR END AS node, dist
        |FROM d ORDER BY dist, node""".stripMargin
 
+  // ---- q216: personalized PageRank (seeded restart) --------------------
+
+  val PprIterations = 3
+  val PprTopK = 20
+  /** Seed slice: customers of nation 1 — a topic/domain slice whose
+    * view of supplier authority PPR extracts. */
+  val PprSeedNation = 1L
+
+  /** Personalized PageRank over the q111 purchase graph, restarting to
+    * the nation-[[PprSeedNation]] customer cohort
+    * ([[graft.operators.PageRank.runPersonalized]]): rank = authority
+    * AS SEEN FROM the seed slice — the focused-crawl / recommendation
+    * variant of global PageRank (suppliers serving that nation's
+    * customers surface; suppliers two hops out inherit only damped
+    * mass). Same integer-exact recurrence and top-K discipline as
+    * q111; zero-rank nodes (unreached at 3 hops) stay in the table —
+    * the top-K drops them naturally, never a special case. */
+  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = table(spark, dir, "customer")
+      .filter(col("c_nationkey") === PprSeedNation)
+      .select((col("c_custkey") * 2L).as("node"))
+    PageRank.runPersonalized(purchaseArcs(spark, dir), seeds, PprIterations)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
+        col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(PprTopK)
+  }
+
+  val personalizedPagerankSql: String = {
+    val it = (p: String) => PageRank.personalizedIterationSql(p)
+    s"""WITH $arcsCtePrefix,
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+       |seeds AS (
+       |  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+       |  WHERE c_nationkey = $PprSeedNation),
+       |n2 AS (
+       |  SELECT node,
+       |    CASE WHEN node IN (SELECT node FROM seeds) THEN 1 ELSE 0 END
+       |      AS is_seed
+       |  FROM (SELECT DISTINCT src AS node FROM e0)),
+       |r0 AS (
+       |  SELECT node, (is_seed * ${PageRank.RankUnit})::BIGINT AS rank FROM n2),
+       |r1 AS (${it("r0")}),
+       |r2 AS (${it("r1")}),
+       |r3 AS (${it("r2")})
+       |SELECT CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)::VARCHAR
+       |            ELSE 'S' || (node // 2)::VARCHAR END AS node, rank
+       |FROM r3
+       |ORDER BY rank DESC, node LIMIT $PprTopK""".stripMargin
+  }
+
   // ---- q114: item co-occurrence lift ---------------------------------
 
   val CoocTopK = 20

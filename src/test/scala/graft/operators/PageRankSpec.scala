@@ -55,6 +55,51 @@ class PageRankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** Driver-side reference for the PERSONALIZED recurrence: teleport
+    * mass (init and per-round base) only on seeds. */
+  private def refPprRanks(edges: Seq[(String, String)], seeds: Set[String],
+      iters: Int, dampingPct: Int = 85): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (100 - dampingPct) * PageRank.RankUnit / 100
+    var r = nodes.map(n =>
+      n -> (if (seeds(n)) PageRank.RankUnit else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) +
+          dampingPct * contrib.getOrElse(n, 0L) / 100)).toMap
+    }
+    r
+  }
+
+  private def runPprOn(edges: Seq[(String, String)], seeds: Seq[String],
+      iters: Int): Map[String, Long] = {
+    import spark.implicits._
+    PageRank.runPersonalized(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("personalized: matches the seeded recurrence on a hand graph") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "d" -> "a",
+      "e" -> "a", "e" -> "b")
+    for (iters <- Seq(1, 3))
+      assert(runPprOn(edges, Seq("a", "e"), iters) ==
+        refPprRanks(edges, Set("a", "e"), iters), s"iters=$iters")
+  }
+
+  test("personalized: nodes unreachable from the seeds stay at exactly zero") {
+    // two components; seeds only in the first
+    val edges = Seq("a" -> "b", "b" -> "a", "x" -> "y", "y" -> "x")
+    val r = runPprOn(edges, Seq("a"), 3)
+    assert(r("x") == 0L && r("y") == 0L)
+    assert(r("a") > 0L && r("b") > 0L)
+    // seeds outside the graph are ignored by the flag join
+    assert(runPprOn(edges, Seq("a", "zz"), 2) == runPprOn(edges, Seq("a"), 2))
+  }
+
   test("q111: top-K authorities are well-formed and strictly ranked") {
     val rows = GraphQueries.purchasePagerank(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
