@@ -357,6 +357,98 @@ object PipelineQueries {
       name
     }
 
+  // ---- q217: index-generation DIFF (two stores, zero text reads) ------
+
+  /** The ops primitive the maintenance quadrant was missing: WHAT
+    * CHANGED between two generations of the dedup index — q184's base
+    * store vs q193's upserted store — computed ENTIRELY from the
+    * stores (one full-outer id join over two bucketed tables; zero
+    * documents reads, which the plan spec pins: this is the audit an
+    * operator runs AFTER maintenance, when the corpus may already be
+    * gone). Per id: `added` (new only), `removed` (old only),
+    * `changed` (any of the 32 signature columns or the verify-set
+    * array differs), `unchanged`; output is the per-class count +
+    * id checksum. For this pair of generations the expected shape is
+    * exactly {changed = the [[UpsertMod]]/[[UpsertRem]] cohort,
+    * unchanged = the rest} — but the operator asserts nothing of the
+    * sort: the ORACLE re-derives both generations' rows from the
+    * original and revised corpus text (stored rows are deterministic
+    * per-doc functions of text — the q184 equality argument) and
+    * diffs them in SQL, so a stale row, a missed edit, or an
+    * over-broad rewrite lands in the wrong class and fails the
+    * hash. */
+  def indexDiff(spark: SparkSession, dir: String): DataFrame =
+    indexDiffOf(
+      spark.table(ensureDedupIndex(spark, dir)),
+      spark.table(ensureUpsertIndex(spark, dir)))
+
+  /** The diff core over any two index-row generations (id, h0..h31,
+    * sh) — exposed so the spec can drive the added/removed classes
+    * with the forget store (rows only ever change in the upsert
+    * pair). */
+  private[graft] def indexDiffOf(oldIdx: DataFrame, newIdx: DataFrame): DataFrame = {
+    val a = oldIdx.toDF(oldIdx.columns.map(c => s"a_$c").toIndexedSeq: _*)
+    val b = newIdx.toDF(newIdx.columns.map(c => s"b_$c").toIndexedSeq: _*)
+    val same = (0 until MinHashLSH.NumHashes)
+      .map(i => col(s"a_h$i") === col(s"b_h$i"))
+      .reduce(_ && _) && col("a_sh") === col("b_sh")
+    a.join(b, col("a_id") === col("b_id"), "full_outer")
+      .select(coalesce(col("a_id"), col("b_id")).as("id"),
+        when(col("a_id").isNull, lit("added"))
+          .when(col("b_id").isNull, lit("removed"))
+          .when(same, lit("unchanged"))
+          .otherwise(lit("changed")).as("change"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_checksum"))
+      .orderBy("change")
+  }
+
+  /** Re-derived index rows (id, h0..h31, sorted verify-set hashes) as
+    * SQL CTEs with the given prefix, over `docsSql`. */
+  private def indexRowsCte(p: String, docsSql: String): String = {
+    val n = MinHashLSH.NumHashes
+    val sigMins = (0 until n)
+      .map(i => s"min(${Hashing.affineSql(i, "x")}) AS h$i").mkString(",\n    ")
+    s"""${p}tok AS (
+       |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM $docsSql),
+       |${p}sets AS (
+       |  SELECT id, ${Hashing.wordShinglesSql("w", 3)} AS sh FROM ${p}tok),
+       |${p}xs AS (
+       |  SELECT id, ${Hashing.x31Sql("shingle")} AS x
+       |  FROM (SELECT id, unnest(sh) AS shingle FROM ${p}sets)),
+       |${p}sig AS (SELECT id, $sigMins FROM ${p}xs GROUP BY id),
+       |${p}row AS (
+       |  SELECT s.*, list_sort(list_transform(t.sh, e -> ${Hashing.h60Sql("e")}))
+       |    AS shh
+       |  FROM ${p}sig s JOIN ${p}sets t USING (id))""".stripMargin
+  }
+
+  // lazy: references the q193 constants declared LATER in this object —
+  // a plain val would capture their pre-initialization defaults (0/null)
+  lazy val indexDiffSql: String = {
+    val origDocs =
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)"
+    val revisedDocs =
+      s"""(SELECT doc_id,
+         |     CASE WHEN doc_id % $UpsertMod = $UpsertRem
+         |          THEN text || '$UpsertSuffix' ELSE text END AS text
+         |   FROM documents WHERE doc_id % 10 <> 0)""".stripMargin
+    val sigSame = (0 until MinHashLSH.NumHashes)
+      .map(i => s"a.h$i = b.h$i").mkString(" AND ")
+    s"""WITH ${indexRowsCte("a", origDocs)},
+       |${indexRowsCte("b", revisedDocs)},
+       |d AS (
+       |  SELECT coalesce(a.id, b.id) AS id,
+       |    CASE WHEN a.id IS NULL THEN 'added'
+       |         WHEN b.id IS NULL THEN 'removed'
+       |         WHEN $sigSame AND a.shh = b.shh THEN 'unchanged'
+       |         ELSE 'changed' END AS change
+       |  FROM arow a FULL OUTER JOIN brow b ON a.id = b.id)
+       |SELECT change, count(*)::BIGINT AS n, sum(id)::BIGINT AS id_checksum
+       |FROM d GROUP BY change ORDER BY change""".stripMargin
+  }
+
   // ---- q210: STREAMING near-dup screening against the stored index ----
 
   /** The ONLINE dedup loop a live crawl runs against the q184 store:

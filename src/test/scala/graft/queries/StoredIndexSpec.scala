@@ -602,6 +602,46 @@ class StoredIndexSpec extends SparkSpec
     assert(IndexStore.hasSuccess(new File(root2, "positions")))
   }
 
+  // ---- 14. index-generation diff (q217) -----------------------------------
+
+  test("q217: changed class is exactly the upsert cohort; no text scan in the plan") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q217_index_diff")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cohort = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % PipelineQueries.UpsertMod === PipelineQueries.UpsertRem)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out("changed") == (cohort.length.toLong, cohort.sum),
+      s"changed class != upsert cohort: $out")
+    assert(!out.contains("added") && !out.contains("removed"),
+      s"upsert must replace rows, never add/remove ids: $out")
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q217_index_diff")(spark, sfDir)
+    assert(scansOf(df, "documents.parquet").isEmpty,
+      "the diff re-reads corpus text — it must run entirely from the stores")
+    assert(scansOf(df, "graft_dedup_idx_").nonEmpty &&
+      scansOf(df, "graft_dedup_uidx_").nonEmpty,
+      "plan does not read both store generations")
+  }
+
+  test("q217 core: forget-store pair drives the removed and added classes") {
+    val base = spark.table(PipelineQueries.ensureDedupIndex(spark, sfDir))
+    val forget = spark.table(PipelineQueries.ensureForgetIndex(spark, sfDir))
+    val gone = base.filter(
+      org.apache.spark.sql.functions.col("id") % PipelineQueries.ForgetMod
+        === PipelineQueries.ForgetRem)
+      .select("id").collect().map(_.getLong(0))
+    assert(gone.nonEmpty)
+    val rm = PipelineQueries.indexDiffOf(base, forget).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rm("removed") == (gone.length.toLong, gone.sum) && !rm.contains("added"))
+    val ad = PipelineQueries.indexDiffOf(forget, base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ad("added") == (gone.length.toLong, gone.sum) && !ad.contains("removed"))
+    assert(rm("unchanged") == ad("unchanged"))
+  }
+
   test("two concurrent builders produce one valid store (publish race)") {
     val root = Files.createTempDirectory("graft_race_").toFile
     tmpCorpora += root.getPath
