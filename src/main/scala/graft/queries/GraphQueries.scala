@@ -185,6 +185,61 @@ object GraphQueries {
        |ORDER BY rank DESC, node LIMIT $PprTopK""".stripMargin
   }
 
+  // ---- q218: cheapest partner path (bounded Bellman-Ford) --------------
+
+  val SpRounds = 4
+
+  /** Cheapest ≤[[SpRounds]]-hop path costs from the min-id node over
+    * the WEIGHTED purchase graph ([[graft.operators.MinPlus]]): edge
+    * cost `1 + 1000 div cnt` where cnt = joint line items — frequent
+    * partners are cheap, so low cost = strong business proximity to
+    * the seed (the weighted refinement of q211's hop counts; supplier
+    * routing and trust-propagation queries share this shape). Costs
+    * are exact integers; the oracle replays the identical min-plus
+    * recurrence as [[SpRounds]] unrolled SQL stages. */
+  def cheapestPartnerPath(spark: SparkSession, dir: String): DataFrame = {
+    val counted = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", lit(1L) + expr("1000 div cnt"))
+    val edges = counted
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst"), col("w")),
+        struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
+      .select("e.src", "e.dst", "e.w")
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    graft.operators.MinPlus.run(edges, seed, SpRounds)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
+        col("cost"))
+      .orderBy("cost", "node")
+  }
+
+  val cheapestPartnerPathSql: String = {
+    val relax = (p: String) => graft.operators.MinPlus.relaxSql(p)
+    val stages = (1 to SpRounds)
+      .map(k => s"d$k AS (${relax(s"d${k - 1}")})").mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+       |    count(*)::BIGINT AS cnt
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |pw AS (SELECT c, s, (1 + 1000 // cnt)::BIGINT AS w FROM p),
+       |e0 AS (
+       |  SELECT c AS src, s AS dst, w FROM pw
+       |  UNION ALL SELECT s, c, w FROM pw),
+       |seed AS (SELECT min(src) AS sd FROM e0),
+       |d0 AS (SELECT sd AS node, 0::BIGINT AS cost FROM seed),
+       |$stages
+       |SELECT CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)::VARCHAR
+       |            ELSE 'S' || (node // 2)::VARCHAR END AS node, cost
+       |FROM d$SpRounds ORDER BY cost, node""".stripMargin
+  }
+
   // ---- q114: item co-occurrence lift ---------------------------------
 
   val CoocTopK = 20
