@@ -134,6 +134,70 @@ class StreamScreenSpec extends SparkSpec
     assert(union.sorted == recompute.sorted)
   }
 
+  // ---- q219: streaming vector ingestion into the ANN store ------------
+
+  test("q219 equals q108's one-shot assignment path row-for-row") {
+    val streamed = SparkEntry.queries("q219_stream_ann_ingest")(spark, sfDir)
+      .collect().toSeq
+    val oneShot = SparkEntry.queries("q108_ann_incremental")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
+  test("q219 serving plan: embeddings read for query vectors only; store + segments read") {
+    PipelineQueries.ensureAnnIngestStream(spark, sfDir)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q219_stream_ann_ingest")(spark, sfDir)
+    val embScans = scansOf(df, "embeddings.parquet")
+    assert(embScans.nonEmpty, "expected a query-vector scan of embeddings.parquet")
+    embScans.foreach { s =>
+      val filters = s.dataFilters.mkString(";")
+      assert(filters.contains("< " + PipelineQueries.KnnQueries),
+        s"embeddings scan without the query predicate (base/delta re-read!): $s")
+    }
+    assert(scansOf(df, "graft_ivf_idx_").nonEmpty,
+      "plan does not read the persisted IVF corpus")
+    assert(scansOf(df, "graft_ann_stream_").nonEmpty,
+      "plan does not read the streamed segments")
+  }
+
+  test("q219 multi-batch: one file per trigger; segment union equals one-shot assignment") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_annstream_").toFile
+    dir.deleteOnExit()
+    tmpCorpora += dir.getPath
+    Files.copy(Paths.get(s"$sfDir/embeddings.parquet"),
+      Paths.get(dir.getPath, "embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val staging = new File(dir, "staging")
+    emb.repartition(3).write.parquet(staging.getPath)
+    val parts = Option(staging.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.size == 3)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p.toPath, Paths.get(dir.getPath, s"vecpart_$i.parquet"))
+    }
+    val dest = PipelineQueries.ensureAnnIngestStream(spark, dir.getPath,
+      glob = "vecpart_*.parquet", maxFilesPerTrigger = 1)
+    val segs = RetrievalQueries.segmentDirs(dest)
+    assert(segs.size == 3, s"expected 3 segments for 3 files, got ${segs.size}")
+    val union = segs.map(s => spark.read.parquet(s"${s.getPath}/vectors"))
+      .reduce(_.unionByName(_))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val base = PipelineQueries.ensureIvfIndex(spark, dir.getPath)
+    val centroids = spark.read.parquet(s"$base/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val oneShot = graft.similarity.IvfIndex.assign(
+        emb.filter(col("vec_id") % PipelineQueries.AnnDeltaMod === 0),
+        "vec_id", "embedding", centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(union.nonEmpty && union == oneShot)
+  }
+
   test("q210 re-invocation is a no-op at BOTH layers: marker and checkpoint") {
     val dest = PipelineQueries.ensureScreenedStream(spark, sfDir)
     def snapshot(): Seq[(String, Long, Long)] = {
