@@ -62,4 +62,39 @@ object DupPassages {
         sum(when(col("cnt") >= 2, col("c")).otherwise(0L)).as("n_dup_windows"),
         sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_crossdoc_windows"))
   }
+
+  /** Token intervals covered by every REDUNDANT duplicated-window
+    * occurrence under the canonical-first excision rule (Lee et al.
+    * 2022's ExactSubstr policy, windowed form): a window occurrence
+    * `(doc, p)` of hash `k` is redundant when `k` occurs ≥2 times
+    * corpus-wide AND `(doc, p)` is not the lexicographically first
+    * occurrence of `k` (min by `(doc_id, position)` — the one copy the
+    * corpus keeps). Returns `(idCol, s, e)` 1-based inclusive token
+    * intervals of width `w`.
+    *
+    * Scale shape: like [[windowCounts]], the per-occurrence table is
+    * two narrow columns + position; the per-hash reduction
+    * (`count` + `min(struct(doc, p))`) is a plain aggregate with
+    * map-side partials — no per-hash sort, no window function on the
+    * O(tokens) table. The explode is recomputed on both sides of the
+    * hash join for the q101 reason (the intermediate is O(corpus
+    * tokens) and far beyond any cache at 100 TB). */
+  def redundantIntervals(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    def occurrences =
+      docs
+        .select(col(idCol), NgramLM.tokens(col(textCol)).as("a"))
+        .filter(size(col("a")) >= w)
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(1, size(a) - $w + 1), i -> named_struct(" +
+            s"'p', i, 'k', md5(array_join(slice(a, i, $w), ' '))))")).as("o"))
+        .select(col(idCol), col("o.p").as("p"), col("o.k").as("k"))
+    val kc = occurrences.groupBy("k").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col(idCol), col("p"))).as("f"))
+    occurrences.join(kc, "k")
+      .filter(col("cnt") >= 2 &&
+        !(col(idCol) === col(s"f.$idCol") && col("p") === col("f.p")))
+      .select(col(idCol), col("p").as("s"), (col("p") + lit(w - 1)).as("e"))
+  }
 }

@@ -853,6 +853,106 @@ object CurationQueries {
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q220: exact-substring duplicate-span EXCISION ------------------
+
+  /** q101 measures duplication; q220 performs the cut. The windowed
+    * form of exact-substring dedup (Lee et al. 2022 "ExactSubstr"):
+    * every duplicated [[PassageW]]-token window occurrence EXCEPT the
+    * corpus-wide canonical first (min `(doc_id, position)` per hash —
+    * the copy the corpus keeps) marks its token range for removal, and
+    * per document the marked ranges merge into MAXIMAL excision spans
+    * (overlapping or adjacent ranges coalesce — gaps-and-islands), so
+    * a viral passage of any length ≥ W collapses to one span, not
+    * length−W+1 of them. Per doc: token count, span count, tokens
+    * removed/kept, and an integer span-boundary checksum
+    * (`Σ ss·1000003 + se`) that pins every boundary exactly — one
+    * off-by-one in the merge moves the hash.
+    *
+    * Scale shape: the per-hash canonical-first reduction is a plain
+    * aggregate over the O(tokens) occurrence table (map-side partials,
+    * no sort); only the REDUNDANT occurrences — ∝ duplicated text, a
+    * small fraction of a curated corpus — reach the per-doc
+    * gaps-and-islands windows, which shuffle by `doc_id` once and
+    * evaluate both running functions over a single sort. */
+  def spanExcision(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DupPassages
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val red = DupPassages.redundantIntervals(docs, "doc_id", "text", PassageW)
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val spans = red
+      .withColumn("pmax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp",
+        sum(when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("s").as("ss"), max("e").as("se"))
+    val per = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("se") - col("ss") + 1).cast("long").as("tokens_removed"),
+      sum(col("ss").cast("long") * lit(1000003L) + col("se"))
+        .as("span_checksum"))
+    docs
+      .select(col("doc_id"),
+        size(graft.text.NgramLM.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        (col("n_tokens") - coalesce(col("tokens_removed"), lit(0L)))
+          .as("tokens_kept"),
+        coalesce(col("span_checksum"), lit(0L)).as("span_checksum"))
+      .orderBy("doc_id")
+  }
+
+  val spanExcisionSql: String = {
+    val w = PassageW
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i AS p, md5(array_to_string(a[i:i+${w - 1}], ' ')) AS k
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(generate_series(1, len(a) - ${w - 1})) AS i) u
+       |  WHERE len(a) >= $w),
+       |red AS (
+       |  SELECT doc_id, p AS s, p + ${w - 1} AS e FROM (
+       |    SELECT doc_id, p,
+       |      row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn
+       |    FROM occ) t
+       |  WHERE rn >= 2),
+       |isl AS (
+       |  SELECT doc_id, s, e, max(e) OVER (
+       |      PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM red),
+       |grps AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(s) AS ss, max(e) AS se
+       |  FROM grps GROUP BY doc_id, g),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |    sum(se - ss + 1)::BIGINT AS tokens_removed,
+       |    sum(ss * 1000003 + se)::BIGINT AS span_checksum
+       |  FROM spans GROUP BY doc_id),
+       |nt AS (SELECT doc_id, len(a)::BIGINT AS n_tokens FROM tok)
+       |SELECT d.doc_id, nt.n_tokens,
+       |  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(p.tokens_removed, 0)::BIGINT AS tokens_removed,
+       |  (nt.n_tokens - coalesce(p.tokens_removed, 0))::BIGINT AS tokens_kept,
+       |  coalesce(p.span_checksum, 0)::BIGINT AS span_checksum
+       |FROM documents d JOIN nt USING (doc_id) LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q143: epoch repetition schedule -------------------------------
 
   /** Data-constrained pretraining repeats its BEST data for several

@@ -442,4 +442,84 @@ class CurationQueriesSpec extends SparkSpec {
     assert(rows.length == n * (n - 1) / 2)
     assert(rows.forall(r => r._3 >= -DsirB && r._3 <= 693148 + DsirB))
   }
+
+  // ---- q220: exact-substring duplicate-span excision ------------------
+
+  /** Driver-side reference: canonical-first redundant windows → merged
+    * maximal spans. Mirrors the q220 contract exactly. */
+  private def naiveExcision(docs: Seq[(Long, String)], w: Int)
+      : Map[Long, (Long, Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val occ = for {
+      (id, a) <- toks.toSeq; if a.size >= w
+      p <- 1 to (a.size - w + 1)
+    } yield (a.slice(p - 1, p + w - 1).mkString(" "), id, p)
+    val red = occ.groupBy(_._1).values.flatMap { os =>
+      if (os.size < 2) Nil else os.sortBy(o => (o._2, o._3)).tail
+    }.toSeq
+    docs.map { case (id, _) =>
+      val ivs = red.filter(_._2 == id).map(o => (o._3, o._3 + w - 1))
+        .sortBy(_._1)
+      val merged = ivs.foldLeft(List.empty[(Int, Int)]) {
+        case ((ps, pe) :: rest, (s, e)) if s <= pe + 1 =>
+          (ps, math.max(pe, e)) :: rest
+        case (acc, (s, e)) => (s, e) :: acc
+      }.reverse
+      val removed = merged.map { case (s, e) => e - s + 1 }.sum.toLong
+      val ck = merged.map { case (s, e) => s.toLong * 1000003L + e }.sum
+      val nTok = toks(id).size.toLong
+      id -> (nTok, merged.size.toLong, removed, nTok - removed, ck)
+    }.toMap
+  }
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_excise_").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+    dir.getPath
+  }
+
+  test("q220: hand corpus — canonical first kept; overlap and adjacency merge") {
+    val K = "a b c d e f g h" // the shared 8-gram; first occurrence in doc 0
+    val docs = Seq(
+      0L -> s"$K x y $K",            // within-doc repeat; first copy kept
+      1L -> s"p q $K r",             // cross-doc repeat
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", // no duplication
+      3L -> s"$K i",                 // holds the canonical first of 'b..i'
+      4L -> s"z $K i",               // two overlapping redundant windows
+      5L -> s"$K $K")                // adjacent spans coalesce to one
+    val dir = writeDocs(docs)
+    val got = CurationQueries.spanExcision(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val want = Map(
+      0L -> (18L, 1L, 8L, 10L, 11L * 1000003 + 18),
+      1L -> (11L, 1L, 8L, 3L, 3L * 1000003 + 10),
+      2L -> (10L, 0L, 0L, 10L, 0L),
+      3L -> (9L, 1L, 8L, 1L, 1L * 1000003 + 8),
+      4L -> (10L, 1L, 9L, 1L, 2L * 1000003 + 10),
+      5L -> (16L, 1L, 16L, 0L, 1L * 1000003 + 16))
+    assert(got == want)
+    assert(got == naiveExcision(docs, CurationQueries.PassageW))
+  }
+
+  test("q220: equals the driver-side reference on the real corpus") {
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = naiveExcision(docs, CurationQueries.PassageW)
+    val got = CurationQueries.spanExcision(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    // the corpus's injected near-duplicates guarantee real excisions
+    assert(got.values.map(_._3).sum > 0)
+  }
 }
