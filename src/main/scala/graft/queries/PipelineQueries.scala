@@ -460,6 +460,79 @@ object PipelineQueries {
     }
   }
 
+  // ---- q221: segment PROMOTION into a new ANN base generation ---------
+
+  /** The LSM merge step q219 creates the need for: after enough
+    * streamed segments accumulate, serving (base ∪ N segment scans)
+    * pays N+1 scan setups and loses cell-partition pruning on the
+    * delta — so promotion rewrites base corpus ∪ segments into ONE new
+    * cell-partitioned base generation (centroids copied verbatim: the
+    * quantizer stays frozen, promotion moves bytes, it never
+    * re-trains) under the same staging→rename [[graft.sources
+    * .IndexStore]] lifecycle. Serving after promotion is q219's
+    * search reading ONLY the promoted store — zero segment scans, zero
+    * old-base scans, embeddings touched for the query vectors alone —
+    * and returns bitwise q219's (hence q108's) rows, which is the
+    * whole point: maintenance must be invisible to queries.
+    * StreamScreenSpec pins the scan set, the cell=* layout, and the
+    * equality. */
+  def annPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureAnnPromoted(spark, dir)
+    val centroids = spark.read.parquet(s"$root/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = table(spark, dir, "embeddings")
+      .filter(col("vec_id") < KnnQueries)
+    IvfIndex.search(corpus, "vec_id", "embedding", queries, centroids,
+        KnnK, nprobe = AnnNlist)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Promotion is invisible to serving: exhaustive probing over the
+    * promoted store ≡ brute force over the full corpus (q13's oracle
+    * verbatim). */
+  lazy val annPromotionSql: String = knnCosineSql
+
+  /** Build the promoted generation once per source fingerprint: base
+    * IVF corpus ∪ every streamed segment, rewritten cell-partitioned;
+    * centroids copied. Idempotent and crash-safe via
+    * [[graft.sources.IndexStore.publish]]. */
+  private[graft] def ensureAnnPromoted(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      import graft.sources.IndexStore
+      val segRoot = ensureAnnIngestStream(spark, dir)
+      val base = ensureIvfIndex(spark, dir)
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val dest = new java.io.File(storeRoot,
+        s"graft_ann_promoted_${dirTag}_$fpTag")
+      def valid(root: java.io.File): Boolean =
+        IndexStore.hasSuccess(new java.io.File(root, "corpus")) &&
+          IndexStore.hasSuccess(new java.io.File(root, "centroids"))
+      IndexStore.publish(dest, valid) { staging =>
+        val stored = spark.read.parquet(s"$base/corpus")
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val segs = RetrievalQueries.segmentDirs(segRoot)
+        val streamed = segs
+          .map(s => spark.read.parquet(s"${s.getPath}/vectors"))
+          .reduce(_.unionByName(_))
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        stored.unionByName(streamed)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/corpus")
+        spark.read.parquet(s"$base/centroids")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      }
+      IndexStore.cleanupSuperseded(spark, storeRoot,
+        s"graft_ann_promoted_${dirTag}_", dest.getName,
+        s"graft_ann_promoted_${dirTag}_", dest.getName)
+      dest.getPath
+    }
+
   // ---- q217: index-generation DIFF (two stores, zero text reads) ------
 
   /** The ops primitive the maintenance quadrant was missing: WHAT

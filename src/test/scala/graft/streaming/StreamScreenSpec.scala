@@ -198,6 +198,47 @@ class StreamScreenSpec extends SparkSpec
     assert(union.nonEmpty && union == oneShot)
   }
 
+  // ---- q221: segment promotion into a new ANN base generation ---------
+
+  test("q221 equals q219 (hence q108) row-for-row — promotion is invisible") {
+    val promoted = SparkEntry.queries("q221_ann_promotion")(spark, sfDir)
+      .collect().toSeq
+    val streamed = SparkEntry.queries("q219_stream_ann_ingest")(spark, sfDir)
+      .collect().toSeq
+    assert(promoted.nonEmpty && promoted == streamed)
+  }
+
+  test("q221 serving plan: promoted store only — no segments, no old base") {
+    PipelineQueries.ensureAnnPromoted(spark, sfDir)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q221_ann_promotion")(spark, sfDir)
+    assert(scansOf(df, "graft_ann_promoted_").nonEmpty,
+      "plan does not read the promoted corpus")
+    assert(scansOf(df, "graft_ann_stream_").isEmpty,
+      "promotion left segment scans in the serving plan")
+    assert(scansOf(df, "graft_ivf_idx_").isEmpty,
+      "promotion left old-base corpus scans in the serving plan")
+    val embScans = scansOf(df, "embeddings.parquet")
+    assert(embScans.nonEmpty)
+    embScans.foreach { s =>
+      assert(s.dataFilters.mkString(";").contains("< " + PipelineQueries.KnnQueries),
+        s"embeddings scan without the query predicate: $s")
+    }
+  }
+
+  test("q221 promoted corpus is cell-partitioned and covers base + segments") {
+    val root = new File(PipelineQueries.ensureAnnPromoted(spark, sfDir))
+    val cellDirs = Option(new File(root, "corpus").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "promoted corpus is not partitioned by cell")
+    val promoted = spark.read.parquet(s"${root.getPath}/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(promoted == all,
+      "promoted corpus does not hold exactly base + streamed vectors")
+  }
+
   test("q210 re-invocation is a no-op at BOTH layers: marker and checkpoint") {
     val dest = PipelineQueries.ensureScreenedStream(spark, sfDir)
     def snapshot(): Seq[(String, Long, Long)] = {
