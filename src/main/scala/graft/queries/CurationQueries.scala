@@ -953,6 +953,69 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q222: winnowing fingerprint selection --------------------------
+
+  /** Gram width (tokens) for winnowing. */
+  val WinnowK = 4
+
+  /** Winnow window (grams): guarantee threshold is
+    * [[WinnowW]]+[[WinnowK]]−1 = 7 shared tokens. */
+  val WinnowW = 4
+
+  /** Per-document winnowing profile over [[graft.text.Winnowing]]:
+    * gram count, selected-fingerprint count, selection density
+    * (per-mille, integer `div`), and `Σ (m mod 10⁹+7)` over the
+    * selected keys — a bounded checksum that pins every selected
+    * (hash, position) pair (the raw 60-bit keys would overflow a
+    * BIGINT sum), so a wrong tie-break or an off-by-one window frame
+    * moves the hash.
+    * Documents shorter than [[WinnowK]] tokens profile as all-zero;
+    * shorter than [[WinnowW]]+[[WinnowK]]−1 select nothing. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Winnowing
+    val docs = table(spark, dir, "documents")
+    val sel = Winnowing.selected(docs, "doc_id", "text", WinnowK, WinnowW)
+    val per = sel.groupBy("doc_id").agg(
+      count(lit(1)).as("n_selected"),
+      sum(col("m") % lit(1000000007L)).as("sel_checksum"))
+    docs
+      .select(col("doc_id"),
+        greatest(size(graft.text.NgramLM.tokens(col("text"))) -
+          (WinnowK - 1), lit(0)).cast("long").as("n_grams"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        when(col("n_grams") > 0,
+          expr("(1000 * coalesce(n_selected, 0)) div n_grams"))
+          .otherwise(lit(0L)).as("density_permille"),
+        coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+      .orderBy("doc_id")
+  }
+
+  val winnowFingerprintsSql: String = {
+    import graft.text.Winnowing
+    s"""WITH sel AS (
+       |${Winnowing.selectedSql("documents", "doc_id", "text", WinnowK, WinnowW)}),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_selected,
+       |    sum(m % 1000000007)::BIGINT AS sel_checksum
+       |  FROM sel GROUP BY doc_id),
+       |ng AS (
+       |  SELECT doc_id,
+       |    greatest(len(string_split_regex(lower(trim(text)), '\\s+'))
+       |      - ${WinnowK - 1}, 0)::BIGINT AS n_grams
+       |  FROM documents)
+       |SELECT d.doc_id, ng.n_grams,
+       |  coalesce(p.n_selected, 0)::BIGINT AS n_selected,
+       |  (CASE WHEN ng.n_grams > 0
+       |        THEN (1000 * coalesce(p.n_selected, 0)) // ng.n_grams
+       |        ELSE 0 END)::BIGINT AS density_permille,
+       |  coalesce(p.sel_checksum, 0)::BIGINT AS sel_checksum
+       |FROM documents d JOIN ng USING (doc_id)
+       |LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q143: epoch repetition schedule -------------------------------
 
   /** Data-constrained pretraining repeats its BEST data for several

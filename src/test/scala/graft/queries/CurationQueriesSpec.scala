@@ -522,4 +522,74 @@ class CurationQueriesSpec extends SparkSpec {
     // the corpus's injected near-duplicates guarantee real excisions
     assert(got.values.map(_._3).sum > 0)
   }
+
+  // ---- q222: winnowing fingerprint selection --------------------------
+
+  /** Driver-side winnowing: the exact (hash, rightmost-tie) selection
+    * the engine encodes into its integer key. */
+  private def naiveWinnow(docs: Seq[(Long, String)], k: Int, w: Int)
+      : Map[Long, Set[Long]] =
+    docs.map { case (id, t) =>
+      val a = t.trim.toLowerCase.split("\\s+").toSeq
+      val vs =
+        if (a.size < k) Seq.empty[Long]
+        else (1 to (a.size - k + 1)).map { p =>
+          val h = graft.text.Hashing.h60Jvm(
+            a.slice(p - 1, p + k - 1).mkString(" "))
+          (h % graft.text.Winnowing.HashField) *
+            graft.text.Winnowing.PosField +
+            (graft.text.Winnowing.PosField - 1 - p)
+        }
+      val sel =
+        if (vs.size < w) Set.empty[Long]
+        else (0 to vs.size - w).map(i => vs.slice(i, i + w).min).toSet
+      id -> sel
+    }.toMap
+
+  test("q222: equals the driver-side reference on the real corpus") {
+    import graft.text.Winnowing
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = naiveWinnow(docs, CurationQueries.WinnowK,
+      CurationQueries.WinnowW)
+    val sel = Winnowing.selected(
+        QueryUtil.table(spark, sfDir, "documents"), "doc_id", "text",
+        CurationQueries.WinnowK, CurationQueries.WinnowW)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, ms) => id -> ms.map(_._2).toSet }
+    assert(docs.map(d => d._1 -> sel.getOrElse(d._1, Set.empty[Long])).toMap
+      == want)
+    // the profile query agrees with the selected sets it aggregates
+    val prof = CurationQueries.winnowFingerprints(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    want.foreach { case (id, s) =>
+      assert(prof(id) == (s.size.toLong, s.map(_ % 1000000007L).sum)) }
+    // winnowing density ~2/(w+1) = 0.4: corpus-wide mean in per-mille
+    val rows = CurationQueries.winnowFingerprints(spark, sfDir).collect()
+    val dens = 1000.0 * rows.map(_.getLong(2)).sum / rows.map(_.getLong(1)).sum
+    assert(dens > 300 && dens < 500, s"density $dens permille")
+  }
+
+  test("q222: coverage guarantee — a shared run of w+k-1 tokens shares a fingerprint") {
+    import graft.text.Winnowing
+    val k = CurationQueries.WinnowK
+    val w = CurationQueries.WinnowW
+    // shared passage of exactly w+k-1 = 7 tokens, different contexts
+    val passage = "s1 s2 s3 s4 s5 s6 s7"
+    val docs = Seq(
+      0L -> s"a1 a2 a3 $passage a4 a5 a6 a7 a8",
+      1L -> s"b1 b2 b3 b4 b5 $passage b6 b7 b8",
+      2L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")
+    val dir = writeDocs(docs)
+    val sel = Winnowing.selected(
+        QueryUtil.table(spark, dir, "documents"), "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1) / Winnowing.PosField))
+      .groupBy(_._1).map { case (id, ms) => id -> ms.map(_._2).toSet }
+    // Schleimer et al. Thm: any shared substring of >= w+k-1 tokens
+    // forces at least one shared SELECTED hash
+    assert((sel(0L) & sel(1L)).nonEmpty, "guarantee violated")
+    assert((sel(0L) & sel(2L)).isEmpty && sel(1L).&(sel(2L)).isEmpty,
+      "unrelated doc shares a fingerprint")
+  }
 }
