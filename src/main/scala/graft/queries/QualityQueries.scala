@@ -847,4 +847,104 @@ object QualityQueries {
        |  sum(CASE WHEN n < $AnonK THEN 1 ELSE 0 END) = 0 AS k_anonymous,
        |  sum(CASE WHEN l < $AnonL THEN 1 ELSE 0 END) = 0 AS l_diverse
        |FROM cl""".stripMargin
+
+  // ---- q223: t-closeness audit ----------------------------------------
+
+  /** t-closeness bound in per-mille (a class whose sensitive
+    * distribution sits further than t from the global one leaks via
+    * skewness even when k-anonymous AND l-diverse). */
+  val TcloseT = 300L
+
+  /** t-closeness (Li, Li, Venkatasubramanian ICDE'07) — the audit
+    * q176's k-anonymity + l-diversity cannot replace: a class can be
+    * large and diverse yet still leak because its sensitive
+    * DISTRIBUTION differs from the table's (skewness attack). Per
+    * equivalence class (nation, segment) over the account-balance
+    * band, two exact integer distances to the global distribution:
+    * variational (TVD, `Σ|p−q|/2`) and ordinal Earth-Mover's (the
+    * paper's choice for ordered attributes,
+    * `Σᵢ|CumPᵢ−CumQᵢ|/(m−1)`), both in per-mille via the
+    * cross-multiplied form `|cnt_cb·N − cnt_b·n_c|` — no float ever
+    * exists, so the oracle is hash-exact.
+    *
+    * Scale shape: one scan → (class, band) counts; the audit grid is
+    * classes × bands — dimension-sized however large the fact table —
+    * with global band counts and totals BROADCAST onto it; cumulative
+    * sums run per class over the tiny band axis. (The cross-multiplied
+    * integers bound at |classes·N·n_c| ≈ 2⁶³ for N ≈ 3·10⁹ per class —
+    * beyond that the same query runs with per-mille pre-rounding.) */
+  def tclosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = table(spark, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("cast(floor(c_acctbal / 1000) as long)").as("band"))
+    val cb = c.groupBy("nation", "seg", "band")
+      .agg(count(lit(1)).as("cnt_cb"))
+    val cls = cb.groupBy("nation", "seg").agg(sum("cnt_cb").as("n_c"))
+    val gb = c.groupBy("band").agg(count(lit(1)).as("cnt_b"))
+    val tot = gb.agg(sum("cnt_b").as("nn"), count(lit(1)).as("m"))
+    val byBand = Window.partitionBy("nation", "seg").orderBy("band")
+    val grid = cls
+      .crossJoin(broadcast(gb))
+      .join(cb, Seq("nation", "seg", "band"), "left")
+      .na.fill(0L, Seq("cnt_cb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_cb", sum("cnt_cb").over(byBand))
+      .withColumn("cum_b", sum("cnt_b").over(byBand))
+    val per = grid.groupBy("nation", "seg", "n_c", "nn", "m").agg(
+      sum(abs(col("cnt_cb") * col("nn") - col("cnt_b") * col("n_c")))
+        .as("tvd_num"),
+      sum(abs(col("cum_cb") * col("nn") - col("cum_b") * col("n_c")))
+        .as("emd_num"))
+    per
+      .select(col("nation"), col("seg"), col("n_c").as("n"),
+        expr("(1000 * tvd_num) div (2 * n_c * nn)").as("tvd_permille"),
+        expr("(1000 * emd_num) div (greatest(m - 1, 1) * n_c * nn)")
+          .as("emd_permille"))
+      .withColumn("pass",
+        col("tvd_permille") <= TcloseT && col("emd_permille") <= TcloseT)
+      .orderBy("nation", "seg")
+  }
+
+  val tclosenessAuditSql: String =
+    s"""WITH c AS (
+       |  SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS seg,
+       |    floor(c_acctbal / 1000)::BIGINT AS band
+       |  FROM customer),
+       |cb AS (
+       |  SELECT nation, seg, band, count(*)::BIGINT AS cnt_cb
+       |  FROM c GROUP BY 1, 2, 3),
+       |cls AS (
+       |  SELECT nation, seg, sum(cnt_cb)::BIGINT AS n_c
+       |  FROM cb GROUP BY 1, 2),
+       |gb AS (SELECT band, count(*)::BIGINT AS cnt_b FROM c GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(cnt_b)::BIGINT AS nn, count(*)::BIGINT AS m FROM gb),
+       |grid AS (
+       |  SELECT cls.nation, cls.seg, cls.n_c, gb.band, gb.cnt_b,
+       |    coalesce(cb.cnt_cb, 0)::BIGINT AS cnt_cb, tot.nn, tot.m
+       |  FROM cls CROSS JOIN gb CROSS JOIN tot
+       |  LEFT JOIN cb ON cb.nation = cls.nation AND cb.seg = cls.seg
+       |    AND cb.band = gb.band),
+       |cum AS (
+       |  SELECT *,
+       |    sum(cnt_cb) OVER (PARTITION BY nation, seg ORDER BY band)
+       |      AS cum_cb,
+       |    sum(cnt_b) OVER (PARTITION BY nation, seg ORDER BY band)
+       |      AS cum_b
+       |  FROM grid),
+       |per AS (
+       |  SELECT nation, seg, n_c, nn, m,
+       |    sum(abs(cnt_cb * nn - cnt_b * n_c))::BIGINT AS tvd_num,
+       |    sum(abs(cum_cb * nn - cum_b * n_c))::BIGINT AS emd_num
+       |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+       |SELECT nation, seg, n_c AS n,
+       |  ((1000 * tvd_num) // (2 * n_c * nn))::BIGINT AS tvd_permille,
+       |  ((1000 * emd_num) // (greatest(m - 1, 1) * n_c * nn))::BIGINT
+       |    AS emd_permille,
+       |  (((1000 * tvd_num) // (2 * n_c * nn)) <= $TcloseT AND
+       |   ((1000 * emd_num) // (greatest(m - 1, 1) * n_c * nn)) <= $TcloseT)
+       |    AS pass
+       |FROM per ORDER BY nation, seg""".stripMargin
 }

@@ -223,4 +223,40 @@ class QualityQueriesSpec extends SparkSpec {
     // conservation: rows in classes sum to the table
     assert(classes.map(_._1).sum == rows.length.toLong)
   }
+
+  test("q223: t-closeness distances equal a driver-side reference; bounds hold") {
+    val cust = QueryUtil.table(spark, sfDir, "customer")
+      .selectExpr("cast(c_nationkey as long)", "c_mktsegment",
+        "cast(floor(c_acctbal / 1000) as long)")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val global = cust.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val bands = global.keys.toSeq.sorted
+    val nn = cust.size.toLong
+    val m = bands.size.toLong
+    val want = cust.groupBy(_._1).map { case ((nat, seg), xs) =>
+      val nc = xs.size.toLong
+      val cb = xs.groupBy(_._2).map { case (b, ys) => b -> ys.size.toLong }
+      val tvdNum = bands.map(b =>
+        math.abs(cb.getOrElse(b, 0L) * nn - global(b) * nc)).sum
+      var (cumCb, cumB) = (0L, 0L)
+      val emdNum = bands.map { b =>
+        cumCb += cb.getOrElse(b, 0L); cumB += global(b)
+        math.abs(cumCb * nn - cumB * nc)
+      }.sum
+      val tvd = (1000L * tvdNum) / (2L * nc * nn)
+      val emd = (1000L * emdNum) / (math.max(m - 1, 1L) * nc * nn)
+      (nat, seg) -> (nc, tvd, emd,
+        tvd <= QualityQueries.TcloseT && emd <= QualityQueries.TcloseT)
+    }
+    val got = QualityQueries.tclosenessAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == want)
+    // distances are per-mille probabilities
+    got.values.foreach { case (_, tvd, emd, _) =>
+      assert(tvd >= 0 && tvd <= 1000 && emd >= 0 && emd <= 1000) }
+    // every class is present
+    assert(got.keySet == cust.map(_._1).toSet)
+  }
 }
