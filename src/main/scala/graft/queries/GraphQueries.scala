@@ -240,6 +240,69 @@ object GraphQueries {
        |FROM d$SpRounds ORDER BY cost, node""".stripMargin
   }
 
+  // ---- q224: temporal earliest-arrival reachability -------------------
+
+  /** Rounds of temporal relaxation (≤ K edges per path). */
+  val ReachRounds = 4
+
+  /** Release time at the seed: epoch day of 1995-01-01 — mid-corpus,
+    * so roughly half the edges PRE-DATE the release and are unusable;
+    * the temporal constraint actually bites (the spec pins the gap
+    * against static reachability). */
+  val ReachStart = 9131L
+
+  /** Time-respecting earliest-arrival spread over the purchase graph
+    * ([[graft.operators.TemporalReach]]): each (customer, supplier)
+    * arc carries its ORDER DATE, and contamination released at the
+    * seed on [[ReachStart]] can only traverse arcs in non-decreasing
+    * time order — the supply-chain incident question ("which partners
+    * could a compromise reach, and how early") that q211's static BFS
+    * overstates by ignoring edge ordering. Integer epoch days
+    * throughout; the oracle unrolls the recurrence as
+    * [[ReachRounds]] |V|-row stages. */
+  def temporalReach(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("t"))
+      .join(table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"), col("t"))
+      .distinct()
+    val edges = p
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst"), col("t")),
+        struct(col("s").as("src"), col("c").as("dst"), col("t")))).as("e"))
+      .select("e.src", "e.dst", "e.t")
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    graft.operators.TemporalReach.run(edges, seed, ReachStart, ReachRounds)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
+        col("arr"))
+      .orderBy("arr", "node")
+  }
+
+  val temporalReachSql: String = {
+    val relax = (p: String) => graft.operators.TemporalReach.relaxSql(p)
+    val stages = (1 to ReachRounds)
+      .map(k => s"a$k AS (${relax(s"a${k - 1}")})").mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+       |    (epoch_us(o_orderdate::TIMESTAMP) // 86400000000)::BIGINT AS t
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (
+       |  SELECT c AS src, s AS dst, t FROM p
+       |  UNION ALL SELECT s, c, t FROM p),
+       |seed AS (SELECT min(src) AS sd FROM e0),
+       |a0 AS (SELECT sd AS node, $ReachStart::BIGINT AS arr FROM seed),
+       |$stages
+       |SELECT CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)::VARCHAR
+       |            ELSE 'S' || (node // 2)::VARCHAR END AS node, arr
+       |FROM a$ReachRounds ORDER BY arr, node""".stripMargin
+  }
+
   // ---- q114: item co-occurrence lift ---------------------------------
 
   val CoocTopK = 20
