@@ -1133,6 +1133,115 @@ object PipelineQueries {
        |WHERE list_cosine_similarity(a.e, b.e) >= $NearDupCos
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q226: DBSCAN density clustering over embeddings ----------------
+
+  /** Minimum neighborhood size (incl. the point itself) for a core
+    * point. */
+  val DbscanMinPts = 4L
+
+  /** DBSCAN (Ester et al. KDD'96) over the embedding space — the
+    * density semantics the clustering family lacked: q54/q86 assign
+    * EVERY point to a nearest centroid; DBSCAN distinguishes dense
+    * structure from background, labels points core / border / NOISE,
+    * and — the classic property the spec pins — two dense regions
+    * joined only through a border point stay SEPARATE clusters
+    * (clusters grow through core points only). Deterministic
+    * throughout: neighbor = cosine ≥ [[NearDupCos]] (q24's verified
+    * pair machinery, candidate recall 1.0 at this config), core =
+    * neighborhood ≥ [[DbscanMinPts]], clusters = connected components
+    * of the core-core graph labeled by min id, border points adopt
+    * the MINIMUM cluster label among their core neighbors.
+    *
+    * Scale shape: pairs come from the IVF-blocked candidates→verify
+    * pipeline (∝ collisions, never O(n²)); degree and border
+    * assignment are one groupBy each over the pair list; components
+    * run star contraction (O(log n) rounds). The all-pairs work lives
+    * only in the DuckDB oracle. */
+  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding",
+      nlist = NearDupNlist)
+    val cands = IvfIndex.nearDupCandidates(
+      emb, "vec_id", "embedding", centroids, nprobe = NearDupProbe)
+    val pairs = CosineKnn.verifyPairs(cands, emb, "vec_id", "embedding",
+      NearDupCos).select("doc_a", "doc_b")
+    dbscanFrom(pairs, emb.select(col("vec_id")), DbscanMinPts)
+      .orderBy("vec_id")
+  }
+
+  /** DBSCAN core given the verified neighbor-pair list (`doc_a`,
+    * `doc_b`, one row per unordered pair) and the point universe
+    * (`vec_id`). Exposed for spec-level hand graphs. */
+  private[graft] def dbscanFrom(pairs: DataFrame, vecs: DataFrame,
+      minPts: Long): DataFrame = {
+    import graft.operators.ConnectedComponents
+    val und = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    val core = und.groupBy(col("a").as("id"))
+      .agg((count(lit(1)) + 1L).as("deg"))
+      .filter(col("deg") >= minPts).select("id")
+    val coreEdges = und
+      .join(core.select(col("id").as("a")), Seq("a"))
+      .join(core.select(col("id").as("b")), Seq("b"))
+      .select("a", "b")
+    val comp = ConnectedComponents.componentsStar(coreEdges, "a", "b")
+    // core singletons (no core neighbor) root their own cluster
+    val coreComp = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+    val border = und
+      .join(coreComp.select(col("id").as("b"), col("cluster").as("bc")),
+        Seq("b"))
+      .groupBy(col("a").as("id")).agg(min(col("bc")).as("cluster"))
+      .join(core, Seq("id"), "left_anti")
+    val out = vecs
+      .join(coreComp.select(col("id").as("vec_id"),
+        col("cluster").as("core_cluster")), Seq("vec_id"), "left")
+      .join(border.select(col("id").as("vec_id"),
+        col("cluster").as("border_cluster")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("core_cluster").isNotNull, lit("core"))
+          .when(col("border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cluster"), col("border_cluster"), lit(-1L))
+          .as("cluster"))
+      .localCheckpoint(true)
+    und.unpersist(blocking = false)
+    out
+  }
+
+  val dbscanSql: String =
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+       |  WHERE list_cosine_similarity(a.e, b.e) >= $NearDupCos),
+       |deg AS (SELECT a AS id, (count(*) + 1)::BIGINT AS d FROM p GROUP BY 1),
+       |core AS (SELECT id FROM deg WHERE d >= $DbscanMinPts),
+       |ce AS (
+       |  SELECT p.a, p.b FROM p
+       |  JOIN core ca ON p.a = ca.id JOIN core cb ON p.b = cb.id),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM core
+       |  UNION
+       |  SELECT ce.b, reach.r FROM reach JOIN ce ON ce.a = reach.id),
+       |comp AS (SELECT id, min(r)::BIGINT AS cluster FROM reach GROUP BY id),
+       |border AS (
+       |  SELECT p.a AS id, min(c.cluster)::BIGINT AS cluster
+       |  FROM p JOIN comp c ON p.b = c.id
+       |  WHERE p.a NOT IN (SELECT id FROM core)
+       |  GROUP BY p.a)
+       |SELECT v.vec_id,
+       |  CASE WHEN cm.id IS NOT NULL THEN 'core'
+       |       WHEN bd.id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  coalesce(cm.cluster, bd.cluster, -1)::BIGINT AS cluster
+       |FROM v LEFT JOIN comp cm ON v.vec_id = cm.id
+       |LEFT JOIN border bd ON v.vec_id = bd.id
+       |ORDER BY vec_id""".stripMargin
+
   // ---- q40: economical IVF near-dup (clustered regime) ---------------
 
   val EconCos = 0.8

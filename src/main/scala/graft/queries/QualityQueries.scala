@@ -947,4 +947,179 @@ object QualityQueries {
        |   ((1000 * emd_num) // (greatest(m - 1, 1) * n_c * nn)) <= $TcloseT)
        |    AS pass
        |FROM per ORDER BY nation, seg""".stripMargin
+
+  // ---- q225: two-sample Kolmogorov-Smirnov drift test ------------------
+
+  /** `c(α)²·10⁴` for α = 0.05 (`c = √(ln(2/α)/2)`, c² = 1.8444):
+    * the classic large-sample KS critical value. */
+  val KsC2E4 = 18444L
+
+  /** Pairwise exact two-sample KS test across event types on the
+    * value distribution — the DISTRIBUTION-SHAPE drift detector the
+    * family still lacked: PSI (q89/q137) and JSD (q180) need a
+    * binning; KS is binning-free, `D = max_x |F_a(x) − F_b(x)|`,
+    * computed EXACTLY on the pooled value grid in cross-multiplied
+    * integers (`|cum_a·n_b − cum_b·n_a|` — no ratio ever forms). The
+    * decision gate is the α=0.05 large-sample test at per-mille
+    * resolution (`d_permille²·n_a·n_b > c²·10⁶·(n_a+n_b)/10⁴` — a
+    * deterministic function of the floored statistic, documented as
+    * such), so both engines agree bit-for-bit.
+    *
+    * Scale shape: one scan → (group, value) counts; pair expansion
+    * joins against the BROADCAST group-pair table (G(G−1)/2 rows — a
+    * dimension however big the fact table); the cumulative runs per
+    * pair over the pooled distinct-value axis, partitioned by pair.
+    * Cross-multiplied integers bound at n_a·n_b < 2⁶³ (n ≈ 3·10⁹ per
+    * group); beyond that the same query runs on pre-quantized
+    * per-mille ECDFs. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = table(spark, dir, "events")
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vals.groupBy("g").agg(sum("c").as("n"))
+    val pairs = tot.select(col("g").as("src_a"), col("n").as("n_a"))
+      .join(tot.select(col("g").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val pv = vals.join(broadcast(pairs),
+        col("g") === col("src_a") || col("g") === col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b", "v")
+      .agg(
+        sum(when(col("g") === col("src_a"), col("c")).otherwise(0L))
+          .as("ca"),
+        sum(when(col("g") === col("src_b"), col("c")).otherwise(0L))
+          .as("cb"))
+    val byV = Window.partitionBy("src_a", "src_b").orderBy("v")
+    val d = pv
+      .withColumn("cum_a", sum("ca").over(byV))
+      .withColumn("cum_b", sum("cb").over(byV))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("dnum"))
+    d.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        expr("(1000 * dnum) div (n_a * n_b)").as("d_permille"))
+      .withColumn("reject",
+        col("d_permille") * col("d_permille") * col("n_a") * col("n_b") >
+          lit(KsC2E4 * 100L) * (col("n_a") + col("n_b")))
+      .orderBy("src_a", "src_b")
+  }
+
+  val ksDriftSql: String =
+    s"""WITH vals AS (
+       |  SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c)::BIGINT AS n FROM vals GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.g AS src_a, a.n AS n_a, b.g AS src_b, b.n AS n_b
+       |  FROM tot a JOIN tot b ON a.g < b.g),
+       |pv AS (
+       |  SELECT src_a, src_b, n_a, n_b, v,
+       |    sum(CASE WHEN vals.g = src_a THEN c ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN vals.g = src_b THEN c ELSE 0 END)::BIGINT AS cb
+       |  FROM pairs JOIN vals ON vals.g = src_a OR vals.g = src_b
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |cum AS (
+       |  SELECT src_a, src_b, n_a, n_b,
+       |    sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cum_a,
+       |    sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v) AS cum_b
+       |  FROM pv),
+       |d AS (
+       |  SELECT src_a, src_b, n_a, n_b,
+       |    max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS dnum
+       |  FROM cum GROUP BY 1, 2, 3, 4)
+       |SELECT src_a, src_b, n_a, n_b,
+       |  ((1000 * dnum) // (n_a * n_b))::BIGINT AS d_permille,
+       |  (((1000 * dnum) // (n_a * n_b)) * ((1000 * dnum) // (n_a * n_b))
+       |     * n_a * n_b > ${KsC2E4 * 100L} * (n_a + n_b)) AS reject
+       |FROM d ORDER BY src_a, src_b""".stripMargin
+
+  // ---- q227: MAD robust outlier audit ---------------------------------
+
+  /** `3 · 1.4826 · 10⁴` — the classic "3 sigma-equivalents" MAD fence
+    * (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD consistent for the normal σ). */
+  val MadK3E4 = 44478L
+
+  /** Robust per-group outlier detection by MEDIAN ABSOLUTE DEVIATION —
+    * the estimator the family's winsorize (q95, percentile clamps) and
+    * IQR fences (q20) don't cover: median and MAD have 50% breakdown,
+    * so the fence itself cannot be dragged by the outliers it hunts.
+    * Everything is exact integer cents with an EXPLICIT median rule —
+    * the LOWER median, `min{v : #(x ≤ v) ≥ ⌈n/2⌉}` — written out as
+    * cumulative counts in both engines rather than trusting any
+    * `median()` builtin's tie/interpolation semantics; the fence is
+    * `10⁴·|x − med| > `[[MadK3E4]]`·MAD`, float-free.
+    *
+    * Scale shape: two median passes (values, then absolute
+    * deviations), each a groupBy to per-(group, value) counts — the
+    * only shuffles ∝ distinct values — followed by a cumulative window
+    * over the DISTINCT-VALUE axis per group, never over rows. A
+    * 100 TB run with unbounded distinct values swaps the exact
+    * cumulative for [[graft.operators.ExactQuantile]]'s bounded-memory
+    * range walk; the fence logic is unchanged. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = table(spark, dir, "events").select(
+      col("event_type").as("g"),
+      expr("cast(floor(value * 100) as long)").as("v"))
+    val vc = e.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val tg = vc.groupBy("g").agg(sum("c").as("n"))
+    def lowerMedian(counts: DataFrame, valCol: String, outCol: String)
+        : DataFrame = {
+      val byV = Window.partitionBy("g").orderBy(valCol)
+      counts.withColumn("cc", sum("c").over(byV))
+        .join(tg, "g")
+        .filter(col("cc") >= expr("(n + 1) div 2"))
+        .groupBy("g").agg(min(col(valCol)).as(outCol))
+    }
+    val med = lowerMedian(vc, "v", "med")
+    val dv = vc.join(med, "g")
+      .groupBy(col("g"), abs(col("v") - col("med")).as("d"))
+      .agg(sum("c").as("c"))
+    val mad = lowerMedian(dv, "d", "mad")
+    val out = vc.join(med, "g").join(mad, "g")
+      .groupBy("g")
+      .agg(sum(when(
+        abs(col("v") - col("med")) * 10000L > lit(MadK3E4) * col("mad"),
+        col("c")).otherwise(0L)).as("n_outliers"))
+    tg.join(med, "g").join(mad, "g").join(out, "g")
+      .select(col("g").as("event_type"), col("n"),
+        col("med").as("median_cents"), col("mad").as("mad_cents"),
+        col("n_outliers"),
+        expr("(1000 * n_outliers) div n").as("outlier_permille"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type AS g, (floor(value * 100))::BIGINT AS v
+       |  FROM events),
+       |vc AS (SELECT g, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+       |tg AS (SELECT g, sum(c)::BIGINT AS n FROM vc GROUP BY 1),
+       |cumv AS (
+       |  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cc
+       |  FROM vc),
+       |med AS (
+       |  SELECT cumv.g, min(v)::BIGINT AS med
+       |  FROM cumv JOIN tg USING (g)
+       |  WHERE cc >= (n + 1) // 2 GROUP BY 1),
+       |dv AS (
+       |  SELECT vc.g, abs(v - med) AS d, sum(c)::BIGINT AS c
+       |  FROM vc JOIN med USING (g) GROUP BY 1, 2),
+       |cumd AS (
+       |  SELECT g, d, sum(c) OVER (PARTITION BY g ORDER BY d) AS cc
+       |  FROM dv),
+       |mad AS (
+       |  SELECT cumd.g, min(d)::BIGINT AS mad
+       |  FROM cumd JOIN tg USING (g)
+       |  WHERE cc >= (n + 1) // 2 GROUP BY 1),
+       |outc AS (
+       |  SELECT vc.g,
+       |    sum(CASE WHEN abs(v - med) * 10000 > $MadK3E4 * mad
+       |             THEN c ELSE 0 END)::BIGINT AS n_outliers
+       |  FROM vc JOIN med USING (g) JOIN mad USING (g) GROUP BY 1)
+       |SELECT tg.g AS event_type, n, med AS median_cents,
+       |  mad AS mad_cents, n_outliers,
+       |  ((1000 * n_outliers) // n)::BIGINT AS outlier_permille
+       |FROM tg JOIN med USING (g) JOIN mad USING (g) JOIN outc USING (g)
+       |ORDER BY event_type""".stripMargin
 }

@@ -259,4 +259,77 @@ class QualityQueriesSpec extends SparkSpec {
     // every class is present
     assert(got.keySet == cust.map(_._1).toSet)
   }
+
+  test("q225: exact KS statistic equals a driver-side reference; gate is sane") {
+    val ev = QueryUtil.table(spark, sfDir, "events")
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byG = ev.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    val types = byG.keys.toSeq.sorted
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield {
+      val (a, b) = (types(i), types(j))
+      val (xa, xb) = (byG(a), byG(b))
+      val (na, nb) = (xa.size.toLong, xb.size.toLong)
+      val grid = (xa ++ xb).distinct.sorted
+      val dnum = grid.map { v =>
+        val ca = xa.count(_ <= v).toLong
+        val cb = xb.count(_ <= v).toLong
+        math.abs(ca * nb - cb * na)
+      }.max
+      val dp = (1000L * dnum) / (na * nb)
+      (a, b) -> (na, nb, dp,
+        dp * dp * na * nb > QualityQueries.KsC2E4 * 100L * (na + nb))
+    }).toMap
+    val got = QualityQueries.ksDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == want)
+    // all G(G-1)/2 pairs, statistic within per-mille probability bounds
+    val g = types.size
+    assert(got.size == g * (g - 1) / 2)
+    got.values.foreach { case (_, _, dp, _) => assert(dp >= 0 && dp <= 1000) }
+    // same-distribution synthetic slices of one type should NOT reject:
+    // split 'click' by parity of an arbitrary stable key (its own index)
+    val clicks = byG(types.head).sorted
+    val (even, odd) = clicks.zipWithIndex.partition(_._2 % 2 == 0)
+    val (xa, xb) = (even.map(_._1), odd.map(_._1))
+    val (na, nb) = (xa.size.toLong, xb.size.toLong)
+    val dnum = (xa ++ xb).distinct.sorted.map { v =>
+      math.abs(xa.count(_ <= v).toLong * nb - xb.count(_ <= v).toLong * na)
+    }.max
+    val dp = (1000L * dnum) / (na * nb)
+    assert(!(dp * dp * na * nb > QualityQueries.KsC2E4 * 100L * (na + nb)),
+      s"interleaved same-distribution halves rejected (dp=$dp)")
+  }
+
+  test("q227: MAD fences equal a driver-side reference; breakdown robustness") {
+    val ev = QueryUtil.table(spark, sfDir, "events")
+      .selectExpr("event_type", "cast(floor(value * 100) as long)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((xs.size + 1) / 2 - 1) // ceil(n/2)-th smallest, 0-indexed
+    }
+    val want = ev.groupBy(_._1).map { case (g, xs) =>
+      val vs = xs.map(_._2)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      val no = vs.count(v =>
+        math.abs(v - med) * 10000L > QualityQueries.MadK3E4 * mad).toLong
+      g -> (vs.size.toLong, med, mad, no, 1000L * no / vs.size)
+    }
+    val got = QualityQueries.madOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    // robustness: the fence flags a strict minority per group (50%
+    // breakdown means MAD can never declare most of the data outlying)
+    got.values.foreach { case (n, _, mad, no, _) =>
+      assert(mad > 0, "degenerate MAD on a continuous value column")
+      assert(no * 2 < n, s"fence flagged $no of $n")
+    }
+  }
 }
