@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded k-core peeling (Seidman '83 / Matula-Beck degeneracy
+  * ordering, one level): repeatedly delete nodes of degree < k until
+  * none remain — the densest-substructure filter a curation pipeline
+  * uses to separate STRUCTURAL participants from incidental ones
+  * (a node in the k-core has k neighbors that each have k neighbors,
+  * recursively — a property no single degree threshold gives; the
+  * spec's star-vs-cycle graphs witness the difference). `rounds`
+  * FIXED peeling rounds keep the recurrence engine-replayable: both
+  * engines compute exactly R rounds, and the spec asserts the
+  * fixpoint is reached on the real graph (round R ≡ round R+1), so
+  * the bounded result IS the true k-core there.
+  *
+  * Scale shape: per round one self-semi-join of the (shrinking) edge
+  * list against the alive set and one degree re-aggregate — the
+  * |V|-row economics of [[Bfs]]/[[MinPlus]]; edges only ever shrink,
+  * rounds stay lazy, one final checkpoint. */
+object KCore {
+
+  /** Nodes of the k-core after `rounds` peels over undirected `edges`
+    * (pass both arcs), with their in-core degree: (`node`, `deg`). */
+  def run(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    var alive = e.select(col("src").as("id")).distinct()
+    for (_ <- 1 to rounds) {
+      // eager per-round checkpoint: the alive set is referenced TWICE
+      // per round (both endpoints), so a lazy loop would double the
+      // plan every round — 2^R copies of the base scan by round R.
+      // Checkpointing |V|-row state per round is the ConnectedComponents
+      // economics; edges stay cached once.
+      alive = e
+        .join(alive.select(col("id").as("src")), Seq("src"))
+        .join(alive.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+        .localCheckpoint(true)
+    }
+    val core = alive
+    val result = e
+      .join(core.select(col("id").as("src")), Seq("src"))
+      .join(core.select(col("id").as("dst")), Seq("dst"))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    result
+  }
+
+  /** DuckDB mirror of one peeling round over alive CTE `prev` and
+    * edge CTE `e0 (src, dst)`. */
+  def peelSql(prev: String, k: Long): String =
+    s"""SELECT e0.src AS id FROM e0
+       |JOIN $prev p1 ON e0.src = p1.id
+       |JOIN $prev p2 ON e0.dst = p2.id
+       |GROUP BY e0.src HAVING count(*) >= $k""".stripMargin
+}

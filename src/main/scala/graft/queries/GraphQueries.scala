@@ -303,6 +303,49 @@ object GraphQueries {
        |FROM a$ReachRounds ORDER BY arr, node""".stripMargin
   }
 
+  // ---- q228: bounded k-core of the purchase graph ----------------------
+
+  /** Core order: a node stays only with ≥ [[CoreK]] neighbors that
+    * each (recursively) stay. */
+  val CoreK = 5L
+
+  /** Peeling rounds — fixed so both engines replay the identical
+    * recurrence; KCoreSpec asserts round R ≡ round R+1 on this graph
+    * (fixpoint reached), so the bounded result IS the k-core here. */
+  val CoreRounds = 6
+
+  /** [[graft.operators.KCore]] over the purchase graph: the
+    * densest-substructure filter — which customers and suppliers are
+    * STRUCTURAL participants of the trade web (≥ [[CoreK]] partners
+    * that each have ≥ [[CoreK]] surviving partners, recursively)
+    * rather than incidental one-order actors a plain degree threshold
+    * would keep. Output: every k-core member with its in-core
+    * degree. */
+  def kcorePartners(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KCore.run(purchaseArcs(spark, dir), CoreK, CoreRounds)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
+        col("deg"))
+      .orderBy("node")
+
+  val kcorePartnersSql: String = {
+    val peel = (p: String) => graft.operators.KCore.peelSql(p, CoreK)
+    val stages = (1 to CoreRounds)
+      .map(i => s"a$i AS (${peel(s"a${i - 1}")})").mkString(",\n")
+    s"""WITH $arcsCtePrefix,
+       |a0 AS (SELECT DISTINCT src AS id FROM e0),
+       |$stages
+       |SELECT CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)::VARCHAR
+       |            ELSE 'S' || (node // 2)::VARCHAR END AS node, deg
+       |FROM (
+       |  SELECT e0.src AS node, count(*)::BIGINT AS deg FROM e0
+       |  JOIN a$CoreRounds p1 ON e0.src = p1.id
+       |  JOIN a$CoreRounds p2 ON e0.dst = p2.id
+       |  GROUP BY e0.src)
+       |ORDER BY node""".stripMargin
+  }
+
   // ---- q114: item co-occurrence lift ---------------------------------
 
   val CoocTopK = 20
