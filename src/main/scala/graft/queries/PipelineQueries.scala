@@ -1696,6 +1696,61 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q229: voice-activity segmentation over decoded PCM -------------
+
+  /** VAD segmentation ([[graft.multimodal.AudioVad]]): per audio clip,
+    * frames whose exact integer energy strictly exceeds the clip mean
+    * merge into active segments — count, coverage, and a boundary
+    * checksum, all derived from PCM that really round-tripped the WAV
+    * codec. Oracle: identical energies re-derived from text, islands
+    * replayed with window functions. */
+  def audioVad(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.AudioVad
+      .vadStats(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("audio_id")
+
+  val audioVadSql: String = {
+    import graft.multimodal.AudioVad.FrameLen
+    import graft.multimodal.Multimodal.WavMaxSamples
+    s"""WITH uni AS (
+       |  SELECT doc_id AS id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |geo AS (
+       |  SELECT id, s, least(length(s), $WavMaxSamples) AS n FROM uni),
+       |fr AS (SELECT id, s, n // $FrameLen AS nf FROM geo),
+       |nrg AS (
+       |  SELECT id, nf, f,
+       |    list_sum(list_transform(
+       |      range(f * $FrameLen, (f + 1) * $FrameLen),
+       |      i -> abs((ascii(substr(s, (i + 1)::INT, 1)) - 128) * 256)))
+       |      AS e
+       |  FROM fr, LATERAL (SELECT unnest(range(0, nf)) AS f) u),
+       |tot AS (SELECT id, sum(e)::BIGINT AS te FROM nrg GROUP BY 1),
+       |act AS (
+       |  SELECT nrg.id, f FROM nrg JOIN tot USING (id)
+       |  WHERE e * nf > te),
+       |grp AS (
+       |  SELECT id, f,
+       |    f - row_number() OVER (PARTITION BY id ORDER BY f) AS g
+       |  FROM act),
+       |seg AS (
+       |  SELECT id, min(f) + 1 AS ss, max(f) + 1 AS se
+       |  FROM grp GROUP BY id, g),
+       |per AS (
+       |  SELECT id, count(*)::BIGINT AS ns,
+       |    sum(se - ss + 1)::BIGINT AS na,
+       |    sum(ss * 1000003 + se)::BIGINT AS ck
+       |  FROM seg GROUP BY id)
+       |SELECT fr.id AS audio_id, fr.nf::BIGINT AS n_frames,
+       |  coalesce(per.na, 0)::BIGINT AS n_active,
+       |  coalesce(per.ns, 0)::BIGINT AS n_segments,
+       |  coalesce(per.ck, 0)::BIGINT AS seg_checksum,
+       |  (CASE WHEN fr.nf > 0 THEN (1000 * coalesce(per.na, 0)) // fr.nf
+       |        ELSE 0 END)::BIGINT AS active_permille
+       |FROM fr LEFT JOIN per ON fr.id = per.id
+       |ORDER BY audio_id""".stripMargin
+  }
+
   // ---- q207: acoustic fingerprint near-dup (energy-gradient hash) -----
 
   /** Audio near-duplicate detection ([[graft.multimodal.AudioDedup]]):
