@@ -1122,4 +1122,74 @@ object QualityQueries {
        |  ((1000 * n_outliers) // n)::BIGINT AS outlier_permille
        |FROM tg JOIN med USING (g) JOIN mad USING (g) JOIN outc USING (g)
        |ORDER BY event_type""".stripMargin
+
+  // ---- q230: chi-square independence audit (lang x source) ------------
+
+  /** `χ²_{0.05, df=76}·10³` — 5 langs × 20 sources is fixed by the
+    * corpus generator, so df = 4·19 = 76 is a constant of the audit,
+    * and the α=0.05 critical value 97.351 ships as an integer. */
+  val Chi2Crit76Milli = 97351L
+
+  /** Pearson χ² independence test between document language and
+    * source — the stratification audit behind every mixing decision
+    * (q58/q131 weight (source, lang) cells; this test says whether
+    * language even DEPENDS on source, or the grid is noise). The
+    * statistic is exact cross-multiplied integers per cell:
+    * `Σ 1000·(O·N − R·C)² div (R·C·N)` over the FULL r×c grid
+    * including structurally-empty cells (O = 0 still contributes its
+    * expected mass — dropping such cells is the classic bug), with
+    * per-cell milli-flooring as the documented definition. Bound:
+    * `(O·N)² < 2⁶³/10³` holds to ~10⁸ docs; beyond, pre-scale counts.
+    *
+    * Scale shape: one scan → (lang, source) counts; everything after
+    * is marginal-sized (r+c rows) cross-joined back onto the r×c
+    * grid — dimension arithmetic however large the corpus. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cm = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"))
+    val grid = rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+    grid
+      .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
+        col("n"),
+        expr("(1000 * (o * n - r * c) * (o * n - r * c)) div (r * c * n)")
+          .as("cell_milli"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        ((countDistinct(col("lang")) - 1) *
+          (countDistinct(col("source")) - 1)).as("df"),
+        sum(col("cell_milli")).as("chi2_milli"))
+      .withColumn("reject", col("chi2_milli") > Chi2Crit76Milli)
+  }
+
+  val chi2IndependenceSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*)::BIGINT AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rm AS (SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+       |cm AS (SELECT source, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+       |tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+       |grid AS (
+       |  SELECT rm.lang, cm.source, coalesce(cells.o, 0)::BIGINT AS o,
+       |    rm.r, cm.c, tot.n
+       |  FROM rm CROSS JOIN cm CROSS JOIN tot
+       |  LEFT JOIN cells ON cells.lang = rm.lang
+       |    AND cells.source = cm.source)
+       |SELECT max(n)::BIGINT AS n_docs,
+       |  count(DISTINCT lang)::BIGINT AS n_langs,
+       |  count(DISTINCT source)::BIGINT AS n_sources,
+       |  ((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1))::BIGINT
+       |    AS df,
+       |  sum((1000 * (o * n - r * c) * (o * n - r * c)) // (r * c * n))::BIGINT
+       |    AS chi2_milli,
+       |  sum((1000 * (o * n - r * c) * (o * n - r * c)) // (r * c * n))
+       |    > $Chi2Crit76Milli AS reject
+       |FROM grid""".stripMargin
 }

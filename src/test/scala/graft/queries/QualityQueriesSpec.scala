@@ -332,4 +332,42 @@ class QualityQueriesSpec extends SparkSpec {
       assert(no * 2 < n, s"fence flagged $no of $n")
     }
   }
+
+  test("q230: chi2 equals a driver-side reference; empty cells contribute") {
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .selectExpr("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val rm = docs.groupBy(_._1).map { case (l, xs) => l -> xs.size.toLong }
+    val cm = docs.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    val oc = docs.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val chi2 = (for { (l, r) <- rm; (s, c) <- cm } yield {
+      val o = oc.getOrElse((l, s), 0L)
+      val d = o * n - r * c
+      1000L * d * d / (r * c * n)
+    }).sum
+    val row = QualityQueries.chi2Independence(spark, sfDir).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == rm.size.toLong)
+    assert(row.getLong(2) == cm.size.toLong)
+    assert(row.getLong(3) == (rm.size - 1L) * (cm.size - 1L))
+    assert(row.getLong(4) == chi2)
+    assert(row.getBoolean(5) ==
+      (chi2 > QualityQueries.Chi2Crit76Milli))
+    // at least one structurally-empty cell exists and is counted
+    assert(oc.size < rm.size * cm.size,
+      "corpus has no empty (lang, source) cell; the empty-cell path is untested")
+    // a perfectly-independent synthetic grid scores ~0: uniform 2x2
+    val unif = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    val un = unif.length.toLong
+    val uchi = (for {
+      (l, r) <- unif.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      (s, c) <- unif.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    } yield {
+      val o = unif.count(p => p._1 == l && p._2 == s).toLong
+      val d = o * un - r * c
+      1000L * d * d / (r * c * un)
+    }).sum
+    assert(uchi == 0L)
+  }
 }
