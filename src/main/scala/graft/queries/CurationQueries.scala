@@ -1016,6 +1016,57 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q231: leave-one-source-out influence ----------------------------
+
+  /** Data-valuation audit by LEAVE-ONE-OUT deltas — the cheapest
+    * member of the influence family (group-level LOO is exact and
+    * closed-form where per-example Shapley needs sampling): for every
+    * source, what happens to the corpus mean tokens-per-doc when that
+    * source is removed? A short-doc content farm shows up as a large
+    * negative influence long before any model-based signal exists.
+    * Pure integers: token sums and counts per source, the rest is
+    * marginal arithmetic in milli-token units with documented `div`
+    * flooring (`influence = corpus_mean − loo_mean`, positive ⇒ the
+    * source pulls the mean UP).
+    *
+    * Scale shape: one scan → per-source (count, token-sum) — G rows;
+    * the totals broadcast back onto them. Nothing else touches the
+    * corpus. */
+  def looInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = table(spark, dir, "documents")
+      .select(col("source"),
+        size(graft.text.NgramLM.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("s"))
+    val tot = perSrc.agg(sum("n_docs").as("nn"), sum("s").as("ss"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(1000 * s) div n_docs").as("src_mean_milli"),
+        expr("(1000 * ss) div nn").as("corpus_mean_milli"),
+        expr("(1000 * (ss - s)) div (nn - n_docs)").as("loo_mean_milli"),
+        (expr("(1000 * ss) div nn") -
+          expr("(1000 * (ss - s)) div (nn - n_docs)")).as("influence_milli"))
+      .orderBy("source")
+  }
+
+  val looInfluenceSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS t
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS s
+       |  FROM d GROUP BY 1),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS nn, sum(s)::BIGINT AS ss FROM per)
+       |SELECT source, n_docs,
+       |  ((1000 * s) // n_docs)::BIGINT AS src_mean_milli,
+       |  ((1000 * ss) // nn)::BIGINT AS corpus_mean_milli,
+       |  ((1000 * (ss - s)) // (nn - n_docs))::BIGINT AS loo_mean_milli,
+       |  ((1000 * ss) // nn - (1000 * (ss - s)) // (nn - n_docs))::BIGINT
+       |    AS influence_milli
+       |FROM per CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+
   // ---- q143: epoch repetition schedule -------------------------------
 
   /** Data-constrained pretraining repeats its BEST data for several

@@ -592,4 +592,36 @@ class CurationQueriesSpec extends SparkSpec {
     assert((sel(0L) & sel(2L)).isEmpty && sel(1L).&(sel(2L)).isEmpty,
       "unrelated doc shares a fingerprint")
   }
+
+  // ---- q231: leave-one-source-out influence ----------------------------
+
+  test("q231: LOO influence equals a driver-side reference; deltas conserve") {
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").length.toLong))
+    val nn = docs.length.toLong
+    val ss = docs.map(_._2).sum
+    val want = docs.groupBy(_._1).map { case (g, xs) =>
+      val n = xs.size.toLong
+      val s = xs.map(_._2).sum
+      g -> (n, 1000L * s / n, 1000L * ss / nn,
+        1000L * (ss - s) / (nn - n),
+        1000L * ss / nn - 1000L * (ss - s) / (nn - n))
+    }
+    val got = CurationQueries.looInfluence(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    // sanity: a source whose own mean exceeds the corpus mean has
+    // non-negative influence, and vice versa (flooring can zero it but
+    // never flip the sign)
+    got.values.foreach { case (_, srcMean, corpusMean, _, infl) =>
+      if (srcMean > corpusMean) assert(infl >= 0)
+      if (srcMean < corpusMean) assert(infl <= 0)
+    }
+    // both signs actually occur on the real corpus
+    assert(got.values.exists(_._5 > 0) && got.values.exists(_._5 < 0))
+  }
 }
