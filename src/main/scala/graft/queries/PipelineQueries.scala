@@ -950,6 +950,109 @@ object PipelineQueries {
       name
     }
 
+  // ---- q232: STREAMING CDC upsert overlay on the stored index ---------
+
+  /** q193's upsert arriving as a STREAM: the edited cohort
+    * (doc_id % [[UpsertMod]] == [[UpsertRem]], revised text) flows in
+    * as a file stream, every micro-batch re-derives index rows for
+    * ITS docs only (work ∝ batch) and publishes them as an immutable
+    * OVERLAY segment carrying its batch id — the exactly-once
+    * convention of q204/q219 extended from append to UPSERT: serving
+    * resolves each id to its highest-batch overlay row, falling back
+    * to the base store for untouched ids (an anti-join, never a text
+    * re-derive), and runs the standard incremental query against that
+    * effective index. Bitwise ≡ q193's at-rest upsert (and both share
+    * the oracle: the full pipeline over the edited corpus), which is
+    * the point — HOW the edit arrived (rest vs stream) must be
+    * invisible to queries. StreamScreenSpec pins the equality and the
+    * scan set (documents read only for the delta shard at serve
+    * time). */
+  def streamUpsertIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dest = ensureUpsertStream(spark, dir)
+    val base = spark.table(ensureDedupIndex(spark, dir))
+    val segs = RetrievalQueries.segmentDirs(dest)
+    require(segs.nonEmpty, s"upsert stream produced no segments under $dest")
+    val over = segs.map(s => spark.read.parquet(s"${s.getPath}/rows"))
+      .reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("seg_batch").desc)
+    val latest = over
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "seg_batch")
+    val eff = base.join(latest.select("id"), Seq("id"), "left_anti")
+      .unionByName(latest)
+    val docs = table(spark, dir, "documents")
+    MinHashLSH.incrementalFromIndexResult(
+        eff, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", MinhashThreshold)
+      .df
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0,
+          lit("delta_delta")).otherwise(lit("base_delta")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Rest-vs-stream transparency: the oracle is q193's verbatim. */
+  lazy val streamUpsertIndexSql: String = dedupUpsertIndexSql
+
+  private[graft] def upsertStreamLocation(dir: String): java.io.File = {
+    import graft.sources.IndexStore
+    val dirTag = IndexStore.pathTag(dir)
+    val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_upsert_stream_${dirTag}_$fpTag")
+  }
+
+  /** Drain the CDC-edit stream once per fingerprint generation
+    * (q219's marker/cleanup shape). */
+  private[graft] def ensureUpsertStream(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Int = 0): java.io.File =
+    PipelineQueries.synchronized {
+      import graft.sources.IndexStore
+      val dest = upsertStreamLocation(dir)
+      dest.mkdirs()
+      val drained = new java.io.File(dest, "_INGESTED")
+      if (!drained.exists()) {
+        runUpsertStream(spark, dir, glob, maxFilesPerTrigger, dest)
+        java.nio.file.Files.write(drained.toPath, Array.emptyByteArray)
+        IndexStore.cleanupSuperseded(spark,
+          new java.io.File(sys.props("java.io.tmpdir")),
+          s"graft_upsert_stream_${IndexStore.pathTag(dir)}_", dest.getName,
+          s"graft_upsert_stream_${IndexStore.pathTag(dir)}_", dest.getName)
+      }
+      dest
+    }
+
+  /** One AvailableNow drain: per batch, re-derive index rows for the
+    * batch's edited docs → immutable overlay segment tagged with the
+    * batch id. */
+  private[graft] def runUpsertStream(spark: SparkSession, dir: String,
+      glob: String, maxFilesPerTrigger: Int, dest: java.io.File): Unit =
+    QueryUtil.withStreamStatePartitions(spark) { s =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      var reader = s.readStream.schema(schema).option("pathGlobFilter", glob)
+      if (maxFilesPerTrigger > 0)
+        reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      val src = reader.parquet(dir)
+        .filter(col("doc_id") % UpsertMod === UpsertRem &&
+          col("doc_id") % 10 =!= 0)
+        .withColumn("text", concat(col("text"), lit(UpsertSuffix)))
+      val publish: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, batchId) => {
+          val seg = new java.io.File(dest, f"seg_$batchId%05d")
+          MinHashLSH.indexRows(batch.toDF(), "doc_id", "text")
+            .withColumn("seg_batch", lit(batchId))
+            .write.mode("overwrite").parquet(s"${seg.getPath}/rows")
+        }
+      val q = src.writeStream
+        .foreachBatch(publish)
+        .option("checkpointLocation", s"${dest.getPath}/checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+    }
+
   // ---- q11: SimHash near-dup -----------------------------------------
 
   val SimhashMaxHamming = 3

@@ -239,6 +239,46 @@ class StreamScreenSpec extends SparkSpec
       "promoted corpus does not hold exactly base + streamed vectors")
   }
 
+  // ---- q232: streaming CDC upsert overlay on the stored index ---------
+
+  test("q232 equals q193's at-rest upsert row-for-row — arrival mode invisible") {
+    val streamed = SparkEntry.queries("q232_stream_upsert")(spark, sfDir)
+      .collect().toSeq
+    val atRest = SparkEntry.queries("q193_index_upsert")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == atRest)
+  }
+
+  test("q232 overlay covers exactly the edited cohort; base rows untouched") {
+    import org.apache.spark.sql.functions.col
+    val dest = PipelineQueries.ensureUpsertStream(spark, sfDir)
+    val segs = RetrievalQueries.segmentDirs(dest)
+    assert(segs.nonEmpty)
+    val over = segs.map(s => spark.read.parquet(s"${s.getPath}/rows"))
+      .reduce(_.unionByName(_))
+    val overIds = over.select("id").collect().map(_.getLong(0)).toSet
+    val cohort = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % PipelineQueries.UpsertMod ===
+        PipelineQueries.UpsertRem && col("doc_id") % 10 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(overIds == cohort)
+    // overlay rows differ from the base store's rows for those ids
+    // (the revision really changed the signatures) while the effective
+    // index q232 serves equals q193's upserted store row set
+    val base = spark.table(PipelineQueries.ensureDedupIndex(spark, sfDir))
+    val baseCohort = base.filter(col("id").isin(cohort.toSeq: _*))
+      .collect().map(_.toSeq).toSet
+    val overRows = over.drop("seg_batch").collect().map(_.toSeq).toSet
+    assert(baseCohort.nonEmpty && overRows.nonEmpty &&
+      baseCohort != overRows)
+    val upserted = spark.table(PipelineQueries.ensureUpsertIndex(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    val eff = base.join(over.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(over.drop("seg_batch"))
+      .collect().map(_.toSeq).toSet
+    assert(eff == upserted)
+  }
+
   test("q210 re-invocation is a no-op at BOTH layers: marker and checkpoint") {
     val dest = PipelineQueries.ensureScreenedStream(spark, sfDir)
     def snapshot(): Seq[(String, Long, Long)] = {
