@@ -577,4 +577,152 @@ object AnalyticsQueries {
        |  round(quantile_cont(price, 0.9), 6) AS p90,
        |  round(quantile_cont(price, 0.99), 6) AS p99
        |FROM e""".stripMargin
+
+  // ---- q233: V-optimal histogram (dynamic programming) -----------------
+
+  /** Fine-grid resolution the DP runs over. */
+  val VoptCells = 64
+
+  /** Output buckets. */
+  val VoptBuckets = 8
+
+  /** V-OPTIMAL histogram (Jagadish et al., VLDB'98 "Optimal
+    * Histograms with Quality Guarantees") — the synopsis the family's
+    * fixed-width (q23), Scott (q33), and equi-depth (q78) heuristics
+    * approximate: [[VoptBuckets]] variable-width buckets minimizing
+    * within-bucket variance, found EXACTLY by dynamic programming
+    * `dp_k(i) = min_j dp_{k−1}(j) + sse(j+1, i)` over a
+    * [[VoptCells]]-cell equi-width pre-grid of order totals. The
+    * objective is the count-scaled integer SSE over cell indices
+    * (`w·Σx² − (Σx)²` from prefix sums — exact, no float), ties
+    * broken to the SMALLEST split, so the optimum is unique and both
+    * engines agree bit-for-bit; the oracle replays the DP as K
+    * unrolled min-stages plus a backtracking chain in SQL.
+    *
+    * Scale shape: ONE distributed pass → min/max, one more → 64 cell
+    * counts; the DP itself runs on the driver over the fixed-size
+    * grid (64·64·8 integer ops — the centroid-collect economics;
+    * the grid never grows with the data). */
+  def voptimalHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = table(spark, dir, "orders")
+      .select(expr("cast(floor(o_totalprice * 100) as long)").as("c"))
+    val mm = cents.agg(min("c").as("lo"), max("c").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    val cnts = new Array[Long](VoptCells)
+    cents
+      .select(expr(s"((c - $lo) * $VoptCells) div $span").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .collect().foreach(r => cnts(r.getLong(0).toInt) = r.getLong(1))
+    val rows = voptDp(cnts, VoptBuckets).zipWithIndex.map {
+      case ((l, h, n, w), t) => (t + 1L, l.toLong, h - 1L, n, w)
+    }
+    import spark.implicits._
+    rows.toDF("bucket", "lo_cell", "hi_cell", "n_rows", "cost")
+      .orderBy("bucket")
+  }
+
+  /** The exact DP over cell counts: returns one (loBound, hiBound,
+    * nRows, cost) per bucket, bounds as positions (bucket = cells
+    * [lo, hi)). Smallest-split tie-break; pure integers. Exposed for
+    * the spec's exhaustive-optimality check. */
+  private[graft] def voptDp(cnts: Array[Long], buckets: Int)
+      : Seq[(Int, Int, Long, Long)] = {
+    val m = cnts.length
+    val cc = new Array[Long](m + 1)
+    val cs = new Array[Long](m + 1)
+    val css = new Array[Long](m + 1)
+    for (i <- 1 to m) {
+      cc(i) = cc(i - 1) + cnts(i - 1)
+      cs(i) = cs(i - 1) + cnts(i - 1) * (i - 1)
+      css(i) = css(i - 1) + cnts(i - 1) * (i - 1).toLong * (i - 1)
+    }
+    def cost(j: Int, i: Int): Long = {
+      val w = cc(i) - cc(j)
+      w * (css(i) - css(j)) - (cs(i) - cs(j)) * (cs(i) - cs(j))
+    }
+    // dp(k)(i): best cost of covering cells [0, i) with k buckets;
+    // pred holds the SMALLEST optimal split (deterministic tie-break)
+    val dp = Array.fill(buckets + 1, m + 1)(Long.MaxValue)
+    val pred = Array.fill(buckets + 1, m + 1)(-1)
+    for (i <- 1 to m) dp(1)(i) = cost(0, i)
+    for (k <- 2 to buckets; i <- k to m) {
+      var best = Long.MaxValue
+      var bj = -1
+      for (j <- (k - 1) until i) {
+        if (dp(k - 1)(j) != Long.MaxValue) {
+          val v = dp(k - 1)(j) + cost(j, i)
+          if (v < best) { best = v; bj = j }
+        }
+      }
+      dp(k)(i) = best
+      pred(k)(i) = bj
+    }
+    val bounds = new Array[Int](buckets + 1)
+    bounds(buckets) = m
+    for (k <- buckets until 0 by -1)
+      bounds(k - 1) = if (k == 1) 0 else pred(k)(bounds(k))
+    (1 to buckets).map { t =>
+      val (l, h) = (bounds(t - 1), bounds(t))
+      (l, h, cc(h) - cc(l), cost(l, h))
+    }
+  }
+
+  val voptimalHistogramSql: String = {
+    val K = VoptBuckets
+    val stages = (2 to K).map { k =>
+      s"""cand$k AS (
+         |  SELECT c.i, c.j, d.v + c.w AS tot
+         |  FROM cost c JOIN dp${k - 1} d ON d.i = c.j),
+         |dp$k AS (SELECT i, min(tot) AS v FROM cand$k GROUP BY i),
+         |pr$k AS (
+         |  SELECT c.i, min(c.j) AS p
+         |  FROM cand$k c JOIN dp$k USING (i) WHERE c.tot = dp$k.v
+         |  GROUP BY c.i)""".stripMargin
+    }.mkString(",\n")
+    val backtrack = (K - 1 to 1 by -1).map { t =>
+      if (t == K - 1)
+        s"b$t AS (SELECT p AS b FROM pr$K WHERE i = $VoptCells)"
+      else
+        s"b$t AS (SELECT p AS b FROM pr${t + 1} JOIN b${t + 1} ON pr${t + 1}.i = b${t + 1}.b)"
+    }.mkString(",\n")
+    val bucketRows = (1 to K).map { t =>
+      val loB = if (t == 1) "0" else s"(SELECT b FROM b${t - 1})"
+      val hiB = if (t == K) s"$VoptCells" else s"(SELECT b FROM b$t)"
+      s"SELECT $t AS bucket, $loB AS lo, $hiB AS hi"
+    }.mkString(" UNION ALL ")
+    s"""WITH cents AS (
+       |  SELECT (floor(o_totalprice * 100))::BIGINT AS c FROM orders),
+       |mm AS (SELECT min(c) AS lo, max(c) AS hi FROM cents),
+       |cellv AS (
+       |  SELECT ((c - lo) * $VoptCells) // (hi - lo + 1) AS cell
+       |  FROM cents, mm),
+       |cnts AS (
+       |  SELECT g.i AS cell, count(cellv.cell)::BIGINT AS cnt
+       |  FROM (SELECT unnest(range(0, $VoptCells)) AS i) g
+       |  LEFT JOIN cellv ON cellv.cell = g.i GROUP BY 1),
+       |pre AS (
+       |  SELECT cell + 1 AS i,
+       |    sum(cnt) OVER (ORDER BY cell) AS cc,
+       |    sum(cnt * cell) OVER (ORDER BY cell) AS cs,
+       |    sum(cnt * cell * cell) OVER (ORDER BY cell) AS css
+       |  FROM cnts
+       |  UNION ALL SELECT 0, 0, 0, 0),
+       |cost AS (
+       |  SELECT a.i AS j, b.i AS i,
+       |    (b.cc - a.cc) * (b.css - a.css)
+       |      - (b.cs - a.cs) * (b.cs - a.cs) AS w
+       |  FROM pre a JOIN pre b ON a.i < b.i),
+       |dp1 AS (SELECT i, w AS v FROM cost WHERE j = 0),
+       |$stages,
+       |$backtrack,
+       |bk AS ($bucketRows)
+       |SELECT bk.bucket::BIGINT AS bucket, bk.lo::BIGINT AS lo_cell,
+       |  (bk.hi - 1)::BIGINT AS hi_cell,
+       |  (ph.cc - pl.cc)::BIGINT AS n_rows,
+       |  ((ph.cc - pl.cc) * (ph.css - pl.css)
+       |    - (ph.cs - pl.cs) * (ph.cs - pl.cs))::BIGINT AS cost
+       |FROM bk JOIN pre pl ON pl.i = bk.lo JOIN pre ph ON ph.i = bk.hi
+       |ORDER BY bucket""".stripMargin
+  }
 }

@@ -62,4 +62,66 @@ class QuantileSpec extends SparkSpec {
     assert(types.length == nTypes, s"every event_type keyed: $types")
     assert(rows.map(_.getAs[Int]("rank")).forall(r => r >= 1 && r <= 5))
   }
+
+  // ---- q233: V-optimal histogram DP -----------------------------------
+
+  test("q233 DP is exhaustively optimal on a small instance") {
+    val cnts = Array[Long](5, 1, 1, 9, 2, 0, 7, 3, 3, 8)
+    val k = 3
+    def cost(lo: Int, hi: Int): Long = {
+      val xs = (lo until hi).flatMap(i => Seq.fill(cnts(i).toInt)(i.toLong))
+      if (xs.isEmpty) 0L
+      else xs.size.toLong * xs.map(x => x * x).sum - {
+        val s = xs.sum; s * s
+      }
+    }
+    // every way to split 10 cells into 3 non-empty runs
+    val all = for {
+      a <- 1 to 8; b <- (a + 1) to 9
+    } yield (Seq((0, a), (a, b), (b, 10)),
+      cost(0, a) + cost(a, b) + cost(b, 10))
+    val best = all.map(_._2).min
+    val dp = AnalyticsQueries.voptDp(cnts, k)
+    assert(dp.map(_._4).sum == best, s"DP ${dp.map(_._4).sum} vs $best")
+    // the DP picks the smallest-split optimum among ties
+    val optimal = all.filter(_._2 == best).map(_._1)
+    val dpBounds = dp.map(s => (s._1, s._2))
+    assert(optimal.map(_.map(t => (t._1, t._2))).contains(dpBounds.toSeq))
+    assert(dpBounds == optimal.map(_.map(t => (t._1, t._2)))
+      .minBy(_.map(_._1).mkString(",")))
+  }
+
+  test("q233 output partitions the grid; beats the equi-width baseline") {
+    val rows = AnalyticsQueries.voptimalHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == AnalyticsQueries.VoptBuckets)
+    // contiguous cover of [0, 63]
+    assert(rows.head._2 == 0L &&
+      rows.last._3 == AnalyticsQueries.VoptCells - 1L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._3 + 1, s"gap between buckets ${a._1} and ${b._1}")
+    case _ => }
+    // conservation
+    val n = QueryUtil.table(spark, sfDir, "orders").count()
+    assert(rows.map(_._4).sum == n)
+    // optimality vs the equi-width 8-bucket baseline on the same grid
+    val cents = QueryUtil.table(spark, sfDir, "orders")
+      .selectExpr("cast(floor(o_totalprice * 100) as long) as c")
+      .collect().map(_.getLong(0))
+    val (lo, hi) = (cents.min, cents.max)
+    val cell = cents.map(c => ((c - lo) * AnalyticsQueries.VoptCells /
+      (hi - lo + 1)).toInt)
+    val cnts = new Array[Long](AnalyticsQueries.VoptCells)
+    cell.foreach(i => cnts(i) += 1)
+    def rangeCost(l: Int, h: Int): Long = {
+      val w = (l until h).map(cnts).sum
+      val s = (l until h).map(i => cnts(i) * i).sum
+      val ss = (l until h).map(i => cnts(i) * i.toLong * i).sum
+      w * ss - s * s
+    }
+    val equi = (0 until 8).map(t => rangeCost(t * 8, (t + 1) * 8)).sum
+    assert(rows.map(_._5).sum <= equi,
+      s"v-optimal ${rows.map(_._5).sum} worse than equi-width $equi")
+  }
 }
