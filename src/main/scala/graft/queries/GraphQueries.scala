@@ -346,6 +346,63 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---- q234: frequent brand triples (market-basket 3-itemsets) --------
+
+  /** Top slots reported. */
+  val TripleTopK = 20
+
+  /** Frequent 3-itemset mining over order baskets — the k=3 member of
+    * the association family (q114 scores PAIRS with lift; 3-itemsets
+    * expose brand-bundle structure pairwise lift cannot see). Baskets
+    * are an order's distinct part brands; triple support counts by a
+    * three-way ordered self-join (`b1 < b2 < b3` — each unordered
+    * triple exactly once); the report is the top [[TripleTopK]] by
+    * (support desc, brands asc) — a fully deterministic total order,
+    * so the gate is hash-exact. The Apriori anti-monotone property
+    * (every sub-pair's support ≥ the triple's) is spec-asserted, and
+    * is the pruning lever the same plan uses at large item universes
+    * (restrict the join to frequent pairs); at 25 brands the
+    * candidate space is C(25,3) and pruning is unnecessary.
+    *
+    * Scale shape: the basket table is two narrow columns; the ordered
+    * self-joins shuffle on orderkey (co-partitioned after the first);
+    * the top-K is a TakeOrderedAndProject, never a global sort. */
+  def brandTriples(spark: SparkSession, dir: String): DataFrame = {
+    val bk = table(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(table(spark, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val nb = bk.agg(countDistinct(col("o")).as("n"))
+    val t = bk.select(col("o"), col("b").as("b1"))
+      .join(bk.select(col("o"), col("b").as("b2")), Seq("o"))
+      .filter(col("b1") < col("b2"))
+      .join(bk.select(col("o"), col("b").as("b3")), Seq("o"))
+      .filter(col("b2") < col("b3"))
+      .groupBy("b1", "b2", "b3").agg(count(lit(1)).as("support"))
+    t.crossJoin(broadcast(nb))
+      .select(col("b1"), col("b2"), col("b3"), col("support"),
+        expr("(1000 * support) div n").as("support_permille"))
+      .orderBy(col("support").desc, col("b1"), col("b2"), col("b3"))
+      .limit(TripleTopK)
+  }
+
+  val brandTriplesSql: String =
+    s"""WITH bk AS (
+       |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |nb AS (SELECT count(DISTINCT o)::BIGINT AS n FROM bk),
+       |t AS (
+       |  SELECT a.b AS b1, c.b AS b2, d.b AS b3, count(*)::BIGINT AS support
+       |  FROM bk a
+       |  JOIN bk c ON a.o = c.o AND a.b < c.b
+       |  JOIN bk d ON c.o = d.o AND c.b < d.b
+       |  GROUP BY 1, 2, 3)
+       |SELECT b1, b2, b3, support,
+       |  ((1000 * support) // n)::BIGINT AS support_permille
+       |FROM t, nb
+       |ORDER BY support DESC, b1, b2, b3 LIMIT $TripleTopK""".stripMargin
+
   // ---- q114: item co-occurrence lift ---------------------------------
 
   val CoocTopK = 20

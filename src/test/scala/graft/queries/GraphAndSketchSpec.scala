@@ -292,4 +292,39 @@ class GraphAndSketchSpec extends SparkSpec {
     // the protocol is live: some test users exist, hits are monotone
     assert(got._1 > 0 && got._2 <= got._3 && got._3 <= got._4 && got._4 <= got._1)
   }
+
+  test("q234: brand triples equal a driver-side count; Apriori property holds") {
+    val bk = QueryUtil.table(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brands = QueryUtil.table(spark, sfDir, "part")
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = bk.map { case (o, p) => (o, brands(p)) }.distinct
+      .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).distinct.sorted }
+    val n = baskets.size.toLong
+    val triples = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    baskets.values.foreach { bs =>
+      for (i <- bs.indices; j <- (i + 1) until bs.size) {
+        pairs((bs(i), bs(j))) = pairs.getOrElse((bs(i), bs(j)), 0L) + 1
+        for (k <- (j + 1) until bs.size) {
+          val key = (bs(i), bs(j), bs(k))
+          triples(key) = triples.getOrElse(key, 0L) + 1
+        }
+      }
+    }
+    val want = triples.toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }
+      .take(GraphQueries.TripleTopK)
+      .map { case ((a, b, c), s) => (a, b, c, s, 1000L * s / n) }
+    val got = GraphQueries.brandTriples(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // Apriori anti-monotonicity: every sub-pair supports >= the triple
+    got.foreach { case (a, b, c, s, _) =>
+      assert(pairs((a, b)) >= s && pairs((a, c)) >= s && pairs((b, c)) >= s)
+    }
+  }
 }
