@@ -1033,6 +1033,87 @@ object QualityQueries {
        |     * n_a * n_b > ${KsC2E4 * 100L} * (n_a + n_b)) AS reject
        |FROM d ORDER BY src_a, src_b""".stripMargin
 
+  // ---- q235: Mann-Whitney U location test ------------------------------
+
+  /** `z²_{0.05}·10⁶ = 1.9600²·10⁶` for the large-sample normal gate. */
+  val MwZ2E6 = 3841600L
+
+  /** Pairwise exact Mann-Whitney U across event types — the LOCATION
+    * sibling of q225's KS (KS sees any shape difference; U asks the
+    * sharper "does one group stochastically dominate?"): doubled to
+    * stay integer under ties, `U₂ = 2·#{x>y} + #{x=y}` computed from
+    * pooled value counts (`Σ_v c_a(v)·(2·cum_b(v⁻) + c_b(v))` — one
+    * cumulative pass, no rank midpoints, no float). Effect size is
+    * the common-language `U₂/(n_a·n_b)` in per-mille of 2000 (1000 =
+    * no effect); the α=0.05 normal gate evaluates on the per-mille
+    * floored deviation (documented definition, both engines
+    * bit-identical; ties uncorrected — conservative).
+    *
+    * Scale: q225's economics — (group, value) counts, broadcast pair
+    * table, per-pair cumulative over the pooled distinct-value
+    * axis. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = table(spark, dir, "events")
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vals.groupBy("g").agg(sum("c").as("n"))
+    val pairs = tot.select(col("g").as("src_a"), col("n").as("n_a"))
+      .join(tot.select(col("g").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val pv = vals.join(broadcast(pairs),
+        col("g") === col("src_a") || col("g") === col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b", "v")
+      .agg(
+        sum(when(col("g") === col("src_a"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("src_b"), col("c")).otherwise(0L)).as("cb"))
+    val byV = Window.partitionBy("src_a", "src_b").orderBy("v")
+    val u = pv
+      .withColumn("cumb",
+        sum("cb").over(byV.rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(0L, Seq("cumb"))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(sum(col("ca") * (lit(2L) * col("cumb") + col("cb"))).as("u2"))
+    u.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("u2"),
+        expr("(1000 * u2) div (n_a * n_b)").as("effect_permille"),
+        expr("(1000 * abs(u2 - n_a * n_b)) div (n_a * n_b)").as("dev_pm"))
+      .withColumn("reject",
+        lit(3L) * col("dev_pm") * col("dev_pm") * col("n_a") * col("n_b") >
+          lit(MwZ2E6) * (col("n_a") + col("n_b") + 1))
+      .drop("dev_pm")
+      .orderBy("src_a", "src_b")
+  }
+
+  val mannWhitneySql: String =
+    s"""WITH vals AS (
+       |  SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c)::BIGINT AS n FROM vals GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.g AS src_a, a.n AS n_a, b.g AS src_b, b.n AS n_b
+       |  FROM tot a JOIN tot b ON a.g < b.g),
+       |pv AS (
+       |  SELECT src_a, src_b, n_a, n_b, v,
+       |    sum(CASE WHEN vals.g = src_a THEN c ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN vals.g = src_b THEN c ELSE 0 END)::BIGINT AS cb
+       |  FROM pairs JOIN vals ON vals.g = src_a OR vals.g = src_b
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |cum AS (
+       |  SELECT src_a, src_b, n_a, n_b, ca, cb,
+       |    coalesce(sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+       |  FROM pv),
+       |u AS (
+       |  SELECT src_a, src_b, n_a, n_b,
+       |    sum(ca * (2 * cumb + cb))::BIGINT AS u2
+       |  FROM cum GROUP BY 1, 2, 3, 4)
+       |SELECT src_a, src_b, n_a, n_b, u2,
+       |  ((1000 * u2) // (n_a * n_b))::BIGINT AS effect_permille,
+       |  (3 * ((1000 * abs(u2 - n_a * n_b)) // (n_a * n_b))
+       |     * ((1000 * abs(u2 - n_a * n_b)) // (n_a * n_b))
+       |     * n_a * n_b > $MwZ2E6 * (n_a + n_b + 1)) AS reject
+       |FROM u ORDER BY src_a, src_b""".stripMargin
+
   // ---- q227: MAD robust outlier audit ---------------------------------
 
   /** `3 · 1.4826 · 10⁴` — the classic "3 sigma-equivalents" MAD fence

@@ -370,4 +370,41 @@ class QualityQueriesSpec extends SparkSpec {
     }).sum
     assert(uchi == 0L)
   }
+
+  test("q235: doubled U equals a driver-side pair count; U_a + U_b conserves") {
+    val ev = QueryUtil.table(spark, sfDir, "events")
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byG = ev.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    val types = byG.keys.toSeq.sorted
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield {
+      val (a, b) = (types(i), types(j))
+      val (xa, xb) = (byG(a), byG(b))
+      val (na, nb) = (xa.size.toLong, xb.size.toLong)
+      // brute force: U2 = 2#{x>y} + #{x=y}
+      var u2 = 0L
+      xa.foreach(x => xb.foreach { y =>
+        if (x > y) u2 += 2 else if (x == y) u2 += 1 })
+      val eff = 1000L * u2 / (na * nb)
+      val dev = 1000L * math.abs(u2 - na * nb) / (na * nb)
+      (a, b) -> (na, nb, u2, eff,
+        3L * dev * dev * na * nb > QualityQueries.MwZ2E6 * (na + nb + 1))
+    }).toMap
+    val got = QualityQueries.mannWhitney(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    assert(got == want)
+    // conservation: U2_a + U2_b = 2·n_a·n_b (each cross pair counted
+    // twice in total) — a property brute force satisfies by symmetry,
+    // asserted here on the engine output via the reversed computation
+    got.foreach { case ((a, b), (na, nb, u2, _, _)) =>
+      var u2rev = 0L
+      byG(b).foreach(y => byG(a).foreach { x =>
+        if (y > x) u2rev += 2 else if (y == x) u2rev += 1 })
+      assert(u2 + u2rev == 2L * na * nb, s"($a,$b)")
+    }
+  }
 }
