@@ -1016,6 +1016,65 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q236: clone localization from winnowed fingerprints -------------
+
+  /** Minimum matched fingerprint-occurrence pairs for a reported
+    * clone pair. */
+  val CloneMinShared = 3L
+
+  /** The MOSS match REPORT built on q222's winnowed subsample: doc
+    * pairs sharing ≥ [[CloneMinShared]] selected fingerprint hashes,
+    * each with the positional extent of the match on BOTH sides
+    * (min/max selected gram position per doc — the winnowed key
+    * encodes position, so localization costs nothing extra). This is
+    * the clone-detection join run on ~2/(w+1) of the gram table —
+    * Schleimer et al.'s whole scalability argument — where q220's
+    * excision touches every duplicated window occurrence; the
+    * coverage guarantee bounds what the subsample can miss (no shared
+    * run ≥ w+k−1 escapes entirely). `n_shared` counts matched
+    * occurrence PAIRS (a hash selected at multiple positions
+    * contributes each cross-match; documented, identical in SQL).
+    *
+    * Scale shape: one hash-keyed self-join over the winnowed
+    * fingerprint table, then a per-pair aggregate — candidates ∝
+    * shared fingerprints, never O(n²) over docs. */
+  def cloneReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Winnowing
+    val sel = Winnowing.selected(table(spark, dir, "documents"),
+      "doc_id", "text", WinnowK, WinnowW)
+    val f = sel.select(col("doc_id"),
+      expr(s"m div ${Winnowing.PosField}").as("h"),
+      expr(s"${Winnowing.PosField - 1} - (m % ${Winnowing.PosField})")
+        .as("p"))
+    f.select(col("doc_id").as("doc_a"), col("h"), col("p").as("pa"))
+      .join(f.select(col("doc_id").as("doc_b"), col("h"),
+        col("p").as("pb")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"),
+        min("pa").as("a_lo"), max("pa").as("a_hi"),
+        min("pb").as("b_lo"), max("pb").as("b_hi"))
+      .filter(col("n_shared") >= CloneMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val cloneReportSql: String = {
+    import graft.text.Winnowing
+    val P = Winnowing.PosField
+    s"""WITH sel AS (
+       |${Winnowing.selectedSql("documents", "doc_id", "text", WinnowK, WinnowW)}),
+       |f AS (
+       |  SELECT doc_id, m // $P AS h, ${P - 1} - (m % $P) AS p FROM sel),
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+       |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared,
+       |  min(pa)::BIGINT AS a_lo, max(pa)::BIGINT AS a_hi,
+       |  min(pb)::BIGINT AS b_lo, max(pb)::BIGINT AS b_hi
+       |FROM j GROUP BY 1, 2 HAVING count(*) >= $CloneMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q231: leave-one-source-out influence ----------------------------
 
   /** Data-valuation audit by LEAVE-ONE-OUT deltas — the cheapest

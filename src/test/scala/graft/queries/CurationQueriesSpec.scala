@@ -593,6 +593,61 @@ class CurationQueriesSpec extends SparkSpec {
       "unrelated doc shares a fingerprint")
   }
 
+  // ---- q236: clone localization from winnowed fingerprints -------------
+
+  test("q236: localization equals a driver reference; spans cover the clone") {
+    import graft.text.Winnowing
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val sel = naiveWinnow(docs, CurationQueries.WinnowK,
+      CurationQueries.WinnowW)
+    val occ = sel.toSeq.flatMap { case (id, ms) =>
+      ms.map(m => (id, m / Winnowing.PosField,
+        Winnowing.PosField - 1 - (m % Winnowing.PosField)))
+    }
+    val byH = occ.groupBy(_._2)
+    val want = byH.values.flatMap { os =>
+      for {
+        (da, _, pa) <- os; (db, _, pb) <- os if da < db
+      } yield ((da, db), (pa, pb))
+    }.groupBy(_._1).collect {
+      case (pair, hits) if hits.size >= CurationQueries.CloneMinShared =>
+        val pas = hits.map(_._2._1); val pbs = hits.map(_._2._2)
+        pair -> (hits.size.toLong, pas.min, pas.max, pbs.min, pbs.max)
+    }.toMap
+    val got = CurationQueries.cloneReport(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == want)
+    // the synthetic near-dup twins guarantee reported clones, and the
+    // match extents are sane gram positions
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, aLo, aHi, bLo, bHi) =>
+      assert(aLo >= 1 && aLo <= aHi && bLo >= 1 && bLo <= bHi)
+    }
+  }
+
+  test("q236: a planted clone pair is found and its span localized") {
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val docs = Seq(
+      0L -> s"a1 a2 a3 $passage a4 a5",
+      1L -> s"b1 b2 b3 b4 b5 b6 b7 $passage",
+      2L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14")
+    val dir = writeDocs(docs)
+    val got = CurationQueries.cloneReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.keySet == Set((0L, 1L)))
+    val (n, aLo, aHi, bLo, bHi) = got((0L, 1L))
+    assert(n >= CurationQueries.CloneMinShared)
+    // the localized extents sit inside the planted passage on each side
+    assert(aLo >= 4 && aHi <= 4 + 12 - 1)
+    assert(bLo >= 8 && bHi <= 8 + 12 - 1)
+  }
+
   // ---- q231: leave-one-source-out influence ----------------------------
 
   test("q231: LOO influence equals a driver-side reference; deltas conserve") {
