@@ -98,6 +98,100 @@ object CleaningQueries {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- q237: Luhn-validated card detection ------------------------------
+
+  /** Eight Luhn-valid 16-digit test numbers (check digits computed
+    * offline) and their last-digit-bumped INVALID twins — a unique
+    * check digit means ±1 always breaks the checksum. */
+  val LuhnValid: Seq[String] = Seq(
+    "4023456789012340", "4123456789012349", "4223456789012348",
+    "4323456789012347", "4423456789012346", "4523456789012345",
+    "4623456789012344", "4723456789012343")
+  val LuhnInvalid: Seq[String] =
+    LuhnValid.map(s => s.init + ((s.last - '0' + 1) % 10).toString)
+
+  /** The Luhn sum expression over a 16-digit string column `s` —
+    * doubling every second digit from the right (= even 0-based
+    * positions from the left at this even length), subtracting 9 on
+    * overflow; valid iff ≡ 0 (mod 10). Pure integer higher-order
+    * expression, codegen-friendly, identical arithmetic in DuckDB. */
+  private def luhnSumExpr(s: String): String =
+    s"aggregate(transform(sequence(0, 15), i -> CASE WHEN i % 2 = 0 " +
+      s"THEN IF(2 * (ascii(substring($s, i + 1, 1)) - 48) > 9, " +
+      s"2 * (ascii(substring($s, i + 1, 1)) - 48) - 9, " +
+      s"2 * (ascii(substring($s, i + 1, 1)) - 48)) " +
+      s"ELSE ascii(substring($s, i + 1, 1)) - 48 END), 0, (a, x) -> a + x)"
+
+  /** Checksum-VALIDATED PII detection — the precision upgrade q79's
+    * regexes cannot give: any 16-digit run LOOKS like a card, but
+    * only a Luhn-consistent one IS one, and a redaction pipeline that
+    * cannot tell them apart either over-redacts telemetry ids or
+    * under-reports exposure. Half the injected candidates are
+    * Luhn-valid, half are their bumped-check-digit twins; per source
+    * the audit reports candidates, checksum-valid, invalid, and the
+    * validated fraction. The Luhn sum is a higher-order integer
+    * expression inside codegen — one corpus scan, no UDF. */
+  def luhnAudit(spark: SparkSession, dir: String): DataFrame = {
+    val varr = LuhnValid.map(v => s"'$v'").mkString("array(", ", ", ")")
+    val iarr = LuhnInvalid.map(v => s"'$v'").mkString("array(", ", ", ")")
+    val d = table(spark, dir, "documents").withColumn("dirty", expr(
+      s"""CASE doc_id % 4
+         |  WHEN 0 THEN concat(text, ' card ',
+         |    element_at($varr, cast((doc_id div 4) % 8 + 1 as int)))
+         |  WHEN 1 THEN concat(text, ' card ',
+         |    element_at($iarr, cast((doc_id div 4) % 8 + 1 as int)))
+         |  ELSE text END""".stripMargin))
+      .withColumn("cand", regexp_extract(col("dirty"), "([0-9]{16})", 1))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cand") =!= "", 1L).otherwise(0L)).as("n_cands"),
+        sum(when(col("cand") =!= "" &&
+          expr(s"${luhnSumExpr("cand")} % 10") === 0, 1L).otherwise(0L))
+          .as("n_valid"))
+      .withColumn("n_invalid", col("n_cands") - col("n_valid"))
+      .withColumn("valid_permille",
+        when(col("n_cands") > 0,
+          expr("(1000 * n_valid) div n_cands")).otherwise(0L))
+      .orderBy("source")
+  }
+
+  val luhnAuditSql: String = {
+    val varr = LuhnValid.map(v => s"'$v'").mkString("[", ", ", "]")
+    val iarr = LuhnInvalid.map(v => s"'$v'").mkString("[", ", ", "]")
+    val luhn = "list_sum(list_transform(range(0, 16), i -> " +
+      "CASE WHEN i % 2 = 0 THEN " +
+      "CASE WHEN 2 * (ascii(substr(cand, (i + 1)::INT, 1)) - 48) > 9 " +
+      "THEN 2 * (ascii(substr(cand, (i + 1)::INT, 1)) - 48) - 9 " +
+      "ELSE 2 * (ascii(substr(cand, (i + 1)::INT, 1)) - 48) END " +
+      "ELSE ascii(substr(cand, (i + 1)::INT, 1)) - 48 END))"
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN text || ' card ' ||
+       |        ($varr)[((doc_id // 4) % 8 + 1)::INT]
+       |      WHEN 1 THEN text || ' card ' ||
+       |        ($iarr)[((doc_id // 4) % 8 + 1)::INT]
+       |      ELSE text END AS dirty
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, regexp_extract(dirty, '([0-9]{16})', 1) AS cand
+       |  FROM d)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN cand <> '' THEN 1 ELSE 0 END)::BIGINT AS n_cands,
+       |  sum(CASE WHEN cand <> '' AND $luhn % 10 = 0
+       |           THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       |  sum(CASE WHEN cand <> '' THEN 1 ELSE 0 END)::BIGINT
+       |    - sum(CASE WHEN cand <> '' AND $luhn % 10 = 0
+       |               THEN 1 ELSE 0 END)::BIGINT AS n_invalid,
+       |  (CASE WHEN sum(CASE WHEN cand <> '' THEN 1 ELSE 0 END) > 0
+       |        THEN (1000 * sum(CASE WHEN cand <> '' AND $luhn % 10 = 0
+       |                              THEN 1 ELSE 0 END))
+       |          // sum(CASE WHEN cand <> '' THEN 1 ELSE 0 END)
+       |        ELSE 0 END)::BIGINT AS valid_permille
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- q187: gazetteer NER redaction (names, not patterns) -------------
 
   /** The name list a gazetteer NER stage broadcasts. Capitalized, so

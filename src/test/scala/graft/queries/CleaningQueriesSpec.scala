@@ -338,4 +338,36 @@ class CleaningQueriesSpec extends SparkSpec {
     // the audit is non-degenerate: >1 bin, ECE strictly positive
     assert(got.length > 1 && ece > 0)
   }
+
+  test("q237: Luhn separates the planted valid/invalid twins exactly") {
+    // driver-side Luhn over the constants proves the fixtures
+    def luhnOk(num: String): Boolean = {
+      val s = num.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+      }.sum
+      s % 10 == 0
+    }
+    assert(CleaningQueries.LuhnValid.forall(luhnOk))
+    assert(!CleaningQueries.LuhnInvalid.exists(luhnOk))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).map { case (src, xs) =>
+      val nValid = xs.count(_._1 % 4 == 0).toLong
+      val nInvalid = xs.count(_._1 % 4 == 1).toLong
+      val nCands = nValid + nInvalid
+      src -> (xs.size.toLong, nCands, nValid, nInvalid,
+        if (nCands > 0) 1000L * nValid / nCands else 0L)
+    }
+    val got = CleaningQueries.luhnAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == want)
+    // the regex alone cannot separate: corpus-wide, candidates strictly
+    // exceed checksum-valid hits and both classes are populated
+    val (cands, valids) = (got.values.map(_._2).sum, got.values.map(_._3).sum)
+    assert(cands > valids && valids > 0)
+  }
 }
