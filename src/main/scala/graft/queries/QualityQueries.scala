@@ -1033,6 +1033,83 @@ object QualityQueries {
        |     * n_a * n_b > ${KsC2E4 * 100L} * (n_a + n_b)) AS reject
        |FROM d ORDER BY src_a, src_b""".stripMargin
 
+  // ---- q238: Cohen's kappa (labeler agreement) --------------------------
+
+  /** Chance-corrected agreement between the langid heuristic's
+    * prediction and the labeled language — Cohen's κ, the
+    * inter-annotator metric every labeling pipeline reports before
+    * trusting a weak labeler (raw accuracy flatters any skewed label
+    * distribution; κ subtracts the agreement chance would produce).
+    * Exact rational arithmetic:
+    * `κ = (N·Σdiag − Σᵢrᵢcᵢ) / (N² − Σᵢrᵢcᵢ)` reported in
+    * floor-milli units, plus the raw-accuracy and chance terms so the
+    * correction is auditable. One row however large the corpus.
+    *
+    * Scale shape: q15's confusion matrix is the only corpus-sized
+    * work (one scan, argmax projection, (lang, pred) aggregate);
+    * everything here is marginal arithmetic over the L×L cells.
+    * (`N²` terms bound exactness at N ≤ 3·10⁹ docs; beyond, pre-scale
+    * the marginals.) */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val docs = table(spark, dir, "documents")
+    val toks = graft.Partitioning.spread(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val sums = TextStats.langMarkerSums(col("tok"))
+      .map { case (lang, c) => c.as(s"sc_$lang") }
+    val scored = toks.groupBy("doc_id", "lang").agg(sums.head, sums.tail: _*)
+    val cells = scored.select(col("lang"),
+        TextStats.langIdFromScores(
+          TextStats.langMarkers.map { case (l, _) => l -> col(s"sc_$l") })
+          .as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cm = cells.groupBy("pred").agg(sum("o").as("c"))
+    val chance = rm.join(cm, col("lang") === col("pred"))
+      .agg(sum(col("r") * col("c")).as("rc"))
+    val agree = cells.filter(col("lang") === col("pred"))
+      .agg(coalesce(sum(col("o")), lit(0L)).as("diag"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    tot.crossJoin(broadcast(agree)).crossJoin(broadcast(chance))
+      .select(col("n"), col("diag"),
+        expr("(1000 * diag) div n").as("accuracy_milli"),
+        expr("(1000 * rc) div (n * n)").as("chance_milli"),
+        // symmetric truncation on a possibly-negative numerator (a
+        // worse-than-chance labeler): Spark `div` truncates while
+        // DuckDB `//` floors, so the sign is peeled off explicitly and
+        // both engines divide non-negatives only
+        expr("""CASE WHEN n * diag - rc >= 0
+                THEN (1000 * (n * diag - rc)) div (n * n - rc)
+                ELSE -((1000 * (rc - n * diag)) div (n * n - rc)) END""")
+          .as("kappa_milli"))
+  }
+
+  val cohensKappaSql: String = {
+    import graft.text.TextStats
+    s"""WITH cells AS (
+       |  SELECT lang, ${TextStats.langIdSql("text")} AS pred,
+       |    count(*)::BIGINT AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rm AS (SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+       |cm AS (SELECT pred, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+       |ch AS (
+       |  SELECT sum(r * c)::BIGINT AS rc
+       |  FROM rm JOIN cm ON rm.lang = cm.pred),
+       |ag AS (
+       |  SELECT coalesce(sum(o), 0)::BIGINT AS diag
+       |  FROM cells WHERE lang = pred),
+       |tot AS (SELECT sum(o)::BIGINT AS n FROM cells)
+       |SELECT n, diag,
+       |  ((1000 * diag) // n)::BIGINT AS accuracy_milli,
+       |  ((1000 * rc) // (n * n))::BIGINT AS chance_milli,
+       |  (CASE WHEN n * diag - rc >= 0
+       |        THEN (1000 * (n * diag - rc)) // (n * n - rc)
+       |        ELSE -((1000 * (rc - n * diag)) // (n * n - rc))
+       |   END)::BIGINT AS kappa_milli
+       |FROM tot, ag, ch""".stripMargin
+  }
+
   // ---- q235: Mann-Whitney U location test ------------------------------
 
   /** `z²_{0.05}·10⁶ = 1.9600²·10⁶` for the large-sample normal gate. */

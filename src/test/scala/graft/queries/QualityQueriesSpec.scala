@@ -407,4 +407,29 @@ class QualityQueriesSpec extends SparkSpec {
       assert(u2 + u2rev == 2L * na * nb, s"($a,$b)")
     }
   }
+
+  test("q238: kappa equals a reference from q15's confusion matrix; bounds hold") {
+    // q15's published confusion matrix IS the cell table kappa reduces
+    val conf = graft.SparkEntry.queries("q15_langid")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = conf.values.sum
+    val diag = conf.collect { case ((l, p), o) if l == p => o }.sum
+    val rm = conf.groupBy(_._1._1).map { case (l, xs) => l -> xs.values.sum }
+    val cm = conf.groupBy(_._1._2).map { case (p, xs) => p -> xs.values.sum }
+    val rc = rm.keys.map(l => rm(l) * cm.getOrElse(l, 0L)).sum
+    val wantKappa =
+      if (n * diag - rc >= 0) 1000L * (n * diag - rc) / (n * n - rc)
+      else -(1000L * (rc - n * diag) / (n * n - rc))
+    val row = QualityQueries.cohensKappa(spark, sfDir).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == diag)
+    assert(row.getLong(2) == 1000L * diag / n)
+    assert(row.getLong(3) == 1000L * rc / (n * n))
+    assert(row.getLong(4) == wantKappa)
+    // kappa <= accuracy always (the chance correction only shrinks it)
+    // and is a valid agreement coefficient; at this tiny SF the
+    // heuristic lands BELOW chance, so the negative symmetric-truncation
+    // branch is the one exercised end-to-end
+    assert(row.getLong(4) >= -1000 && row.getLong(4) <= row.getLong(2))
+  }
 }
