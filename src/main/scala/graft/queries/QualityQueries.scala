@@ -1033,6 +1033,83 @@ object QualityQueries {
        |     * n_a * n_b > ${KsC2E4 * 100L} * (n_a + n_b)) AS reject
        |FROM d ORDER BY src_a, src_b""".stripMargin
 
+  // ---- q239: mutual information (lang ↔ source) -------------------------
+
+  /** How MUCH does language depend on source — the effect-size q230's
+    * χ² only gates on: mutual information `Σ p·ln(p/(p_r·p_c))` in
+    * integer MICRONATS (the NgramLM quantization contract: each cell
+    * term is `round(10⁶·(ln(o·N) − ln(r·c)))` of INTEGER inputs, then
+    * count-weighted and floor-divided by N — order-independent,
+    * engine-exact under the same ≥10⁻⁴-from-boundary argument), plus
+    * both marginal entropies and Theil's uncertainty coefficient
+    * `U = MI/H(lang)` in per-mille: the "% of language uncertainty
+    * the source explains" number a mixing plan actually uses.
+    *
+    * Scale: identical to q230 — one scan to the L×S cell table, then
+    * marginal arithmetic; `o·N < 2⁵³` keeps the doubles exact to
+    * ~10⁸ docs per cell. */
+  def mutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cm = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val mi = cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+      .crossJoin(broadcast(tot))
+      .select((col("o") *
+        round(lit(1e6) * (log(col("o") * col("n")) -
+          log(col("r") * col("c")))).cast("long")).as("wt"))
+      .agg(sum("wt").as("minum"))
+    def entropy(m: org.apache.spark.sql.DataFrame, cnt: String) =
+      m.crossJoin(broadcast(tot))
+        .select((col(cnt) * round(lit(1e6) *
+          (log(col("n")) - log(col(cnt)))).cast("long")).as("wt"))
+        .agg(sum("wt").as("hnum"))
+    val hl = entropy(rm, "r").withColumnRenamed("hnum", "hl")
+    val hs = entropy(cm, "c").withColumnRenamed("hnum", "hs")
+    tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(hs))
+      .select(col("n"),
+        // near-independence can quantize MI a hair below zero; peel the
+        // sign so truncating `div` and flooring `//` agree (q238's rule)
+        expr("""CASE WHEN minum >= 0 THEN minum div n
+                ELSE -((-minum) div n) END""").as("mi_micronats"),
+        expr("hl div n").as("h_lang_micronats"),
+        expr("hs div n").as("h_source_micronats"))
+      .withColumn("u_lang_permille",
+        expr("""CASE WHEN mi_micronats >= 0
+                THEN (1000 * mi_micronats) div h_lang_micronats
+                ELSE -((1000 * -mi_micronats) div h_lang_micronats) END"""))
+  }
+
+  val mutualInformationSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*)::BIGINT AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rm AS (SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+       |cm AS (SELECT source, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+       |tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+       |mi AS (
+       |  SELECT sum(o * round(1e6 * (ln(o * n) - ln(r * c)))::BIGINT)::BIGINT
+       |    AS minum
+       |  FROM cells JOIN rm USING (lang) JOIN cm USING (source), tot),
+       |hl AS (
+       |  SELECT sum(r * round(1e6 * (ln(n) - ln(r)))::BIGINT)::BIGINT AS hl
+       |  FROM rm, tot),
+       |hs AS (
+       |  SELECT sum(c * round(1e6 * (ln(n) - ln(c)))::BIGINT)::BIGINT AS hs
+       |  FROM cm, tot)
+       |SELECT n,
+       |  (CASE WHEN minum >= 0 THEN minum // n
+       |        ELSE -((-minum) // n) END)::BIGINT AS mi_micronats,
+       |  (hl // n)::BIGINT AS h_lang_micronats,
+       |  (hs // n)::BIGINT AS h_source_micronats,
+       |  (CASE WHEN minum >= 0
+       |        THEN (1000 * (minum // n)) // (hl // n)
+       |        ELSE -((1000 * ((-minum) // n)) // (hl // n))
+       |   END)::BIGINT AS u_lang_permille
+       |FROM tot, mi, hl, hs""".stripMargin
+
   // ---- q238: Cohen's kappa (labeler agreement) --------------------------
 
   /** Chance-corrected agreement between the langid heuristic's

@@ -432,4 +432,33 @@ class QualityQueriesSpec extends SparkSpec {
     // branch is the one exercised end-to-end
     assert(row.getLong(4) >= -1000 && row.getLong(4) <= row.getLong(2))
   }
+
+  test("q239: MI/entropies equal a driver reference; information inequalities") {
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .selectExpr("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val oc = docs.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val rm = docs.groupBy(_._1).map { case (l, xs) => l -> xs.size.toLong }
+    val cm = docs.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    def q(x: Double): Long = math.round(1e6 * x)
+    val minum = oc.map { case ((l, s), o) =>
+      o * q(math.log(o.toDouble * n) - math.log(rm(l).toDouble * cm(s)))
+    }.sum
+    val hlnum = rm.values.map(r => r * q(math.log(n.toDouble) - math.log(r.toDouble))).sum
+    val hsnum = cm.values.map(c => c * q(math.log(n.toDouble) - math.log(c.toDouble))).sum
+    def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val mi = sdiv(minum, n)
+    val row = QualityQueries.mutualInformation(spark, sfDir).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == mi)
+    assert(row.getLong(2) == hlnum / n && row.getLong(3) == hsnum / n)
+    assert(row.getLong(4) ==
+      (if (mi >= 0) 1000L * mi / (hlnum / n) else -(1000L * -mi / (hlnum / n))))
+    // information inequalities (up to micronat quantization slack):
+    // 0 <~ MI <= min(H_lang, H_source); entropies positive
+    assert(row.getLong(2) > 0 && row.getLong(3) > 0)
+    assert(row.getLong(1) >= -100 &&
+      row.getLong(1) <= math.min(row.getLong(2), row.getLong(3)) + 100)
+  }
 }
