@@ -1053,6 +1053,79 @@ object PipelineQueries {
       q.awaitTermination(300000)
     }
 
+  // ---- q240: quality-score AUC against duplicate labels ---------------
+
+  /** Signal EVALUATION closing a loop between three families: is the
+    * q14 quality score any good as a DUPLICATE discriminator? AUC =
+    * P(random dup scores below random clean doc), computed exactly as
+    * the Mann-Whitney U of q235 over integer micro-quality, with
+    * labels from the q10 MinHash pipeline (a doc is "dup" iff it
+    * appears in a verified pair). AUC ≈ 500‰ means the score carries
+    * no dup information and a mixing plan must not use it as a dedup
+    * proxy — the cheap audit that prevents exactly that mistake.
+    *
+    * Scale shape: the pair detector is q10's (∝ collisions); scoring
+    * is one scan; the ECDF cumulative runs over DISTINCT micro-scores
+    * (≤ 10⁶ cells by construction — the global window is bounded by
+    * score resolution, not corpus size; an unbounded-score variant
+    * would swap in the q94 two-phase PrefixSum). */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      MinhashThreshold)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val scored = docs
+      .join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .select((coalesce(col("dup"), lit(0L)) === 1L).as("isdup"),
+        round(TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("s"))
+    val pv = scored.groupBy("isdup", "s").agg(count(lit(1)).as("c"))
+      .groupBy("s").agg(
+        sum(when(col("isdup"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(!col("isdup"), col("c")).otherwise(0L)).as("cb"))
+    val byS = Window.orderBy("s")
+    pv.withColumn("cumb",
+        coalesce(sum("cb").over(byS.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .agg(
+        sum(col("ca") * (lit(2L) * col("cumb") + col("cb"))).as("u2"),
+        sum("ca").as("n_dup"), sum("cb").as("n_clean"))
+      .select(col("n_dup"), col("n_clean"), col("u2"),
+        expr("(1000 * u2) div (2 * n_dup * n_clean)").as("auc_permille"))
+  }
+
+  val qualityAucSql: String = {
+    import graft.text.TextStats
+    s"""$minhashVerifiedCte,
+       |dups AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM verified
+       |    WHERE jaccard >= $MinhashThreshold
+       |    UNION ALL
+       |    SELECT doc_b FROM verified WHERE jaccard >= $MinhashThreshold)),
+       |sc AS (
+       |  SELECT (dups.doc_id IS NOT NULL) AS isdup,
+       |    round(${TextStats.qualityScoreSql("text")} * 1e6)::BIGINT AS s
+       |  FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id),
+       |pv AS (
+       |  SELECT s,
+       |    sum(CASE WHEN isdup THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN NOT isdup THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT ca, cb, coalesce(sum(cb) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+       |  FROM pv)
+       |SELECT sum(ca)::BIGINT AS n_dup, sum(cb)::BIGINT AS n_clean,
+       |  sum(ca * (2 * cumb + cb))::BIGINT AS u2,
+       |  ((1000 * sum(ca * (2 * cumb + cb)))
+       |    // (2 * sum(ca) * sum(cb)))::BIGINT AS auc_permille
+       |FROM cum""".stripMargin
+  }
+
   // ---- q11: SimHash near-dup -----------------------------------------
 
   val SimhashMaxHamming = 3

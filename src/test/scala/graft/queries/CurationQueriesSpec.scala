@@ -648,6 +648,30 @@ class CurationQueriesSpec extends SparkSpec {
     assert(bLo >= 8 && bHi <= 8 + 12 - 1)
   }
 
+  // ---- q240: quality-score AUC against duplicate labels ----------------
+
+  test("q240: AUC equals a brute force built from q10's and q14's own outputs") {
+    val dupIds = graft.SparkEntry.queries("q10_dedup_minhash")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val scores = graft.SparkEntry.queries("q14_text_quality")(spark, sfDir)
+      .selectExpr("doc_id", "cast(round(quality * 1e6) as long)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (dup, clean) = scores.partition(s => dupIds.contains(s._1))
+    var u2 = 0L
+    dup.foreach { case (_, a) => clean.foreach { case (_, b) =>
+      if (a > b) u2 += 2 else if (a == b) u2 += 1 } }
+    val (na, nb) = (dup.length.toLong, clean.length.toLong)
+    val row = graft.queries.PipelineQueries.qualityAuc(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(row.getLong(2) == u2)
+    assert(row.getLong(3) == (1000L * u2) / (2L * na * nb))
+    // both classes populated; AUC a valid probability in per-mille
+    assert(na > 0 && nb > 0)
+    assert(row.getLong(3) >= 0 && row.getLong(3) <= 1000)
+  }
+
   // ---- q231: leave-one-source-out influence ----------------------------
 
   test("q231: LOO influence equals a driver-side reference; deltas conserve") {
