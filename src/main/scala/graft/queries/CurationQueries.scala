@@ -1016,6 +1016,55 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q241: Gini concentration of the corpus over sources -------------
+
+  /** How CONCENTRATED is the corpus? — the one-number diversity audit
+    * a dataset card leads with (a corpus where two sources hold 80%
+    * of tokens is a different risk profile than twenty equal feeds,
+    * whatever the mean quality says). Gini over per-source token
+    * masses via the rank formula on the (source-count-sized) sorted
+    * totals: `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` with ranks from a
+    * deterministic (tokens, source) total order — exact integers
+    * cross-multiplied, reported in floor per-mille (non-negative by
+    * Chebyshev's sum inequality on an ascending sequence, so no
+    * signed-division caveat arises).
+    *
+    * Scale: one scan → per-source sums (G rows); ranking and the
+    * formula run on the G-row table — window over sources, not
+    * data. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = table(spark, dir, "documents")
+      .select(col("source"),
+        size(graft.text.NgramLM.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("x"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("source"))))
+    ranked.agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n_sources"), col("total_tokens"),
+        // ascending rank order makes the numerator non-negative
+        // (Chebyshev's sum inequality), so plain `div` is safe
+        expr("""(1000 * (2 * ix - (n_sources + 1) * total_tokens))
+                div (n_sources * total_tokens)""").as("gini_permille"))
+  }
+
+  val giniConcentrationSql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+       |      AS x
+       |  FROM documents GROUP BY 1),
+       |ranked AS (
+       |  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM per)
+       |SELECT count(*)::BIGINT AS n_sources,
+       |  sum(x)::BIGINT AS total_tokens,
+       |  ((1000 * (2 * sum(i * x) - (count(*) + 1) * sum(x)))
+       |    // (count(*) * sum(x)))::BIGINT AS gini_permille
+       |FROM ranked""".stripMargin
+
   // ---- q236: clone localization from winnowed fingerprints -------------
 
   /** Minimum matched fingerprint-occurrence pairs for a reported

@@ -648,6 +648,36 @@ class CurationQueriesSpec extends SparkSpec {
     assert(bLo >= 8 && bHi <= 8 + 12 - 1)
   }
 
+  // ---- q241: Gini concentration over sources ----------------------------
+
+  test("q241: Gini equals a driver reference; extremes behave") {
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").length.toLong))
+    val per = docs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val sorted = per.toSeq.sortBy { case (s, x) => (x, s) }
+    val n = sorted.size.toLong
+    val tot = sorted.map(_._2).sum
+    val ix = sorted.zipWithIndex.map { case ((_, x), i) => (i + 1) * x }.sum
+    val wantG = 1000L * (2 * ix - (n + 1) * tot) / (n * tot)
+    val row = CurationQueries.giniConcentration(spark, sfDir).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == tot)
+    assert(row.getLong(2) == wantG)
+    // a near-balanced synthetic corpus sits low; bounds always hold
+    assert(row.getLong(2) >= 0 && row.getLong(2) < 1000)
+    // driver-side extremes of the same formula: equal masses -> 0;
+    // one source holding everything -> (n-1)/n
+    def gini(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val nn = s.size.toLong; val t = s.sum
+      val sx = s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      1000L * (2 * sx - (nn + 1) * t) / (nn * t)
+    }
+    assert(gini(Seq(5L, 5L, 5L, 5L)) == 0L)
+    assert(gini(Seq(0L, 0L, 0L, 100L)) == 750L) // (n-1)/n = 3/4
+  }
+
   // ---- q240: quality-score AUC against duplicate labels ----------------
 
   test("q240: AUC equals a brute force built from q10's and q14's own outputs") {
