@@ -269,6 +269,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q225/q235: the pair table broadcasts; no cartesian anywhere") {
+    // another suite's warm cache would swap FileScans for
+    // InMemoryTableScans and change the join strategy under test
+    spark.catalog.clearCache()
     Seq("q225_ks_drift", "q235_mann_whitney").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastNestedLoopJoin") ||
@@ -279,6 +282,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q220: span excision reads only doc_id and text") {
+    spark.catalog.clearCache()
     val p = plan("q220_span_excision")
     val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(readSchemas.nonEmpty)
@@ -294,6 +298,7 @@ class PlanSpec extends SparkSpec {
     // q226 feeds into dbscanFrom — identical construction to the query
     import org.apache.spark.sql.functions.col
     import graft.similarity.{CosineKnn, IvfIndex}
+    spark.catalog.clearCache()
     val emb = QueryUtil.table(spark, sfDir, "embeddings")
     val centroids = IvfIndex.train(emb, "vec_id", "embedding",
       nlist = PipelineQueries.NearDupNlist)
@@ -313,11 +318,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q234: triple top-K plans as TakeOrderedAndProject, not a global sort") {
+    spark.catalog.clearCache()
     val p = plan("q234_brand_triples")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q237: the Luhn fold runs on one documents scan") {
+    spark.catalog.clearCache()
     val p = plan("q237_luhn_audit")
     val scans = "Scan parquet|FileScan".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 scan:\n$p")
