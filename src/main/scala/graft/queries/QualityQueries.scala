@@ -1110,6 +1110,59 @@ object QualityQueries {
        |   END)::BIGINT AS u_lang_permille
        |FROM tot, mi, hl, hs""".stripMargin
 
+  // ---- q242: burstiness (variance-to-mean) audit ------------------------
+
+  /** Overdispersion threshold in per-mille (Poisson ⇒ VMR ≈ 1000). */
+  val BurstyVmrPermille = 1200L
+
+  /** Index-of-dispersion audit over per-(user, day) event counts —
+    * the burstiness question behind every rate-limit and
+    * anomaly-threshold choice: Poisson arrivals have VMR = Var/mean
+    * ≈ 1; campaign traffic, retries, and scrapers are OVERDISPERSED.
+    * Counts are integers, so the statistic is exact:
+    * `VMR‰ = 1000·(n·Σx² − (Σx)²) div ((n−1)·Σx)` — the numerator is
+    * non-negative by Cauchy-Schwarz, no signed-division caveat. Cells
+    * are ACTIVE user-days only (a zero-inflated variant would join
+    * the user×day grid — documented choice, identical in SQL).
+    *
+    * Scale shape: one scan → (type, user, day) counts (map-side
+    * combine), then a per-type 3-sum aggregate — G rows out. */
+  def dispersionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val cells = ev.select(col("event_type").as("g"), col("user_id"),
+        expr(s"(${eventTsUsExpr(ev.schema, "ts")}) div 86400000000")
+          .as("day"))
+      .groupBy("g", "user_id", "day").agg(count(lit(1)).as("x"))
+    cells.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("g").as("event_type"), col("n"),
+        col("sx").as("total_events"),
+        expr("(1000 * sx) div n").as("mean_milli"),
+        expr("(1000 * (n * sxx - sx * sx)) div (greatest(n - 1, 1) * sx)")
+          .as("vmr_permille"))
+      .withColumn("bursty", col("vmr_permille") > BurstyVmrPermille)
+      .orderBy("event_type")
+  }
+
+  val dispersionAuditSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type AS g, user_id,
+       |    epoch(date_trunc('day', ts))::BIGINT AS day,
+       |    count(*)::BIGINT AS x
+       |  FROM events GROUP BY 1, 2, 3),
+       |per AS (
+       |  SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |    sum(x * x)::BIGINT AS sxx
+       |  FROM cells GROUP BY 1)
+       |SELECT g AS event_type, n, sx AS total_events,
+       |  ((1000 * sx) // n)::BIGINT AS mean_milli,
+       |  ((1000 * (n * sxx - sx * sx))
+       |    // (greatest(n - 1, 1) * sx))::BIGINT AS vmr_permille,
+       |  ((1000 * (n * sxx - sx * sx))
+       |    // (greatest(n - 1, 1) * sx)) > $BurstyVmrPermille AS bursty
+       |FROM per ORDER BY event_type""".stripMargin
+
   // ---- q238: Cohen's kappa (labeler agreement) --------------------------
 
   /** Chance-corrected agreement between the langid heuristic's

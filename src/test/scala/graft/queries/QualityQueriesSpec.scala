@@ -461,4 +461,28 @@ class QualityQueriesSpec extends SparkSpec {
     assert(row.getLong(1) >= -100 &&
       row.getLong(1) <= math.min(row.getLong(2), row.getLong(3)) + 100)
   }
+
+  test("q242: VMR equals a driver reference over per-user-day counts") {
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .selectExpr("event_type", "user_id", "ts_us div 86400000000 as day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).map { case (g, xs) =>
+      val counts = xs.groupBy(e => (e._2, e._3)).map(_._2.size.toLong).toSeq
+      val n = counts.size.toLong
+      val sx = counts.sum
+      val sxx = counts.map(x => x * x).sum
+      val vmr = 1000L * (n * sxx - sx * sx) / (math.max(n - 1, 1L) * sx)
+      g -> (n, sx, 1000L * sx / n, vmr,
+        vmr > QualityQueries.BurstyVmrPermille)
+    }
+    val got = QualityQueries.dispersionAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got == want)
+    // VMR is a valid non-negative dispersion; active cells conserve events
+    got.values.foreach { case (n, sx, mean, vmr, _) =>
+      assert(vmr >= 0 && n > 0 && sx >= n && mean >= 1000)
+    }
+  }
 }
