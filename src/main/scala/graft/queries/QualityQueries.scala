@@ -1480,4 +1480,129 @@ object QualityQueries {
        |  sum((1000 * (o * n - r * c) * (o * n - r * c)) // (r * c * n))
        |    > $Chi2Crit76Milli AS reject
        |FROM grid""".stripMargin
+
+  // ---- q244: NDCG@k audit of the BM25 ranking ---------------------------
+
+  /** Does the BM25 ranking put the RIGHT documents first? — NDCG@k,
+    * the standard graded-relevance ranking metric, over q63's ranking
+    * with relevance graded by exact query-term coverage (rel = how
+    * many of the query's terms the document actually contains,
+    * 0..|Q|; gain = 2^rel − 1). q240 judged a pointwise signal (AUC);
+    * this judges the ORDER a retrieval system serves — a top-heavy
+    * metric a recall number cannot see.
+    *
+    * Exactness discipline: gains and per-position cumulative sums are
+    * pure integers; the only irrational ingredient, the position
+    * discount 1/log₂(pos+1), is quantized ONCE to micro-units by the
+    * q239 convention (`round(1e6 / log2(pos+1))` — identical IEEE
+    * expression in both engines, positions 1..k so k fixed values),
+    * after which DCG/IDCG are exact integer dot products and NDCG is
+    * a floor per-mille ratio of non-negatives (no signed-div caveat).
+    * IDCG ranks the WHOLE corpus by relevance (tie-broken by doc_id),
+    * not just the retrieved set — an engine that retrieves nothing
+    * relevant scores 0, not 1000.
+    *
+    * Scale shape: relevance grading is one corpus scan with a
+    * broadcast-size term list and map-side distinct; everything after
+    * — ranking join, ideal top-k, cumulative windows — runs over 2·k
+    * rows on the driver-visible scale (the documented single-partition
+    * window over k = $Bm25TopK rows). */
+  def ndcgAudit(spark: SparkSession, dir: String): DataFrame = {
+    import ScaleQueries.{Bm25Query, Bm25TopK, MinTermLen}
+    val k = Bm25TopK
+    val ranked = ScaleQueries.bm25(spark, dir)
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+    val rel = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "[^a-z]+")))
+          .as("term"))
+      .filter(length(col("term")) >= MinTermLen &&
+        col("term").isInCollection(Bm25Query))
+      .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+    val disc = round(lit(1e6) / log2(col("pos") + lit(1))).cast("long")
+    val gains = ranked.join(rel, Seq("doc_id"), "left")
+      .select(col("pos"), col("doc_id"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+      .withColumn("gain",
+        expr("cast(shiftleft(1L, cast(rel as int)) - 1L as long)"))
+      .withColumn("disc_micro", disc)
+    val ideal = rel
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(desc("rel"), asc("doc_id"))).cast("long"))
+      .filter(col("pos") <= k)
+      .select(col("pos"),
+        (expr("cast(shiftleft(1L, cast(rel as int)) - 1L as long)") * disc)
+          .as("ic"))
+    val w = Window.orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gains.join(ideal, Seq("pos"), "left")
+      .select(col("pos"), col("doc_id"), col("rel"), col("gain"),
+        col("disc_micro"),
+        sum(col("gain") * col("disc_micro")).over(w).as("dcg_micro"),
+        sum(coalesce(col("ic"), lit(0L))).over(w).as("idcg_micro"))
+      .withColumn("ndcg_permille",
+        expr("(1000 * dcg_micro) div greatest(idcg_micro, 1)"))
+      .orderBy("pos")
+  }
+
+  val ndcgAuditSql: String = {
+    import ScaleQueries.{Bm25Query, Bm25K1, Bm25B, Bm25TopK, MinTermLen}
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |  FROM documents),
+       |ft AS (SELECT doc_id, term FROM toks
+       |       WHERE length(term) >= $MinTermLen),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ft GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |         (SELECT avg(dl) FROM dl) AS avgdl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ft
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       |       FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id AS doc_id,
+       |    round(sum(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |        * tf * ${Bm25K1 + 1}
+       |        / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl / avgdl))
+       |    ), 6) AS bm25
+       |  FROM tf
+       |  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS pos
+       |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+       |rel AS (
+       |  SELECT doc_id, count(DISTINCT term)::BIGINT AS rel
+       |  FROM ft WHERE term IN ($terms) GROUP BY 1),
+       |gains AS (
+       |  SELECT r.pos, r.doc_id, coalesce(rel.rel, 0)::BIGINT AS rel,
+       |    ((1::BIGINT << coalesce(rel.rel, 0)) - 1)::BIGINT AS gain,
+       |    round(1e6 / log2(r.pos + 1))::BIGINT AS disc_micro
+       |  FROM ranked r LEFT JOIN rel USING (doc_id)),
+       |ideal AS (
+       |  SELECT row_number() OVER (ORDER BY rel DESC, doc_id)::BIGINT AS pos,
+       |    ((1::BIGINT << rel) - 1)::BIGINT AS igain
+       |  FROM rel ORDER BY rel DESC, doc_id LIMIT $Bm25TopK),
+       |icontrib AS (
+       |  SELECT pos,
+       |    (igain * round(1e6 / log2(pos + 1))::BIGINT)::BIGINT AS ic
+       |  FROM ideal)
+       |SELECT g.pos, g.doc_id, g.rel, g.gain, g.disc_micro,
+       |  (sum(g.gain * g.disc_micro) OVER w)::BIGINT AS dcg_micro,
+       |  (sum(coalesce(ic, 0)) OVER w)::BIGINT AS idcg_micro,
+       |  ((1000 * (sum(g.gain * g.disc_micro) OVER w))
+       |    // greatest((sum(coalesce(ic, 0)) OVER w), 1))::BIGINT
+       |    AS ndcg_permille
+       |FROM gains g LEFT JOIN icontrib USING (pos)
+       |WINDOW w AS (ORDER BY g.pos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY g.pos""".stripMargin
+  }
 }

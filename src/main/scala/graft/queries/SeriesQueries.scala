@@ -1094,4 +1094,216 @@ object SeriesQueries {
        |  round(cents::DOUBLE / 100 - t7::DOUBLE / 700
        |    - s7::DOUBLE / (n * 700)::DOUBLE, 6) AS residual
        |FROM f JOIN seas USING (dow) ORDER BY day""".stripMargin
+
+  // ---- q243: Spearman rank co-movement between event-type series -------
+
+  /** Which event-type DAILY SERIES co-move, monotonically? — the
+    * robust counterpart to q196's Pearson lead-lag: Spearman's ρ is
+    * rank-based, so a scraper spike or a fat-tailed campaign day
+    * cannot manufacture (or hide) a correlation the way it can with
+    * raw-count Pearson. All type pairs over the complete day grid
+    * (absent days count as 0 — a day one type went silent IS signal).
+    *
+    * Exactness discipline: ties take AVERAGE ranks, kept integer by
+    * the doubled-rank trick `dr = 2·rank_min + ties − 1` (twice the
+    * average rank); `Σ dr = n(n+1)` regardless of ties, so the
+    * centered `c = dr − (n+1)` sums to EXACTLY zero per series and
+    * Spearman reduces to `ρ = Σcxcy / √(Σcx²·Σcy²)` in pure integers.
+    * The root would break exactness, so the reported statistic is the
+    * signed square `sign(Σcxcy)·(1000·(Σcxcy)²) div (Σcx²·Σcy²)` in
+    * floor per-mille (the sign peeled explicitly — the q239 signed
+    * floor-div convention), with the three raw sums alongside so any
+    * consumer can rebuild float ρ. |c| ≤ n keeps every term under
+    * 1000·n⁶, int64-safe to n ≈ 450 days; beyond a year-and-change,
+    * bucket by week (documented bound, same shape).
+    *
+    * Scale shape: one scan collapses events to (type, day) counts
+    * with map-side combine; the grid, rank windows, and T²-pair join
+    * all run over the bounded (types × days) table — never over raw
+    * events. */
+  def spearmanComovement(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTsUs(spark, dir)
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .groupBy(col("event_type").as("t"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily.select("t").distinct()
+      .crossJoin(daily.select("day").distinct())
+      .join(daily, Seq("t", "day"), "left")
+      .na.fill(0L, Seq("x"))
+    // centered doubled average-rank: 2·rank + ties − (n + 2); Σ c = 0
+    val c = (lit(2L) * rank().over(Window.partitionBy("t").orderBy("x"))
+      + count(lit(1)).over(Window.partitionBy("t", "x"))
+      - count(lit(1)).over(Window.partitionBy("t")) - lit(2L))
+      .cast("long")
+    val ranked = grid.select(col("t"), col("day"), c.as("c"))
+    val a = ranked.select(col("t").as("type_a"), col("day"),
+      col("c").as("ca"))
+    val b = ranked.select(col("t").as("type_b"),
+      col("day").as("day_b"), col("c").as("cb"))
+    a.join(b, col("day") === col("day_b") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ca") * col("cb")).as("s_xy"),
+        sum(col("ca") * col("ca")).as("s_xx"),
+        sum(col("cb") * col("cb")).as("s_yy"))
+      .withColumn("rho2_signed_permille",
+        expr("""CASE WHEN s_xy >= 0
+                THEN (1000 * s_xy * s_xy) div greatest(s_xx * s_yy, 1)
+                ELSE -((1000 * s_xy * s_xy) div greatest(s_xx * s_yy, 1))
+                END"""))
+      .orderBy("type_a", "type_b")
+  }
+
+  val spearmanComovementSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS t, epoch_us(ts::TIMESTAMP) // $DayUs AS day,
+       |    count(*)::BIGINT AS x
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT ty.t, d.day, coalesce(daily.x, 0)::BIGINT AS x
+       |  FROM (SELECT DISTINCT t FROM daily) ty
+       |  CROSS JOIN (SELECT DISTINCT day FROM daily) d
+       |  LEFT JOIN daily ON daily.t = ty.t AND daily.day = d.day),
+       |ranked AS (
+       |  SELECT t, day,
+       |    (2 * rank() OVER (PARTITION BY t ORDER BY x)
+       |     + count(*) OVER (PARTITION BY t, x)
+       |     - count(*) OVER (PARTITION BY t) - 2)::BIGINT AS c
+       |  FROM grid)
+       |SELECT a.t AS type_a, b.t AS type_b, count(*)::BIGINT AS n_days,
+       |  sum(a.c * b.c)::BIGINT AS s_xy,
+       |  sum(a.c * a.c)::BIGINT AS s_xx,
+       |  sum(b.c * b.c)::BIGINT AS s_yy,
+       |  (CASE WHEN sum(a.c * b.c) >= 0
+       |    THEN (1000 * sum(a.c * b.c) * sum(a.c * b.c))
+       |      // greatest(sum(a.c * a.c) * sum(b.c * b.c), 1)
+       |    ELSE -((1000 * sum(a.c * b.c) * sum(a.c * b.c))
+       |      // greatest(sum(a.c * a.c) * sum(b.c * b.c), 1))
+       |   END)::BIGINT AS rho2_signed_permille
+       |FROM ranked a JOIN ranked b ON a.day = b.day AND a.t < b.t
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q245: Ljung-Box white-noise audit --------------------------------
+
+  /** Autocorrelation horizon probed by the Ljung-Box statistic. */
+  val LbMaxLag = 7L
+
+  /** χ²₀.₉₅ critical values (milli) for df = 1..7 — the standard
+    * Ljung-Box rejection table. */
+  val LbCritMilli = Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L, 14067L)
+
+  /** Is a daily series WHITE NOISE, or does it carry structure an
+    * anomaly detector should model first? — the Ljung-Box portmanteau
+    * test every forecasting pipeline runs on residuals, here over each
+    * event type's daily count series (dense day grid, silent days are
+    * zeros). q196 measures ONE cross-correlation; this sweeps a
+    * series' own autocorrelations ρ₁..ρ_h and accumulates
+    * `Q = n(n+2)·Σ ρ_k²/(n−k)` against the χ² table.
+    *
+    * Exactness discipline: the series is centered on the FLOOR-DIV
+    * milli mean (`y_t = 1000·x_t − (1000·Σx) div n` — a documented
+    * definition, exact integers thereafter); each ρ_k is a signed
+    * floor per-mille of the integer autocovariance ratio (sign peeled
+    * — the q239 convention; |ρ| ≤ 1000 by Cauchy-Schwarz), and each
+    * Q-term a second floor division — the same two-stage quantization
+    * q240's ECDF uses, identical expression trees in both engines.
+    * Bounds: |y| ≤ 1000·max(x), so A_k stays int64 for any daily
+    * series with n·max(x)² ≤ 9·10¹² — years of days at 10⁵
+    * events/day.
+    *
+    * Scale shape: one scan → (type, day) counts with map-side
+    * combine; the dense grid, the h-lag fan-out self-join, and the
+    * cumulative window all run over the bounded (types × days) table
+    * with a broadcast lag list. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsTsUs(spark, dir)
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .groupBy(col("event_type").as("t"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min("day"), max("day")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val n = hi - lo + 1
+    val grid = daily.select("t").distinct()
+      .crossJoin(spark.range(lo, hi + 1).select(col("id").as("day")))
+      .join(daily, Seq("t", "day"), "left")
+      .na.fill(0L, Seq("x"))
+    val stats = grid.groupBy("t")
+      .agg(expr(s"(1000 * sum(x)) div $n").as("mean_milli"))
+    val y = grid.join(broadcast(stats), Seq("t"))
+      .select(col("t"), col("day"),
+        (lit(1000L) * col("x") - col("mean_milli")).as("y"))
+    val a0 = y.groupBy("t").agg(sum(col("y") * col("y")).as("a0"))
+    val lags = spark.range(1L, LbMaxLag + 1).select(col("id").as("lag"))
+    val b = y.select(col("t").as("tb"), col("day").as("day_b"),
+      col("y").as("yb"))
+    val crit = LbCritMilli.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN ${c}L" }
+      .mkString("CASE lag ", " ", " END")
+    y.crossJoin(broadcast(lags))
+      .join(b, col("tb") === col("t") && col("day_b") === col("day") + col("lag"))
+      .groupBy("t", "lag").agg(sum(col("y") * col("yb")).as("ak"))
+      .join(broadcast(a0), Seq("t"))
+      .withColumn("rho_milli",
+        expr("""CASE WHEN ak >= 0 THEN (1000 * ak) div greatest(a0, 1)
+                ELSE -((1000 * (-ak)) div greatest(a0, 1)) END"""))
+      .withColumn("q_term",
+        expr(s"($n * ${n + 2} * rho_milli * rho_milli) div (1000 * ($n - lag))"))
+      .withColumn("q_cum_milli",
+        sum("q_term").over(Window.partitionBy("t").orderBy("lag")))
+      .select(col("t").as("event_type"), col("lag"), lit(n).as("n_days"),
+        col("ak").as("autocov_scaled"), col("rho_milli"),
+        col("q_cum_milli"), expr(crit).cast("long").as("crit_milli"))
+      .withColumn("white_noise_rejected", col("q_cum_milli") > col("crit_milli"))
+      .orderBy("event_type", "lag")
+  }
+
+  val ljungBoxSql: String = {
+    val crit = LbCritMilli.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }
+      .mkString("CASE lag ", " ", " END")
+    s"""WITH daily AS (
+       |  SELECT event_type AS t, epoch_us(ts::TIMESTAMP) // $DayUs AS day,
+       |    count(*)::BIGINT AS x
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT min(day) AS lo, max(day) AS hi,
+       |    (max(day) - min(day) + 1)::BIGINT AS n
+       |  FROM daily),
+       |grid AS (
+       |  SELECT ty.t, d.day, coalesce(daily.x, 0)::BIGINT AS x
+       |  FROM (SELECT DISTINCT t FROM daily) ty
+       |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day
+       |              FROM bounds) d
+       |  LEFT JOIN daily ON daily.t = ty.t AND daily.day = d.day),
+       |stats AS (
+       |  SELECT t, (1000 * sum(x)) // (SELECT n FROM bounds) AS mean_milli
+       |  FROM grid GROUP BY 1),
+       |yv AS (
+       |  SELECT grid.t, day, (1000 * x - mean_milli)::BIGINT AS y
+       |  FROM grid JOIN stats USING (t)),
+       |a0 AS (SELECT t, sum(y * y)::BIGINT AS a0 FROM yv GROUP BY 1),
+       |lags AS (SELECT unnest(generate_series(1, $LbMaxLag)) AS lag),
+       |ak AS (
+       |  SELECT a.t, lags.lag, sum(a.y * b.y)::BIGINT AS ak
+       |  FROM yv a CROSS JOIN lags
+       |  JOIN yv b ON b.t = a.t AND b.day = a.day + lags.lag
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT ak.t, lag, ak, a0, (SELECT n FROM bounds) AS n,
+       |    (CASE WHEN ak >= 0 THEN (1000 * ak) // greatest(a0, 1)
+       |          ELSE -((1000 * (-ak)) // greatest(a0, 1)) END)::BIGINT
+       |      AS rho_milli
+       |  FROM ak JOIN a0 USING (t)),
+       |q AS (
+       |  SELECT t, lag, n, ak, rho_milli,
+       |    (sum((n * (n + 2) * rho_milli * rho_milli)
+       |         // (1000 * (n - lag)))
+       |       OVER (PARTITION BY t ORDER BY lag))::BIGINT AS q_cum_milli
+       |  FROM r)
+       |SELECT t AS event_type, lag::BIGINT AS lag, n AS n_days,
+       |  ak AS autocov_scaled, rho_milli, q_cum_milli,
+       |  ($crit)::BIGINT AS crit_milli,
+       |  q_cum_milli > ($crit) AS white_noise_rejected
+       |FROM q ORDER BY 1, 2""".stripMargin
+  }
 }

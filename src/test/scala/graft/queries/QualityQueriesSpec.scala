@@ -485,4 +485,42 @@ class QualityQueriesSpec extends SparkSpec {
       assert(vmr >= 0 && n > 0 && sx >= n && mean >= 1000)
     }
   }
+
+  test("q244: NDCG audit equals a driver replay; DCG never exceeds IDCG") {
+    import ScaleQueries.{Bm25Query, MinTermLen}
+    val out = QualityQueries.ndcgAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    // the ranking under audit, as published by q63
+    val ranked = ScaleQueries.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // independent relevance grading from the raw corpus
+    val relOf = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split("[^a-z]+")
+          .filter(_.length >= MinTermLen).toSet
+        r.getLong(0) -> Bm25Query.count(toks.contains).toLong
+      }.toMap.withDefaultValue(0L)
+    def disc(pos: Long): Long = math.round(1e6 / (math.log(pos + 1.0) / math.log(2.0)))
+    def gain(rel: Long): Long = (1L << rel) - 1L
+    val ideal = relOf.toSeq.filter(_._2 > 0).sortBy { case (id, r) => (-r, id) }
+      .take(out.length)
+    var dcg = 0L; var idcg = 0L
+    for (((pos, docId, rel, g, d, dcgQ, idcgQ, ndcgQ), i) <- out.zipWithIndex) {
+      assert(pos == i + 1L)
+      assert(docId == ranked(i)._1, s"pos $pos ranking")
+      assert(rel == relOf(docId), s"pos $pos rel")
+      assert(g == gain(rel) && d == disc(pos), s"pos $pos gain/disc")
+      dcg += g * d
+      if (i < ideal.length) idcg += gain(ideal(i)._2) * disc(pos)
+      assert((dcgQ, idcgQ) == ((dcg, idcg)), s"pos $pos cumulative")
+      assert(ndcgQ == 1000L * dcg / math.max(idcg, 1L), s"pos $pos ndcg")
+      assert(dcg <= idcg, s"pos $pos DCG > IDCG")
+      assert(ndcgQ >= 0 && ndcgQ <= 1000)
+      // every scored doc has tf > 0 on some query term, so rel >= 1
+      assert(rel >= 1, s"pos $pos scored doc with zero relevance")
+    }
+  }
 }

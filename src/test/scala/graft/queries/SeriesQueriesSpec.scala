@@ -407,4 +407,49 @@ class SeriesQueriesSpec extends SparkSpec {
     // the snapshot instant sits after the data: staleness non-negative
     assert(rows.forall(_._6 >= 0))
   }
+
+  test("q243: Spearman matrix equals a driver replay; centered ranks sum to zero") {
+    val out = SeriesQueries.spearmanComovement(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // independent replay from the raw events
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = ev.map(_._1).distinct.sorted
+    val days = ev.map(_._2).distinct.sorted
+    val counts = ev.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = days.size.toLong
+    // doubled average ranks (2·avg-rank stays integer under ties),
+    // centered by their exact mean n+1
+    def centered(t: String): Map[Long, Long] = {
+      val xs = days.map(d => d -> counts.getOrElse((t, d), 0L))
+      val byVal = xs.groupBy(_._2)
+      var rank = 1L
+      val dr = scala.collection.mutable.Map[Long, Long]()
+      for (v <- byVal.keys.toSeq.sorted) {
+        val c = byVal(v).size.toLong
+        dr(v) = 2 * rank + c - 1
+        rank += c
+      }
+      xs.map { case (d, v) => d -> (dr(v) - (n + 1)) }.toMap
+    }
+    val cent = types.map(t => t -> centered(t)).toMap
+    for (t <- types) assert(cent(t).values.sum == 0L, s"Σc != 0 for $t")
+    for ((ta, tb, nd, sxy, sxx, syy, rho2) <- out) {
+      assert(nd == n)
+      val ca = cent(ta); val cb = cent(tb)
+      val rsxy = days.map(d => ca(d) * cb(d)).sum
+      val rsxx = days.map(d => ca(d) * ca(d)).sum
+      val rsyy = days.map(d => cb(d) * cb(d)).sum
+      assert((sxy, sxx, syy) == ((rsxy, rsxx, rsyy)), s"$ta/$tb sums")
+      val mag = (BigInt(1000) * BigInt(rsxy) * BigInt(rsxy) /
+        BigInt(math.max(rsxx * rsyy, 1L))).toLong
+      assert(rho2 == (if (rsxy >= 0) mag else -mag), s"$ta/$tb rho2")
+      assert(math.abs(rho2) <= 1000, s"$ta/$tb |rho2| > 1")
+    }
+    // every unordered type pair reported exactly once
+    assert(out.length == types.size * (types.size - 1) / 2)
+  }
 }
