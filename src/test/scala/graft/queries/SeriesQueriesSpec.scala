@@ -452,4 +452,41 @@ class SeriesQueriesSpec extends SparkSpec {
     // every unordered type pair reported exactly once
     assert(out.length == types.size * (types.size - 1) / 2)
   }
+
+  test("q245: Ljung-Box equals a driver replay; Q accumulates and rho is bounded") {
+    val out = SeriesQueries.ljungBox(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(out.nonEmpty)
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = ev.map(_._1).distinct.sorted
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val n = hi - lo + 1
+    val counts = ev.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (t <- types) {
+      val xs = (lo to hi).map(d => counts.getOrElse((t, d), 0L))
+      val meanMilli = 1000L * xs.sum / n
+      val ys = xs.map(x => 1000L * x - meanMilli)
+      val a0 = ys.map(y => y * y).sum
+      var qCum = 0L
+      for (k <- 1L to SeriesQueries.LbMaxLag) {
+        val ak = (0 until (n - k).toInt).map(i => ys(i) * ys(i + k.toInt)).sum
+        val rho = if (ak >= 0) 1000L * ak / math.max(a0, 1L)
+                  else -(1000L * (-ak) / math.max(a0, 1L))
+        qCum += n * (n + 2) * rho * rho / (1000L * (n - k))
+        val crit = SeriesQueries.LbCritMilli((k - 1).toInt)
+        val row = out.find(r => r._1 == t && r._2 == k).get
+        assert(row._3 == n, s"$t lag $k n_days")
+        assert(row._4 == ak, s"$t lag $k autocov")
+        assert(row._5 == rho, s"$t lag $k rho")
+        assert(math.abs(rho) <= 1000L, s"$t lag $k |rho| > 1")
+        assert(row._6 == qCum, s"$t lag $k qcum")
+        assert(row._7 == crit && row._8 == (qCum > crit), s"$t lag $k gate")
+      }
+    }
+    // full coverage: every (type, lag) cell exactly once
+    assert(out.length == types.size * SeriesQueries.LbMaxLag.toInt)
+  }
 }
