@@ -1324,4 +1324,74 @@ object CleaningQueries {
        |SELECT bin, n_docs, mean_score_pm, pos_rate_pm, gap_pm, e.ece_pm
        |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
   }
+
+  // ---- q246: Good-Turing frequency spectrum ------------------------------
+
+  /** Highest raw count reported in the frequency-of-frequencies
+    * spectrum (the Good-Turing correction only matters at small r). */
+  val GtMaxR = 10L
+
+  /** How much probability mass belongs to n-grams the corpus has
+    * NEVER seen? — the Good-Turing answer every smoothing scheme
+    * (Katz, Kneser-Ney's ancestor) is built on: the unseen mass is
+    * the singleton share `p₀ = N₁/N`, and each small count r is
+    * discounted to `r* = (r+1)·N_{r+1}/N_r`. Computed over word
+    * BIGRAMS (the [[graft.text.NgramLM]] event space — this IS the
+    * smoothing input of the q100 bigram LM): the synthetic corpus has
+    * a closed unigram vocabulary where every word repeats, but the
+    * bigram spectrum keeps the rare tail Good-Turing reads. q135 fits
+    * the Zipf SLOPE of the spectrum's head; this reads its TAIL — the
+    * r ≤ [[GtMaxR]] frequency-of-frequencies that decide how much of
+    * the next crawl slice will be novel.
+    *
+    * Pure integer arithmetic end to end: N_r are counts, event mass
+    * r·N_r a product, the discounted count a floor milli ratio and
+    * the unseen mass a floor per-mille ratio (numerators always
+    * non-negative — no signed-division caveat). `N_{r+1}` is an
+    * equi-join on r+1 (NOT a lead() over the present rows — absent
+    * spectrum rows must read as zero).
+    *
+    * Scale shape: one scan explodes bigrams into an (event, count)
+    * aggregate with map-side combine — the only corpus-sized stage;
+    * the spectrum groupBy collapses V events to ≤ max(r) rows and
+    * everything after is arithmetic over ≤ [[GtMaxR]] rows with two
+    * broadcast scalars. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val fof = graft.text.NgramLM
+      .bigrams(table(spark, dir, "documents"), "doc_id", "text")
+      .select(concat(col("w1"), lit(" "), col("w2")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val tot = fof.agg(
+      sum(col("r") * col("n_r")).as("n_total"),
+      sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("n1"))
+    val nxt = fof.select((col("r") - 1L).as("r"), col("n_r").as("n_r1"))
+    fof.filter(col("r") <= GtMaxR)
+      .join(nxt, Seq("r"), "left").na.fill(0L, Seq("n_r1"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        (col("r") * col("n_r")).as("token_mass"),
+        expr("(1000 * (r + 1) * n_r1) div n_r").as("r_star_milli"),
+        expr("(1000 * n1) div n_total").as("p0_permille"))
+      .orderBy("r")
+  }
+
+  val goodTuringSql: String =
+    s"""WITH toks AS (
+       |  SELECT a[i] || ' ' || a[i + 1] AS w
+       |  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS a
+       |        FROM documents) t,
+       |  unnest(generate_series(1, len(a) - 1)) AS s(i)),
+       |tc AS (SELECT w, count(*)::BIGINT AS r FROM toks GROUP BY 1),
+       |fof AS (SELECT r, count(*)::BIGINT AS n_r FROM tc GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(r * n_r)::BIGINT AS n_total,
+       |    sum(CASE WHEN r = 1 THEN n_r ELSE 0 END)::BIGINT AS n1
+       |  FROM fof)
+       |SELECT f.r, f.n_r, (f.r * f.n_r)::BIGINT AS token_mass,
+       |  ((1000 * (f.r + 1) * coalesce(g.n_r, 0)) // f.n_r)::BIGINT
+       |    AS r_star_milli,
+       |  ((1000 * n1) // n_total)::BIGINT AS p0_permille
+       |FROM fof f LEFT JOIN fof g ON g.r = f.r + 1, tot
+       |WHERE f.r <= $GtMaxR ORDER BY f.r""".stripMargin
 }

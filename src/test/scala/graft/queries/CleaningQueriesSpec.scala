@@ -370,4 +370,35 @@ class CleaningQueriesSpec extends SparkSpec {
     val (cands, valids) = (got.values.map(_._2).sum, got.values.map(_._3).sum)
     assert(cands > valids && valids > 0)
   }
+
+  test("q246: Good-Turing spectrum equals a driver replay of the token counts") {
+    val out = CleaningQueries.goodTuring(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    // independent replay: bigram counts -> frequency-of-frequencies
+    val termCounts = QueryUtil.table(spark, sfDir, "documents")
+      .select("text").collect()
+      .flatMap { r =>
+        val a = r.getString(0).trim.toLowerCase.split("\\s+")
+        a.iterator.zip(a.iterator.drop(1)).map { case (x, y) => s"$x $y" }
+      }
+      .groupBy(identity).map { case (_, v) => v.size.toLong }
+    val fof = termCounts.groupBy(identity)
+      .map { case (r, v) => r -> v.size.toLong }
+    val nTotal = termCounts.sum
+    val n1 = fof.getOrElse(1L, 0L)
+    for ((r, nr, mass, rStar, p0) <- out) {
+      assert(r >= 1 && r <= CleaningQueries.GtMaxR)
+      assert(nr == fof(r), s"r=$r n_r")
+      assert(mass == r * nr, s"r=$r mass")
+      assert(rStar == 1000L * (r + 1) * fof.getOrElse(r + 1, 0L) / nr, s"r=$r r*")
+      assert(p0 == 1000L * n1 / nTotal, s"r=$r p0")
+    }
+    // every small-r spectrum row present; singletons exist in any real corpus
+    assert(out.map(_._1).toSet == fof.keySet.filter(_ <= CleaningQueries.GtMaxR))
+    assert(n1 > 0 && out.head._1 == 1L)
+    // Good-Turing discounts singletons below their raw count
+    assert(out.head._4 < 2000L)
+  }
 }
