@@ -1394,4 +1394,64 @@ object CleaningQueries {
        |  ((1000 * n1) // n_total)::BIGINT AS p0_permille
        |FROM fof f LEFT JOIN fof g ON g.r = f.r + 1, tot
        |WHERE f.r <= $GtMaxR ORDER BY f.r""".stripMargin
+
+  // ---- q247: readability audit -------------------------------------------
+
+  /** Reading-level profile per source — Flesch reading ease and
+    * Flesch-Kincaid grade, the curation signal q14's surface ratios
+    * (length, punctuation, stopwords) do not capture: two corpora with
+    * identical lengths read very differently when one is all
+    * polysyllables. Syllables are the standard heuristic (maximal
+    * vowel-group runs, `[aeiouy]+`); the corpus carries no sentence
+    * punctuation, so the DOCUMENT is the sentence unit (documented
+    * convention — both formulas degrade gracefully: words/doc replaces
+    * words/sentence).
+    *
+    * Exactness discipline: words, syllables, and docs are integer
+    * counts; both published formulas are affine in two ratios, so each
+    * ratio is quantized ONCE by floor milli-division and the formula
+    * evaluated on the quantized terms — `FK·1000 = 390·(1000·W div
+    * 1000·S)…` rearranged as `(390·W) div S + (11800·Y) div W − 15590`
+    * (all divisions of non-negatives; the SUBTRACTION may go negative,
+    * which is sign-exact). Identical expression trees in both engines.
+    *
+    * Scale shape: one scan, two `regexp_extract_all` counts + the
+    * token-length count per row inside codegen, then a G-row
+    * per-source aggregate — nothing leaves the scan un-reduced. */
+  def readabilityAudit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("w"),
+        expr("cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as long)")
+          .as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+        sum("y").as("syllables"))
+      .select(col("source"), col("n_docs"), col("words"), col("syllables"),
+        expr("(1000 * words) div n_docs").as("words_per_doc_milli"),
+        expr("(1000 * syllables) div words").as("syllables_per_word_milli"),
+        expr("(390 * words) div n_docs + (11800 * syllables) div words - 15590")
+          .as("fk_grade_milli"),
+        expr("206835 - (1015 * words) div n_docs - (84600 * syllables) div words")
+          .as("flesch_milli"))
+      .orderBy("source")
+
+  val readabilityAuditSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS w,
+       |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS words,
+       |    sum(y)::BIGINT AS syllables
+       |  FROM d GROUP BY 1)
+       |SELECT source, n_docs, words, syllables,
+       |  ((1000 * words) // n_docs)::BIGINT AS words_per_doc_milli,
+       |  ((1000 * syllables) // words)::BIGINT AS syllables_per_word_milli,
+       |  ((390 * words) // n_docs + (11800 * syllables) // words - 15590
+       |    )::BIGINT AS fk_grade_milli,
+       |  (206835 - (1015 * words) // n_docs - (84600 * syllables) // words
+       |    )::BIGINT AS flesch_milli
+       |FROM g ORDER BY source""".stripMargin
 }

@@ -401,4 +401,30 @@ class CleaningQueriesSpec extends SparkSpec {
     // Good-Turing discounts singletons below their raw count
     assert(out.head._4 < 2000L)
   }
+
+  test("q247: readability audit equals a driver replay of the count fold") {
+    val out = CleaningQueries.readabilityAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(out.map(_._1).toSeq == bySource.keys.toSeq.sorted)
+    for ((src, (nDocs, words, syls, wpd, spw, fk, fl)) <- out) {
+      val texts = bySource(src).map(_._2)
+      val w = texts.map(_.trim.toLowerCase.split("\\s+").length.toLong).sum
+      val y = texts.map(t =>
+        "[aeiouy]+".r.findAllIn(t.toLowerCase).size.toLong).sum
+      assert(nDocs == texts.length.toLong, s"$src n_docs")
+      assert((words, syls) == ((w, y)), s"$src counts")
+      assert(wpd == 1000L * w / nDocs && spw == 1000L * y / w, s"$src ratios")
+      assert(fk == 390L * w / nDocs + 11800L * y / w - 15590L, s"$src fk")
+      assert(fl == 206835L - 1015L * w / nDocs - 84600L * y / w, s"$src flesch")
+      // word-soup corpus: at least one syllable-bearing token per word
+      // group on average would be extreme; just pin validity bounds
+      assert(y > 0 && w > 0 && spw >= 1000L, s"$src degenerate counts")
+    }
+  }
 }
