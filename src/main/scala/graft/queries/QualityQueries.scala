@@ -1546,6 +1546,111 @@ object QualityQueries {
       .orderBy("pos")
   }
 
+  // ---- q248: Kruskal-Wallis k-sample location test -----------------------
+
+  /** χ²₀.₉₅ critical value (milli) for df = 19 — the fixtures' 20
+    * sources. A different source cardinality needs this table
+    * extended; the emitted `df` column makes the assumption
+    * auditable. */
+  val KwCritDf19Milli = 30144L
+
+  /** Do document lengths differ BY SOURCE? — Kruskal-Wallis, the
+    * k-sample generalization of q235's Mann-Whitney: one omnibus
+    * rank test across all 20 sources instead of 190 pairwise tests
+    * (which would need a multiplicity correction q235 doesn't carry).
+    * The length distribution is the first thing a mixing plan
+    * equalizes, so a significant H here means per-source length
+    * normalization must precede any quality comparison.
+    *
+    * Rank arithmetic is VALUE-GROUPED, never row-windowed: with ~90
+    * distinct lengths, min-rank and tie counts come from a cumulative
+    * window over the V-row value table (the q240 ECDF shape), so no
+    * N-sized single-partition window exists at any scale. Doubled
+    * average ranks (`dr = 2·cum − c + 1`) keep ties integer; `H =
+    * 3/(N(N+1))·Σ S_i²/n_i − 3(N+1)` on doubled sums, quantized by
+    * the documented two-stage floors (inner `S_i² div n_i`, outer
+    * per-mille); the tie correction `C = 1 − Σ(t³−t)/(N³−N)` is
+    * applied micro-quantized with the sign peeled. Int64-safe to
+    * N ≈ 10⁵ docs (Σ(S_i² div n_i) ≤ 4N³); beyond that the sums
+    * widen to decimal(38,0) — the q135 convention.
+    *
+    * Scale shape: one scan → (source, length) cells with map-side
+    * combine; everything after runs on V-row and k-row tables. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("x"))
+    val cells = d.groupBy("source", "x").agg(count(lit(1)).as("m"))
+    val vc = cells.groupBy("x").agg(sum("m").as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("x")))
+      .withColumn("dr", lit(2L) * col("cum") - col("c") + 1L)
+    val per = cells.join(vc.select("x", "dr"), Seq("x"))
+      .groupBy("source")
+      .agg(sum(col("m") * col("dr")).as("s_i"), sum("m").as("n_i"))
+    val ties = vc.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).as("tsum"),
+      sum("c").as("n"))
+    per.agg(count(lit(1)).as("k"),
+        sum(expr("(s_i * s_i) div n_i")).as("ssum"))
+      .crossJoin(broadcast(ties))
+      .select(col("n").as("n_docs"), col("k").as("k_sources"),
+        (col("k") - 1L).as("df"),
+        expr("(3000 * ssum) div (n * (n + 1)) - 3000 * (n + 1)")
+          .as("h_milli"),
+        expr("1000000 - (1000000 * tsum) div (n*n*n - n)")
+          .as("tie_correction_micro"))
+      .withColumn("h_corrected_milli",
+        expr("""CASE WHEN h_milli >= 0
+                THEN (h_milli * 1000000) div tie_correction_micro
+                ELSE -(((-h_milli) * 1000000) div tie_correction_micro)
+                END"""))
+      .withColumn("crit_milli", lit(KwCritDf19Milli))
+      .withColumn("reject",
+        col("df") === 19L && col("h_corrected_milli") > KwCritDf19Milli)
+  }
+
+  val kruskalWallisSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS x
+       |  FROM documents),
+       |cells AS (
+       |  SELECT source, x, count(*)::BIGINT AS m FROM d GROUP BY 1, 2),
+       |vc AS (
+       |  SELECT x, sum(m)::BIGINT AS c,
+       |    (2 * sum(sum(m)) OVER (ORDER BY x) - sum(m) + 1)::BIGINT AS dr
+       |  FROM cells GROUP BY x),
+       |per AS (
+       |  SELECT source, sum(cells.m * vc.dr)::BIGINT AS s_i,
+       |    sum(cells.m)::BIGINT AS n_i
+       |  FROM cells JOIN vc USING (x) GROUP BY 1),
+       |ties AS (
+       |  SELECT sum(c * c * c - c)::BIGINT AS tsum, sum(c)::BIGINT AS n
+       |  FROM vc),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS k,
+       |    sum((s_i * s_i) // n_i)::BIGINT AS ssum
+       |  FROM per),
+       |h AS (
+       |  SELECT n, k, (k - 1)::BIGINT AS df,
+       |    ((3000 * ssum) // (n * (n + 1)) - 3000 * (n + 1))::BIGINT
+       |      AS h_milli,
+       |    (1000000 - (1000000 * tsum) // (n*n*n - n))::BIGINT
+       |      AS tie_correction_micro
+       |  FROM agg, ties)
+       |SELECT n AS n_docs, k AS k_sources, df, h_milli,
+       |  tie_correction_micro,
+       |  (CASE WHEN h_milli >= 0
+       |        THEN (h_milli * 1000000) // tie_correction_micro
+       |        ELSE -(((-h_milli) * 1000000) // tie_correction_micro)
+       |   END)::BIGINT AS h_corrected_milli,
+       |  ${KwCritDf19Milli}::BIGINT AS crit_milli,
+       |  df = 19 AND (CASE WHEN h_milli >= 0
+       |        THEN (h_milli * 1000000) // tie_correction_micro
+       |        ELSE -(((-h_milli) * 1000000) // tie_correction_micro)
+       |   END) > $KwCritDf19Milli AS reject
+       |FROM h""".stripMargin
+
   val ndcgAuditSql: String = {
     import ScaleQueries.{Bm25Query, Bm25K1, Bm25B, Bm25TopK, MinTermLen}
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")

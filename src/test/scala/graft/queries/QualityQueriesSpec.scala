@@ -523,4 +523,36 @@ class QualityQueriesSpec extends SparkSpec {
       assert(rel >= 1, s"pos $pos scored doc with zero relevance")
     }
   }
+
+  test("q248: Kruskal-Wallis equals a driver replay of the rank fold") {
+    val row = QualityQueries.kruskalWallis(spark, sfDir).collect().head
+    val (n, k, df, h, tc, hc, crit, reject) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6), row.getBoolean(7))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").length.toLong))
+    assert(n == docs.length.toLong && k == docs.map(_._1).distinct.length.toLong)
+    assert(df == k - 1)
+    // doubled average ranks per distinct value
+    val byVal = docs.groupBy(_._2).map { case (v, g) => v -> g.size.toLong }
+    val sortedVals = byVal.keys.toSeq.sorted
+    var cum = 0L
+    val dr = sortedVals.map { v =>
+      cum += byVal(v); v -> (2 * cum - byVal(v) + 1) }.toMap
+    val per = docs.groupBy(_._1).map { case (_, g) =>
+      (g.map(d => dr(d._2)).sum, g.size.toLong) }
+    val ssum = per.map { case (s, ni) => s * s / ni }.sum
+    val hRef = 3000L * ssum / (n * (n + 1)) - 3000L * (n + 1)
+    val tsum = byVal.values.map(c => c * c * c - c).sum
+    val tcRef = 1000000L - 1000000L * tsum / (n * n * n - n)
+    assert((h, tc) == ((hRef, tcRef)))
+    val hcRef = if (hRef >= 0) hRef * 1000000L / tcRef
+                else -((-hRef) * 1000000L / tcRef)
+    assert(hc == hcRef && crit == QualityQueries.KwCritDf19Milli)
+    assert(reject == (df == 19L && hc > crit))
+    // ties exist in a bounded length domain, so the correction bites
+    assert(tc < 1000000L && tc > 0L)
+  }
 }
