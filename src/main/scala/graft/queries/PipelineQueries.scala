@@ -1202,6 +1202,61 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- q249: hubness audit of the embedding space ----------------------
+
+  /** Neighbors per query in the hubness kNN graph. */
+  val HubK = 5
+
+  /** k-occurrence HUBNESS audit — the classic high-dimensional
+    * pathology every vector-search deployment should measure before
+    * trusting its kNN graph: a few "hub" vectors appear in a huge
+    * share of other points' neighbor lists (and "antihubs" in none),
+    * which silently skews ANN recall, dedup clustering (q24/q86), and
+    * contrastive sampling (q121). Builds the all-vectors kNN graph
+    * (k = [[HubK]], the q13 ranking contract: cos desc, id asc) and
+    * reports the k-occurrence histogram — occ = how many lists a
+    * vector appears in; Σ occ·n_vecs = n·k by construction, mean
+    * occurrence is EXACTLY k, hubs sit at occ ≥ 2k, antihubs at 0.
+    *
+    * Scale shape: the corpus is scanned once against a broadcast
+    * query set (no corpus shuffle; dot products in codegen). The
+    * all-vectors query set makes this the documented EXACT-regime
+    * O(n²) path (CosineKnn.topK doc) — bounded-size embedding tables
+    * only; at 100 TB the query set becomes the q185/q202 IVF-stored
+    * graph and this audit runs unchanged over its output (the
+    * histogram is then the APPROXIMATE graph's hubness — which is the
+    * graph production actually serves). */
+  def hubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val knn = CosineKnn.topK(emb, "vec_id", "embedding", emb, HubK)
+    val occ = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("occ"))
+    emb.select(col("vec_id")).join(occ,
+        col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("occ"), lit(0L)).as("occ"))
+      .groupBy("occ").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("is_hub", col("occ") >= 2L * HubK)
+      .orderBy("occ")
+  }
+
+  val hubnessAuditSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.e, v.e) AS cos
+       |  FROM v q, v WHERE v.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM s),
+       |occ AS (
+       |  SELECT neighbor_id, count(*)::BIGINT AS occ FROM r
+       |  WHERE rk <= $HubK GROUP BY 1),
+       |pv AS (
+       |  SELECT v.vec_id, coalesce(occ.occ, 0)::BIGINT AS occ
+       |  FROM v LEFT JOIN occ ON occ.neighbor_id = v.vec_id)
+       |SELECT occ, count(*)::BIGINT AS n_vecs, occ >= ${2 * HubK} AS is_hub
+       |FROM pv GROUP BY occ ORDER BY occ""".stripMargin
+
   val knnCosineSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |q AS (SELECT vec_id, e FROM v WHERE vec_id < $KnnQueries),

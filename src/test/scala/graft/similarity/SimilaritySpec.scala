@@ -369,4 +369,33 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("q249: hubness histogram equals a naive all-vectors kNN replay") {
+    import graft.queries.PipelineQueries
+    val out = PipelineQueries.hubnessAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    val vs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val k = PipelineQueries.HubK
+    val occ = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((q, qv) <- vs) {
+      vs.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(k)
+        .foreach { case (n, _) => occ(n) += 1L }
+    }
+    val hist = vs.map(v => occ(v._1)).groupBy(identity)
+      .map { case (o, g) => (o, g.size.toLong, o >= 2L * k) }
+      .toSeq.sortBy(_._1)
+    assert(out.toSeq == hist, "histogram mismatch")
+    // conservation: every kNN list contributes exactly k occurrences
+    assert(out.map(r => r._1 * r._2).sum == vs.length.toLong * k)
+    assert(out.map(_._2).sum == vs.length.toLong)
+  }
 }
