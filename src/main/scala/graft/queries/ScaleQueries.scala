@@ -2294,6 +2294,93 @@ object ScaleQueries {
        |ORDER BY label""".stripMargin
   }
 
+  // ---- q250: silhouette audit of the label clustering ------------------
+
+  /** Is the label partition of embedding space COHERENT? — simplified
+    * (centroid-based) silhouette, the standard clustering-quality
+    * number: per vector, `s = (b − a)/max(a, b)` where `a` is the
+    * squared distance to its OWN label centroid and `b` the minimum
+    * over other labels' centroids; s < 0 means the vector sits closer
+    * to a foreign centroid (misassigned). q54 publishes the centroids;
+    * this grades them. The true silhouette needs all O(n²) pair
+    * distances — the centroid form is the documented scalable variant
+    * (O(n·L)) and the one sklearn users mean by "fast silhouette".
+    *
+    * Exactness discipline: coordinates are quantized ONCE to integer
+    * micro-units (`floor(x·10⁶)` — float→double is exact, one IEEE
+    * multiply, identical in both engines); centroids are
+    * sign-peel-truncated integer means (the q239 convention), squared
+    * distances exact int64 sums (|x| < 1 ⇒ per-dim (2·10⁶)², ×64 dims
+    * ≈ 2.6·10¹¹ per vector-centroid pair), and s a floor per-mille
+    * with the sign peeled — `max(a,b)` is `b` exactly when `s ≥ 0`.
+    *
+    * Scale shape: dimension-long explode (n·d rows, map-side combine)
+    * → L·d centroid table (broadcast) → per-vector distances to L
+    * centroids in one pass; per-label aggregate out. No O(n²)
+    * anywhere. */
+  def silhouetteAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("x").cast("double") * lit(1e6)).cast("long").as("xm"))
+    val cent = v.groupBy(col("label").as("label_c"), col("i"))
+      .agg(sum("xm").as("sm"), count(lit(1)).as("nl"))
+      .select(col("label_c"), col("i"),
+        expr("""CASE WHEN sm >= 0 THEN sm div nl
+                ELSE -((-sm) div nl) END""").as("cm"))
+    val d2 = v.join(broadcast(cent), Seq("i"))
+      .groupBy("vec_id", "label", "label_c")
+      .agg(sum((col("xm") - col("cm")) * (col("xm") - col("cm"))).as("d2"))
+    val ab = d2.groupBy("vec_id", "label").agg(
+      max(when(col("label_c") === col("label"), col("d2"))).as("a"),
+      min(when(col("label_c") =!= col("label"), col("d2"))).as("b"))
+    val s = ab.select(col("label"),
+      expr("""CASE WHEN b >= a THEN (1000 * (b - a)) div greatest(b, 1)
+              ELSE -((1000 * (a - b)) div greatest(a, 1)) END""").as("sp"))
+    s.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("sp").as("ssum"),
+        sum(when(col("sp") < 0, 1L).otherwise(0L)).as("n_misassigned"))
+      .select(col("label"), col("n_vecs"),
+        expr("""CASE WHEN ssum >= 0 THEN ssum div n_vecs
+                ELSE -((-ssum) div n_vecs) END""")
+          .as("mean_silhouette_permille"),
+        col("n_misassigned"))
+      .orderBy("label")
+  }
+
+  val silhouetteAuditSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, i,
+       |    floor(embedding[i]::DOUBLE * 1e6)::BIGINT AS xm
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS s(i)),
+       |cent AS (
+       |  SELECT label AS label_c, i,
+       |    (CASE WHEN sum(xm) >= 0 THEN sum(xm) // count(*)
+       |          ELSE -((-sum(xm)) // count(*)) END)::BIGINT AS cm
+       |  FROM v GROUP BY 1, 2),
+       |d AS (
+       |  SELECT v.vec_id, v.label, cent.label_c,
+       |    sum((v.xm - cent.cm) * (v.xm - cent.cm))::BIGINT AS d2
+       |  FROM v JOIN cent USING (i) GROUP BY 1, 2, 3),
+       |ab AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN label_c = label THEN d2 END)::BIGINT AS a,
+       |    min(CASE WHEN label_c <> label THEN d2 END)::BIGINT AS b
+       |  FROM d GROUP BY 1, 2),
+       |s AS (
+       |  SELECT label,
+       |    (CASE WHEN b >= a THEN (1000 * (b - a)) // greatest(b, 1)
+       |          ELSE -((1000 * (a - b)) // greatest(a, 1)) END)::BIGINT AS sp
+       |  FROM ab)
+       |SELECT label, count(*)::BIGINT AS n_vecs,
+       |  (CASE WHEN sum(sp) >= 0 THEN sum(sp) // count(*)
+       |        ELSE -((-sum(sp)) // count(*)) END)::BIGINT
+       |    AS mean_silhouette_permille,
+       |  sum(CASE WHEN sp < 0 THEN 1 ELSE 0 END)::BIGINT AS n_misassigned
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q103: count-min-sketch point-frequency estimates --------------
 
   val CmsEps = 0.002   // est ≤ exact + eps·N with prob ≥ CmsConf

@@ -398,4 +398,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => r._1 * r._2).sum == vs.length.toLong * k)
     assert(out.map(_._2).sum == vs.length.toLong)
   }
+
+  test("q250: silhouette audit equals a driver replay of the micro-int fold") {
+    val out = graft.queries.ScaleQueries.silhouetteAudit(spark, sfDir)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val vs = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6).toLong).toArray))
+    def trunc(num: Long, den: Long): Long =
+      if (num >= 0) num / den else -((-num) / den)
+    val labels = vs.map(_._2).distinct.sorted
+    val cent = labels.map { l =>
+      val grp = vs.filter(_._2 == l)
+      l -> Array.tabulate(grp.head._3.length) { i =>
+        trunc(grp.map(_._3(i)).sum, grp.length.toLong) }
+    }.toMap
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.indices.map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
+    val sp = vs.map { case (_, l, x) =>
+      val a = d2(x, cent(l))
+      val b = labels.filter(_ != l).map(c => d2(x, cent(c))).min
+      l -> (if (b >= a) 1000L * (b - a) / math.max(b, 1L)
+            else -(1000L * (a - b) / math.max(a, 1L)))
+    }
+    for ((l, (n, mean, miss)) <- out) {
+      val g = sp.filter(_._1 == l).map(_._2)
+      assert(n == g.length.toLong, s"label $l n")
+      assert(mean == trunc(g.sum, g.length.toLong), s"label $l mean")
+      assert(miss == g.count(_ < 0).toLong, s"label $l misassigned")
+      assert(math.abs(mean) <= 1000L)
+    }
+    assert(out.map(_._1).toSeq == labels.toSeq)
+  }
 }
