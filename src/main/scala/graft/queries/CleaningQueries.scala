@@ -1325,6 +1325,104 @@ object CleaningQueries {
        |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
   }
 
+  // ---- q251: Brier score decomposition -----------------------------------
+
+  /** The proper-scoring-rule view of q170's calibration question —
+    * Murphy's decomposition `BS = REL − RES + UNC` of the Brier score
+    * of the stopword-ratio score as a forecast of lang = en (q170's
+    * exact signal): RELIABILITY is miscalibration (lower better),
+    * RESOLUTION is discrimination (higher better), UNCERTAINTY the
+    * irreducible base-rate term — ECE alone can't separate "useless
+    * but calibrated" from "sharp but biased"; this can.
+    *
+    * Bins are the DISTINCT per-mille scores (value-grouped, ≤ 1001
+    * cells — the q248 shape), which is the regime where Murphy's
+    * identity is exact; the only quantization is the documented
+    * per-bin event rate `o_pm = (1000·k) div n` and the final `div N`
+    * — the emitted `decomposition_gap_micro` carries the exact
+    * leftover so the identity is auditable rather than asserted.
+    * Units: micro = per-mille². All numerators non-negative except
+    * the gap (signed subtraction of floors — sign-exact).
+    *
+    * Scale shape: one token scan → per-doc (score, label) (map-side
+    * combine), collapse to ≤ 1001 value cells, then cell-table
+    * arithmetic. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val docs = toks.groupBy("doc_id", "lang").agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("word").isInCollection(TextStats.stopwords), 1L)
+          .otherwise(0L)).as("n_stop"))
+      .select(expr("(1000 * n_stop) div n_tok").as("f"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val cells = docs.groupBy("f")
+      .agg(count(lit(1)).as("n"), sum("pos").as("k"))
+      .withColumn("o_pm", expr("(1000 * k) div n"))
+    val tot = cells.agg(sum("n").as("nn"), sum("k").as("kk"))
+      .withColumn("obar_pm", expr("(1000 * kk) div nn"))
+    cells.crossJoin(broadcast(tot))
+      .agg(
+        first(col("nn")).as("n_docs"),
+        first(col("obar_pm")).as("base_rate_pm"),
+        expr("""sum(n * (f - o_pm) * (f - o_pm))""").as("rel_num"),
+        expr("""sum(n * (o_pm - obar_pm) * (o_pm - obar_pm))""")
+          .as("res_num"),
+        // exact Brier: Σ over cells of k·(f−1000)² + (n−k)·f²
+        expr("""sum(k * (f - 1000) * (f - 1000) + (n - k) * f * f)""")
+          .as("bs_num"))
+      .select(col("n_docs"), col("base_rate_pm"),
+        expr("bs_num div n_docs").as("brier_micro"),
+        expr("rel_num div n_docs").as("reliability_micro"),
+        expr("res_num div n_docs").as("resolution_micro"),
+        expr("base_rate_pm * (1000 - base_rate_pm)").as("uncertainty_micro"))
+      .withColumn("decomposition_gap_micro",
+        expr("""brier_micro - (reliability_micro - resolution_micro
+                + uncertainty_micro)"""))
+  }
+
+  val brierDecompositionSql: String = {
+    import graft.text.TextStats
+    val stop = TextStats.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, count(*)::BIGINT AS n_tok,
+       |    sum(CASE WHEN word IN ($stop) THEN 1 ELSE 0 END)::BIGINT AS n_stop
+       |  FROM t GROUP BY doc_id, lang),
+       |s AS (
+       |  SELECT ((1000 * n_stop) // n_tok)::BIGINT AS f,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM d),
+       |cells AS (
+       |  SELECT f, count(*)::BIGINT AS n, sum(pos)::BIGINT AS k,
+       |    ((1000 * sum(pos)) // count(*))::BIGINT AS o_pm
+       |  FROM s GROUP BY f),
+       |tot AS (
+       |  SELECT sum(n)::BIGINT AS nn, sum(k)::BIGINT AS kk,
+       |    ((1000 * sum(k)) // sum(n))::BIGINT AS obar_pm
+       |  FROM cells),
+       |agg AS (
+       |  SELECT nn AS n_docs, obar_pm AS base_rate_pm,
+       |    (sum(n * (f - o_pm) * (f - o_pm)) // nn)::BIGINT
+       |      AS reliability_micro,
+       |    (sum(n * (o_pm - obar_pm) * (o_pm - obar_pm)) // nn)::BIGINT
+       |      AS resolution_micro,
+       |    (sum(k * (f - 1000) * (f - 1000) + (n - k) * f * f) // nn)::BIGINT
+       |      AS brier_micro,
+       |    (obar_pm * (1000 - obar_pm))::BIGINT AS uncertainty_micro
+       |  FROM cells, tot GROUP BY nn, obar_pm)
+       |SELECT n_docs, base_rate_pm, brier_micro, reliability_micro,
+       |  resolution_micro, uncertainty_micro,
+       |  (brier_micro - (reliability_micro - resolution_micro
+       |    + uncertainty_micro))::BIGINT AS decomposition_gap_micro
+       |FROM agg""".stripMargin
+  }
+
   // ---- q246: Good-Turing frequency spectrum ------------------------------
 
   /** Highest raw count reported in the frequency-of-frequencies

@@ -427,4 +427,39 @@ class CleaningQueriesSpec extends SparkSpec {
       assert(y > 0 && w > 0 && spw >= 1000L, s"$src degenerate counts")
     }
   }
+
+  test("q251: Brier decomposition equals a driver replay; identity gap is quantization-sized") {
+    import graft.text.TextStats
+    val row = CleaningQueries.brierDecomposition(spark, sfDir).collect().head
+    val (n, obar, bs, rel, res, unc, gap) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).trim.toLowerCase.split("\\s+")
+        val f = 1000L * ws.count(TextStats.stopwords.contains) / ws.length
+        (f, if (r.getString(0) == "en") 1L else 0L)
+      }
+    val cells = docs.groupBy(_._1).map { case (f, g) =>
+      (f, g.size.toLong, g.map(_._2).sum) }
+    val nn = docs.length.toLong
+    val kk = docs.map(_._2).sum
+    val obarRef = 1000L * kk / nn
+    val relRef = cells.map { case (f, c, k) =>
+      val o = 1000L * k / c; c * (f - o) * (f - o) }.sum / nn
+    val resRef = cells.map { case (_, c, k) =>
+      val o = 1000L * k / c; c * (o - obarRef) * (o - obarRef) }.sum / nn
+    val bsRef = cells.map { case (f, c, k) =>
+      k * (f - 1000) * (f - 1000) + (c - k) * f * f }.sum / nn
+    assert((n, obar) == ((nn, obarRef)))
+    assert((bs, rel, res) == ((bsRef, relRef, resRef)))
+    assert(unc == obarRef * (1000 - obarRef))
+    assert(gap == bs - (rel - res + unc))
+    // Murphy's identity holds up to the documented per-cell/per-N floors:
+    // each of the four terms drops < 1 micro per cell plus the o_pm floor
+    assert(math.abs(gap) <= 2000L, s"gap $gap too large for quantization")
+    // both classes present, so uncertainty is strictly positive
+    assert(unc > 0 && res >= 0 && rel >= 0 && bs > 0)
+  }
 }
