@@ -1240,6 +1240,96 @@ object QualityQueries {
        |FROM tot, ag, ch""".stripMargin
   }
 
+  // ---- q252: McNemar paired-labeler test --------------------------------
+
+  /** Stopword-ratio threshold (per-mille) for the weak "en" detector
+    * McNemar pits against the langid heuristic. */
+  val McNemarBPm = 60L
+
+  /** χ²₀.₉₅ critical value for df = 1, milli. */
+  val McNemarCritMilli = 3841L
+
+  /** Is the langid heuristic SIGNIFICANTLY better than a dumb
+    * stopword-threshold detector on the SAME documents? — McNemar's
+    * test, the paired comparison q238's κ cannot make (κ grades one
+    * labeler against gold; comparing two labelers by their separate
+    * accuracies ignores that they err on the same rows). Only the
+    * DISCORDANT pairs carry information: b = langid right/threshold
+    * wrong, c = the reverse; `χ² = (|b−c|−1)²/(b+c)` with continuity
+    * correction against χ²₁.
+    *
+    * Exact: b, c are counts; the statistic one floor milli division
+    * of non-negatives. Labeler A is q15/q238's marker-score argmax,
+    * labeler B is `stopword‰ ≥ [[McNemarBPm]]`, gold is the lang
+    * column — all integer-exact per document.
+    *
+    * Scale shape: one token scan → per-doc marker sums + stopword
+    * count (map-side combine), then a 4-cell aggregate. */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val toks = graft.Partitioning.spread(
+        table(spark, dir, "documents"), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val sums = TextStats.langMarkerSums(col("tok"))
+      .map { case (lang, c) => c.as(s"sc_$lang") } ++ Seq(
+      count(lit(1)).as("n_tok"),
+      sum(when(col("tok").isInCollection(TextStats.stopwords), 1L)
+        .otherwise(0L)).as("n_stop"))
+    val scored = toks.groupBy("doc_id", "lang").agg(sums.head, sums.tail: _*)
+    val flags = scored.select(
+      (col("lang") === "en").as("gold"),
+      (TextStats.langIdFromScores(
+        TextStats.langMarkers.map { case (l, _) => l -> col(s"sc_$l") })
+        === "en").as("pa"),
+      (expr("(1000 * n_stop) div n_tok") >= McNemarBPm).as("pb"))
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pa") === col("gold"), 1L).otherwise(0L)).as("a_correct"),
+        sum(when(col("pb") === col("gold"), 1L).otherwise(0L)).as("b_correct"),
+        sum(when(col("pa") === col("gold") && col("pb") =!= col("gold"), 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col("pa") =!= col("gold") && col("pb") === col("gold"), 1L)
+          .otherwise(0L)).as("n01"))
+      .withColumn("chi2_milli",
+        expr("""(1000 * (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1))
+                div greatest(n10 + n01, 1)"""))
+      .withColumn("reject", col("chi2_milli") > McNemarCritMilli)
+  }
+
+  val mcnemarTestSql: String = {
+    import graft.text.TextStats
+    val stop = TextStats.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, count(*)::BIGINT AS n_tok,
+       |    sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END)::BIGINT AS n_stop
+       |  FROM t GROUP BY 1, 2),
+       |f AS (
+       |  SELECT (d.lang = 'en') AS gold,
+       |    (${TextStats.langIdSql("doc.text")} = 'en') AS pa,
+       |    ((1000 * d.n_stop) // d.n_tok >= $McNemarBPm) AS pb
+       |  FROM d JOIN documents doc USING (doc_id)),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN pa = gold THEN 1 ELSE 0 END)::BIGINT AS a_correct,
+       |    sum(CASE WHEN pb = gold THEN 1 ELSE 0 END)::BIGINT AS b_correct,
+       |    sum(CASE WHEN pa = gold AND pb <> gold THEN 1 ELSE 0 END)::BIGINT
+       |      AS n10,
+       |    sum(CASE WHEN pa <> gold AND pb = gold THEN 1 ELSE 0 END)::BIGINT
+       |      AS n01
+       |  FROM f)
+       |SELECT n_docs, a_correct, b_correct, n10, n01,
+       |  ((1000 * (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1))
+       |    // greatest(n10 + n01, 1))::BIGINT AS chi2_milli,
+       |  ((1000 * (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1))
+       |    // greatest(n10 + n01, 1)) > $McNemarCritMilli AS reject
+       |FROM m""".stripMargin
+  }
+
   // ---- q235: Mann-Whitney U location test ------------------------------
 
   /** `z²_{0.05}·10⁶ = 1.9600²·10⁶` for the large-sample normal gate. */

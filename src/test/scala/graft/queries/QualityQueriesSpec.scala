@@ -555,4 +555,44 @@ class QualityQueriesSpec extends SparkSpec {
     // ties exist in a bounded length domain, so the correction bites
     assert(tc < 1000000L && tc > 0L)
   }
+
+  test("q252: McNemar equals a driver replay of both labelers") {
+    import graft.text.TextStats
+    val row = QualityQueries.mcnemarTest(spark, sfDir).collect().head
+    val (n, aCorr, bCorr, n10, n01, chi2, reject) = (row.getLong(0),
+      row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5), row.getBoolean(6))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def predA(text: String): String = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      // the langIdFromScores fold: strictly-greater wins, seed = first lang
+      var best = ("", -1L)
+      for ((lang, markers) <- TextStats.langMarkers) {
+        val s = toks.count(markers.contains).toLong
+        if (best._2 < 0) best = (lang, s)
+        else if (s > best._2) best = (lang, s)
+      }
+      if (best._2 == 0L) "und" else best._1
+    }
+    def predB(text: String): Boolean = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      1000L * toks.count(TextStats.stopwords.contains) / toks.length >=
+        QualityQueries.McNemarBPm
+    }
+    val flags = docs.map { case (lang, text) =>
+      (lang == "en", predA(text) == "en", predB(text)) }
+    val (b, c) = (flags.count(f => f._2 == f._1 && f._3 != f._1).toLong,
+      flags.count(f => f._2 != f._1 && f._3 == f._1).toLong)
+    assert(n == docs.length.toLong)
+    assert(aCorr == flags.count(f => f._2 == f._1).toLong)
+    assert(bCorr == flags.count(f => f._3 == f._1).toLong)
+    assert((n10, n01) == ((b, c)))
+    val d = math.abs(b - c) - 1
+    assert(chi2 == 1000L * d * d / math.max(b + c, 1L))
+    assert(reject == (chi2 > QualityQueries.McNemarCritMilli))
+    // the paired design is informative: discordant pairs exist
+    assert(b + c > 0)
+  }
 }
