@@ -1330,6 +1330,116 @@ object QualityQueries {
        |FROM m""".stripMargin
   }
 
+  // ---- q253: Kendall tau-b length-bias audit of BM25 ---------------------
+
+  /** Is the BM25 ranking secretly a LENGTH ranking? — the classic
+    * retrieval bias the b parameter exists to suppress: Kendall τ-b
+    * between serve order and document length over the top-k. A strong
+    * positive τ means long documents float regardless of term
+    * relevance (b too low); strong negative means over-penalized
+    * (b too high). q244 grades the order against relevance; this
+    * checks WHAT the order is actually keyed on.
+    *
+    * Exact by enumeration: positions are unique, so only length ties
+    * reduce the denominator; C, D, and tie counts come from the
+    * k(k−1)/2 pair table (k = [[graft.queries.ScaleQueries.Bm25TopK]]
+    * — bounded, the documented 2k-row tail of the ranking pipeline).
+    * τ-b's square root is avoided the q243 way: signed
+    * `τ² = sign(C−D)·(C−D)²/(n₀(n₀−n_ties))` in floor per-mille, with
+    * τ-a = (C−D)/n₀ alongside (sign peeled).
+    *
+    * Scale shape: ranking + per-doc length are the corpus-sized
+    * stages (one scan each, shared with q63); the pair join runs on
+    * k rows. */
+  def kendallLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    import ScaleQueries.{MinTermLen, Bm25TopK}
+    val ranked = ScaleQueries.bm25(spark, dir)
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+    val dl = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= MinTermLen)
+      .groupBy("doc_id").agg(count(lit(1)).as("y"))
+    val pts = ranked.join(dl, Seq("doc_id")).select("pos", "y")
+    val b = pts.select(col("pos").as("pos_b"), col("y").as("y_b"))
+    pts.join(b, col("pos") < col("pos_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("y") < col("y_b"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("y") > col("y_b"), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("y") === col("y_b"), 1L).otherwise(0L)).as("ties_y"))
+      .select(lit(Bm25TopK.toLong).as("k"), col("n_pairs"),
+        col("concordant"), col("discordant"), col("ties_y"),
+        expr("""CASE WHEN concordant >= discordant
+                THEN (1000 * (concordant - discordant)) div n_pairs
+                ELSE -((1000 * (discordant - concordant)) div n_pairs)
+                END""").as("tau_a_milli"),
+        expr("""CASE WHEN concordant >= discordant
+                THEN (1000 * (concordant - discordant)
+                      * (concordant - discordant))
+                     div greatest(n_pairs * (n_pairs - ties_y), 1)
+                ELSE -((1000 * (concordant - discordant)
+                        * (concordant - discordant))
+                       div greatest(n_pairs * (n_pairs - ties_y), 1))
+                END""").as("tau2_signed_permille"))
+  }
+
+  val kendallLengthBiasSql: String = {
+    import ScaleQueries.{Bm25Query, Bm25K1, Bm25B, Bm25TopK, MinTermLen}
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |  FROM documents),
+       |ft AS (SELECT doc_id, term FROM toks
+       |       WHERE length(term) >= $MinTermLen),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS y FROM ft GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |         (SELECT avg(y) FROM dl) AS avgdl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ft
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       |       FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id AS doc_id,
+       |    round(sum(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |        * tf * ${Bm25K1 + 1}
+       |        / (tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * y / avgdl))
+       |    ), 6) AS bm25
+       |  FROM tf
+       |  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS pos
+       |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+       |pts AS (SELECT pos, y FROM ranked JOIN dl USING (doc_id)),
+       |pairs AS (
+       |  SELECT count(*)::BIGINT AS n_pairs,
+       |    sum(CASE WHEN a.y < b.y THEN 1 ELSE 0 END)::BIGINT AS concordant,
+       |    sum(CASE WHEN a.y > b.y THEN 1 ELSE 0 END)::BIGINT AS discordant,
+       |    sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT AS ties_y
+       |  FROM pts a JOIN pts b ON a.pos < b.pos)
+       |SELECT ${Bm25TopK}::BIGINT AS k, n_pairs, concordant, discordant,
+       |  ties_y,
+       |  (CASE WHEN concordant >= discordant
+       |    THEN (1000 * (concordant - discordant)) // n_pairs
+       |    ELSE -((1000 * (discordant - concordant)) // n_pairs)
+       |   END)::BIGINT AS tau_a_milli,
+       |  (CASE WHEN concordant >= discordant
+       |    THEN (1000 * (concordant - discordant) * (concordant - discordant))
+       |      // greatest(n_pairs * (n_pairs - ties_y), 1)
+       |    ELSE -((1000 * (concordant - discordant)
+       |            * (concordant - discordant))
+       |      // greatest(n_pairs * (n_pairs - ties_y), 1))
+       |   END)::BIGINT AS tau2_signed_permille
+       |FROM pairs""".stripMargin
+  }
+
   // ---- q235: Mann-Whitney U location test ------------------------------
 
   /** `z²_{0.05}·10⁶ = 1.9600²·10⁶` for the large-sample normal gate. */

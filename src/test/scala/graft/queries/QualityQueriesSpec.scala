@@ -595,4 +595,37 @@ class QualityQueriesSpec extends SparkSpec {
     // the paired design is informative: discordant pairs exist
     assert(b + c > 0)
   }
+
+  test("q253: Kendall length-bias equals a driver pair enumeration") {
+    import graft.queries.ScaleQueries
+    val row = QualityQueries.kendallLengthBias(spark, sfDir).collect().head
+    val (k, np, c, d, t, tauA, tau2) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6))
+    assert(k == ScaleQueries.Bm25TopK.toLong)
+    val ranked = ScaleQueries.bm25(spark, sfDir).collect().map(_.getLong(0))
+    val lens = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z]+")
+          .count(_.length >= ScaleQueries.MinTermLen).toLong)
+      .toMap
+    val ys = ranked.map(lens)
+    var (cc, dd, tt) = (0L, 0L, 0L)
+    for (i <- ys.indices; j <- (i + 1) until ys.length) {
+      if (ys(i) < ys(j)) cc += 1
+      else if (ys(i) > ys(j)) dd += 1
+      else tt += 1
+    }
+    assert(np == ys.length.toLong * (ys.length - 1) / 2)
+    assert((c, d, t) == ((cc, dd, tt)), "pair counts")
+    assert(cc + dd + tt == np)
+    def peel(num: Long, den: Long): Long =
+      if (num >= 0) 1000L * num / den else -(1000L * (-num) / den)
+    assert(tauA == peel(cc - dd, np))
+    val den = math.max(np * (np - tt), 1L)
+    assert(tau2 == (if (cc >= dd) 1000L * (cc - dd) * (cc - dd) / den
+                    else -(1000L * (cc - dd) * (cc - dd) / den)))
+    assert(math.abs(tauA) <= 1000L && math.abs(tau2) <= 1000L)
+  }
 }
