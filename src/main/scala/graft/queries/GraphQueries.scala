@@ -547,6 +547,103 @@ object GraphQueries {
        |  ((3000 * n_triangles) // wedges)::BIGINT AS clustering_pm
        |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin
 
+  // ---- q254: degree assortativity of the co-purchase backbone --------
+
+  /** Do HUBS connect to hubs, or to leaves? — degree assortativity,
+    * the one-number structural diagnostic (Newman's r) behind
+    * "is this graph resilient or hub-and-spoke": positive means a
+    * rich-club core (remove a hub, the core survives), negative a
+    * star topology (remove a hub, its leaves orphan). Over the same
+    * top-[[TriEdges]] co-purchase backbone q116 counts triangles on,
+    * so the two structure audits read the same graph.
+    *
+    * Exact with NO square root: each undirected edge contributes both
+    * orientations (x, y) = (deg a, deg b) and (deg b, deg a), making
+    * the two marginal distributions IDENTICAL — Pearson's denominator
+    * `√(Var x · Var y)` collapses to the single integer
+    * `M·Σx² − (Σx)²`, and r is one signed floor milli ratio
+    * (the q239 peel). Bounded: d ≤ 2·E, all moments ≤ 8·E³ ≈ 10⁹ at
+    * E = $TriEdges.
+    *
+    * Scale shape: the backbone construction is q116's (corpus scan →
+    * co-purchase pairs → top-E edges); degrees and moments are
+    * aggregates over the bounded edge table. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val ui = table(spark, dir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val edges = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(TriEdges)
+      .select("a", "b")
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val pts = edges
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"),
+        Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"),
+        Seq("b"))
+      .select(col("da").as("x"), col("db").as("y"))
+      .union(edges
+        .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"),
+          Seq("a"))
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"),
+          Seq("b"))
+        .select(col("db").as("x"), col("da").as("y")))
+    pts.agg(count(lit(1)).as("m"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select((col("m") / 2).cast("long").as("n_edges"), col("m"),
+        col("sx"), col("sxx"), col("sxy"),
+        expr("""CASE WHEN m * sxy - sx * sx >= 0
+                THEN (1000 * (m * sxy - sx * sx))
+                     div greatest(m * sxx - sx * sx, 1)
+                ELSE -((1000 * (sx * sx - m * sxy))
+                       div greatest(m * sxx - sx * sx, 1))
+                END""").as("assortativity_milli"))
+  }
+
+  val degreeAssortativitySql: String =
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item
+       |  FROM events
+       |  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |p AS (
+       |  SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n_ab
+       |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p ORDER BY n_ab DESC, a, b LIMIT $TriEdges),
+       |deg AS (
+       |  SELECT v, count(*)::BIGINT AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+       |pts AS (
+       |  SELECT da.d AS x, db.d AS y
+       |  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+       |  UNION ALL
+       |  SELECT db.d AS x, da.d AS y
+       |  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+       |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+       |  FROM pts)
+       |SELECT (m // 2)::BIGINT AS n_edges, m, sx, sxx, sxy,
+       |  (CASE WHEN m * sxy - sx * sx >= 0
+       |    THEN (1000 * (m * sxy - sx * sx))
+       |      // greatest(m * sxx - sx * sx, 1)
+       |    ELSE -((1000 * (sx * sx - m * sxy))
+       |      // greatest(m * sxx - sx * sx, 1))
+       |   END)::BIGINT AS assortativity_milli
+       |FROM agg""".stripMargin
+
   // ---- q142: long-chain components (star contraction) ----------------
 
   /** Chain block size: consecutive event ids are linked within blocks

@@ -107,6 +107,36 @@ class GraphAndSketchSpec extends SparkSpec {
     assert(deg.size.toLong == nNodes)
   }
 
+  test("q254: degree assortativity matches a driver replay over the same backbone") {
+    val r = GraphQueries.degreeAssortativity(spark, sfDir).collect().head
+    val (nE, m, sx, sxx, sxy, rm) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val ui = QueryUtil.table(spark, sfDir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("item"))
+      .distinct()
+    val support = ui.as("a").join(ui.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b")).count()
+      .collect().map(r2 => ((r2.getLong(0), r2.getLong(1)), r2.getLong(2)))
+    val edges = support.sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(GraphQueries.TriEdges).map(_._1)
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pts = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    assert(nE == edges.length.toLong && m == 2L * edges.length)
+    assert(sx == pts.map(_._1).sum)
+    assert(sxx == pts.map(p => p._1 * p._1).sum)
+    assert(sxy == pts.map(p => p._1 * p._2).sum)
+    val num = m * sxy - sx * sx
+    val den = math.max(m * sxx - sx * sx, 1L)
+    assert(rm == (if (num >= 0) 1000L * num / den else -(1000L * (-num) / den)))
+    // a valid correlation, and the symmetrized marginals really coincide
+    assert(math.abs(rm) <= 1000L)
+    assert(pts.map(_._1).sum == pts.map(_._2).sum)
+  }
+
   test("q118: streaming MG state reproduces the batch heavy-hitter report exactly") {
     val batch = ScaleQueries.heavyHitters(spark, sfDir).collect().toSeq
     val stream = ScaleQueries.streamHeavyHitters(spark, sfDir).collect().toSeq
