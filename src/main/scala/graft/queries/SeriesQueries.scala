@@ -1183,6 +1183,96 @@ object SeriesQueries {
        |FROM ranked a JOIN ranked b ON a.day = b.day AND a.t < b.t
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q255: Wald-Wolfowitz runs test ------------------------------------
+
+  /** z²₀.₀₅ gate in milli (1.96² · 1000). */
+  val RunsCritMilli = 3841L
+
+  /** Are daily revenue MOVES random, or do up-days cluster? — the
+    * Wald-Wolfowitz runs test, the nonparametric randomness check
+    * that needs no moment assumptions at all: count maximal runs of
+    * same-sign day-over-day deltas and compare against what a random
+    * shuffle of the same up/down multiset would produce. q245 hears
+    * autocorrelation in the VALUES; this hears structure in nothing
+    * but the SIGNS — it fires on regime-switching patterns whose
+    * linear autocorrelation is zero. Zero deltas are dropped (the
+    * standard treatment, documented).
+    *
+    * Entirely exact until the last division:
+    * `z² = (R·n − n − 2ab)²·(n−1) / (2ab·(2ab − n))` — E[R] and
+    * Var[R] are rationals whose denominators cancel by
+    * cross-multiplication, so the only floor is the final milli
+    * quantization of a non-negative ratio. Int64 bound: the numerator
+    * is `1000·d²·(n−1)` with `d = R·n − n − 2ab`; on the
+    * calendar-bounded TPC-H daily series it measures ≈ 2.6·10¹⁸
+    * (3.5× headroom) — a decade-plus horizon should bucket by week
+    * (documented fallback, same shape).
+    *
+    * Scale shape: orders collapse to the bounded daily series in one
+    * scan; the delta/run windows run over that series (the q93
+    * documented bounded-window concession); the test is a one-row
+    * aggregate. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val day = expr(s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs")
+    val daily = o.groupBy(day.as("day")).agg(
+      sum(floor(col("o_totalprice") * lit(100d)).cast("long")).as("cents"))
+    val w = Window.orderBy("day")
+    val signs = daily
+      .withColumn("delta", col("cents") - lag("cents", 1).over(w))
+      .filter(col("delta").isNotNull && col("delta") =!= 0L)
+      .withColumn("up", col("delta") > 0L)
+      .withColumn("flip",
+        when(lag("up", 1).over(Window.orderBy("day")).isNull, 1L)
+          .when(lag("up", 1).over(Window.orderBy("day")) =!= col("up"), 1L)
+          .otherwise(0L))
+    signs.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("up"), 0L).otherwise(1L)).as("n_down"),
+        sum("flip").as("runs"))
+      .withColumn("z2_milli",
+        expr("""(1000 * (runs * n - n - 2 * n_up * n_down)
+                     * (runs * n - n - 2 * n_up * n_down) * (n - 1))
+                div greatest(2 * n_up * n_down
+                     * (2 * n_up * n_down - n), 1)"""))
+      .withColumn("random_rejected", col("z2_milli") > RunsCritMilli)
+  }
+
+  val runsTestSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // $DayUs AS day,
+       |    sum(floor(o_totalprice * 100)::BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |d AS (
+       |  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS delta
+       |  FROM daily),
+       |s AS (
+       |  SELECT day, delta > 0 AS up FROM d
+       |  WHERE delta IS NOT NULL AND delta <> 0),
+       |f AS (
+       |  SELECT up,
+       |    CASE WHEN lag(up) OVER (ORDER BY day) IS NULL THEN 1
+       |         WHEN lag(up) OVER (ORDER BY day) <> up THEN 1
+       |         ELSE 0 END AS flip
+       |  FROM s),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    sum(CASE WHEN up THEN 1 ELSE 0 END)::BIGINT AS n_up,
+       |    sum(CASE WHEN up THEN 0 ELSE 1 END)::BIGINT AS n_down,
+       |    sum(flip)::BIGINT AS runs
+       |  FROM f)
+       |SELECT n, n_up, n_down, runs,
+       |  ((1000 * (runs * n - n - 2 * n_up * n_down)
+       |         * (runs * n - n - 2 * n_up * n_down) * (n - 1))
+       |    // greatest(2 * n_up * n_down * (2 * n_up * n_down - n), 1)
+       |    )::BIGINT AS z2_milli,
+       |  ((1000 * (runs * n - n - 2 * n_up * n_down)
+       |         * (runs * n - n - 2 * n_up * n_down) * (n - 1))
+       |    // greatest(2 * n_up * n_down * (2 * n_up * n_down - n), 1))
+       |    > $RunsCritMilli AS random_rejected
+       |FROM agg""".stripMargin
+
   // ---- q245: Ljung-Box white-noise audit --------------------------------
 
   /** Autocorrelation horizon probed by the Ljung-Box statistic. */

@@ -489,4 +489,28 @@ class SeriesQueriesSpec extends SparkSpec {
     // full coverage: every (type, lag) cell exactly once
     assert(out.length == types.size * SeriesQueries.LbMaxLag.toInt)
   }
+
+  test("q255: runs test equals a driver replay of the sign sequence") {
+    val row = SeriesQueries.runsTest(spark, sfDir).collect().head
+    val (n, nUp, nDown, runs, z2, rej) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getBoolean(5))
+    val daily = QueryUtil.table(spark, sfDir, "orders")
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"), expr("cast(floor(o_totalprice * 100) as long)").as("c"))
+      .groupBy("day").agg(sum("c").as("cents"))
+      .orderBy("day").collect().map(r => r.getLong(1))
+    val ups = daily.sliding(2).collect {
+      case Array(a, b) if b != a => b > a }.toSeq
+    val runsRef = if (ups.isEmpty) 0L
+      else 1L + ups.sliding(2).count { case Seq(a, b) => a != b }.toLong
+    assert(n == ups.length.toLong)
+    assert(nUp == ups.count(identity).toLong && nDown == ups.count(!_).toLong)
+    assert(runs == runsRef)
+    val d = runs * n - n - 2 * nUp * nDown
+    val den = math.max(2 * nUp * nDown * (2 * nUp * nDown - n), 1L)
+    assert(z2 == 1000L * d * d * (n - 1) / den)
+    assert(rej == (z2 > SeriesQueries.RunsCritMilli))
+    // the series is long enough for the normal approximation to mean anything
+    assert(n >= 20 && nUp > 0 && nDown > 0)
+  }
 }
