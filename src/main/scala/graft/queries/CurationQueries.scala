@@ -1016,6 +1016,104 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q256: Theil inequality with language decomposition ---------------
+
+  /** WHERE does corpus concentration come from? — the Theil index,
+    * the inequality measure q241's Gini cannot decompose: over
+    * (lang, source) token-mass cells, `T = T_between + T_within`
+    * splits total inequality into "languages have unequal shares"
+    * versus "sources are unequal inside each language" — the number
+    * that decides whether a rebalancing pass should reweight languages
+    * or prune dominant feeds within one.
+    *
+    * NgramLM-contract micronats throughout (the q239 convention):
+    * each cell contributes `m·round(10⁶·(ln(m·C) − ln(X)))`, groups
+    * `M_g·round(10⁶·(ln(M_g·C) − ln(X·C_g)))`, within-terms
+    * `m·round(10⁶·(ln(m·C_g) − ln(M_g)))` — all three sums divide by
+    * X once with the sign peeled, and the emitted
+    * `decomposition_gap_micro` carries the exact quantization
+    * leftover of the identity (the q251 discipline).
+    *
+    * Scale shape: one token-count scan → ≤ langs×sources cells;
+    * everything after is cell-table arithmetic with broadcast
+    * scalars. */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("t"))
+      .groupBy("lang", "source").agg(sum("t").as("m"))
+    val grp = cells.groupBy("lang")
+      .agg(sum("m").as("mg"), count(lit(1)).as("cg"))
+    val tot = cells.agg(sum("m").as("x"), count(lit(1)).as("cc"))
+    def peel(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN ($num) div ($den)
+          ELSE -((-($num)) div ($den)) END"""
+    val tTot = cells.crossJoin(broadcast(tot))
+      .select((col("m") * round(lit(1e6) *
+        (log(col("m") * col("cc")) - log(col("x")))).cast("long")).as("wt"))
+      .agg(sum("wt").as("tnum"))
+    val tBet = grp.crossJoin(broadcast(tot))
+      .select((col("mg") * round(lit(1e6) *
+        (log(col("mg") * col("cc")) - log(col("x") * col("cg"))))
+        .cast("long")).as("wt"))
+      .agg(sum("wt").as("bnum"))
+    val tWit = cells.join(broadcast(grp), "lang")
+      .select((col("m") * round(lit(1e6) *
+        (log(col("m") * col("cg")) - log(col("mg")))).cast("long")).as("wt"))
+      .agg(sum("wt").as("wnum"))
+    tot.crossJoin(broadcast(tTot)).crossJoin(broadcast(tBet))
+      .crossJoin(broadcast(tWit))
+      .select(col("cc").as("n_cells"), col("x").as("total_tokens"),
+        expr(peel("tnum", "x")).as("theil_micro"),
+        expr(peel("bnum", "x")).as("between_lang_micro"),
+        expr(peel("wnum", "x")).as("within_lang_micro"))
+      .withColumn("decomposition_gap_micro",
+        expr("theil_micro - (between_lang_micro + within_lang_micro)"))
+      .withColumn("between_share_permille",
+        expr(peel("1000 * between_lang_micro", "greatest(theil_micro, 1)")))
+  }
+
+  val theilDecompositionSql: String = {
+    def peel(num: String, den: String) =
+      s"""CASE WHEN $num >= 0 THEN ($num) // ($den)
+          ELSE -((-($num)) // ($den)) END"""
+    s"""WITH cells AS (
+       |  SELECT lang, source,
+       |    sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+       |      AS m
+       |  FROM documents GROUP BY 1, 2),
+       |grp AS (
+       |  SELECT lang, sum(m)::BIGINT AS mg, count(*)::BIGINT AS cg
+       |  FROM cells GROUP BY 1),
+       |tot AS (SELECT sum(m)::BIGINT AS x, count(*)::BIGINT AS cc
+       |        FROM cells),
+       |tt AS (
+       |  SELECT sum(m * round(1e6 * (ln(m * cc) - ln(x)))::BIGINT)::BIGINT
+       |    AS tnum
+       |  FROM cells, tot),
+       |tb AS (
+       |  SELECT sum(mg * round(1e6 * (ln(mg * cc) - ln(x * cg)))::BIGINT
+       |    )::BIGINT AS bnum
+       |  FROM grp, tot),
+       |tw AS (
+       |  SELECT sum(m * round(1e6 * (ln(m * cg) - ln(mg)))::BIGINT)::BIGINT
+       |    AS wnum
+       |  FROM cells JOIN grp USING (lang)),
+       |f AS (
+       |  SELECT cc AS n_cells, x AS total_tokens,
+       |    (${peel("tnum", "x")})::BIGINT AS theil_micro,
+       |    (${peel("bnum", "x")})::BIGINT AS between_lang_micro,
+       |    (${peel("wnum", "x")})::BIGINT AS within_lang_micro
+       |  FROM tot, tt, tb, tw)
+       |SELECT n_cells, total_tokens, theil_micro, between_lang_micro,
+       |  within_lang_micro,
+       |  (theil_micro - (between_lang_micro + within_lang_micro))::BIGINT
+       |    AS decomposition_gap_micro,
+       |  (${peel("1000 * between_lang_micro", "greatest(theil_micro, 1)")}
+       |    )::BIGINT AS between_share_permille
+       |FROM f""".stripMargin
+  }
+
   // ---- q241: Gini concentration of the corpus over sources -------------
 
   /** How CONCENTRATED is the corpus? — the one-number diversity audit

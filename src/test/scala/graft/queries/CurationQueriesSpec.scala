@@ -733,4 +733,38 @@ class CurationQueriesSpec extends SparkSpec {
     // both signs actually occur on the real corpus
     assert(got.values.exists(_._5 > 0) && got.values.exists(_._5 < 0))
   }
+
+  test("q256: Theil decomposition equals a driver replay; identity gap is quantization-sized") {
+    val row = CurationQueries.theilDecomposition(spark, sfDir).collect().head
+    val (nc, x, t, tb, tw, gap, share) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6))
+    val cells = QueryUtil.table(spark, sfDir, "documents")
+      .select("lang", "source", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getString(2).trim.toLowerCase.split("\\s+").length.toLong))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val cc = cells.size.toLong
+    val xx = cells.values.sum
+    val grp = cells.groupBy(_._1._1)
+      .map { case (l, g) => l -> (g.values.sum, g.size.toLong) }
+    def q(v: Double): Long = math.round(1e6 * v)
+    def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val tnum = cells.values
+      .map(m => m * q(math.log(m.toDouble * cc) - math.log(xx.toDouble))).sum
+    val bnum = grp.values.map { case (mg, cg) =>
+      mg * q(math.log(mg.toDouble * cc) - math.log(xx.toDouble * cg)) }.sum
+    val wnum = cells.map { case ((l, _), m) =>
+      val (mg, cg) = grp(l)
+      m * q(math.log(m.toDouble * cg) - math.log(mg.toDouble)) }.sum
+    assert((nc, x) == ((cc, xx)))
+    assert((t, tb, tw) ==
+      ((sdiv(tnum, xx), sdiv(bnum, xx), sdiv(wnum, xx))))
+    assert(gap == t - (tb + tw))
+    // Theil identity holds up to micronat quantization slack
+    assert(math.abs(gap) <= 100L, s"gap $gap")
+    assert(share == sdiv(1000L * tb, math.max(t, 1L)))
+    // inequality exists and is non-negative up to quantization
+    assert(t > 0 && tb >= -100 && tw >= -100)
+  }
 }
