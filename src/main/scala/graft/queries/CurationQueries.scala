@@ -1016,6 +1016,72 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q257: Lorenz/Pareto revenue deciles -------------------------------
+
+  /** The 80/20 question, answered exactly: the Lorenz decile table of
+    * customer revenue — for each top-decile of customers (by revenue,
+    * deterministic custkey tie-break), the cumulative revenue share
+    * in floor per-mille. The one-table answer to "how few customers
+    * fund the business" (and, pointed at token masses, "how few
+    * documents fund the corpus"); q241/q256 report one-number
+    * inequality, this publishes the CURVE.
+    *
+    * Scale discipline: the global ordered cumulative sum — the
+    * canonical single-partition-window trap — runs through
+    * [[graft.operators.PrefixSum]] (two-phase bucket scan: one narrow
+    * shuffle + a ~2¹⁰-row driver prefix + per-bucket bounded
+    * windows), called twice on the same bucketing: once over ones
+    * (global rank) and once over cents (running revenue). The total
+    * order is the single integer `ord = (maxCents − cents)·(maxKey+1)
+    * + custkey` — unique, monotone in (revenue desc, custkey);
+    * int64-safe while maxCents·maxKey ≲ 9·10¹⁸ (TPC-H sf100: ~10¹⁶).
+    * Revenue is exact cents; every share a floor per-mille. */
+  def paretoDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "orders")
+      .groupBy(col("o_custkey").cast("long").as("cust"))
+      .agg(sum(floor(col("o_totalprice") * lit(100d)).cast("long"))
+        .as("cents"))
+    val mx = rev.agg(max("cents"), max("cust"), count(lit(1)),
+      sum("cents")).head()
+    val (maxC, maxK, n, total) =
+      (mx.getLong(0), mx.getLong(1), mx.getLong(2), mx.getLong(3))
+    val kf = maxK + 1
+    val ordered = rev.withColumn("ord",
+        (lit(maxC) - col("cents")) * lit(kf) + col("cust"))
+      .withColumn("one", lit(1L))
+    val width = (maxC * kf + maxK) / 1024L + 1L
+    val ranked = graft.operators.PrefixSum.withPrefixSum(
+      ordered, "ord", "one", expr(s"ord div ${width}L"), "rnk", "pre1")
+    val cummed = graft.operators.PrefixSum.withPrefixSum(
+      ranked, "ord", "cents", expr(s"ord div ${width}L"), "cum", "pre2")
+    cummed
+      .withColumn("decile", expr(s"((rnk - 1) * 10) div ${n}L + 1"))
+      .groupBy("decile")
+      .agg(max("rnk").as("customers_cum"),
+        max("cum").as("revenue_cum_cents"))
+      .withColumn("revenue_share_permille",
+        expr(s"(1000 * revenue_cum_cents) div ${total}L"))
+      .orderBy("decile")
+  }
+
+  val paretoDecilesSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey::BIGINT AS cust,
+       |    sum(floor(o_totalprice * 100)::BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT cust, cents,
+       |    row_number() OVER (ORDER BY cents DESC, cust) AS rnk,
+       |    sum(cents) OVER (ORDER BY cents DESC, cust) AS cum
+       |  FROM rev),
+       |t AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS tot
+       |      FROM rev)
+       |SELECT (((rnk - 1) * 10) // n + 1)::BIGINT AS decile,
+       |  max(rnk)::BIGINT AS customers_cum,
+       |  max(cum)::BIGINT AS revenue_cum_cents,
+       |  ((1000 * max(cum)) // tot)::BIGINT AS revenue_share_permille
+       |FROM r, t GROUP BY 1, tot ORDER BY 1""".stripMargin
+
   // ---- q256: Theil inequality with language decomposition ---------------
 
   /** WHERE does corpus concentration come from? — the Theil index,

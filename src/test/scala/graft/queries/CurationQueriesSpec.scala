@@ -767,4 +767,31 @@ class CurationQueriesSpec extends SparkSpec {
     // inequality exists and is non-negative up to quantization
     assert(t > 0 && tb >= -100 && tw >= -100)
   }
+
+  test("q257: Pareto deciles equal a driver replay of the ordered cumsum") {
+    val out = CurationQueries.paretoDeciles(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.map(_._1).toSeq == (1L to out.length).toSeq)
+    val rev = QueryUtil.table(spark, sfDir, "orders")
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(cast(floor(o_totalprice * 100) as long))").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = rev.sortBy { case (k, c) => (-c, k) }
+    val n = sorted.length.toLong
+    val total = sorted.map(_._2).sum
+    var cum = 0L
+    val rows = sorted.zipWithIndex.map { case ((_, c), i) =>
+      cum += c; ((i.toLong * 10) / n + 1, i + 1L, cum) }
+    val want = rows.groupBy(_._1).map { case (d, g) =>
+      (d, g.map(_._2).max, g.map(_._3).max,
+        1000L * g.map(_._3).max / total) }.toSeq.sortBy(_._1)
+    assert(out.toSeq == want)
+    // Lorenz curve properties: shares increase to exactly 1000,
+    // customer counts to n
+    assert(out.last._4 == 1000L && out.last._2 == n)
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
+    // concentration exists: the top decile holds more than 10%
+    assert(out.head._4 > 100L)
+  }
 }
