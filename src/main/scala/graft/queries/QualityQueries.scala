@@ -1240,6 +1240,93 @@ object QualityQueries {
        |FROM tot, ag, ch""".stripMargin
   }
 
+  // ---- q258: chi-square cell drill-down + Cramér's V ---------------------
+
+  /** |standardized residual| > 2 flags a cell as driving the
+    * dependence (the usual ±2σ reading); squared per-mille: 4·10³. */
+  val ResidualFlagMilli = 4000L
+
+  /** WHICH cells drive q230's rejection, and HOW BIG is the effect? —
+    * the analyst's two follow-ups to any significant χ²: the per-cell
+    * standardized residuals `(o − e)/√e` (which lang×source
+    * combinations are over/under-represented) and Cramér's V (is the
+    * dependence large or just detectable at this n). Residuals keep
+    * the q239 root-avoidance form — signed squares
+    * `sign(o·n − r·c)·(1000·(o·n − r·c)²) div (r·c·n)` in milli, so a
+    * cell flags when the value exceeds [[ResidualFlagMilli]] (±2σ);
+    * V² = χ²/(n·min(L−1, S−1)) is one more floor per-mille on
+    * integers q230 already publishes.
+    *
+    * Scale shape: one scan → L×S cells; the full L×S grid (zero
+    * cells included — an EMPTY cell can be the most informative
+    * residual) and all arithmetic run on the bounded cell table. */
+  def chi2CellDrilldown(spark: SparkSession, dir: String): DataFrame = {
+    val cells = table(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cm = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val lCount = cells.select("lang").distinct().count()
+    val sCount = cells.select("source").distinct().count()
+    val minDim = math.max(math.min(lCount - 1, sCount - 1), 1L)
+    val grid = rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e_milli", expr("(1000 * r * c) div n"))
+      .withColumn("res2_signed_milli",
+        expr("""CASE WHEN o * n - r * c >= 0
+                THEN (1000 * (o * n - r * c) * (o * n - r * c))
+                     div (r * c * n)
+                ELSE -((1000 * (o * n - r * c) * (o * n - r * c))
+                       div (r * c * n)) END"""))
+    val v2 = grid.agg(sum(abs(col("res2_signed_milli"))).as("chi2_milli"),
+        max("n").as("nn"))
+      .select(expr(s"chi2_milli div (nn * ${minDim}L)")
+        .as("cramer_v2_permille"))
+    grid.crossJoin(broadcast(v2))
+      .select(col("lang"), col("source"), col("o"), col("e_milli"),
+        col("res2_signed_milli"),
+        (abs(col("res2_signed_milli")) > ResidualFlagMilli).as("flagged"),
+        col("cramer_v2_permille"))
+      .orderBy("lang", "source")
+  }
+
+  val chi2CellDrilldownSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*)::BIGINT AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rm AS (SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+       |cm AS (SELECT source, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+       |tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+       |dims AS (
+       |  SELECT greatest(least((SELECT count(*) FROM rm) - 1,
+       |    (SELECT count(*) FROM cm) - 1), 1)::BIGINT AS mindim),
+       |grid AS (
+       |  SELECT rm.lang, cm.source, coalesce(cells.o, 0)::BIGINT AS o,
+       |    rm.r, cm.c, tot.n,
+       |    ((1000 * rm.r * cm.c) // tot.n)::BIGINT AS e_milli,
+       |    (CASE WHEN coalesce(cells.o, 0) * tot.n - rm.r * cm.c >= 0
+       |      THEN (1000 * (coalesce(cells.o, 0) * tot.n - rm.r * cm.c)
+       |            * (coalesce(cells.o, 0) * tot.n - rm.r * cm.c))
+       |        // (rm.r * cm.c * tot.n)
+       |      ELSE -((1000 * (coalesce(cells.o, 0) * tot.n - rm.r * cm.c)
+       |              * (coalesce(cells.o, 0) * tot.n - rm.r * cm.c))
+       |        // (rm.r * cm.c * tot.n)) END)::BIGINT AS res2_signed_milli
+       |  FROM rm CROSS JOIN cm
+       |  LEFT JOIN cells ON cells.lang = rm.lang AND cells.source = cm.source
+       |  CROSS JOIN tot),
+       |v AS (
+       |  SELECT (sum(abs(res2_signed_milli))
+       |    // (max(n) * (SELECT mindim FROM dims)))::BIGINT
+       |    AS cramer_v2_permille
+       |  FROM grid)
+       |SELECT lang, source, o, e_milli, res2_signed_milli,
+       |  abs(res2_signed_milli) > $ResidualFlagMilli AS flagged,
+       |  cramer_v2_permille
+       |FROM grid CROSS JOIN v
+       |ORDER BY lang, source""".stripMargin
+
   // ---- q252: McNemar paired-labeler test --------------------------------
 
   /** Stopword-ratio threshold (per-mille) for the weak "en" detector

@@ -628,4 +628,39 @@ class QualityQueriesSpec extends SparkSpec {
                     else -(1000L * (cc - dd) * (cc - dd) / den)))
     assert(math.abs(tauA) <= 1000L && math.abs(tau2) <= 1000L)
   }
+
+  test("q258: chi2 drill-down equals a driver replay; residuals recompose chi2") {
+    val out = QualityQueries.chi2CellDrilldown(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+          r.getLong(6))))
+    assert(out.nonEmpty)
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val oc = docs.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val rm = docs.groupBy(_._1).map { case (l, g) => l -> g.size.toLong }
+    val cm = docs.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+    val n = docs.length.toLong
+    val mindim = math.max(math.min(rm.size - 1, cm.size - 1), 1L)
+    // full grid, zero cells included
+    assert(out.length == rm.size * cm.size)
+    var chi2 = 0L
+    for (((l, s), (o, em, res, flag, _)) <- out) {
+      assert(o == oc.getOrElse((l, s), 0L), s"$l/$s o")
+      assert(em == 1000L * rm(l) * cm(s) / n, s"$l/$s e")
+      val d = o * n - rm(l) * cm(s)
+      val mag = 1000L * d * d / (rm(l) * cm(s) * n)
+      assert(res == (if (d >= 0) mag else -mag), s"$l/$s residual")
+      assert(flag == (math.abs(res) > QualityQueries.ResidualFlagMilli))
+      chi2 += mag
+    }
+    // |residual²| sums back to q230's chi2; V² consistent with it
+    val v2 = out.head._2._5
+    assert(out.forall(_._2._5 == v2))
+    assert(v2 == chi2 / (n * mindim))
+    assert(v2 >= 0 && v2 <= 1000L)
+    // at least one driving cell is flagged on the real corpus
+    assert(out.exists(_._2._4))
+  }
 }
