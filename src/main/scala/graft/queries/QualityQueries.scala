@@ -1240,6 +1240,94 @@ object QualityQueries {
        |FROM tot, ag, ch""".stripMargin
   }
 
+  // ---- q259: empirical-Bayes shrinkage of per-source rates ---------------
+
+  /** Small sources have NOISY rates — a 40-doc feed at 55% en looks
+    * different from a 4000-doc feed at 55% — and every per-source
+    * dashboard ranks raw rates anyway. Beta-binomial empirical Bayes
+    * fixes it: estimate the prior from the BETWEEN-source spread
+    * (method of moments: `M = p̄(1−p̄)/s² − 1`, `a = p̄M`,
+    * `b = (1−p̄)M`) and shrink each source toward the grand rate in
+    * proportion to its size: `p̃ = (k + a)/(n + a + b)` — the
+    * James-Stein move for rates.
+    *
+    * Quantization discipline: per-source rates floor per-mille, the
+    * unweighted prior mean per-mille, the spread `s²` micro
+    * (divisor S−1), M/a/b milli (documented two-stage floors, sign
+    * handled by construction: if the moment estimate degenerates —
+    * `s² = 0` or M ≤ 0, i.e. sources overdispersed beyond a binomial
+    * — shrinkage is DISABLED (a = b = 0 ⇒ p̃ = raw) and the emitted
+    * `prior_valid` flag says so rather than shipping a negative
+    * pseudo-count.
+    *
+    * Scale shape: one scan → per-source (n, k); prior estimation and
+    * shrinkage are G-row arithmetic with a broadcast 1-row prior. */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+      .withColumn("p_pm", expr("(1000 * k) div n"))
+    val prior = per.agg(count(lit(1)).as("s"),
+        sum("p_pm").as("sp"), sum(col("p_pm") * col("p_pm")).as("spp"))
+      .select(col("s"),
+        expr("sp div s").as("pbar_pm"),
+        expr("""(s * spp - sp * sp) div (s * greatest(s - 1, 1))""")
+          .as("s2_micro"))
+      .withColumn("m_milli",
+        expr("""CASE WHEN s2_micro > 0
+                THEN (1000 * pbar_pm * (1000 - pbar_pm)) div s2_micro - 1000
+                ELSE -1 END"""))
+      .withColumn("prior_valid", col("m_milli") > 0L)
+      .withColumn("a_milli",
+        expr("CASE WHEN m_milli > 0 THEN (pbar_pm * m_milli) div 1000 " +
+          "ELSE 0 END"))
+      .withColumn("b_milli",
+        expr("CASE WHEN m_milli > 0 " +
+          "THEN ((1000 - pbar_pm) * m_milli) div 1000 ELSE 0 END"))
+    per.crossJoin(broadcast(prior))
+      .select(col("source"), col("n"), col("k"), col("p_pm").as("raw_pm"),
+        expr("""(1000 * (1000 * k + a_milli))
+                div (1000 * n + a_milli + b_milli)""").as("shrunk_pm"),
+        col("pbar_pm"), col("a_milli"), col("b_milli"), col("prior_valid"))
+      .orderBy("source")
+  }
+
+  val ebShrinkageSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS k,
+       |    ((1000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+       |      // count(*))::BIGINT AS p_pm
+       |  FROM documents GROUP BY 1),
+       |pr0 AS (
+       |  SELECT count(*)::BIGINT AS s, sum(p_pm)::BIGINT AS sp,
+       |    sum(p_pm * p_pm)::BIGINT AS spp
+       |  FROM per),
+       |pr1 AS (
+       |  SELECT s, (sp // s)::BIGINT AS pbar_pm,
+       |    ((s * spp - sp * sp) // (s * greatest(s - 1, 1)))::BIGINT
+       |      AS s2_micro
+       |  FROM pr0),
+       |pr AS (
+       |  SELECT s, pbar_pm, s2_micro,
+       |    (CASE WHEN s2_micro > 0
+       |      THEN (1000 * pbar_pm * (1000 - pbar_pm)) // s2_micro - 1000
+       |      ELSE -1 END)::BIGINT AS m_milli
+       |  FROM pr1),
+       |pp AS (
+       |  SELECT pbar_pm, m_milli > 0 AS prior_valid,
+       |    (CASE WHEN m_milli > 0 THEN (pbar_pm * m_milli) // 1000
+       |     ELSE 0 END)::BIGINT AS a_milli,
+       |    (CASE WHEN m_milli > 0
+       |     THEN ((1000 - pbar_pm) * m_milli) // 1000
+       |     ELSE 0 END)::BIGINT AS b_milli
+       |  FROM pr)
+       |SELECT source, n, k, p_pm AS raw_pm,
+       |  ((1000 * (1000 * k + a_milli))
+       |    // (1000 * n + a_milli + b_milli))::BIGINT AS shrunk_pm,
+       |  pbar_pm, a_milli, b_milli, prior_valid
+       |FROM per CROSS JOIN pp ORDER BY source""".stripMargin
+
   // ---- q258: chi-square cell drill-down + Cramér's V ---------------------
 
   /** |standardized residual| > 2 flags a cell as driving the

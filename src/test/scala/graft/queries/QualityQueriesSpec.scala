@@ -663,4 +663,39 @@ class QualityQueriesSpec extends SparkSpec {
     // at least one driving cell is flagged on the real corpus
     assert(out.exists(_._2._4))
   }
+
+  test("q259: EB shrinkage equals a driver replay; shrunk rates move toward the prior") {
+    val out = QualityQueries.ebShrinkage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8)))
+    assert(out.nonEmpty)
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val per = docs.groupBy(_._1).map { case (s, g) =>
+      (s, g.size.toLong, g.count(_._2 == "en").toLong) }.toSeq.sortBy(_._1)
+    val pPm = per.map { case (_, n, k) => 1000L * k / n }
+    val s = per.length.toLong
+    val sp = pPm.sum; val spp = pPm.map(p => p * p).sum
+    val pbar = sp / s
+    val s2 = (s * spp - sp * sp) / (s * math.max(s - 1, 1L))
+    val m = if (s2 > 0) 1000L * pbar * (1000 - pbar) / s2 - 1000L else -1L
+    val (a, b) = if (m > 0) (pbar * m / 1000L, (1000L - pbar) * m / 1000L)
+                 else (0L, 0L)
+    for (((src, n, k), (oSrc, oN, oK, raw, shrunk, oPbar, oA, oB, valid))
+         <- per.zip(out)) {
+      assert((oSrc, oN, oK) == ((src, n, k)))
+      assert(raw == 1000L * k / n)
+      assert(shrunk == 1000L * (1000L * k + a) / (1000L * n + a + b))
+      assert((oPbar, oA, oB) == ((pbar, a, b)))
+      assert(valid == (m > 0))
+      if (m > 0) {
+        // shrinkage moves toward the prior mean, never past it
+        assert((raw <= oPbar && shrunk >= raw - 1 && shrunk <= oPbar + 1) ||
+               (raw >= oPbar && shrunk <= raw + 1 && shrunk >= oPbar - 1),
+          s"$src raw=$raw shrunk=$shrunk pbar=$oPbar")
+      } else assert(shrunk == raw)
+    }
+  }
 }
