@@ -1240,6 +1240,80 @@ object QualityQueries {
        |FROM tot, ag, ch""".stripMargin
   }
 
+  // ---- q260: two-proportion power / sample-size audit --------------------
+
+  /** `(z₀.₀₂₅ + z₀.₂)² · 10⁶ = (1.96 + 0.8416)²·10⁶` — the 80%-power,
+    * two-sided-5% design constant. */
+  val PowerZ2Micro = 7848961L
+
+  /** Is the data ENOUGH to call the difference? — the power audit
+    * behind every "source A looks worse than source B" claim: for
+    * each source pair, the minimum per-group sample size to detect
+    * the OBSERVED en-rate difference at 80% power / two-sided 5%
+    * (`n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/(p₁−p₂)²`), against what the
+    * pair actually has. An underpowered "difference" is noise wearing
+    * a costume; this table says which dashboard gaps are real
+    * questions and which need more data.
+    *
+    * Exactness: rates floor per-mille, variances and squared diffs in
+    * micro, the design constant micro — `n_required` is one ceiling
+    * division of non-negative integers
+    * (`⌈Z²·V_micro / (10⁶·d²_micro)⌉`); zero observed difference
+    * emits `n_required = 0` with `diff_zero` raised rather than a
+    * division blow-up.
+    *
+    * Scale shape: one scan → G per-source rows; the pair fan-out is
+    * G(G−1)/2 on the bounded source table. */
+  def powerAudit(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+      .withColumn("p", expr("(1000 * k) div n"))
+    val b = per.select(col("source").as("source_b"), col("n").as("n_b"),
+      col("p").as("p_b"))
+    per.select(col("source").as("source_a"), col("n").as("n_a"),
+        col("p").as("p_a"))
+      .join(b, col("source_a") < col("source_b"))
+      .withColumn("v_micro", expr("p_a * (1000 - p_a) + p_b * (1000 - p_b)"))
+      .withColumn("d2_micro",
+        expr("(p_a - p_b) * (p_a - p_b)"))
+      .withColumn("n_required",
+        expr(s"""CASE WHEN d2_micro = 0 THEN 0
+                 ELSE ($PowerZ2Micro * v_micro + 1000000 * d2_micro - 1)
+                      div (1000000 * d2_micro) END"""))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("p_a").as("p_a_pm"), col("p_b").as("p_b_pm"),
+        (col("p_a") - col("p_b")).as("diff_pm"), col("n_required"),
+        (col("d2_micro") === 0L).as("diff_zero"),
+        expr("d2_micro <> 0 AND least(n_a, n_b) >= " +
+          s"($PowerZ2Micro * v_micro + 1000000 * d2_micro - 1) " +
+          "div (1000000 * d2_micro)").as("powered"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val powerAuditSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*)::BIGINT AS n,
+       |    ((1000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+       |      // count(*))::BIGINT AS p
+       |  FROM documents GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n AS n_a, b.n AS n_b, a.p AS p_a, b.p AS p_b,
+       |    (a.p * (1000 - a.p) + b.p * (1000 - b.p))::BIGINT AS v_micro,
+       |    ((a.p - b.p) * (a.p - b.p))::BIGINT AS d2_micro
+       |  FROM per a JOIN per b ON a.source < b.source)
+       |SELECT source_a, source_b, n_a, n_b, p_a AS p_a_pm, p_b AS p_b_pm,
+       |  (p_a - p_b)::BIGINT AS diff_pm,
+       |  (CASE WHEN d2_micro = 0 THEN 0
+       |   ELSE ($PowerZ2Micro * v_micro + 1000000 * d2_micro - 1)
+       |        // (1000000 * d2_micro) END)::BIGINT AS n_required,
+       |  d2_micro = 0 AS diff_zero,
+       |  d2_micro <> 0 AND least(n_a, n_b) >=
+       |    ($PowerZ2Micro * v_micro + 1000000 * d2_micro - 1)
+       |      // (1000000 * d2_micro) AS powered
+       |FROM pairs ORDER BY source_a, source_b""".stripMargin
+
   // ---- q259: empirical-Bayes shrinkage of per-source rates ---------------
 
   /** Small sources have NOISY rates — a 40-doc feed at 55% en looks

@@ -698,4 +698,34 @@ class QualityQueriesSpec extends SparkSpec {
       } else assert(shrunk == raw)
     }
   }
+
+  test("q260: power audit equals a driver replay of the design formula") {
+    val out = QualityQueries.powerAudit(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9))))
+    assert(out.nonEmpty)
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val per = docs.groupBy(_._1).map { case (s, g) =>
+      s -> (g.size.toLong, 1000L * g.count(_._2 == "en") / g.size) }
+    val srcs = per.keys.toSeq.sorted
+    assert(out.length == srcs.length * (srcs.length - 1) / 2)
+    for (((sa, sb), (na, nb, pa, pb, diff, nreq, dz, powered)) <- out) {
+      val (rna, rpa) = per(sa); val (rnb, rpb) = per(sb)
+      assert((na, nb, pa, pb) == ((rna, rnb, rpa, rpb)), s"$sa/$sb base")
+      assert(diff == rpa - rpb)
+      val v = rpa * (1000 - rpa) + rpb * (1000 - rpb)
+      val d2 = (rpa - rpb) * (rpa - rpb)
+      val want = if (d2 == 0) 0L
+        else (QualityQueries.PowerZ2Micro * v + 1000000L * d2 - 1) /
+          (1000000L * d2)
+      assert(nreq == want, s"$sa/$sb n_required")
+      assert(dz == (d2 == 0))
+      assert(powered == (d2 != 0 && math.min(rna, rnb) >= want))
+    }
+    // tiny observed gaps need astronomically more data than is present
+    assert(out.exists(r => !r._2._7 && !r._2._8))
+  }
 }
