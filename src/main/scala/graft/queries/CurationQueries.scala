@@ -1016,6 +1016,89 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q261: Neyman optimal sample allocation ----------------------------
+
+  /** Total sample budget the allocation distributes. */
+  val NeymanBudget = 1000L
+
+  /** WHERE should a fixed labeling/eval budget go? — Neyman
+    * allocation, the stratified-sampling optimum q43/q156 leave on
+    * the table: sample each stratum in proportion to `N_i·σ_i`, so
+    * volatile strata get the observations and uniform ones stop
+    * wasting budget. Strata are sources, the metric is per-doc token
+    * count.
+    *
+    * Exactness: `N_i·σ_i = √(N_i·Σx² − (Σx)²)` exactly — the weight
+    * needs ONE integer square root, taken as `floor(sqrt(·))`, which
+    * is engine-deterministic for arguments < 2⁵² (IEEE sqrt is
+    * correctly rounded; a non-square integer's root is never within
+    * an ulp of an integer there) — the argument here is
+    * `(N_i·max x)² ≲ 10⁹`. The budget then rounds by the
+    * LARGEST-REMAINDER method (floor shares + the top remainders get
+    * +1, ties broken by source), which conserves
+    * `Σ alloc = [[NeymanBudget]]` exactly — the property
+    * floor-and-forget allocation loses.
+    *
+    * Scale shape: one scan → G strata moments (map-side combine);
+    * ranking and the remainder pass run over the G-row table. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("x"))
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("weight",
+        expr("cast(floor(sqrt(cast(n * sxx - sx * sx as double))) as long)"))
+    val tot = per.agg(sum("weight").as("w"), count(lit(1)).as("g"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("base_alloc",
+        expr(s"($NeymanBudget * weight) div greatest(w, 1)"))
+      .withColumn("rem", expr(s"($NeymanBudget * weight) % greatest(w, 1)"))
+    val leftover = based.agg(
+      (lit(NeymanBudget) - sum("base_alloc")).as("l")).head().getLong(0)
+    based
+      .withColumn("rrank", row_number()
+        .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("alloc",
+        col("base_alloc") + when(col("rrank") <= leftover, 1L).otherwise(0L))
+      .select("source", "n", "weight", "base_alloc", "alloc")
+      .orderBy("source")
+  }
+
+  val neymanAllocationSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*)::BIGINT AS n,
+       |    sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+       |      AS sx,
+       |    sum(len(string_split_regex(lower(trim(text)), '\\s+'))
+       |      * len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+       |      AS sxx
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source, n,
+       |    floor(sqrt((n * sxx - sx * sx)::DOUBLE))::BIGINT AS weight
+       |  FROM per),
+       |tot AS (SELECT sum(weight)::BIGINT AS tw, count(*)::BIGINT AS g
+       |        FROM w),
+       |based AS (
+       |  SELECT source, n, weight,
+       |    (($NeymanBudget * weight) // greatest(tw, 1))::BIGINT
+       |      AS base_alloc,
+       |    (($NeymanBudget * weight) % greatest(tw, 1))::BIGINT AS rem
+       |  FROM w, tot),
+       |l AS (
+       |  SELECT ($NeymanBudget - sum(base_alloc))::BIGINT AS leftover
+       |  FROM based),
+       |ranked AS (
+       |  SELECT source, n, weight, base_alloc,
+       |    row_number() OVER (ORDER BY rem DESC, source)::BIGINT AS rrank
+       |  FROM based)
+       |SELECT source, n, weight, base_alloc,
+       |  (base_alloc + CASE WHEN rrank <= (SELECT leftover FROM l)
+       |                     THEN 1 ELSE 0 END)::BIGINT AS alloc
+       |FROM ranked ORDER BY source""".stripMargin
+
   // ---- q257: Lorenz/Pareto revenue deciles -------------------------------
 
   /** The 80/20 question, answered exactly: the Lorenz decile table of

@@ -794,4 +794,35 @@ class CurationQueriesSpec extends SparkSpec {
     // concentration exists: the top decile holds more than 10%
     assert(out.head._4 > 100L)
   }
+
+  test("q261: Neyman allocation equals a driver replay and conserves the budget") {
+    val out = CurationQueries.neymanAllocation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").length.toLong))
+    val per = docs.groupBy(_._1).map { case (s, g) =>
+      val xs = g.map(_._2)
+      val n = xs.length.toLong
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      (s, n, math.floor(math.sqrt((n * sxx - sx * sx).toDouble)).toLong)
+    }.toSeq.sortBy(_._1)
+    val w = per.map(_._3).sum
+    val b = CurationQueries.NeymanBudget
+    val based = per.map { case (s, n, wt) =>
+      (s, n, wt, b * wt / math.max(w, 1L), b * wt % math.max(w, 1L)) }
+    val leftover = b - based.map(_._4).sum
+    val bump = based.sortBy { case (s, _, _, _, rem) => (-rem, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    val want = based.map { case (s, n, wt, ba, _) =>
+      (s, n, wt, ba, ba + (if (bump(s)) 1L else 0L)) }
+    assert(out.toSeq == want)
+    // the defining property floor-and-forget loses: exact conservation
+    assert(out.map(_._5).sum == b)
+    // volatile strata get at least their proportional floor
+    assert(out.forall(r => r._5 >= r._4))
+  }
 }
