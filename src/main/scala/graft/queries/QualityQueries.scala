@@ -1240,6 +1240,106 @@ object QualityQueries {
        |FROM tot, ag, ch""".stripMargin
   }
 
+  // ---- q262: Cochran's Q across three weak labelers -----------------------
+
+  /** χ²₀.₉₅ critical value for df = 2, milli. */
+  val CochranCritMilli = 5991L
+
+  /** Do the three cheap "is it English?" detectors differ in accuracy
+    * AT ALL? — Cochran's Q, the k-labeler generalization of q252's
+    * McNemar (running 3 pairwise McNemars would need a multiplicity
+    * correction; Q is the one omnibus gate to run first). Labelers:
+    * the q15 marker-argmax, the q252 stopword threshold, and a
+    * recall-heavy "any en marker present" detector; the outcome bit is
+    * agreement with the gold lang column.
+    *
+    * Exact: `Q = (k−1)·Σ_j(k·G_j − T)² / (k·(k·ΣL_i − ΣL_i²))` — per
+    * -labeler correct counts G_j, per-document agreement counts L_i,
+    * all integers, one floor milli division (denominator zero only if
+    * every document is unanimous — guarded, flagged by Q = 0).
+    *
+    * Scale shape: one token scan → per-doc marker sums + stopword
+    * count (map-side combine) → three bits per doc → one aggregate
+    * over G_j moments and L_i moments. */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val toks = graft.Partitioning.spread(
+        table(spark, dir, "documents"), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val sums = TextStats.langMarkerSums(col("tok"))
+      .map { case (lang, c) => c.as(s"sc_$lang") } ++ Seq(
+      count(lit(1)).as("n_tok"),
+      sum(when(col("tok").isInCollection(TextStats.stopwords), 1L)
+        .otherwise(0L)).as("n_stop"))
+    val scored = toks.groupBy("doc_id", "lang").agg(sums.head, sums.tail: _*)
+    val bits = scored.select(
+      when((TextStats.langIdFromScores(
+        TextStats.langMarkers.map { case (l, _) => l -> col(s"sc_$l") })
+        === "en") === (col("lang") === "en"), 1L).otherwise(0L).as("x1"),
+      when((expr("(1000 * n_stop) div n_tok") >= McNemarBPm)
+        === (col("lang") === "en"), 1L).otherwise(0L).as("x2"),
+      when((col("sc_en") >= 1L) === (col("lang") === "en"), 1L)
+        .otherwise(0L).as("x3"))
+      .withColumn("l", col("x1") + col("x2") + col("x3"))
+    bits.agg(count(lit(1)).as("n_docs"),
+        sum("x1").as("g_argmax"), sum("x2").as("g_stopword"),
+        sum("x3").as("g_marker"),
+        sum("l").as("sl"), sum(col("l") * col("l")).as("sll"))
+      .withColumn("q_milli",
+        expr("""(1000 * 2 * ((3 * g_argmax - sl) * (3 * g_argmax - sl)
+                 + (3 * g_stopword - sl) * (3 * g_stopword - sl)
+                 + (3 * g_marker - sl) * (3 * g_marker - sl)))
+                div greatest(3 * (3 * sl - sll), 1)"""))
+      .withColumn("reject", col("q_milli") > CochranCritMilli)
+  }
+
+  // lazy: McNemarBPm is defined later in this object; a strict val here
+  // would capture its uninitialized 0 during object init
+  lazy val cochranQSql: String = {
+    import graft.text.TextStats
+    val stop = TextStats.stopwords.map(s => s"'$s'").mkString(", ")
+    val en = TextStats.langMarkers.toMap.apply("en")
+      .map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, count(*)::BIGINT AS n_tok,
+       |    sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_stop,
+       |    sum(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END)::BIGINT AS sc_en
+       |  FROM t GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT
+       |    CASE WHEN (${TextStats.langIdSql("doc.text")} = 'en')
+       |              = (d.lang = 'en') THEN 1 ELSE 0 END AS x1,
+       |    CASE WHEN ((1000 * d.n_stop) // d.n_tok >= $McNemarBPm)
+       |              = (d.lang = 'en') THEN 1 ELSE 0 END AS x2,
+       |    CASE WHEN (d.sc_en >= 1) = (d.lang = 'en') THEN 1 ELSE 0 END
+       |      AS x3
+       |  FROM d JOIN documents doc USING (doc_id)),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    sum(x1)::BIGINT AS g_argmax, sum(x2)::BIGINT AS g_stopword,
+       |    sum(x3)::BIGINT AS g_marker,
+       |    sum(x1 + x2 + x3)::BIGINT AS sl,
+       |    sum((x1 + x2 + x3) * (x1 + x2 + x3))::BIGINT AS sll
+       |  FROM bits)
+       |SELECT n_docs, g_argmax, g_stopword, g_marker, sl, sll,
+       |  ((1000 * 2 * ((3 * g_argmax - sl) * (3 * g_argmax - sl)
+       |     + (3 * g_stopword - sl) * (3 * g_stopword - sl)
+       |     + (3 * g_marker - sl) * (3 * g_marker - sl)))
+       |    // greatest(3 * (3 * sl - sll), 1))::BIGINT AS q_milli,
+       |  ((1000 * 2 * ((3 * g_argmax - sl) * (3 * g_argmax - sl)
+       |     + (3 * g_stopword - sl) * (3 * g_stopword - sl)
+       |     + (3 * g_marker - sl) * (3 * g_marker - sl)))
+       |    // greatest(3 * (3 * sl - sll), 1)) > $CochranCritMilli
+       |    AS reject
+       |FROM agg""".stripMargin
+  }
+
   // ---- q260: two-proportion power / sample-size audit --------------------
 
   /** `(z₀.₀₂₅ + z₀.₂)² · 10⁶ = (1.96 + 0.8416)²·10⁶` — the 80%-power,

@@ -728,4 +728,43 @@ class QualityQueriesSpec extends SparkSpec {
     // tiny observed gaps need astronomically more data than is present
     assert(out.exists(r => !r._2._7 && !r._2._8))
   }
+
+  test("q262: Cochran's Q equals a driver replay of the three labelers") {
+    import graft.text.TextStats
+    val row = QualityQueries.cochranQ(spark, sfDir).collect().head
+    val (n, g1, g2, g3, sl, sll, q, rej) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6), row.getBoolean(7))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val enMarkers = TextStats.langMarkers.toMap.apply("en").toSet
+    val bits = docs.map { case (lang, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val gold = lang == "en"
+      var best = ("", -1L)
+      for ((l, ms) <- TextStats.langMarkers) {
+        val s = toks.count(ms.contains).toLong
+        if (best._2 < 0 || s > best._2) best = (l, s)
+      }
+      val pred1 = (if (best._2 == 0L) "und" else best._1) == "en"
+      val pred2 = 1000L * toks.count(TextStats.stopwords.contains) /
+        toks.length >= QualityQueries.McNemarBPm
+      val pred3 = toks.count(enMarkers.contains) >= 1
+      (if (pred1 == gold) 1L else 0L, if (pred2 == gold) 1L else 0L,
+        if (pred3 == gold) 1L else 0L)
+    }
+    val (rg1, rg2, rg3) = (bits.map(_._1).sum, bits.map(_._2).sum,
+      bits.map(_._3).sum)
+    val ls = bits.map(b => b._1 + b._2 + b._3)
+    assert((n, g1, g2, g3) == ((docs.length.toLong, rg1, rg2, rg3)))
+    assert((sl, sll) == ((ls.sum, ls.map(l => l * l).sum)))
+    def sq(x: Long) = x * x
+    val num = 1000L * 2 * (sq(3 * rg1 - sl) + sq(3 * rg2 - sl) +
+      sq(3 * rg3 - sl))
+    assert(q == num / math.max(3 * (3 * sl - sll), 1L))
+    assert(rej == (q > QualityQueries.CochranCritMilli))
+    // the three detectors genuinely differ somewhere (not unanimous)
+    assert(3 * sl - sll > 0)
+  }
 }
