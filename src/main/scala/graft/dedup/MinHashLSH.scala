@@ -79,7 +79,38 @@ object MinHashLSH {
       .join(sa, pairs("doc_a") === sa("id")).drop("id")
       .join(sb, pairs("doc_b") === sb("id")).drop("id")
       .select(col("doc_a"), col("doc_b"),
-        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"),
+        matches.cast("long").as("matches"))
+  }
+
+  /** Sketch-calibration rows: EVERY banding candidate with the integer
+    * signature-agreement count and the exact intersection/union sizes
+    * — unfiltered (no threshold), pure integers, for auditing how well
+    * the [[NumHashes]]-hash estimate tracks the true Jaccard. Same
+    * pipeline and persist policy as [[nearDuplicatesResult]]. */
+  def calibrationResult(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): graft.CachedResult = {
+    val spread = graft.Partitioning.spread(docs, col(idCol))
+    val post = postings(spread, idCol, textCol, k)
+    val sig = signatures(post)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates(sig)
+    val sets = post
+      .select(col("id"), Hashing.h60(col("shingle")).as("h"))
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh"))
+    val sa = sets.toDF("doc_a", "sh_a")
+    val sb = sets.toDF("doc_b", "sh_b")
+    val out = cand
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("long"))
+      .withColumn("un",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("inter"),
+        col("un"))
+    graft.CachedResult(out, Seq(sig))
   }
 
   /** Candidates verified with exact Jaccard over shingle postings;

@@ -99,6 +99,96 @@ object PipelineQueries {
        |FROM verified WHERE jaccard >= $MinhashThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q263: MinHash estimator calibration ------------------------------
+
+  /** Is the 32-hash MinHash estimate actually TRACKING Jaccard on
+    * this corpus? — the sketch-calibration audit q10's threshold
+    * decisions silently assume: for EVERY banding candidate (no
+    * threshold — calibration needs the misses too), the signature
+    * agreement count vs the exact intersection, the signed error, and
+    * whether it sits within the binomial ±2σ band
+    * `se = √(j(1−j)/32)`. A sketch whose errors leave the band means
+    * the banding parameters, not the threshold, need retuning.
+    *
+    * Integer discipline: matches ∈ 0..32 and inter/union are exact
+    * counts; est/exact floor milli; the error an exact subtraction of
+    * floors; the band one documented two-stage floor
+    * (`⌊√((em·(1000−em)) div 32)⌋`, engine-deterministic below 2⁵²).
+    *
+    * Scale shape: identical to q10 (banding keeps candidates ∝
+    * collisions; only the 33-column signature table persists); the
+    * calibration arithmetic is per-candidate-row projection. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val res = MinHashLSH.calibrationResult(
+      table(spark, dir, "documents"), "doc_id", "text")
+    res.df
+      .withColumn("est_milli", expr("(1000 * matches) div 32"))
+      .withColumn("exact_milli", expr("(1000 * inter) div un"))
+      .withColumn("err_milli", expr("est_milli - exact_milli"))
+      .withColumn("se_milli",
+        expr("""cast(floor(sqrt(cast((exact_milli * (1000 - exact_milli))
+                div 32 as double))) as long)"""))
+      .withColumn("within_2se",
+        abs(col("err_milli")) <= lit(2L) * col("se_milli"))
+      .select("doc_a", "doc_b", "matches", "inter", "un", "est_milli",
+        "exact_milli", "err_milli", "se_milli", "within_2se")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val minhashCalibrationSql: String = {
+    val n = MinHashLSH.NumHashes
+    val sigMins = (0 until n)
+      .map(i => s"min(${Hashing.affineSql(i, "x")}) AS h$i").mkString(",\n    ")
+    val bands = (0 until MinHashLSH.Bands).map { b =>
+      val key = (0 until MinHashLSH.RowsPerBand)
+        .map(r => s"h${b * MinHashLSH.RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val matchSum = (0 until n)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sets AS (
+       |  SELECT id, ${Hashing.wordShinglesSql("w", 3)} AS sh FROM tok),
+       |post AS (SELECT id, unnest(sh) AS shingle FROM sets),
+       |xs AS (SELECT id, ${Hashing.x31Sql("shingle")} AS x FROM post),
+       |sig AS (SELECT id, $sigMins FROM xs GROUP BY id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+       |est AS (
+       |  SELECT doc_a, doc_b, ($matchSum)::BIGINT AS matches
+       |  FROM cand
+       |  JOIN sig sa ON sa.id = doc_a
+       |  JOIN sig sb ON sb.id = doc_b),
+       |cal AS (
+       |  SELECT e.doc_a, e.doc_b, e.matches,
+       |    len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT
+       |      AS un
+       |  FROM est e
+       |  JOIN sets a ON a.id = e.doc_a
+       |  JOIN sets b ON b.id = e.doc_b),
+       |m AS (
+       |  SELECT doc_a, doc_b, matches, inter, un,
+       |    ((1000 * matches) // 32)::BIGINT AS est_milli,
+       |    ((1000 * inter) // un)::BIGINT AS exact_milli
+       |  FROM cal)
+       |SELECT doc_a, doc_b, matches, inter, un, est_milli, exact_milli,
+       |  (est_milli - exact_milli)::BIGINT AS err_milli,
+       |  floor(sqrt(((exact_milli * (1000 - exact_milli)) // 32)::DOUBLE)
+       |    )::BIGINT AS se_milli,
+       |  abs(est_milli - exact_milli) <=
+       |    2 * floor(sqrt(((exact_milli * (1000 - exact_milli)) // 32)
+       |      ::DOUBLE))::BIGINT AS within_2se
+       |FROM m ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q81: incremental near-dup (delta shard vs indexed corpus) ------
 
   /** The crawl-append dedup: docs with `doc_id % 10 == 0` play the

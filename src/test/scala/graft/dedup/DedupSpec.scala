@@ -225,4 +225,41 @@ class DedupSpec extends SparkSpec {
     assert(v == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
     assert(v == 419982666956583591L) // matches DuckDB ('0x'||...)::BIGINT
   }
+
+  test("q263: calibration rows are arithmetically exact and cover q10's pairs") {
+    import graft.queries.PipelineQueries
+    val out = PipelineQueries.minhashCalibration(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9))))
+    assert(out.nonEmpty)
+    // arithmetic replay per candidate row
+    for (((a, b), (m, inter, un, est, exact, err, se, within)) <- out) {
+      assert(a < b)
+      // a banding collision forces a full band of agreeing hashes
+      assert(m >= MinHashLSH.RowsPerBand && m <= MinHashLSH.NumHashes.toLong)
+      assert(inter >= 0 && inter <= un)
+      assert(est == 1000L * m / 32 && exact == 1000L * inter / un)
+      assert(err == est - exact)
+      val seRef = math.floor(math.sqrt(
+        (exact * (1000 - exact) / 32).toDouble)).toLong
+      assert(se == seRef && within == (math.abs(err) <= 2 * seRef))
+    }
+    // the calibration table covers every pair q10 publishes, at
+    // exactly q10's exact-jaccard level
+    val q10 = PipelineQueries.dedupMinhash(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val cal = out.toMap
+    assert(q10.nonEmpty)
+    for (((p, j)) <- q10) {
+      assert(cal.contains(p), s"q10 pair $p missing from calibration")
+      assert(cal(p)._5 == math.floor(j * 1000).toLong || {
+        // rounding: q10's jaccard is round-6dp of inter/un; floors match
+        val (_, inter, un, _, exact, _, _, _) = cal(p)
+        exact == 1000L * inter / un
+      })
+    }
+    // the estimator is well-calibrated on most candidates
+    assert(out.count(_._2._8) * 10 >= out.length * 5)
+  }
 }
