@@ -676,6 +676,96 @@ object ScaleQueries {
        |GROUP BY comp
        |ORDER BY cluster_rep""".stripMargin
 
+  // ---- q264: dedup yield report ----------------------------------------
+
+  /** What does dedup actually BUY? — the savings card a pipeline
+    * owner reads before scheduling the dedup pass: q10's near-dup
+    * pairs collapsed to q56's clusters (keep-min-id policy), then the
+    * removed members joined back to their token and character masses.
+    * One row: how many documents, tokens, and characters a
+    * dedup-and-keep-canonical pass deletes, as exact counts and floor
+    * per-mille of the corpus — the number that justifies (or kills)
+    * the compute spent on q10.
+    *
+    * Scale shape: the MinHash detector runs once (q56's persist
+    * discipline); components over the pair graph (∝ collisions);
+    * the yield arithmetic is one corpus stats scan + a semi-join of
+    * the removed ids against it. */
+  def dedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
+      docs, "doc_id", "text", PipelineQueries.MinhashThreshold)
+    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
+    val nPairs = pairs.count() // materialize: one MinHash evaluation
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b", partitions = 8)
+    val stats = docs.select(col("doc_id"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("toks"),
+      length(col("text")).cast("long").as("chars"))
+    val tot = stats.agg(count(lit(1)).as("n_docs"),
+      sum("toks").as("total_tokens"), sum("chars").as("total_chars"))
+    val cl = comp.agg(countDistinct("comp").as("n_clusters"),
+      sum(when(col("id") =!= col("comp"), 1L).otherwise(0L))
+        .as("docs_removed"))
+    val rm = comp.filter(col("id") =!= col("comp"))
+      .join(stats, col("id") === col("doc_id"))
+      .agg(coalesce(sum("toks"), lit(0L)).as("tokens_removed"),
+        coalesce(sum("chars"), lit(0L)).as("chars_removed"))
+    val out = tot.crossJoin(broadcast(cl)).crossJoin(broadcast(rm))
+      .withColumn("n_dup_pairs", lit(nPairs))
+      .select(col("n_docs"), col("n_dup_pairs"), col("n_clusters"),
+        col("docs_removed"), col("tokens_removed"), col("chars_removed"),
+        expr("(1000 * tokens_removed) div total_tokens")
+          .as("token_savings_permille"),
+        expr("(1000 * chars_removed) div total_chars")
+          .as("char_savings_permille"))
+    val result = out.localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    minhash.release()
+    result
+  }
+
+  val dedupYieldSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${PipelineQueries.dedupMinhashSql}
+       |),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |stats AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT
+       |      AS toks,
+       |    length(text)::BIGINT AS chars
+       |  FROM documents),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS tt,
+       |    sum(chars)::BIGINT AS tc
+       |  FROM stats),
+       |np AS (SELECT count(*)::BIGINT AS n_dup_pairs FROM pairs),
+       |cl AS (
+       |  SELECT count(DISTINCT comp)::BIGINT AS n_clusters,
+       |    sum(CASE WHEN id <> comp THEN 1 ELSE 0 END)::BIGINT
+       |      AS docs_removed
+       |  FROM comp),
+       |rm AS (
+       |  SELECT coalesce(sum(s.toks), 0)::BIGINT AS tokens_removed,
+       |    coalesce(sum(s.chars), 0)::BIGINT AS chars_removed
+       |  FROM comp JOIN stats s ON s.doc_id = comp.id
+       |  WHERE comp.id <> comp.comp)
+       |SELECT n_docs, n_dup_pairs, n_clusters, docs_removed,
+       |  tokens_removed, chars_removed,
+       |  ((1000 * tokens_removed) // tt)::BIGINT AS token_savings_permille,
+       |  ((1000 * chars_removed) // tc)::BIGINT AS char_savings_permille
+       |FROM tot, np, cl, rm""".stripMargin
+
   // ---- q212: cluster maintenance on append (stored labels + delta) ----
 
   /** q56's duplicate clusters maintained INCREMENTALLY from a stored

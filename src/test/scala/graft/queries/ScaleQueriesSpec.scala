@@ -146,4 +146,31 @@ class ScaleQueriesSpec extends SparkSpec {
     // conservation to the cent — the property the integer split exists for
     assert(got.map(_._3).sum == purchases.map(_._4).sum)
   }
+
+  test("q264: dedup yield is consistent with q56's clusters and the corpus stats") {
+    val row = ScaleQueries.dedupYield(spark, sfDir).collect().head
+    val (nDocs, nPairs, nClusters, docsRm, toksRm, charsRm, tokPm, chPm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))
+    // cluster structure must match q56's published clusters exactly
+    val clusters = ScaleQueries.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(nClusters == clusters.length.toLong)
+    assert(docsRm == clusters.map(_._2 - 1).sum)
+    // removed ids from the cluster checksums: members minus the rep
+    val stats = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id",
+        "cast(size(split(lower(trim(text)), '\\\\s+')) as long) as toks",
+        "cast(length(text) as long) as chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(nDocs == stats.length.toLong)
+    val tt = stats.map(_._2).sum; val tc = stats.map(_._3).sum
+    assert(tokPm == 1000L * toksRm / tt && chPm == 1000L * charsRm / tc)
+    // pair count matches q10's published pair table
+    val q10n = graft.queries.PipelineQueries.dedupMinhash(spark, sfDir)
+      .count()
+    assert(nPairs == q10n && nPairs > 0 && docsRm > 0)
+    // removed masses are positive and bounded by the corpus totals
+    assert(toksRm > 0 && toksRm < tt && charsRm > 0 && charsRm < tc)
+  }
 }
