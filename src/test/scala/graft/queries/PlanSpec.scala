@@ -329,4 +329,29 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet|FileScan".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 scan:\n$p")
   }
+
+  test("q257: every window is bucket-partitioned — no single-partition cumsum") {
+    spark.catalog.clearCache()
+    val p = plan("q257_pareto_deciles")
+    val windows = "Window \\[".r.findAllIn(p).size
+    val bucketed = "windowspecdefinition\\(__bucket".r.findAllIn(p).size
+    assert(windows >= 2, s"expected the two PrefixSum windows:\n$p")
+    assert(bucketed == windows,
+      s"a window lost its __bucket partition spec ($bucketed/$windows):\n$p")
+  }
+
+  test("q250: centroid table broadcasts; no cartesian product anywhere") {
+    spark.catalog.clearCache()
+    val p = plan("q250_silhouette_audit")
+    assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leak:\n$p")
+  }
+
+  test("q249: hubness corpus scan joins a broadcast query set, no cartesian") {
+    spark.catalog.clearCache()
+    val p = plan("q249_hubness_audit")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"queries not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leak:\n$p")
+  }
 }
