@@ -766,6 +766,105 @@ object ScaleQueries {
        |  ((1000 * chars_removed) // tc)::BIGINT AS char_savings_permille
        |FROM tot, np, cl, rm""".stripMargin
 
+  // ---- q265: per-source duplicate attribution ---------------------------
+
+  /** WHICH feed is duplicating, and against whom? — the curator's
+    * first question after q264's yield card: per source, how many of
+    * its documents a keep-canonical pass removes (its own dup rate),
+    * and whether its near-dup pairs stay INSIDE the feed (a
+    * re-crawling feed) or span feeds (mirrored content — a licensing
+    * or provenance problem, not a crawler bug). Same detector run,
+    * q56's cluster policy, exact integer counts and floor per-mille
+    * rates.
+    *
+    * Pair attribution: a within-source pair counts once for its
+    * source; a cross-source pair counts once for EACH side (the
+    * question is per-feed exposure, so both feeds carry it).
+    *
+    * Scale shape: detector once (q56 persist discipline), components
+    * ∝ collisions, then two bounded joins of pair endpoints and
+    * removed ids against the doc→source map. */
+  def dupAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
+      docs, "doc_id", "text", PipelineQueries.MinhashThreshold)
+    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
+    pairs.count() // materialize: one MinHash evaluation
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b", partitions = 8)
+    val src = docs.select(col("doc_id"), col("source"))
+    val per = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val removed = comp.filter(col("id") =!= col("comp"))
+      .join(src, col("id") === col("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("docs_removed"))
+    val sa = src.toDF("doc_a", "src_a")
+    val sb = src.toDF("doc_b", "src_b")
+    val typed = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    val within = typed.filter(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source"))
+      .agg(count(lit(1)).as("within_pairs"))
+    val cross = typed.filter(col("src_a") =!= col("src_b"))
+      .select(explode(array(col("src_a"), col("src_b"))).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("cross_pairs"))
+    val out = per
+      .join(removed, Seq("source"), "left")
+      .join(within, Seq("source"), "left")
+      .join(cross, Seq("source"), "left")
+      .na.fill(0L, Seq("docs_removed", "within_pairs", "cross_pairs"))
+      .withColumn("dup_rate_pm", expr("(1000 * docs_removed) div n_docs"))
+      .orderBy("source")
+    val result = out.localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    minhash.release()
+    result
+  }
+
+  val dupAttributionSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${PipelineQueries.dedupMinhashSql}
+       |),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |src AS (SELECT doc_id, source FROM documents),
+       |per AS (SELECT source, count(*)::BIGINT AS n_docs FROM src GROUP BY 1),
+       |removed AS (
+       |  SELECT s.source, count(*)::BIGINT AS docs_removed
+       |  FROM comp JOIN src s ON s.doc_id = comp.id
+       |  WHERE comp.id <> comp.comp GROUP BY 1),
+       |typed AS (
+       |  SELECT sa.source AS src_a, sb.source AS src_b
+       |  FROM pairs
+       |  JOIN src sa ON sa.doc_id = pairs.doc_a
+       |  JOIN src sb ON sb.doc_id = pairs.doc_b),
+       |w AS (
+       |  SELECT src_a AS source, count(*)::BIGINT AS within_pairs
+       |  FROM typed WHERE src_a = src_b GROUP BY 1),
+       |x AS (
+       |  SELECT source, count(*)::BIGINT AS cross_pairs FROM (
+       |    SELECT src_a AS source FROM typed WHERE src_a <> src_b
+       |    UNION ALL
+       |    SELECT src_b AS source FROM typed WHERE src_a <> src_b)
+       |  GROUP BY 1)
+       |SELECT per.source, per.n_docs,
+       |  coalesce(removed.docs_removed, 0)::BIGINT AS docs_removed,
+       |  coalesce(w.within_pairs, 0)::BIGINT AS within_pairs,
+       |  coalesce(x.cross_pairs, 0)::BIGINT AS cross_pairs,
+       |  ((1000 * coalesce(removed.docs_removed, 0)) // per.n_docs)::BIGINT
+       |    AS dup_rate_pm
+       |FROM per
+       |LEFT JOIN removed USING (source)
+       |LEFT JOIN w USING (source)
+       |LEFT JOIN x USING (source)
+       |ORDER BY per.source""".stripMargin
+
   // ---- q212: cluster maintenance on append (stored labels + delta) ----
 
   /** q56's duplicate clusters maintained INCREMENTALLY from a stored

@@ -173,4 +173,30 @@ class ScaleQueriesSpec extends SparkSpec {
     // removed masses are positive and bounded by the corpus totals
     assert(toksRm > 0 && toksRm < tt && charsRm > 0 && charsRm < tc)
   }
+
+  test("q265: dup attribution is conserved against q264 and q10's pairs") {
+    val out = ScaleQueries.dupAttribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // per-source doc counts cover the corpus
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.map(_._2).sum == srcOf.size.toLong)
+    // removal conservation against q264's yield card
+    val yieldRow = ScaleQueries.dedupYield(spark, sfDir).collect().head
+    assert(out.map(_._3).sum == yieldRow.getLong(3), "docs_removed split")
+    // pair attribution conservation against q10's published pairs:
+    // within counted once, cross counted once per side
+    val pairs = graft.queries.PipelineQueries.dedupMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val within = pairs.count(p => srcOf(p._1) == srcOf(p._2)).toLong
+    val cross = pairs.count(p => srcOf(p._1) != srcOf(p._2)).toLong
+    assert(out.map(_._4).sum == within, "within_pairs conservation")
+    assert(out.map(_._5).sum == 2 * cross, "cross_pairs double-count")
+    // rate arithmetic
+    out.foreach { case (s, n, rm, _, _, pm) =>
+      assert(pm == 1000L * rm / n, s"$s rate") }
+  }
 }
