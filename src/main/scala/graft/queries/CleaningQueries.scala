@@ -1423,6 +1423,72 @@ object CleaningQueries {
        |FROM agg""".stripMargin
   }
 
+  // ---- q266: vocabulary growth curve -------------------------------------
+
+  /** Number of equal doc-id slices the growth curve is measured over. */
+  val GrowthSlices = 10L
+
+  /** How fast does NOVELTY decay as the corpus grows? — the empirical
+    * vocabulary-growth curve: ingest the corpus in ten deterministic
+    * doc-id slices and count how many bigram types each slice sees
+    * FIRST. q151 fits Heaps' law to the curve and q246 estimates the
+    * unseen mass at the end of it; this publishes the curve itself —
+    * the table a crawl planner reads to decide whether the next slice
+    * of the same feed is still worth ingesting.
+    *
+    * Exact by construction: a bigram's first-occurrence slice is
+    * `min(slice)` over its occurrences (integer), each slice's
+    * new-type count an exact aggregate, the cumulative a running sum
+    * over ten rows, and the novelty rate a floor per-mille of
+    * new types per slice token mass.
+    *
+    * Scale shape: one scan → (bigram, min-slice) aggregate with
+    * map-side combine (bounded by VOCABULARY, not corpus); slice
+    * masses are a second scan-level aggregate; everything after runs
+    * on [[GrowthSlices]] rows. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val bg = graft.text.NgramLM.bigrams(docs, "doc_id", "text")
+      .select(pmod(col("doc_id"), lit(GrowthSlices)).as("slice"),
+        concat(col("w1"), lit(" "), col("w2")).as("w"))
+    val firstSeen = bg.groupBy("w").agg(min("slice").as("slice"))
+      .groupBy("slice").agg(count(lit(1)).as("new_types"))
+    val mass = bg.groupBy("slice").agg(count(lit(1)).as("slice_tokens"))
+    mass.join(firstSeen, Seq("slice"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_types",
+        sum("new_types").over(Window.orderBy("slice")))
+      .withColumn("novelty_pm",
+        expr("(1000 * new_types) div slice_tokens"))
+      .select("slice", "slice_tokens", "new_types", "cum_types",
+        "novelty_pm")
+      .orderBy("slice")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id % $GrowthSlices AS slice, a[i] || ' ' || a[i + 1] AS w
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(lower(trim(text)), '\\s+') AS a
+       |        FROM documents) t,
+       |  unnest(generate_series(1, len(a) - 1)) AS s(i)),
+       |fs AS (
+       |  SELECT slice, count(*)::BIGINT AS new_types FROM (
+       |    SELECT w, min(slice) AS slice FROM bg GROUP BY w)
+       |  GROUP BY slice),
+       |mass AS (
+       |  SELECT slice, count(*)::BIGINT AS slice_tokens
+       |  FROM bg GROUP BY slice)
+       |SELECT mass.slice::BIGINT AS slice, mass.slice_tokens,
+       |  coalesce(fs.new_types, 0)::BIGINT AS new_types,
+       |  (sum(coalesce(fs.new_types, 0)) OVER (ORDER BY mass.slice)
+       |    )::BIGINT AS cum_types,
+       |  ((1000 * coalesce(fs.new_types, 0)) // mass.slice_tokens)::BIGINT
+       |    AS novelty_pm
+       |FROM mass LEFT JOIN fs USING (slice)
+       |ORDER BY slice""".stripMargin
+
   // ---- q246: Good-Turing frequency spectrum ------------------------------
 
   /** Highest raw count reported in the frequency-of-frequencies

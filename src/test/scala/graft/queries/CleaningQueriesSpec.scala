@@ -462,4 +462,35 @@ class CleaningQueriesSpec extends SparkSpec {
     // both classes present, so uncertainty is strictly positive
     assert(unc > 0 && res >= 0 && rel >= 0 && bs > 0)
   }
+
+  test("q266: vocabulary growth equals a driver replay; curve conserves the vocabulary") {
+    val out = CleaningQueries.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq == (0L until CleaningQueries.GrowthSlices))
+    val bgs = QueryUtil.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val a = r.getString(1).trim.toLowerCase.split("\\s+")
+        val slice = r.getLong(0) % CleaningQueries.GrowthSlices
+        a.iterator.zip(a.iterator.drop(1)).map { case (x, y) =>
+          (slice, s"$x $y") }
+      }
+    val firstSeen = bgs.groupBy(_._2).map { case (_, g) => g.map(_._1).min }
+    val newBy = firstSeen.groupBy(identity)
+      .map { case (s, g) => s -> g.size.toLong }.withDefaultValue(0L)
+    val massBy = bgs.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var cum = 0L
+    for ((slice, mass, nt, ct, pm) <- out) {
+      assert(mass == massBy(slice), s"slice $slice mass")
+      assert(nt == newBy(slice), s"slice $slice new")
+      cum += nt
+      assert(ct == cum, s"slice $slice cum")
+      assert(pm == 1000L * nt / mass, s"slice $slice rate")
+    }
+    // the curve ends at exactly the corpus bigram vocabulary, and
+    // novelty decays: the last slice sees fewer new types than the first
+    assert(cum == bgs.map(_._2).distinct.length.toLong)
+    assert(out.last._3 < out.head._3)
+  }
 }
