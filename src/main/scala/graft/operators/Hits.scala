@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-quantized HITS (Kleinberg 1999) — hubs & authorities over a
+  * directed bipartite-ish graph. Where PageRank asks "who has
+  * authority?", HITS answers the two-sided question a marketplace /
+  * crawl frontier actually poses: which SOURCES point at good content
+  * (hubs), and which TARGETS are pointed at by good sources
+  * (authorities). The two scores reinforce mutually:
+  * `h(u) = Σ_{u→v} a(v)` then `a(v) = Σ_{u→v} h(u)`, re-normalized
+  * each half-step.
+  *
+  * Determinism: classic HITS L2-normalizes (a square root — not
+  * integer-exact), so this operator uses the L1 convention instead:
+  * after each half-step the scores are rescaled to sum ≈ [[Scale]] by
+  * `s' = (Scale · s) div Σs` (floor division, all values non-negative).
+  * Same fixed point direction, same ranking, bit-identical in any
+  * engine and independent of partitioning/summation order. Overflow
+  * headroom: after normalization Σ score ≤ Scale = 10⁹, so a raw
+  * half-step value is ≤ 10⁹ and `Scale · s ≤ 10¹⁸ < 2⁶³−1`.
+  *
+  * Scale shape: the EDGE table is the 100 TB-side object — it persists
+  * once and every half-step joins it against a |V|-row score table
+  * (AQE broadcasts it at bench sizes; at cluster scale it hash-joins
+  * co-partitioned on the edge key), then aggregates on the other key.
+  * Per round exactly two |V|-row shuffles move; the normalizing totals
+  * ride a broadcast one-row cross join, never a driver collect. The
+  * loop stays lazy (fixed small iteration count) like
+  * [[PageRank.run]].
+  */
+object Hits {
+
+  /** L1 mass each normalized score vector sums to (≈ — floor division
+    * sheds at most |V| units). */
+  val Scale = 1000000000L
+
+  /** Run `rounds` full (hub, authority) rounds over directed `edges`
+    * (columns `src`, `dst`; pre-deduplicated). Authorities initialize
+    * uniform over the distinct `dst` set. Returns
+    * (`node`, `hub`, `authority`) where `hub` is null for nodes that
+    * never appear as `src` and `authority` null for nodes never
+    * appearing as `dst` (on a bipartite graph each side carries
+    * exactly one role). */
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.persist()
+    val srcs = e.select(col("src").as("u")).distinct().persist()
+    val dsts = e.select(col("dst").as("v")).distinct().persist()
+    // uniform authority start: a0 = Scale div |dst| each (the one
+    // scalar the iteration needs; a bounded one-row head, like the
+    // q211 seed)
+    val nDst = dsts.count()
+    var a = dsts.withColumn("a", lit(Scale / math.max(nDst, 1L)))
+    var h: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val hRaw = e.join(a, col("dst") === col("v"))
+        .groupBy(col("src").as("u")).agg(sum("a").as("raw"))
+      h = normalize(hRaw).withColumnRenamed("score", "h")
+      val aRaw = e.join(h, col("src") === col("u"))
+        .groupBy(col("dst").as("v")).agg(sum("h").as("raw"))
+      a = normalize(aRaw).withColumnRenamed("score", "a")
+    }
+    val result = srcs.join(h, Seq("u"), "left")
+      .select(col("u").as("node"), col("h"), lit(null).cast("long").as("a"))
+      .unionByName(
+        dsts.join(a, Seq("v"), "left")
+          .select(col("v").as("node"), lit(null).cast("long").as("h"),
+            col("a")))
+      .groupBy("node")
+      .agg(max("h").as("hub"), max("a").as("authority"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    srcs.unpersist(blocking = false)
+    dsts.unpersist(blocking = false)
+    result
+  }
+
+  /** `(Scale · raw) div Σraw` over a (key, raw) table — the L1 rescale
+    * of one half-step, with the total riding a broadcast one-row
+    * cross join. */
+  private def normalize(raw: DataFrame): DataFrame = {
+    val key = raw.columns.head
+    val tot = raw.agg(greatest(sum("raw"), lit(1L)).as("tot"))
+    raw.crossJoin(broadcast(tot))
+      .select(col(key), expr(s"($Scale * raw) div tot").as("score"))
+  }
+
+  /** DuckDB mirror of one half-step: scores for `outKey` from summing
+    * `prev`'s scores over edge CTE `e` joined on `inKey`, L1-rescaled.
+    * `prev` has columns (`$inKey`, score). The normalizing total is the
+    * ungrouped edge-sum — identical to the sum of the grouped raws. */
+  def halfStepSql(prev: String, inKey: String, outKey: String): String =
+    s"""SELECT e.$outKey AS $outKey,
+       |  (($Scale * sum(p.score)) // greatest(
+       |    (SELECT sum(p2.score) FROM e e2 JOIN $prev p2 USING ($inKey)),
+       |    1))::BIGINT AS score
+       |FROM e JOIN $prev p USING ($inKey)
+       |GROUP BY e.$outKey""".stripMargin
+}

@@ -852,4 +852,68 @@ object GraphQueries {
        |    )::BIGINT AS hit10_pm
        |FROM tgt LEFT JOIN rk ON rk.user_id = tgt.user_id AND rk.rk <= 10"""
       .stripMargin
+
+  // ---- q268: HITS hubs & authorities ------------------------------------
+
+  val HitsRounds = 2
+  val HitsTopK = 20
+
+  /** Two-sided authority on the purchase graph — q111 asks "which
+    * suppliers have rank?" with PageRank's one-score model; HITS
+    * ([[graft.operators.Hits]], Kleinberg 1999) answers the question a
+    * procurement analyst (or a crawl-frontier scheduler scoring
+    * seed-list pages vs content pages) actually has: which CUSTOMERS
+    * have good taste (hubs — they buy from well-sourced suppliers) and
+    * which SUPPLIERS are endorsed by discerning customers (authorities)
+    * — each score defined in terms of the other. The directed edge set
+    * is the customer→supplier arc of the q111 graph (HITS wants the
+    * bipartite direction, not the symmetrized walk), packed-long node
+    * ids as everywhere (`2·custkey` / `2·suppkey+1`).
+    *
+    * Integer-exact per the operator contract (L1-rescaled floor
+    * arithmetic — bit-identical to the unrolled oracle CTEs); top-K per
+    * role is TakeOrderedAndProject, never a global sort. */
+  def hitsRanking(spark: SparkSession, dir: String): DataFrame = {
+    val arcs = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+    val scores = graft.operators.Hits.run(arcs, HitsRounds)
+    def side(score: String, role: String) = scores
+      .filter(col(score).isNotNull)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("node div 2"))).as("node"),
+        lit(role).as("role"), col(score).as("score"))
+      .orderBy(col("score").desc, col("node"))
+      .limit(HitsTopK)
+    side("hub", "hub").unionByName(side("authority", "authority"))
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  val hitsRankingSql: String = {
+    import graft.operators.Hits
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |a0 AS (
+       |  SELECT dst, (${Hits.Scale} // greatest(
+       |    (SELECT count(DISTINCT dst) FROM e), 1))::BIGINT AS score
+       |  FROM (SELECT DISTINCT dst FROM e)),
+       |h1 AS (${Hits.halfStepSql("a0", "dst", "src")}),
+       |a1 AS (${Hits.halfStepSql("h1", "src", "dst")}),
+       |h2 AS (${Hits.halfStepSql("a1", "dst", "src")}),
+       |a2 AS (${Hits.halfStepSql("h2", "src", "dst")}),
+       |hubs AS (
+       |  SELECT 'C' || (src // 2)::VARCHAR AS node, 'hub' AS role, score
+       |  FROM h2 ORDER BY score DESC, node LIMIT $HitsTopK),
+       |auths AS (
+       |  SELECT 'S' || (dst // 2)::VARCHAR AS node, 'authority' AS role,
+       |    score
+       |  FROM a2 ORDER BY score DESC, node LIMIT $HitsTopK)
+       |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+       |ORDER BY role, score DESC, node""".stripMargin
+  }
 }

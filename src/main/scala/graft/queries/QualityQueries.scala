@@ -2259,4 +2259,250 @@ object QualityQueries {
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY g.pos""".stripMargin
   }
+
+  // ---- q273: Jonckheere-Terpstra ordered-trend test ------------------------
+
+  /** Ordered length-bin edges (chars): bins 1..4 are <150, <300,
+    * <450, ≥450 — fixed thresholds, not quantiles, so the grouping is
+    * engine-independent at every SF. */
+  val JtBinEdges = Seq(150L, 300L, 450L)
+
+  /** `z²_{0.05}` in MILLI (3.8416 → 3842, rounded UP: conservative). */
+  val JtZ2Milli = 3842L
+
+  /** Does lexical diversity DECLINE as documents grow? — the
+    * Jonckheere-Terpstra test, the ordered-alternative sharpening of
+    * Kruskal-Wallis (q248): K-W asks "do the length bins differ at
+    * all?"; JT asks the directional question the curve actually poses
+    * — is there a MONOTONE trend of type-token ratio across the
+    * a-priori-ordered bins? (TTR mechanically falls with length —
+    * Heaps' law, q151 — so a corpus where it does NOT is synthetic or
+    * template-stuffed; this is a generator-fingerprint audit.) The
+    * statistic is the sum of pairwise Mann-Whitney counts over every
+    * ordered bin pair (i < j), `J = Σ #{x_i < x_j}`, kept integer by
+    * q235's doubling convention (`J₂ = Σ_v c_j(v)·(2·cum_i(v⁻) +
+    * c_i(v))` per pair, from (bin, value) count tables — no rank
+    * midpoints, no floats). The α=0.05 normal gate evaluates
+    * `18000·(J₂−E₂)² > `[[JtZ2Milli]]`·V` with `E₂ = Σ n_i·n_j` and
+    * `V = N²(2N+3) − Σ n_g²(2n_g+3)` (= 72·Var(J); J₂ = 2J makes the
+    * 18), ties uncorrected — conservative, like q235. Long headroom:
+    * |J₂−E₂| ≤ N²/2, so the gate LHS stays inside int64 to N ≈ 2·10⁴
+    * documents; a larger corpus runs the audit per stratum and
+    * Stouffer-combines, exactly like every rank test here.
+    *
+    * Scale shape: one scan → per-doc (bin, TTR-milli) → (bin, value)
+    * counts (map-side combined, ≤ 4·1001 rows); the pair machinery is
+    * q235's — broadcast bin-pair grid, one cumulative window over the
+    * pooled value axis, constant-size aggregates after. */
+  def jonckheereTrend(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    // TTR parts in a first projection so the milli expression stays
+    // readable:
+    val base = table(spark, dir, "documents")
+      .select(col("n_chars"),
+        size(array_distinct(words)).cast("long").as("ttr_d"),
+        size(words).cast("long").as("ttr_t"))
+      .select(
+        (lit(1L) + JtBinEdges.map(e =>
+          when(col("n_chars") >= e, 1L).otherwise(0L)).reduce(_ + _))
+          .as("g"),
+        expr("(1000 * ttr_d) div ttr_t").as("v"))
+    val vals = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val tot = vals.groupBy("g").agg(sum("c").as("n"))
+    val pairs = tot.select(col("g").as("g_a"), col("n").as("n_a"))
+      .join(tot.select(col("g").as("g_b"), col("n").as("n_b")),
+        col("g_a") > col("g_b"))
+    val pv = vals.join(broadcast(pairs),
+        col("g") === col("g_a") || col("g") === col("g_b"))
+      .groupBy("g_a", "g_b", "v")
+      .agg(
+        sum(when(col("g") === col("g_a"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("g_b"), col("c")).otherwise(0L)).as("cb"))
+    val byV = Window.partitionBy("g_a", "g_b").orderBy("v")
+    val j2 = pv
+      .withColumn("cumb",
+        sum("cb").over(byV.rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(0L, Seq("cumb"))
+      .agg(sum(col("ca") * (lit(2L) * col("cumb") + col("cb"))).as("jt2"))
+    val e2 = pairs.agg(sum(expr("n_a * n_b")).as("mean2"))
+    val vparts = tot.agg(sum("n").as("nn"),
+      sum(expr("n * n * (2 * n + 3)")).as("within"))
+      .select((expr("nn * nn * (2 * nn + 3)") - col("within")).as("v72"),
+        col("nn").as("n_docs"))
+    j2.crossJoin(broadcast(e2)).crossJoin(broadcast(vparts))
+      .select(col("n_docs"), lit(JtBinEdges.size + 1L).as("n_groups"),
+        col("jt2"), col("mean2"), col("v72"),
+        when(col("jt2") > col("mean2"), "increasing")
+          .when(col("jt2") < col("mean2"), "decreasing")
+          .otherwise("none").as("direction"),
+        (lit(18000L) * (col("jt2") - col("mean2"))
+          * (col("jt2") - col("mean2"))
+          > lit(JtZ2Milli) * col("v72")).as("reject"))
+  }
+
+  val jonckheereTrendSql: String = {
+    val binExpr = "1 + " + JtBinEdges.map(e =>
+      s"(CASE WHEN n_chars >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT ($binExpr)::BIGINT AS g,
+       |    ((1000 * len(list_distinct(w))) // len(w))::BIGINT AS v
+       |  FROM (SELECT n_chars,
+       |          string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM documents)),
+       |vals AS (SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c)::BIGINT AS n FROM vals GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.g AS g_a, a.n AS n_a, b.g AS g_b, b.n AS n_b
+       |  FROM tot a JOIN tot b ON a.g > b.g),
+       |pv AS (
+       |  SELECT p.g_a, p.g_b, v.v,
+       |    sum(CASE WHEN v.g = p.g_a THEN v.c ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN v.g = p.g_b THEN v.c ELSE 0 END)::BIGINT AS cb
+       |  FROM vals v JOIN pairs p ON v.g = p.g_a OR v.g = p.g_b
+       |  GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT sum(ca * (2 * cumb + cb))::BIGINT AS jt2 FROM (
+       |    SELECT ca, cb, coalesce(sum(cb) OVER (
+       |      PARTITION BY g_a, g_b ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+       |    FROM pv)),
+       |e AS (SELECT sum(n_a * n_b)::BIGINT AS mean2 FROM pairs),
+       |vp AS (
+       |  SELECT sum(n)::BIGINT AS n_docs,
+       |    (sum(n) * sum(n) * (2 * sum(n) + 3)
+       |      - sum(n * n * (2 * n + 3)))::BIGINT AS v72
+       |  FROM tot)
+       |SELECT vp.n_docs, ${JtBinEdges.size + 1}::BIGINT AS n_groups,
+       |  j.jt2, e.mean2, vp.v72,
+       |  CASE WHEN j.jt2 > e.mean2 THEN 'increasing'
+       |       WHEN j.jt2 < e.mean2 THEN 'decreasing'
+       |       ELSE 'none' END AS direction,
+       |  18000 * (j.jt2 - e.mean2) * (j.jt2 - e.mean2)
+       |    > $JtZ2Milli * vp.v72 AS reject
+       |FROM j, e, vp""".stripMargin
+  }
+
+  // ---- q269: Friedman test over matched daily blocks ----------------------
+
+  /** The three matched treatments whose daily volumes the Friedman test
+    * compares (a fixed list, like q262's labelers). */
+  val FriedmanTypes = Seq("click", "view", "purchase")
+
+  /** χ²₂ critical value at α = 0.05, in milli. */
+  val FriedmanCritMilli = 5991L
+
+  /** Do the engagement channels move TOGETHER or does one dominate
+    * day after day? — Friedman's matched-blocks rank test, the
+    * non-parametric two-way ANOVA: each DAY is a block, the k = 3
+    * channels ([[FriedmanTypes]]) are ranked within it by daily event
+    * count, and the statistic asks whether the rank sums diverge more
+    * than chance. Kruskal-Wallis (q248) compares independent samples;
+    * Friedman is its matched twin — it removes the day effect (a slow
+    * news day lowers ALL channels), exactly what Cochran's Q (q262)
+    * does for binary outcomes. Ranks use the average-rank tie
+    * convention kept integer by DOUBLING (a mid-rank like 1.5 becomes
+    * 3): within a block `dr = 2·rank + (t − 1)` where `rank` is the
+    * min-rank and `t` the tie count, so every block's doubled ranks
+    * sum to k(k+1) regardless of ties. The statistic
+    * `χ² = 12/(nk(k+1))·ΣR_j² − 3n(k+1)` becomes, in doubled-rank
+    * milli form, `(3000·ΣR'² − 3000·n²·k·(k+1)²) div (n·k·(k+1))`,
+    * and the tie-adjusted variant divides by
+    * `C = 1 − Σ(t³−t)/(nk(k²−1))` as one fused integer ratio — every
+    * step floor arithmetic on non-negative values, bit-identical in
+    * both engines. Missing (day, channel) cells read as count 0 via a
+    * days×channels grid so blocks stay complete at every SF.
+    *
+    * Scale shape: one events scan → (day, channel) counts with
+    * map-side combine; ranking windows run on 3 rows per block; the
+    * assembly is arithmetic over one n_days·k-row table. */
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame = {
+    val k = FriedmanTypes.size.toLong
+    val evRaw = table(spark, dir, "events")
+    val ev = evRaw
+      .filter(col("event_type").isin(FriedmanTypes: _*))
+      .select(to_date(eventTs(evRaw)).as("d"), col("event_type"))
+    val counts = ev.groupBy("d", "event_type").agg(count(lit(1)).as("n"))
+    val grid = ev.select("d").distinct()
+      .select(col("d"),
+        explode(array(FriedmanTypes.map(lit): _*)).as("event_type"))
+    val cells = grid.join(counts, Seq("d", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("r1", rank().over(Window.partitionBy("d").orderBy("n")))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("d", "n")))
+      .withColumn("dr", lit(2L) * col("r1") + col("t") - 1L)
+    val rankSums = cells.groupBy("event_type").agg(sum("dr").as("rs"))
+    val s2 = rankSums.agg(sum(expr("rs * rs")).as("s2"),
+      count(lit(1)).as("kk"))
+    val blocks = cells.groupBy("d", "n").agg(count(lit(1)).as("tt"))
+      .agg(sum(expr("tt * tt * tt - tt")).as("tie_term"))
+    val nDf = cells.select("d").distinct().agg(count(lit(1)).as("nb"))
+    rankSums
+      .groupBy()
+      .pivot("event_type", FriedmanTypes)
+      .agg(first("rs"))
+      .select(FriedmanTypes.map(t => col(t).as(s"rs_$t")): _*)
+      .crossJoin(broadcast(s2)).crossJoin(broadcast(blocks))
+      .crossJoin(broadcast(nDf))
+      .select(Seq(col("nb").as("n_blocks")) ++
+        FriedmanTypes.map(t => col(s"rs_$t")) ++ Seq(
+          col("tie_term"),
+          expr(s"(3000 * s2 - 3000 * nb * nb * $k * ${(k + 1) * (k + 1)})" +
+            s" div (nb * $k * ${k + 1})").as("friedman_milli"),
+          expr(s"((3000 * s2 - 3000 * nb * nb * $k * ${(k + 1) * (k + 1)})" +
+            s" * nb * $k * ${k * k - 1}) div ((nb * $k * ${k + 1})" +
+            s" * greatest(nb * $k * ${k * k - 1} - tie_term, 1))")
+            .as("friedman_adj_milli")): _*)
+      .withColumn("significant",
+        col("friedman_adj_milli") > FriedmanCritMilli)
+  }
+
+  lazy val friedmanTestSql: String = {
+    val k = FriedmanTypes.size.toLong
+    val types = FriedmanTypes.map(t => s"('$t')").mkString(", ")
+    val rsCols = FriedmanTypes.map(t =>
+      s"sum(CASE WHEN event_type = '$t' THEN dr ELSE 0 END)::BIGINT AS rs_$t")
+      .mkString(",\n|    ")
+    s"""WITH ev AS (
+       |  SELECT ts::DATE AS d, event_type FROM events
+       |  WHERE event_type IN (${FriedmanTypes.map(t => s"'$t'").mkString(", ")})),
+       |counts AS (
+       |  SELECT d, event_type, count(*)::BIGINT AS n
+       |  FROM ev GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d, t.event_type
+       |  FROM (SELECT DISTINCT d FROM ev), (VALUES $types) t(event_type)),
+       |cells AS (
+       |  SELECT g.d, g.event_type, coalesce(c.n, 0) AS n
+       |  FROM grid g LEFT JOIN counts c USING (d, event_type)),
+       |ranked AS (
+       |  SELECT d, event_type, n,
+       |    2 * rank() OVER (PARTITION BY d ORDER BY n)
+       |      + count(*) OVER (PARTITION BY d, n) - 1 AS dr
+       |  FROM cells),
+       |rs AS (
+       |  SELECT $rsCols FROM ranked),
+       |s2 AS (
+       |  SELECT sum(rs * rs)::BIGINT AS s2 FROM (
+       |    SELECT event_type, sum(dr)::BIGINT AS rs
+       |    FROM ranked GROUP BY event_type)),
+       |ties AS (
+       |  SELECT sum(tt * tt * tt - tt)::BIGINT AS tie_term FROM (
+       |    SELECT d, n, count(*)::BIGINT AS tt FROM cells GROUP BY d, n)),
+       |nb AS (SELECT count(DISTINCT d)::BIGINT AS nb FROM cells)
+       |SELECT nb.nb AS n_blocks,
+       |  ${FriedmanTypes.map(t => s"rs.rs_$t").mkString(", ")}, ties.tie_term,
+       |  ((3000 * s2.s2 - 3000 * nb.nb * nb.nb * $k * ${(k + 1) * (k + 1)})
+       |    // (nb.nb * $k * ${k + 1}))::BIGINT AS friedman_milli,
+       |  (((3000 * s2.s2 - 3000 * nb.nb * nb.nb * $k * ${(k + 1) * (k + 1)})
+       |      * nb.nb * $k * ${k * k - 1})
+       |    // ((nb.nb * $k * ${k + 1})
+       |      * greatest(nb.nb * $k * ${k * k - 1} - ties.tie_term, 1))
+       |    )::BIGINT AS friedman_adj_milli,
+       |  (((3000 * s2.s2 - 3000 * nb.nb * nb.nb * $k * ${(k + 1) * (k + 1)})
+       |      * nb.nb * $k * ${k * k - 1})
+       |    // ((nb.nb * $k * ${k + 1})
+       |      * greatest(nb.nb * $k * ${k * k - 1} - ties.tie_term, 1))
+       |    ) > $FriedmanCritMilli AS significant
+       |FROM rs, s2, ties, nb""".stripMargin
+  }
 }

@@ -3470,4 +3470,475 @@ object ScaleQueries {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY key_col, partition_id")
   }
+
+  // ---- q274: k-means clustering in integer micro space ---------------------
+
+  val KmClusters = 8
+  val KmRounds = 2
+
+  /** UNSUPERVISED structure of the embedding corpus — Lloyd's k-means
+    * ([[graft.similarity.KMeansMicro]]: k = [[KmClusters]] seeded by
+    * the k smallest vec_ids, [[KmRounds]] full rounds, exact integer
+    * micro arithmetic) with the per-cluster report card: member count,
+    * exact inertia against the shipped centroids, and LABEL PURITY —
+    * the dominant q-label's per-mille share, which measures how well
+    * the unsupervised partition rediscovers the labels q250 graded
+    * (purity ≈ 1000/L means the clustering ignores them; near 1000
+    * means label structure dominates embedding space). This is the
+    * cluster-pool builder semantic dedup (q86) and IVF training (q25)
+    * consume.
+    *
+    * Scale/exactness contract on the operator scaladoc; everything
+    * here is bounded joins of the final assignment against the label
+    * column. */
+  def kmeansMicro(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(spark, dir, "embeddings")
+    val a = graft.similarity.KMeansMicro.assign(
+      emb, "vec_id", "embedding", KmClusters, KmRounds)
+    val stats = a.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+    val lab = a.join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("c"))
+    val top = lab.withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1)
+    stats.join(top, Seq("cid"))
+      .select(col("cid"), col("n_vecs"), col("inertia"),
+        expr("inertia div n_vecs").as("mean_d2"),
+        col("label").as("top_label"),
+        expr("(1000 * c) div n_vecs").as("purity_pm"))
+      .orderBy("cid")
+  }
+
+  val kmeansMicroSql: String = {
+    import graft.similarity.KMeansMicro
+    s"""WITH v AS (
+       |  SELECT vec_id, i,
+       |    floor(embedding[i]::DOUBLE * 1e6)::BIGINT AS xm
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS s(i)),
+       |seeds AS (
+       |  SELECT vec_id AS cid FROM embeddings ORDER BY vec_id
+       |  LIMIT $KmClusters),
+       |c0 AS (
+       |  SELECT s.cid, v.i, v.xm AS cm
+       |  FROM seeds s JOIN v ON v.vec_id = s.cid),
+       |a1 AS (${KMeansMicro.assignSql("c0")}),
+       |c1 AS (${KMeansMicro.updateSql("a1")}),
+       |a2 AS (${KMeansMicro.assignSql("c1")}),
+       |c2 AS (${KMeansMicro.updateSql("a2")}),
+       |af AS (${KMeansMicro.assignSql("c2")}),
+       |stats AS (
+       |  SELECT cid, count(*)::BIGINT AS n_vecs, sum(d2)::BIGINT AS inertia
+       |  FROM af GROUP BY 1),
+       |lab AS (
+       |  SELECT af.cid, e.label::BIGINT AS label, count(*)::BIGINT AS c
+       |  FROM af JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |top AS (
+       |  SELECT cid, label, c FROM (
+       |    SELECT cid, label, c, row_number() OVER (
+       |      PARTITION BY cid ORDER BY c DESC, label) AS rn
+       |    FROM lab) WHERE rn = 1)
+       |SELECT s.cid, s.n_vecs, s.inertia,
+       |  (s.inertia // s.n_vecs)::BIGINT AS mean_d2,
+       |  t.label AS top_label,
+       |  ((1000 * t.c) // s.n_vecs)::BIGINT AS purity_pm
+       |FROM stats s JOIN top t USING (cid)
+       |ORDER BY cid""".stripMargin
+  }
+
+  // ---- q272: feed-level mirror detection ----------------------------------
+
+  /** Shingle width for the feed-level profiles (q10's k). */
+  val MirrorShingleK = 3
+
+  /** Containment above this per-mille flags a mirror pair. */
+  val MirrorSuspectPm = 500L
+
+  /** Which FEEDS mirror each other? — q265 attributes document-level
+    * near-dup pairs to feeds after the fact; this asks the coarser
+    * question a crawl planner answers FIRST, at feed granularity:
+    * treat each source's distinct word-shingle set as its content
+    * profile and publish exact Jaccard and containment for every
+    * source pair. High containment with asymmetric sizes is the
+    * re-host signature (a small feed living inside a big one) that
+    * per-document detection only discovers pair by pair; deciding it
+    * at feed level can drop a whole feed before paying per-document
+    * dedup compute on it.
+    *
+    * Exact integers: set sizes and intersections are counts; Jaccard
+    * `1000·∩ div (|A|+|B|−∩)` and containment `1000·∩ div min(|A|,|B|)`
+    * floor per-mille. Zero-overlap pairs stay in the table (complete
+    * G²/2 grid) — absence of overlap is a finding too.
+    *
+    * Scale shape: one corpus scan → distinct (source, shingle)
+    * postings (map-side combined, bounded by G·V); the intersection
+    * self-join fans out per shingle by (feeds carrying it choose 2)
+    * ≤ G²/2 — bounded by the FEED count squared, never the corpus;
+    * the final grid is G²/2 rows. */
+  def sourceMirror(spark: SparkSession, dir: String): DataFrame = {
+    val sh = table(spark, dir, "documents")
+      .select(col("source"), explode(graft.text.Hashing.wordShingles(
+        lower(trim(col("text"))), MirrorShingleK)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sh.toDF("src_a", "sh")
+      .join(sh.toDF("src_b", "sh2"),
+        col("sh") === col("sh2") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    val grid = sizes.toDF("src_a", "sz_a")
+      .join(sizes.toDF("src_b", "sz_b"), col("src_a") < col("src_b"))
+    grid.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
+        col("inter"),
+        expr("(1000 * inter) div (sz_a + sz_b - inter)").as("jaccard_pm"),
+        expr("(1000 * inter) div least(sz_a, sz_b)").as("containment_pm"))
+      .withColumn("mirror_suspect", col("containment_pm") > MirrorSuspectPm)
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceMirrorSql: String = {
+    import graft.text.Hashing
+    s"""WITH tok AS (
+       |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source, sh FROM tok,
+       |    unnest(${Hashing.wordShinglesSql("w", MirrorShingleK)}) AS t(sh)),
+       |sizes AS (SELECT source, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*)::BIGINT AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT sa.source AS src_a, sb.source AS src_b,
+       |  sa.sz AS sz_a, sb.sz AS sz_b,
+       |  coalesce(i.inter, 0)::BIGINT AS inter,
+       |  ((1000 * coalesce(i.inter, 0))
+       |    // (sa.sz + sb.sz - coalesce(i.inter, 0)))::BIGINT AS jaccard_pm,
+       |  ((1000 * coalesce(i.inter, 0))
+       |    // least(sa.sz, sb.sz))::BIGINT AS containment_pm,
+       |  ((1000 * coalesce(i.inter, 0)) // least(sa.sz, sb.sz))
+       |    > $MirrorSuspectPm AS mirror_suspect
+       |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+       |LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ---- q271: zone-map skipping audit --------------------------------------
+
+  /** Zones the audit simulates (≈ files/row-groups of a rewrite). */
+  val ZoneCount = 100L
+
+  /** The q47-style probe predicate: a ~90-day ship-date slice. */
+  val ZoneLo = "1996-06-01"
+  val ZoneHi = "1996-08-30"
+
+  /** Would a time-sorted rewrite of `lineitem` let min/max zone maps
+    * (parquet row-group stats, Delta/Iceberg file stats) skip the scan
+    * down to the predicate's slice — and how badly does the default
+    * hash layout read by comparison? The audit simulates both layouts
+    * over the SAME rows: `sorted` assigns equal-count zones by
+    * `ntile(`[[ZoneCount]]`)` over (l_shipdate, key) — what a
+    * sort-by-time rewrite produces — and `hash` assigns the q183
+    * md5→60-bit bucket of the row key — what unclustered ingest
+    * produces. Per layout it computes every zone's [min, max]
+    * ship-date envelope and asks which zones the [[ZoneLo]]..[[ZoneHi]]
+    * predicate can PROVE empty (`max < lo ∨ min > hi` — exactly the
+    * data-skipping test every lakehouse scanner runs). One row per
+    * layout: zones and rows scanned vs skipped, in counts and floor
+    * per-mille. The sorted layout should skip ~96% of zones; the hash
+    * layout ~0% — the number that justifies paying the rewrite sort.
+    *
+    * The global ntile sort is the simulated REWRITE cost, not scan
+    * cost (a real rewrite pays one range-partitioned sort, exactly
+    * like q74's z-order build); everything downstream is a
+    * [[ZoneCount]]-row aggregate. */
+  def zonemapAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("d"))
+    val zoned = li
+      .withColumn("zone_sorted",
+        ntile(ZoneCount.toInt).over(
+          Window.orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("zone_hash",
+        expr(s"cast(conv(substring(md5(cast(l_orderkey as string) || '#' ||" +
+          s" cast(l_linenumber as string)), 1, 15), 16, 10) as bigint)" +
+          s" % $ZoneCount"))
+    def audit(zoneCol: String, name: String) = zoned
+      .groupBy(col(zoneCol).as("zone"))
+      .agg(count(lit(1)).as("rows"), min("d").as("lo"), max("d").as("hi"))
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(col("hi") < lit(ZoneLo).cast("date") ||
+          col("lo") > lit(ZoneHi).cast("date"), 1L).otherwise(0L))
+          .as("zones_skipped"),
+        sum(when(col("hi") < lit(ZoneLo).cast("date") ||
+          col("lo") > lit(ZoneHi).cast("date"), 0L).otherwise(col("rows")))
+          .as("rows_scanned"),
+        sum("rows").as("rows_total"))
+      .select(lit(name).as("layout"), col("n_zones"), col("zones_skipped"),
+        col("rows_scanned"), col("rows_total"),
+        expr("(1000 * zones_skipped) div n_zones").as("zone_skip_pm"),
+        expr("(1000 * rows_scanned) div rows_total").as("scan_pm"))
+    audit("zone_sorted", "sorted").unionByName(audit("zone_hash", "hash"))
+      .orderBy("layout")
+  }
+
+  val zonemapAuditSql: String = {
+    def one(zoneExpr: String, name: String) =
+      s"""SELECT '$name' AS layout, count(*)::BIGINT AS n_zones,
+         |  sum(CASE WHEN hi < DATE '$ZoneLo' OR lo > DATE '$ZoneHi'
+         |    THEN 1 ELSE 0 END)::BIGINT AS zones_skipped,
+         |  sum(CASE WHEN hi < DATE '$ZoneLo' OR lo > DATE '$ZoneHi'
+         |    THEN 0 ELSE rows END)::BIGINT AS rows_scanned,
+         |  sum(rows)::BIGINT AS rows_total,
+         |  ((1000 * sum(CASE WHEN hi < DATE '$ZoneLo' OR lo > DATE '$ZoneHi'
+         |    THEN 1 ELSE 0 END)) // count(*))::BIGINT AS zone_skip_pm,
+         |  ((1000 * sum(CASE WHEN hi < DATE '$ZoneLo' OR lo > DATE '$ZoneHi'
+         |    THEN 0 ELSE rows END)) // sum(rows))::BIGINT AS scan_pm
+         |FROM (
+         |  SELECT $zoneExpr AS zone, count(*)::BIGINT AS rows,
+         |    min(d) AS lo, max(d) AS hi
+         |  FROM zoned GROUP BY 1)""".stripMargin
+    s"""WITH zoned AS (
+       |  SELECT l_orderkey, l_linenumber, l_shipdate::DATE AS d,
+       |    ntile($ZoneCount) OVER (
+       |      ORDER BY l_shipdate::DATE, l_orderkey, l_linenumber)
+       |      AS zone_sorted,
+       |    ('0x' || substring(md5(l_orderkey::VARCHAR || '#' ||
+       |      l_linenumber::VARCHAR), 1, 15))::BIGINT % $ZoneCount
+       |      AS zone_hash
+       |  FROM lineitem)
+       |SELECT * FROM (
+       |${one("zone_sorted", "sorted")}
+       |UNION ALL
+       |${one("zone_hash", "hash")})
+       |ORDER BY layout""".stripMargin
+  }
+
+  // ---- q270: modularity audit of the near-dup graph ----------------------
+
+  /** How much of the near-dup GRAPH STRUCTURE does each partition
+    * scheme explain? — Newman modularity
+    * `Q = Σ_p [e_p/m − (d_p/2m)²]` of two partitions of the q10 pair
+    * graph: the connected components themselves (q56's clusters — the
+    * upper bound, every edge internal by construction, so Q measures
+    * pure cluster-size concentration) and the SOURCE partition (are
+    * near-dups a within-feed phenomenon a per-feed crawler fix would
+    * kill, or cross-feed mirroring that no single feed owns? — the
+    * graph-structural sequel to q265's pair attribution). A source
+    * modularity near the component ceiling says feed identity explains
+    * the duplication; near zero says the mirrors span feeds.
+    *
+    * Integer-exact: the sum telescopes to one fused ratio
+    * `Q = (4m·Σe_p − Σd_p²) / (4m²)`, published as a micro-unit
+    * truncating division (numerator CAN go negative for a bad
+    * partition; Spark `div` and DuckDB `//` both truncate toward
+    * zero — DivSemanticsSpec pins it). Micro scaling keeps the
+    * numerator ≤ 10⁶·4m² well inside Long for any m this side of
+    * 10⁶ edges per partition-block; at larger m the same audit runs
+    * per block.
+    *
+    * Scale shape: detector once (q56 persist discipline), components
+    * ∝ collisions; degrees are one explode+groupBy over the pair
+    * table; each scheme's Σe and Σd² are label-keyed aggregates of
+    * those bounded tables. */
+  def dedupModularity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
+      docs, "doc_id", "text", PipelineQueries.MinhashThreshold)
+    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
+    val m = pairs.count() // materialize: one MinHash evaluation
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b", partitions = 8)
+    val src = docs.select(col("doc_id"), col("source"))
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    def schemeRow(label: DataFrame, name: String, within: DataFrame) = {
+      // label: (id, part); within: one row (we BIGINT)
+      val d2 = deg.join(label, Seq("id"))
+        .groupBy("part").agg(sum("deg").as("dp"))
+        .agg(count(lit(1)).as("n_parts"), sum(expr("dp * dp")).as("d2"))
+      within.crossJoin(broadcast(d2))
+        .select(lit(name).as("scheme"), lit(m).as("n_edges"),
+          col("n_parts"), col("we").as("within_edges"),
+          expr(s"(1000000 * (4 * $m * we - d2)) div (4 * $m * $m)")
+            .as("modularity_micro"))
+    }
+    val compLabel = comp.select(col("id"), col("comp").as("part"))
+    val compWithin = pairs.agg(count(lit(1)).as("we"))
+    val srcLabel = src.select(col("doc_id").as("id"), col("source").as("part"))
+    val sa = src.toDF("doc_a", "src_a")
+    val sb = src.toDF("doc_b", "src_b")
+    val srcWithin = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .agg(sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L))
+        .as("we"))
+    val out = schemeRow(compLabel, "component", compWithin)
+      .unionByName(schemeRow(srcLabel, "source", srcWithin))
+      .orderBy("scheme")
+    val result = out.localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    minhash.release()
+    result
+  }
+
+  val dedupModularitySql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${PipelineQueries.dedupMinhashSql}
+       |),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |m AS (SELECT count(*)::BIGINT AS m FROM pairs),
+       |deg AS (SELECT a AS id, count(*)::BIGINT AS deg FROM und GROUP BY a),
+       |compd AS (
+       |  SELECT count(*)::BIGINT AS n_parts, sum(dp * dp)::BIGINT AS d2
+       |  FROM (SELECT c.comp, sum(d.deg)::BIGINT AS dp
+       |        FROM deg d JOIN comp c USING (id) GROUP BY c.comp)),
+       |srcd AS (
+       |  SELECT count(*)::BIGINT AS n_parts, sum(dp * dp)::BIGINT AS d2
+       |  FROM (SELECT s.source, sum(d.deg)::BIGINT AS dp
+       |        FROM deg d JOIN documents s ON s.doc_id = d.id
+       |        GROUP BY s.source)),
+       |srcw AS (
+       |  SELECT sum(CASE WHEN sa.source = sb.source THEN 1 ELSE 0 END
+       |    )::BIGINT AS we
+       |  FROM pairs p
+       |  JOIN documents sa ON sa.doc_id = p.doc_a
+       |  JOIN documents sb ON sb.doc_id = p.doc_b)
+       |SELECT * FROM (
+       |  SELECT 'component' AS scheme, m.m AS n_edges, compd.n_parts,
+       |    m.m AS within_edges,
+       |    ((1000000 * (4 * m.m * m.m - compd.d2)) // (4 * m.m * m.m)
+       |      )::BIGINT AS modularity_micro
+       |  FROM m, compd
+       |  UNION ALL
+       |  SELECT 'source' AS scheme, m.m AS n_edges, srcd.n_parts,
+       |    srcw.we AS within_edges,
+       |    ((1000000 * (4 * m.m * srcw.we - srcd.d2)) // (4 * m.m * m.m)
+       |      )::BIGINT AS modularity_micro
+       |  FROM m, srcd, srcw)
+       |ORDER BY scheme""".stripMargin
+
+  // ---- q267: stream-stream LEFT OUTER join ------------------------------
+
+  /** Far-future offset (micros) of the watermark-flush sentinel rows the
+    * staged stream copy appends past the real data: 30 days, far beyond
+    * the 1-minute watermark delay plus the 24 h join window. */
+  val OuterFlushUs: Long = 30L * 86400000000L
+
+  /** Staged copy of the events table with one sentinel 'click' and one
+    * sentinel 'purchase' row (user_id = -1) [[OuterFlushUs]] past the
+    * real max event time, written once per (dir, source-file
+    * fingerprint) under java.io.tmpdir — same write-once discipline as
+    * the q47 partitioned layout. The sentinels exist ONLY to advance
+    * both sides' event-time watermarks past every real row when a
+    * FINITE replay ends, so the outer join's null-padded results all
+    * flush before the query stops; a production stream never needs
+    * them (new data keeps the watermark moving — this is the standard
+    * finite-replay trick, not an engine workaround). */
+  private def ensureOuterStreamEvents(
+      spark: SparkSession, dir: String): String = synchronized {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.length}:${src.lastModified}"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_outer_events_$tag"
+    if (!new java.io.File(path, "_SUCCESS").exists) {
+      val ev = eventsTsUs(spark, dir)
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+      val maxTs = ev.agg(max("ts_us")).head.getLong(0)
+      val sentinels = spark.range(2).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + OuterFlushUs).as("ts_us"),
+        lit(-1L).as("user_id"),
+        when(col("id") === 0L, "click").otherwise("purchase")
+          .as("event_type"),
+        lit(0d).as("value"))
+      ev.unionByName(sentinels).coalesce(1).write.mode("overwrite")
+        .parquet(path)
+    }
+    path
+  }
+
+  /** The q46 attribution join with LEFT OUTER semantics — every
+    * purchase emits, null-padded when the trailing 24 h held no click.
+    * This is the genuinely different streaming capability: an inner
+    * stream-stream join emits matches as they arrive, but an outer join
+    * must PROVE the absence of a match before it can emit the null row,
+    * and the only sound proof is watermark passage — a purchase at t
+    * flushes null-padded once the click side's watermark passes t (no
+    * click with c_ts ≤ t can still arrive). State stays bounded by
+    * (watermark delay + 24 h) of rows per side, identical to q46; the
+    * outer rows ride the same eviction that cleans that state.
+    *
+    * Determinism on a finite replay: the staged source appends
+    * [[ensureOuterStreamEvents]]'s sentinel rows so the final watermark
+    * provably passes every real purchase — without them, purchases in
+    * the last (delay) of the stream would sit in state forever and the
+    * result would depend on where the replay happened to end. With
+    * them, the stream result equals the batch LEFT JOIN exactly, which
+    * is what the oracle runs. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+    val staged = ensureOuterStreamEvents(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    def src = spark.readStream.schema(schema).parquet(staged)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_ts").as("p_ts"), col("event_id"))
+      .withWatermark("p_ts", "1 minute")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", "1 minute")
+    val pairs = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+    try spark.catalog.dropTempView("stream_outer_join_result")
+    catch { case _: Throwable => () }
+    val q = pairs
+      .select(col("user_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
+        col("event_id"), unix_micros(col("c_ts")).as("click_ts_us"),
+        col("click_value"))
+      .writeStream.format("memory").queryName("stream_outer_join_result")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    // (user_id, ts) is unique per side → total order; sentinel rows out
+    spark.table("stream_outer_join_result")
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("purchase_ts_us"),
+        col("click_ts_us").asc_nulls_first)
+    }
+
+  val streamOuterJoinSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS purchase_ts_us, event_id
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS click_ts_us, value AS click_value
+       |  FROM events WHERE event_type = 'click')
+       |SELECT p.user_id AS user_id, p.purchase_ts_us, p.event_id,
+       |       c.click_ts_us, c.click_value
+       |FROM p LEFT JOIN c ON p.user_id = c.user_id
+       |  AND c.click_ts_us > p.purchase_ts_us - $RangeWindowUs
+       |  AND c.click_ts_us <= p.purchase_ts_us
+       |ORDER BY user_id, purchase_ts_us, click_ts_us NULLS FIRST""".stripMargin
 }
