@@ -1423,6 +1423,165 @@ object CleaningQueries {
        |FROM agg""".stripMargin
   }
 
+  // ---- q279: Burrows' Delta stylometric distance ----------------------------
+
+  /** WHOSE VOICE is each feed writing in? — Burrows' Delta (Burrows
+    * 2002), the standard stylometric distance attribution studies run
+    * on function-word profiles: per source, the micro-rate of each of
+    * the [[graft.text.TextStats.stopwords]] function words (content
+    * words track topic; function words track STYLE — generator,
+    * template, translator); per word, a z-score across sources; per
+    * source pair, the mean absolute z-difference. Two feeds with
+    * near-zero Delta share a writing process (same scraper template,
+    * same generating model) even when their CONTENT differs — the
+    * complement of q272, which sees shared content but not shared
+    * style.
+    *
+    * Integer discipline: rates in floor micro (ppm of the source's
+    * tokens, complete source×word grid so absences read 0); the
+    * z-score folds the mean into one signed ratio
+    * `z_milli = 1000·(G·f − Σf) div ⌊√(G·Σf² − (Σf)²)⌋` — the
+    * variance radicand is ≤ G²·10¹² < 2⁵², inside the q261
+    * floor-sqrt determinism bound; both engines truncate the signed
+    * division identically (DivSemanticsSpec). Delta is the floor
+    * milli mean of |z_a − z_b| over the fixed word list.
+    *
+    * Scale shape: one token scan (map-side combined counts); the grid,
+    * stats, and G²·W/2 pair table are all bounded by feeds × the
+    * 20-word list, never the corpus. */
+  def stylometricDelta(spark: SparkSession, dir: String): DataFrame = {
+    val stop = graft.text.TextStats.stopwords
+    val toks = table(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    val counts = toks.filter(col("w").isin(stop: _*))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val grid = totals
+      .select(col("source"), col("n"),
+        explode(array(stop.map(lit): _*)).as("w"))
+    val f = grid.join(counts, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("source"), col("w"),
+        expr("(1000000 * c) div n").as("f"))
+    val stats = f.groupBy("w").agg(sum("f").as("sf"),
+      sum(expr("f * f")).as("sff"), count(lit(1)).as("g"))
+    val z = f.join(broadcast(stats), Seq("w"))
+      .select(col("source"), col("w"),
+        expr("""(1000 * (g * f - sf)) div greatest(
+                cast(floor(sqrt(cast(g * sff - sf * sf as double)))
+                     as bigint), 1)""").as("z"))
+    val za = z.toDF("src_a", "w", "z_a")
+    val zb = z.toDF("src_b", "w2", "z_b")
+    za.join(zb, col("w") === col("w2") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(abs(col("z_a") - col("z_b"))).as("zdiff_sum"),
+        count(lit(1)).as("n_words"))
+      .select(col("src_a"), col("src_b"), col("n_words"),
+        expr("zdiff_sum div n_words").as("delta_milli"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val stylometricDeltaSql: String = {
+    val stop = graft.text.TextStats.stopwords
+    val words = stop.map(s => s"('$s')").mkString(", ")
+    val inList = stop.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split_regex(lower(trim(text)),
+       |    '\\s+')) AS w
+       |  FROM documents),
+       |totals AS (SELECT source, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+       |counts AS (
+       |  SELECT source, w, count(*)::BIGINT AS c FROM toks
+       |  WHERE w IN ($inList) GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT t.source, t.n, v.w
+       |  FROM totals t, (VALUES $words) v(w)),
+       |f AS (
+       |  SELECT g.source, g.w,
+       |    ((1000000 * coalesce(c.c, 0)) // g.n)::BIGINT AS f
+       |  FROM grid g LEFT JOIN counts c USING (source, w)),
+       |stats AS (
+       |  SELECT w, sum(f)::BIGINT AS sf, sum(f * f)::BIGINT AS sff,
+       |    count(*)::BIGINT AS g
+       |  FROM f GROUP BY 1),
+       |z AS (
+       |  SELECT f.source, f.w,
+       |    ((1000 * (s.g * f.f - s.sf)) // greatest(
+       |      floor(sqrt((s.g * s.sff - s.sf * s.sf)::DOUBLE))::BIGINT, 1)
+       |     )::BIGINT AS z
+       |  FROM f JOIN stats s USING (w))
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*)::BIGINT AS n_words,
+       |  (sum(abs(a.z - b.z)) // count(*))::BIGINT AS delta_milli
+       |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ---- q278: TextRank keyword extraction -----------------------------------
+
+  val TextRankIterations = 3
+  val TextRankTopK = 20
+
+  /** WHICH words hold the corpus together? — TextRank (Mihalcea &
+    * Tarau 2004): PageRank run over the word CO-OCCURRENCE graph
+    * (adjacent-token pairs, window 2, symmetrized, self-loops dropped)
+    * instead of a link graph — the unsupervised keyword extractor
+    * under every "top terms" card that wants more than raw frequency
+    * (a word ranks high when it neighbors OTHER well-connected words,
+    * not merely when it repeats; q44's TF-IDF scores documents'
+    * distinctive terms — this scores the corpus' structural ones).
+    * Reuses [[graft.operators.PageRank]] verbatim — the operator is
+    * key-type-agnostic, so word strings ride as node ids (a 100 TB
+    * run would dictionary-encode them first, like q111 packs longs;
+    * the vocabulary-sized graph here makes strings the honest
+    * choice). Integer-exact per the operator contract; top-K is
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: one corpus scan → distinct co-occurrence pairs
+    * (bounded by VOCABULARY², map-side combined); per-iteration
+    * shuffles are vocabulary-sized, never corpus-sized. */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val bg = graft.text.NgramLM
+      .bigrams(table(spark, dir, "documents"), "doc_id", "text")
+      .filter(col("w1") =!= col("w2"))
+      .select("w1", "w2").distinct()
+    val arcs = bg
+      .select(explode(array(
+        struct(col("w1").as("src"), col("w2").as("dst")),
+        struct(col("w2").as("src"), col("w1").as("dst")))).as("e"))
+      .select("e.src", "e.dst").distinct()
+    graft.operators.PageRank.run(arcs, TextRankIterations)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(TextRankTopK)
+      .select(col("node").as("word"), col("rank"))
+  }
+
+  val textrankKeywordsSql: String = {
+    import graft.operators.PageRank
+    val it = (p: String) => PageRank.iterationSql(p)
+    s"""WITH bg AS (
+       |  SELECT DISTINCT a[i] AS w1, a[i + 1] AS w2
+       |  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS a
+       |        FROM documents) t,
+       |  unnest(generate_series(1, len(a) - 1)) AS s(i)
+       |  WHERE a[i] <> a[i + 1]),
+       |e0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT w1 AS src, w2 AS dst FROM bg
+       |    UNION ALL SELECT w2, w1 FROM bg)),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+       |n AS (SELECT DISTINCT src AS node FROM e0),
+       |r0 AS (SELECT node, ${PageRank.RankUnit}::BIGINT AS rank FROM n),
+       |r1 AS (${it("r0")}),
+       |r2 AS (${it("r1")}),
+       |r3 AS (${it("r2")})
+       |SELECT node AS word, rank FROM r3
+       |ORDER BY rank DESC, word LIMIT $TextRankTopK""".stripMargin
+  }
+
   // ---- q266: vocabulary growth curve -------------------------------------
 
   /** Number of equal doc-id slices the growth curve is measured over. */

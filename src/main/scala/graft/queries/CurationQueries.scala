@@ -1099,6 +1099,111 @@ object CurationQueries {
        |                     THEN 1 ELSE 0 END)::BIGINT AS alloc
        |FROM ranked ORDER BY source""".stripMargin
 
+  // ---- q276: RFM customer segmentation ------------------------------------
+
+  /** Quintile buckets per RFM axis. */
+  val RfmBuckets = 5L
+
+  /** The classic warehouse segmentation every CRM/lifecycle team runs
+    * — each customer scored 1..5 on Recency (days since last order,
+    * most recent = 5), Frequency (order count, most = 5) and Monetary
+    * (lifetime cents, most = 5) by exact GLOBAL RANK quintiles with a
+    * custkey tie-break, then the 125-cell segment table: population,
+    * exact revenue, and floor per-mille revenue share per (r, f, m)
+    * cell. The "champions" cell (5,5,5) funding share vs the
+    * "hibernating" (1,1,1) cell is the lifecycle dashboard headline;
+    * pointed at (doc freshness, crawl count, token mass) the same
+    * operator stratifies a corpus.
+    *
+    * Scale discipline: rank-based quintiles are the canonical
+    * single-partition-window trap — all three ranks run through
+    * [[graft.operators.PrefixSum]] (q257's two-phase bucket scan) on
+    * a unique int64 total order per axis (`metric·(maxKey+1) + cust`,
+    * direction folded into the metric term). Scores are then pure
+    * arithmetic on the rank; the segment table is a 125-row
+    * aggregate. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "orders")
+      .groupBy(col("o_custkey").cast("long").as("cust"))
+      .agg(max(expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * lit(100d)).cast("long"))
+          .as("cents"))
+    val mx = per.agg(max("last_day"), max("cust"), count(lit(1)),
+      max("freq"), max("cents"), sum("cents"), min("last_day")).head()
+    val (maxDay, maxK, n) = (mx.getLong(0), mx.getLong(1), mx.getLong(2))
+    val (maxF, maxC, total) = (mx.getLong(3), mx.getLong(4), mx.getLong(5))
+    val minDay = mx.getLong(6)
+    val kf = maxK + 1
+    // ord ascending = better: recency (smaller gap first), frequency /
+    // monetary (larger first); rank 1 = best → score 5. Bucket widths
+    // derive from ord upper bounds already in hand (freq ≥ 1,
+    // cents ≥ 0) — no extra jobs beyond PrefixSum's own bucket scans.
+    val base = per
+      .withColumn("ord_r", (lit(maxDay) - col("last_day")) * kf + col("cust"))
+      .withColumn("ord_f", (lit(maxF) - col("freq")) * kf + col("cust"))
+      .withColumn("ord_m", (lit(maxC) - col("cents")) * kf + col("cust"))
+      .withColumn("one", lit(1L))
+    def rank(df: DataFrame, ordCol: String, ordMax: Long, out: String) = {
+      val width = ordMax / 1024L + 1L
+      graft.operators.PrefixSum.withPrefixSum(
+        df, ordCol, "one", expr(s"$ordCol div ${width}L"), out,
+        s"pre_$out")
+    }
+    val ranked = rank(rank(rank(
+      base, "ord_r", (maxDay - minDay) * kf + maxK, "rnk_r"),
+      "ord_f", (maxF - 1) * kf + maxK, "rnk_f"),
+      "ord_m", maxC * kf + maxK, "rnk_m")
+    ranked
+      .select(col("cust"), col("cents"),
+        (lit(RfmBuckets) - expr(s"((rnk_r - 1) * $RfmBuckets) div ${n}L"))
+          .as("r_score"),
+        (lit(RfmBuckets) - expr(s"((rnk_f - 1) * $RfmBuckets) div ${n}L"))
+          .as("f_score"),
+        (lit(RfmBuckets) - expr(s"((rnk_m - 1) * $RfmBuckets) div ${n}L"))
+          .as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("revenue_cents"))
+      .withColumn("revenue_share_pm",
+        expr(s"(1000 * revenue_cents) div ${total}L"))
+      .orderBy(col("r_score").desc, col("f_score").desc,
+        col("m_score").desc)
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey::BIGINT AS cust,
+       |    max(epoch_us(o_orderdate::TIMESTAMP) // 86400000000)
+       |      ::BIGINT AS last_day,
+       |    count(*)::BIGINT AS freq,
+       |    sum(floor(o_totalprice * 100)::BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS tot
+       |      FROM per),
+       |ranked AS (
+       |  SELECT cust, cents,
+       |    row_number() OVER (ORDER BY last_day DESC, cust) AS rnk_r,
+       |    row_number() OVER (ORDER BY freq DESC, cust) AS rnk_f,
+       |    row_number() OVER (ORDER BY cents DESC, cust) AS rnk_m
+       |  FROM per),
+       |scored AS (
+       |  SELECT cents,
+       |    $RfmBuckets - (((rnk_r - 1) * $RfmBuckets) // n) AS r_score,
+       |    $RfmBuckets - (((rnk_f - 1) * $RfmBuckets) // n) AS f_score,
+       |    $RfmBuckets - (((rnk_m - 1) * $RfmBuckets) // n) AS m_score
+       |  FROM ranked, t)
+       |SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       |  m_score::BIGINT AS m_score,
+       |  count(*)::BIGINT AS n_customers,
+       |  sum(cents)::BIGINT AS revenue_cents,
+       |  ((1000 * sum(cents)) // (SELECT tot FROM t))::BIGINT
+       |    AS revenue_share_pm
+       |FROM scored GROUP BY 1, 2, 3
+       |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin
+
   // ---- q257: Lorenz/Pareto revenue deciles -------------------------------
 
   /** The 80/20 question, answered exactly: the Lorenz decile table of

@@ -981,4 +981,120 @@ object ExtendedQueries {
        |JOIN customer ON cust = c_custkey
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q275: blocking-quality audit for record linkage --------------------
+
+  /** Which BLOCKING key should the q190 linkage run on? — the
+    * decision table every entity-resolution deployment builds before
+    * paying candidate generation: for each candidate key, the
+    * reduction ratio (how much of the n_a·n_b cross product the key
+    * avoids) against pairs completeness (what share of the TRUE
+    * matches survive into the candidate set — a key that's too strict
+    * blocks the very typos linkage exists to catch). Keys audited on
+    * the q190 fixture (same perturbed re-extract, regenerated
+    * identically by the oracle): `name17` — q190's production choice,
+    * drops the rotated last digit; `name_full` — too strict, loses
+    * every %5-perturbed name (completeness provably < 1000);
+    * `segment` — too coarse, near-zero reduction (and loses the
+    * re-segmented %11 cohort). The table shows exactly why name17
+    * wins on BOTH axes that matter.
+    *
+    * Everything from per-side value counts — candidates
+    * `Σ_v cntA(v)·cntB(v)` and the largest block come from two
+    * bounded aggregates, and completeness compares each entity's two
+    * derived keys row-locally; the n_a·n_b cross product is never
+    * materialized (that being the point of blocking). Floor per-mille
+    * integers throughout. */
+  def blockingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "customer").select(
+      col("c_custkey").as("key"), col("c_name").as("name"),
+      col("c_mktsegment").as("seg"))
+    val b = base.select(col("key"),
+      when(col("key") % 5 === 1,
+        expr("concat(substring(name, 1, length(name)-1), " +
+          "cast((cast(substring(name, length(name), 1) as int) + 1) % 10" +
+          " as string))"))
+        .otherwise(col("name")).as("name"),
+      when(col("key") % 11 === 3, lit("REEXTRACT"))
+        .otherwise(col("seg")).as("seg"))
+    def keyExpr(df: DataFrame, k: String) = k match {
+      case "name17" => substring(df("name"), 1, 17)
+      case "name_full" => df("name")
+      case "segment" => df("seg")
+    }
+    def audit(k: String): DataFrame = {
+      val ca = base.select(keyExpr(base, k).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("na"))
+      val cb = b.select(keyExpr(b, k).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("nb"))
+      val cand = ca.join(cb, Seq("v"))
+        .agg(coalesce(sum(expr("na * nb")), lit(0L)).as("candidates"),
+          coalesce(max(expr("na * nb")), lit(0L)).as("max_block"),
+          count(lit(1)).as("n_blocks"))
+      val tot = base.agg(count(lit(1)).as("n"))
+      val found = base.select(col("key"), keyExpr(base, k).as("ka"))
+        .join(b.select(col("key"), keyExpr(b, k).as("kb")), Seq("key"))
+        .agg(sum(when(col("ka") === col("kb"), 1L).otherwise(0L))
+          .as("true_found"))
+      cand.crossJoin(broadcast(tot)).crossJoin(broadcast(found))
+        .select(lit(k).as("block_key"), col("n_blocks"), col("candidates"),
+          col("max_block"),
+          expr("1000 - (1000 * candidates) div (n * n)")
+            .as("reduction_pm"),
+          col("true_found"),
+          expr("(1000 * true_found) div n").as("completeness_pm"))
+    }
+    audit("name17").unionByName(audit("name_full"))
+      .unionByName(audit("segment"))
+      .orderBy("block_key")
+  }
+
+  val blockingAuditSql: String = {
+    // kf renders the key expression against a table prefix ("" inside
+    // a per-side subquery, "base."/"b." in the joined completeness
+    // scan) — one definition per key, no string surgery.
+    def one(kf: String => String, label: String) = {
+      val blocks =
+        s"""(SELECT $${AGG} FROM
+           |     (SELECT ${kf("")} AS v, count(*)::BIGINT AS na
+           |      FROM base GROUP BY 1) x
+           |     JOIN (SELECT ${kf("")} AS v, count(*)::BIGINT AS nb
+           |      FROM b GROUP BY 1) y USING (v))""".stripMargin
+      def agg(a: String) = blocks.replace("$" + "{AGG}", a)
+      val found =
+        s"""(SELECT sum(CASE WHEN ${kf("base.")} = ${kf("b.")}
+           |     THEN 1 ELSE 0 END) FROM base JOIN b USING (key))"""
+          .stripMargin
+      s"""SELECT '$label' AS block_key,
+         |  ${agg("count(*)")}::BIGINT AS n_blocks,
+         |  coalesce(${agg("sum(x.na * y.nb)")}, 0)::BIGINT AS candidates,
+         |  coalesce(${agg("max(x.na * y.nb)")}, 0)::BIGINT AS max_block,
+         |  (1000 - (1000 * coalesce(${agg("sum(x.na * y.nb)")}, 0))
+         |    // ((SELECT count(*) FROM base) * (SELECT count(*) FROM base))
+         |   )::BIGINT AS reduction_pm,
+         |  $found::BIGINT AS true_found,
+         |  ((1000 * $found) // (SELECT count(*) FROM base))::BIGINT
+         |    AS completeness_pm""".stripMargin
+    }
+    val name17 = (p: String) => s"substr(${p}name, 1, 17)"
+    val nameFull = (p: String) => s"${p}name"
+    val segment = (p: String) => s"${p}seg"
+    s"""WITH base AS (
+       |  SELECT c_custkey AS key, c_name AS name, c_mktsegment AS seg
+       |  FROM customer),
+       |b AS (
+       |  SELECT key,
+       |    CASE WHEN key % 5 = 1 THEN substr(name, 1, length(name)-1) ||
+       |      ((substr(name, length(name), 1)::INT + 1) % 10)::VARCHAR
+       |      ELSE name END AS name,
+       |    CASE WHEN key % 11 = 3 THEN 'REEXTRACT' ELSE seg END AS seg
+       |  FROM base)
+       |SELECT * FROM (
+       |${one(name17, "name17")}
+       |UNION ALL
+       |${one(nameFull, "name_full")}
+       |UNION ALL
+       |${one(segment, "segment")})
+       |ORDER BY block_key""".stripMargin
+  }
 }

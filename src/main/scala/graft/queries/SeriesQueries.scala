@@ -1396,4 +1396,100 @@ object SeriesQueries {
        |  q_cum_milli > ($crit) AS white_noise_rejected
        |FROM q ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- q277: Nelson-Aalen conversion hazard --------------------------------
+
+  /** HOW LONG until a signed-up user converts — and does the risk
+    * concentrate early or drip? The survival-analysis question every
+    * funnel table (q91) flattens away, answered with the Nelson-Aalen
+    * cumulative-hazard estimator — chosen over Kaplan-Meier
+    * deliberately: KM is a cumulative PRODUCT (not integer-expressible
+    * without logs), NA is a cumulative SUM `H(t) = Σ_{t_i ≤ t}
+    * d_i/n_i`, which stays in exact integer micro units. Cohort: users
+    * whose first `signup` event is their entry; death = first
+    * `purchase` on or after entry; survivors are right-CENSORED at the
+    * corpus horizon (the estimator's whole point — dropping them would
+    * bias risk upward). Per conversion day: the risk set, deaths,
+    * micro hazard `(10⁶·d_t) div n_t`, and the running cumulative
+    * hazard (term-wise floor — deterministic in both engines,
+    * documented like every micro sum here).
+    *
+    * Scale shape: one events scan → per-user (entry, death) via
+    * conditional aggregation; durations collapse to ≤ horizon-days
+    * rows; risk sets come from one cumulative window over that
+    * bounded table. */
+  def conversionHazard(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_us div 86400000000").as("day"))
+    val horizon = ev.agg(max("day")).head.getLong(0)
+    val entries = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("entry"))
+    // first purchase ON OR AFTER entry — a purchase predating signup
+    // must not convert the user (hence the entry join, not a bare
+    // per-user min over all purchases)
+    val deaths = ev.filter(col("event_type") === "purchase")
+      .join(entries, Seq("user_id"))
+      .filter(col("day") >= col("entry"))
+      .groupBy("user_id").agg(min("day").as("purch"))
+    val per = entries.join(deaths, Seq("user_id"), "left")
+      .select(
+        coalesce(col("purch") - col("entry"),
+          lit(horizon) - col("entry")).as("dur"),
+        col("purch").isNotNull.as("converted"))
+    val durs = per.groupBy("dur")
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("deaths"))
+    val w = Window.orderBy("dur")
+    durs
+      .withColumn("n_at_risk",
+        sum("n_all").over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .withColumn("hazard_micro",
+        expr("(1000000 * deaths) div n_at_risk"))
+      .withColumn("cum_hazard_micro",
+        sum("hazard_micro").over(w))
+      .filter(col("deaths") > 0)
+      .select(col("dur").as("day"), col("n_at_risk"), col("deaths"),
+        col("hazard_micro"), col("cum_hazard_micro"))
+      .orderBy("day")
+  }
+
+  val conversionHazardSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+       |  FROM events),
+       |h AS (SELECT max(day)::BIGINT AS horizon FROM ev),
+       |entries AS (
+       |  SELECT user_id, min(day) AS entry FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |deaths AS (
+       |  SELECT e.user_id, min(e.day) AS purch
+       |  FROM ev e JOIN entries n USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.day >= n.entry
+       |  GROUP BY 1),
+       |per AS (
+       |  SELECT coalesce(d.purch - n.entry, horizon - n.entry) AS dur,
+       |    d.purch IS NOT NULL AS converted
+       |  FROM entries n LEFT JOIN deaths d USING (user_id), h),
+       |durs AS (
+       |  SELECT dur, count(*)::BIGINT AS n_all,
+       |    sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS deaths
+       |  FROM per GROUP BY 1),
+       |risk AS (
+       |  SELECT dur, deaths,
+       |    sum(n_all) OVER (ORDER BY dur
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      ::BIGINT AS n_at_risk
+       |  FROM durs),
+       |hz AS (
+       |  SELECT dur, n_at_risk, deaths,
+       |    ((1000000 * deaths) // n_at_risk)::BIGINT AS hazard_micro,
+       |    sum((1000000 * deaths) // n_at_risk) OVER (ORDER BY dur)
+       |      ::BIGINT AS cum_hazard_micro
+       |  FROM risk)
+       |SELECT dur AS day, n_at_risk, deaths, hazard_micro,
+       |  cum_hazard_micro
+       |FROM hz WHERE deaths > 0 ORDER BY day""".stripMargin
 }
