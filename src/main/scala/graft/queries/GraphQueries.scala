@@ -893,6 +893,93 @@ object GraphQueries {
       .orderBy(col("role"), col("score").desc, col("node"))
   }
 
+  // ---- q282: Weisfeiler-Lehman color refinement --------------------------
+
+  val WlRounds = 2
+
+  /** How much STRUCTURAL variety does the graph actually have? — 1-WL
+    * color refinement (Weisfeiler & Leman 1968; the graph-isomorphism
+    * primitive under graph kernels and the expressiveness ceiling of
+    * message-passing GNNs): nodes start colored by degree, and each
+    * round recolors every node by hashing (own color, SORTED multiset
+    * of neighbor colors). The published table is the refinement
+    * PROGRESS — per round, how many color classes exist, the largest
+    * class, and how many nodes are already structurally unique
+    * (singletons). Classes can only SPLIT round over round; a graph
+    * whose class count saturates immediately is structurally bland
+    * (near-regular), one that shatters to singletons carries strong
+    * positional signal — the audit a GNN-feature or graph-dedup
+    * pipeline reads before trusting WL-hash features.
+    *
+    * Determinism: colors are md5 hex strings of
+    * `own:neighbor,neighbor,…` with neighbors sorted — identical in
+    * both engines (the multiset is per-EDGE, so parallel arcs count
+    * twice; this graph is simple). Scale shape: each round is one
+    * edges⋈colors join (|E| rows, colors broadcast at bench sizes /
+    * co-partitioned at scale) + a per-node sorted-list aggregate —
+    * |V|-row tables shuffle, like every iterated graph operator
+    * here. */
+  def wlRefinement(spark: SparkSession, dir: String): DataFrame = {
+    val arcs = purchaseArcs(spark, dir).persist()
+    var colors = arcs.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("node"), col("deg").cast("string").as("color"))
+    def summary(round: Int, c: DataFrame) = c
+      .groupBy("color").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_classes"), max("sz").as("max_class_size"),
+        sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum("sz").as("n_nodes"))
+      .select(lit(round.toLong).as("round"), col("n_nodes"),
+        col("n_classes"), col("max_class_size"), col("n_singletons"))
+    var out = summary(0, colors)
+    for (r <- 1 to WlRounds) {
+      val nb = arcs.join(colors, col("dst") === col("node"))
+        .select(col("src"), col("color").as("ncolor"))
+        .groupBy("src")
+        .agg(sort_array(collect_list("ncolor")).as("ns"))
+      colors = nb.join(colors, col("src") === col("node"))
+        .select(col("src").as("node"),
+          md5(concat(col("color"), lit(":"),
+            concat_ws(",", col("ns")))).as("color"))
+      out = out.unionByName(summary(r, colors))
+    }
+    val result = out.orderBy("round").localCheckpoint(true)
+    arcs.unpersist(blocking = false)
+    result
+  }
+
+  val wlRefinementSql: String = {
+    def refine(prev: String, next: String) =
+      s"""$next AS (
+         |  SELECT e0.src AS node,
+         |    md5(c.color || ':' ||
+         |      array_to_string(list_sort(list(cn.color)), ',')) AS color
+         |  FROM e0
+         |  JOIN $prev cn ON cn.node = e0.dst
+         |  JOIN $prev c ON c.node = e0.src
+         |  GROUP BY e0.src, c.color)""".stripMargin
+    def summary(round: Int, c: String) =
+      s"""SELECT $round::BIGINT AS round, sum(sz)::BIGINT AS n_nodes,
+         |  count(*)::BIGINT AS n_classes,
+         |  max(sz)::BIGINT AS max_class_size,
+         |  sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons
+         |FROM (SELECT color, count(*)::BIGINT AS sz FROM $c GROUP BY 1)"""
+        .stripMargin
+    s"""WITH $arcsCtePrefix,
+       |c0 AS (
+       |  SELECT src AS node, count(*)::VARCHAR AS color
+       |  FROM e0 GROUP BY src),
+       |${refine("c0", "c1")},
+       |${refine("c1", "c2")}
+       |SELECT * FROM (
+       |${summary(0, "c0")}
+       |UNION ALL
+       |${summary(1, "c1")}
+       |UNION ALL
+       |${summary(2, "c2")})
+       |ORDER BY round""".stripMargin
+  }
+
   val hitsRankingSql: String = {
     import graft.operators.Hits
     s"""WITH e AS (

@@ -1216,6 +1216,112 @@ object PipelineQueries {
        |FROM cum""".stripMargin
   }
 
+  // ---- q280: isotonic calibration of the quality score ----------------
+
+  /** Calibration bins over the micro quality score (score ≤ 10⁶ →
+    * bin = min(s div 15625, 63)). */
+  val IsoBins = 64
+  private val IsoBinWidth = 1000000L / IsoBins
+
+  /** TURN the quality score into a probability — isotonic regression
+    * (PAV) of P(near-dup | quality) over score bins: q240 proves the
+    * score RANKS dup risk (AUC), q170 AUDITS a calibration; this FITS
+    * one — the monotone step function every "score ≥ τ ⇒ keep"
+    * threshold decision implicitly assumes, made explicit. Computed
+    * via the minimax characterization
+    * `iso(i) = max_{j≤i} min_{k≥i} mean(j..k)` over the binned
+    * (n, positives) table with means milli-quantized FIRST (floor) —
+    * a documented quantized variant that keeps every comparison in
+    * int64 and is bit-identical in both engines; monotonicity holds
+    * for ANY mean matrix under minimax, so the output is always a
+    * valid isotonic fit of the quantized means. Empty bins carry no
+    * anchor (ranges anchor on present bins; their masses are zero in
+    * every prefix difference).
+    *
+    * Scale shape: one detector run + one corpus scan collapse to ≤ 64
+    * (bin, n, pos) rows; the minimax is a bounded triple join
+    * (≤ 64³/2 rows) — constant work after the scan, like every
+    * calibration table. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      MinhashThreshold)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val binned = docs
+      .join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .select(
+        round(TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("s"),
+        coalesce(col("dup"), lit(0L)).as("y"))
+      .select(expr(s"least(s div $IsoBinWidth, ${IsoBins - 1})").as("bin"),
+        col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val w = Window.orderBy("bin")
+    val pre = binned
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cp", sum("pos").over(w))
+    val j = pre.select(col("bin").as("bj"),
+      (col("cn") - col("n")).as("nj0"), (col("cp") - col("pos")).as("pj0"))
+    val k = pre.select(col("bin").as("bk"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val ranges = j.join(k, col("bk") >= col("bj"))
+      .select(col("bj"), col("bk"),
+        expr("(1000 * (cpk - pj0)) div (cnk - nj0)").as("mean_milli"))
+    val iso = ranges
+      .join(binned.select(col("bin").as("i")),
+        col("bj") <= col("i") && col("bk") >= col("i"))
+      .groupBy("i", "bj").agg(min("mean_milli").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_milli"))
+    binned.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(1000 * pos) div n").as("raw_milli"), col("iso_milli"))
+      .orderBy("bin")
+  }
+
+  val isotonicCalibrationSql: String = {
+    import graft.text.TextStats
+    s"""$minhashVerifiedCte,
+       |dups AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM verified
+       |    WHERE jaccard >= $MinhashThreshold
+       |    UNION ALL
+       |    SELECT doc_b FROM verified WHERE jaccard >= $MinhashThreshold)),
+       |binned AS (
+       |  SELECT least(round(${TextStats.qualityScoreSql("text")} * 1e6)
+       |      ::BIGINT // $IsoBinWidth, ${IsoBins - 1}) AS bin,
+       |    count(*)::BIGINT AS n,
+       |    sum(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      ::BIGINT AS pos
+       |  FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
+       |  GROUP BY 1),
+       |pre AS (
+       |  SELECT bin, n, pos,
+       |    sum(n) OVER (ORDER BY bin) AS cn,
+       |    sum(pos) OVER (ORDER BY bin) AS cp
+       |  FROM binned),
+       |ranges AS (
+       |  SELECT j.bin AS bj, k.bin AS bk,
+       |    ((1000 * (k.cp - (j.cp - j.pos)))
+       |      // (k.cn - (j.cn - j.n)))::BIGINT AS mean_milli
+       |  FROM pre j JOIN pre k ON k.bin >= j.bin),
+       |iso AS (
+       |  SELECT i, max(mn)::BIGINT AS iso_milli FROM (
+       |    SELECT b.bin AS i, r.bj, min(r.mean_milli) AS mn
+       |    FROM ranges r JOIN binned b
+       |      ON r.bj <= b.bin AND r.bk >= b.bin
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT b.bin, b.n, b.pos,
+       |  ((1000 * b.pos) // b.n)::BIGINT AS raw_milli, iso.iso_milli
+       |FROM binned b JOIN iso ON iso.i = b.bin
+       |ORDER BY b.bin""".stripMargin
+  }
+
   // ---- q11: SimHash near-dup -----------------------------------------
 
   val SimhashMaxHamming = 3

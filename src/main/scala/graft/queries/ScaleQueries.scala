@@ -3471,6 +3471,89 @@ object ScaleQueries {
         "\n) ORDER BY key_col, partition_id")
   }
 
+  // ---- q281: transformWithState spend milestones ---------------------------
+
+  /** Lifetime-spend milestones (cents) the alert stream fires on. */
+  val MilestoneThresholds = Seq(30000L, 80000L)
+
+  /** Spark 4's `transformWithState` — the arbitrary-stateful-processing
+    * API that supersedes `flatMapGroupsWithState` (typed state handles,
+    * per-state TTL, timers) — driving a per-user LIFETIME spend
+    * accumulator ([[graft.streaming.SpendMilestones]]): one
+    * `ValueState[Long]` per user, one alert row the instant the running
+    * total first crosses each [[MilestoneThresholds]] tier. The state
+    * is one long per user FOREVER (bounded by the user universe, not
+    * stream length) — the shape windowed aggregation cannot express
+    * and the new API exists for.
+    *
+    * Runs on a dedicated child session: `transformWithState` requires
+    * the RocksDB state-store provider, and setting that on the shared
+    * pooled streaming session would silently switch every other
+    * streaming gate's provider mid-round. The batch oracle is the
+    * per-user cumulative sum's first-crossing rows; the replay is one
+    * file → one micro-batch, and the processor sorts each batch's rows
+    * by (ts_us, event_id), so stream ≡ batch exactly. */
+  def streamMilestones(spark: SparkSession, dir: String): DataFrame = {
+    val s = twsSessionPool.computeIfAbsent(spark, { p =>
+      val c = p.newSession()
+      c.conf.set("spark.sql.shuffle.partitions",
+        QueryUtil.StreamStatePartitions.toString)
+      c.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      c
+    })
+    import org.apache.spark.sql.{Encoders => Enc}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{MilestoneHit, SpendEvent, SpendMilestones}
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val ev = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), eventTsUs(schema, "ts").as("ts_us"),
+        col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as(Enc.product[SpendEvent])
+    implicit val hitEnc: org.apache.spark.sql.Encoder[MilestoneHit] =
+      Enc.product[MilestoneHit]
+    val hits = ev.groupByKey(_.user_id)(Enc.scalaLong)
+      .transformWithState(new SpendMilestones(MilestoneThresholds),
+        TimeMode.None(), OutputMode.Append())
+    try s.catalog.dropTempView("stream_milestones_result")
+    catch { case _: Throwable => () }
+    val q = hits.toDF()
+      .writeStream.format("memory").queryName("stream_milestones_result")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table("stream_milestones_result")
+      .orderBy("user_id", "threshold_cents")
+  }
+
+  /** Dedicated `transformWithState` child sessions (RocksDB provider),
+    * pooled per parent like [[QueryUtil.withStreamStatePartitions]]. */
+  private val twsSessionPool =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  val streamMilestonesSql: String = {
+    val ths = MilestoneThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+       |    floor(value * 100)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id, ts_us, cents,
+       |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |      AS cum
+       |  FROM p)
+       |SELECT user_id, t.th::BIGINT AS threshold_cents, ts_us,
+       |  cum AS cum_cents
+       |FROM c, (VALUES $ths) t(th)
+       |WHERE cum >= t.th AND cum - cents < t.th
+       |ORDER BY user_id, threshold_cents""".stripMargin
+  }
+
   // ---- q274: k-means clustering in integer micro space ---------------------
 
   val KmClusters = 8

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 third-batch gates: q280 (isotonic fit — driver minimax
+  * replay + monotonicity), q281 (transformWithState milestones — batch
+  * first-crossing equality + at-most-once), q282 (WL refinement —
+  * driver hash replay + refinement monotonicity). */
+class StateAndStructureSpec extends SparkSpec {
+
+  test("q280: isotonic fit matches a driver minimax replay and is monotone") {
+    val got = PipelineQueries.isotonicCalibration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val bins = got.map(b => (b._1, b._2, b._3)).toSeq
+    // prefix sums over present bins
+    val pre = bins.scanLeft((0L, 0L, 0L)) { case ((_, cn, cp), (b, n, p)) =>
+      (b, cn + n, cp + p) }.tail
+    def mean(j: Int, k: Int): Long = {
+      val (nj0, pj0) = (pre(j)._2 - bins(j)._2, pre(j)._3 - bins(j)._3)
+      1000L * (pre(k)._3 - pj0) / (pre(k)._2 - nj0)
+    }
+    bins.indices.foreach { i =>
+      val exp = (0 to i).map(j => (i until bins.length)
+        .map(k => mean(j, k)).min).max
+      assert(got(i)._5 == exp, s"bin ${bins(i)._1}")
+      assert(got(i)._4 == 1000L * bins(i)._3 / bins(i)._2)
+    }
+    // a valid isotonic fit: non-decreasing in the bin order
+    assert(got.map(_._5).toSeq == got.map(_._5).sorted.toSeq)
+    // the fit actually differs from the raw rates somewhere (PAV pooled)
+    assert(got.exists(r => r._4 != r._5),
+      "raw rates happen to be isotonic — fixture exercises nothing")
+  }
+
+  test("q281: transformWithState milestones equal the batch first-crossings") {
+    val got = ScaleQueries.streamMilestones(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      var c = 0L
+      rows.sortBy(r => (r._2, r._3)).flatMap { r =>
+        val nc = c + r._4
+        val hits = ScaleQueries.MilestoneThresholds
+          .filter(t => c < t && nc >= t)
+          .map(t => (u, t, r._2, nc))
+        c = nc
+        hits
+      }
+    }.sortBy(h => (h._1, h._2))
+    assert(got.toSeq == exp)
+    // at-most-once per (user, tier); crossing row proves the tier
+    assert(got.map(h => (h._1, h._2)).distinct.length == got.length)
+    got.foreach(h => assert(h._4 >= h._2))
+  }
+
+  test("q282: WL refinement matches a driver hash replay; classes only split") {
+    val rows = GraphQueries.wlRefinement(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_._2).distinct.length == 1, "node count conserved")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq,
+      "classes can only split")
+    // exact driver replay of the recursion
+    val arcs = QueryUtil.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .join(QueryUtil.table(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val nbrs = arcs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var color: Map[Long, String] =
+      nbrs.view.mapValues(_.length.toString).toMap
+    def stats(c: Map[Long, String]): (Long, Long, Long) = {
+      val sz = c.values.groupBy(identity).values.map(_.size.toLong)
+      (sz.size.toLong, sz.max, sz.count(_ == 1L).toLong)
+    }
+    var exp = Vector(stats(color))
+    for (_ <- 1 to GraphQueries.WlRounds) {
+      color = nbrs.map { case (v, ns) =>
+        v -> md5hex(color(v) + ":" + ns.map(color).sorted.mkString(","))
+      }
+      exp :+= stats(color)
+    }
+    assert(rows.map(r => (r._3, r._4, r._5)).toSeq == exp)
+  }
+}
