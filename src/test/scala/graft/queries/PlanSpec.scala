@@ -354,4 +354,21 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"queries not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian leak:\n$p")
   }
+
+  test("q276: all three RFM rank windows are bucket-partitioned") {
+    spark.catalog.clearCache()
+    val p = plan("q276_rfm_segments")
+    val windows = "Window \\[".r.findAllIn(p).size
+    val bucketed = "windowspecdefinition\\(__bucket".r.findAllIn(p).size
+    assert(windows >= 3, s"expected the three PrefixSum windows:\n$p")
+    assert(bucketed == windows,
+      s"a rank window lost its __bucket partition spec ($bucketed/$windows):\n$p")
+  }
+
+  test("q274: k-means assigns against broadcast centroids, no cartesian") {
+    spark.catalog.clearCache()
+    val p = plan("q274_kmeans_micro")
+    assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leak:\n$p")
+  }
 }
