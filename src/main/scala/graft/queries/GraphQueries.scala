@@ -547,6 +547,97 @@ object GraphQueries {
        |  ((3000 * n_triangles) // wedges)::BIGINT AS clustering_pm
        |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin
 
+  // ---- q283: local clustering coefficients ----------------------------
+
+  /** WHERE does the cohesion live? — q116 publishes ONE global
+    * clustering number; this publishes the per-node local coefficient
+    * `cc(v) = 2·t(v) / (d(v)·(d(v)−1))` over the same
+    * top-[[TriEdges]] co-purchase backbone, the node-level diagnostic
+    * behind community seeding and role discovery (a high-degree node
+    * with LOW local cc is a broker bridging communities; high cc means
+    * its neighborhood is a clique — complementary to q228's k-core
+    * and q254's assortativity, which read the same graph). Triangles
+    * are enumerated once in canonical orientation (a < b < c via the
+    * q116 three-way join) and credited to all three corners with one
+    * explode; degree-1 nodes publish cc = 0 with their degree visible
+    * (no division blow-up).
+    *
+    * Exact integers: triangle counts and degrees are counts; the
+    * coefficient is floor per-mille. Scale shape: q116's backbone
+    * economics (corpus scan → pair supports → top-E edges), then the
+    * oriented triangle join and two bounded aggregates over the
+    * E-row edge table. */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    val ui = table(spark, dir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val edges = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(TriEdges)
+      .select("a", "b")
+      .persist()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+        .as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val out = deg.join(tri, Seq("v"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col("v").as("node"), col("d").as("degree"),
+        col("t").as("triangles"),
+        when(col("d") >= 2,
+          expr("(2000 * t) div (d * (d - 1))")).otherwise(0L)
+          .as("local_cc_pm"))
+      .orderBy("node")
+    val result = out.localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    result
+  }
+
+  val localClusteringSql: String =
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item
+       |  FROM events
+       |  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |p AS (
+       |  SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n_ab
+       |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p ORDER BY n_ab DESC, a, b LIMIT $TriEdges),
+       |corners AS (
+       |  SELECT e1.a AS v FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |  UNION ALL
+       |  SELECT e1.b FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |  UNION ALL
+       |  SELECT e2.b FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |t AS (SELECT v, count(*)::BIGINT AS t FROM corners GROUP BY v),
+       |deg AS (
+       |  SELECT v, count(*)::BIGINT AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+       |SELECT deg.v AS node, deg.d AS degree,
+       |  coalesce(t.t, 0)::BIGINT AS triangles,
+       |  CASE WHEN deg.d >= 2
+       |       THEN (2000 * coalesce(t.t, 0)) // (deg.d * (deg.d - 1))
+       |       ELSE 0 END::BIGINT AS local_cc_pm
+       |FROM deg LEFT JOIN t USING (v)
+       |ORDER BY node""".stripMargin
+
   // ---- q254: degree assortativity of the co-purchase backbone --------
 
   /** Do HUBS connect to hubs, or to leaves? — degree assortativity,

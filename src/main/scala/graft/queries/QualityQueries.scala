@@ -2260,6 +2260,141 @@ object QualityQueries {
        |ORDER BY g.pos""".stripMargin
   }
 
+  // ---- q284: information-gain feature selection ----------------------------
+
+  /** WHICH cheap features are worth a classifier's budget? — the
+    * feature-selection table every quality/langid model starts from:
+    * per candidate doc feature (length bin, stopword-rate decile,
+    * type-token-ratio decile, symbol-rate decile), the mutual
+    * information with the `lang = 'en'` label in the q239 micronat
+    * contract, the information-gain ratio `MI / H(label)` in floor
+    * per-mille, and the rank. The symbol-rate feature is constant on
+    * this corpus — its MI is EXACTLY zero, which is the point: the
+    * table must demonstrably reject a useless feature, not just score
+    * the good ones.
+    *
+    * Exactness: every feature is an integer bin (floor arithmetic on
+    * counts); each MI is the q239 sum `Σ o·round(10⁶·(ln(o·n) −
+    * ln(r·c)))` with the sign-peel division (near-independence can
+    * quantize a hair below zero). Scale shape: ONE corpus scan
+    * projects all four bins + the label; each feature then collapses
+    * to a ≤ bins×2 cell table — four bounded aggregates, constant
+    * work after the scan. */
+  def featureSelection(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"), lower(trim(col("text"))).as("t"))
+      .select(
+        (col("lang") === "en").as("y"),
+        expr("least(n_chars div 150, 3)").as("len_bin"),
+        expr("""least(((1000 * (length(t) -
+          length(regexp_replace(t, '[a-z ]', '')))) div length(t))
+          div 100, 9)""").as("sym_bin"),
+        split(col("t"), "\\s+").as("w"))
+      .withColumn("ntok", size(col("w")).cast("long"))
+      .withColumn("nstop",
+        size(filter(col("w"), w =>
+          w.isin(graft.text.TextStats.stopwords: _*))).cast("long"))
+      .withColumn("ndist", size(array_distinct(col("w"))).cast("long"))
+      .select(col("y"), col("len_bin"), col("sym_bin"),
+        expr("least(((1000 * nstop) div ntok) div 100, 9)").as("stop_bin"),
+        expr("least(((1000 * ndist) div ntok) div 100, 9)").as("ttr_bin"))
+    val cached = base.persist()
+    val n = cached.count()
+    val hLabel = {
+      val rm = cached.groupBy("y").agg(count(lit(1)).as("r"))
+      rm.select((col("r") *
+          round(lit(1e6) * (log(lit(n.toDouble)) - log(col("r"))))
+            .cast("long")).as("wt"))
+        .agg(sum("wt").as("hnum")).head.getLong(0) / n
+    }
+    def mi(bin: String): DataFrame = {
+      val cells = cached.groupBy(col(bin).as("b"), col("y"))
+        .agg(count(lit(1)).as("o"))
+      val rm = cells.groupBy("b").agg(sum("o").as("r"))
+      val cm = cells.groupBy("y").agg(sum("o").as("c"))
+      cells.join(broadcast(rm), "b").join(broadcast(cm), "y")
+        .select((col("o") *
+          round(lit(1e6) * (log(col("o") * lit(n)) -
+            log(col("r") * col("c")))).cast("long")).as("wt"))
+        .agg(coalesce(sum("wt"), lit(0L)).as("minum"))
+        .select(lit(bin).as("feature"),
+          expr(s"""CASE WHEN minum >= 0 THEN minum div ${n}L
+                   ELSE -((-minum) div ${n}L) END""").as("mi_micronats"))
+    }
+    val all = Seq("len_bin", "stop_bin", "ttr_bin", "sym_bin")
+      .map(mi).reduce(_ unionByName _)
+    val out = all
+      .withColumn("h_label_micronats", lit(hLabel))
+      .withColumn("ig_ratio_pm",
+        expr("""CASE WHEN mi_micronats >= 0
+                THEN (1000 * mi_micronats) div h_label_micronats
+                ELSE -((1000 * -mi_micronats) div h_label_micronats)
+                END"""))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mi_micronats").desc, col("feature"))))
+      .orderBy("rank")
+      .localCheckpoint(true)
+    cached.unpersist(blocking = false)
+    out
+  }
+
+  val featureSelectionSql: String = {
+    val stop = graft.text.TextStats.stopwords.map(s => s"'$s'")
+      .mkString(", ")
+    def miCte(bin: String) =
+      s"""mi_$bin AS (
+         |  SELECT '$bin' AS feature,
+         |    coalesce(sum(o * round(1e6 * (ln(o * n.n) - ln(r.r * c.c)))
+         |      ::BIGINT), 0)::BIGINT AS minum
+         |  FROM (SELECT $bin AS b, y, count(*)::BIGINT AS o
+         |        FROM base GROUP BY 1, 2) cells
+         |  JOIN (SELECT $bin AS b, count(*)::BIGINT AS r
+         |        FROM base GROUP BY 1) r USING (b)
+         |  JOIN (SELECT y, count(*)::BIGINT AS c
+         |        FROM base GROUP BY 1) c USING (y), n)""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT lang = 'en' AS y, n_chars, lower(trim(text)) AS t,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT y,
+       |    least(n_chars // 150, 3) AS len_bin,
+       |    least(((1000 * (length(t) -
+       |      length(regexp_replace(t, '[a-z ]', '', 'g')))) // length(t))
+       |      // 100, 9) AS sym_bin,
+       |    least(((1000 * len(list_filter(w, x -> x IN ($stop))))
+       |      // len(w)) // 100, 9) AS stop_bin,
+       |    least(((1000 * len(list_distinct(w))) // len(w)) // 100, 9)
+       |      AS ttr_bin
+       |  FROM raw),
+       |n AS (SELECT count(*)::BIGINT AS n FROM base),
+       |h AS (
+       |  SELECT (sum(r * round(1e6 * (ln(n.n) - ln(r)))::BIGINT)
+       |    // max(n.n))::BIGINT AS h_label
+       |  FROM (SELECT y, count(*)::BIGINT AS r FROM base GROUP BY 1), n),
+       |${miCte("len_bin")},
+       |${miCte("stop_bin")},
+       |${miCte("ttr_bin")},
+       |${miCte("sym_bin")},
+       |allmi AS (
+       |  SELECT feature,
+       |    (CASE WHEN minum >= 0 THEN minum // n.n
+       |          ELSE -((-minum) // n.n) END)::BIGINT AS mi_micronats
+       |  FROM (SELECT * FROM mi_len_bin UNION ALL SELECT * FROM mi_stop_bin
+       |        UNION ALL SELECT * FROM mi_ttr_bin
+       |        UNION ALL SELECT * FROM mi_sym_bin), n)
+       |SELECT feature, mi_micronats, h.h_label AS h_label_micronats,
+       |  (CASE WHEN mi_micronats >= 0
+       |        THEN (1000 * mi_micronats) // h.h_label
+       |        ELSE -((1000 * -mi_micronats) // h.h_label) END)::BIGINT
+       |    AS ig_ratio_pm,
+       |  row_number() OVER (ORDER BY mi_micronats DESC, feature)::BIGINT
+       |    AS rank
+       |FROM allmi, h
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- q273: Jonckheere-Terpstra ordered-trend test ------------------------
 
   /** Ordered length-bin edges (chars): bins 1..4 are <150, <300,

@@ -100,4 +100,57 @@ class StateAndStructureSpec extends SparkSpec {
     }
     assert(rows.map(r => (r._3, r._4, r._5)).toSeq == exp)
   }
+
+  test("q283: local clustering matches a driver replay and recomposes q116") {
+    val got = GraphQueries.localClustering(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same backbone, rebuilt via q116's own published totals
+    val global = GraphQueries.triangleCount(spark, sfDir).collect().head
+    assert(got.map(_._3).sum == 3 * global.getLong(2),
+      "corner credits must recompose 3x the global triangle count")
+    assert(got.map(_._2).sum == 2 * global.getLong(1),
+      "degree mass must be twice the edge count")
+    assert(got.length == global.getLong(0), "one row per backbone node")
+    got.foreach { case (v, d, t, cc) =>
+      assert(t <= d * (d - 1) / 2, s"node $v exceeds its wedge budget")
+      assert(cc == (if (d >= 2) 2000L * t / (d * (d - 1)) else 0L))
+      assert(cc >= 0 && cc <= 1000)
+    }
+  }
+
+  test("q284: feature selection matches a driver MI replay; dead feature scores zero") {
+    val got = QualityQueries.featureSelection(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.map(_._5).toSeq == Seq(1, 2, 3, 4))
+    assert(got.find(_._1 == "sym_bin").get._2 == 0L,
+      "the constant feature must carry exactly zero information")
+    // driver replay of the stop_bin MI in the q239 micronat contract
+    val stop = graft.text.TextStats.stopwords.toSet
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select(col("lang"), lower(trim(col("text")))).collect()
+      .map(r => (r.getString(0) == "en", r.getString(1).split("\\s+")))
+    val n = docs.length.toLong
+    val cells = docs.map { case (y, w) =>
+      val bin = math.min(1000L * w.count(stop) / w.length / 100, 9L)
+      (bin, y)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rm = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cm = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val minum = cells.map { case ((b, y), o) =>
+      o * math.round(1e6 * (math.log(o.toDouble * n) -
+        math.log(rm(b).toDouble * cm(y))))
+    }.sum
+    val expMi = if (minum >= 0) minum / n else -((-minum) / n)
+    assert(got.find(_._1 == "stop_bin").get._2 == expMi)
+    val hLabel = cm.values.map(r =>
+      r * math.round(1e6 * (math.log(n.toDouble) - math.log(r.toDouble)))
+    ).sum / n
+    got.foreach { g =>
+      assert(g._3 == hLabel)
+      val expIg = if (g._2 >= 0) 1000L * g._2 / hLabel
+        else -((1000L * -g._2) / hLabel)
+      assert(g._4 == expIg)
+    }
+  }
 }
