@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * (AQE broadcasts it at bench sizes; at cluster scale it hash-joins
   * co-partitioned on the edge key), then aggregates on the other key.
   * Per round exactly two |V|-row shuffles move; the normalizing totals
-  * ride a broadcast one-row cross join, never a driver collect. The
-  * loop stays lazy (fixed small iteration count) like
-  * [[PageRank.run]].
+  * ride a broadcast one-row cross join, never a driver collect. Unlike
+  * [[PageRank.run]]'s lazy loop, each half-step checkpoints eagerly:
+  * the L1 rescale branches its input twice (per-key sums + the total),
+  * so a lazy chain re-evaluates every earlier half-step once per
+  * branch — exponential in rounds.
   */
 object Hits {
 
@@ -54,13 +56,20 @@ object Hits {
     val nDst = dsts.count()
     var a = dsts.withColumn("a", lit(Scale / math.max(nDst, 1L)))
     var h: DataFrame = null
+    // each half-step materializes eagerly: normalize() branches its
+    // input twice (group + total), and a lazy chain would re-evaluate
+    // every earlier half-step once per branch — 2^(2·rounds) edge-join
+    // evaluations (measured 13 s vs ~2 s on the bench graph). The
+    // checkpointed tables are |V|-row.
     for (_ <- 1 to rounds) {
       val hRaw = e.join(a, col("dst") === col("v"))
         .groupBy(col("src").as("u")).agg(sum("a").as("raw"))
       h = normalize(hRaw).withColumnRenamed("score", "h")
+        .localCheckpoint(true)
       val aRaw = e.join(h, col("src") === col("u"))
         .groupBy(col("dst").as("v")).agg(sum("h").as("raw"))
       a = normalize(aRaw).withColumnRenamed("score", "a")
+        .localCheckpoint(true)
     }
     val result = srcs.join(h, Seq("u"), "left")
       .select(col("u").as("node"), col("h"), lit(null).cast("long").as("a"))

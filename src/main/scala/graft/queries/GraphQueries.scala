@@ -638,6 +638,118 @@ object GraphQueries {
        |FROM deg LEFT JOIN t USING (v)
        |ORDER BY node""".stripMargin
 
+  // ---- q286: neighborhood function (HyperBall) -------------------------
+
+  val NfMaxH = 3
+  val NfLgK = 12
+  /** q48's bound convention: 5% ≈ 3σ at lgK 12 (rse 1.63%). */
+  val NfRelErrPm = 50L
+
+  /** How fast do the BALLS grow? — the neighborhood function
+    * `N(h) = Σ_v |ball(v, h)|` of the co-purchase backbone, the curve
+    * behind effective-diameter and spid diagnostics (Palmer et al.
+    * ANF, Boldi et al. HyperBall): at 100 TB the per-node balls are
+    * computed as mergeable HLL sketches — one |V|-row sketch table,
+    * each round `sketch_v ← sketch_v ∪ ⋃_{v→w} sketch_w` (one
+    * edges⋈sketches join + one union aggregate; never the reach-pair
+    * table the exact form needs). The gate runs BOTH: the exact
+    * distinct-reach iteration (bounded here — the backbone is E ≤ 500
+    * edges; at corpus scale exact is the thing you CANNOT afford,
+    * which is the operator's reason to exist) and the sketch path,
+    * publishing exact counts plus the q48-convention boolean that the
+    * sketch landed within [[NfRelErrPm]]‰ — the estimate itself stays
+    * out of the row (oracle-irreproducible), exactly like q48/q59.
+    *
+    * Output per hop: exact reach pairs, growth vs the previous hop in
+    * floor per-mille, and the sketch-accuracy boolean. */
+  def neighborhoodFunction(spark: SparkSession, dir: String): DataFrame = {
+    val ui = table(spark, dir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val e = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(TriEdges)
+      .select("a", "b")
+    val arcs = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b"), col("a"))).distinct().persist()
+    val nodes = arcs.select(col("src").as("v")).distinct().persist()
+    var reach = nodes.select(col("v"), col("v").as("node"))
+      .localCheckpoint(true)
+    var sk = nodes.groupBy("v")
+      .agg(hll_sketch_agg(col("v"), lit(NfLgK)).as("sk"))
+      .localCheckpoint(true)
+    def measure(h: Int): (Long, Long, Long) = {
+      val exact = reach.count()
+      val est = sk.agg(sum(hll_sketch_estimate(col("sk")))).head.getLong(0)
+      (h.toLong, exact, est)
+    }
+    var rows = Vector(measure(0))
+    for (h <- 1 to NfMaxH) {
+      reach = reach
+        .union(reach.join(arcs, col("node") === col("src"))
+          .select(col("v"), col("dst").as("node")))
+        .distinct().localCheckpoint(true)
+      sk = sk
+        .unionByName(arcs.join(sk, col("dst") === col("v"))
+          .select(col("src").as("v"), col("sk")))
+        .groupBy("v").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint(true)
+      rows :+= measure(h)
+    }
+    arcs.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    val out = rows.zip(0L +: rows.map(_._2)).map {
+      case ((h, exact, est), prev) =>
+        (h, exact,
+          if (h == 0) 1000L else 1000L * exact / prev,
+          1000L * math.abs(est - exact) <= NfRelErrPm * exact)
+    }
+    spark.createDataFrame(out)
+      .toDF("h", "reach_pairs", "growth_pm", "bound_ok")
+      .orderBy("h")
+  }
+
+  val neighborhoodFunctionSql: String =
+    s"""WITH RECURSIVE ui AS (
+       |  SELECT DISTINCT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item
+       |  FROM events
+       |  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |p AS (
+       |  SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n_ab
+       |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p ORDER BY n_ab DESC, a, b LIMIT $TriEdges),
+       |arcs AS (
+       |  SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+       |nodes AS (SELECT DISTINCT src AS v FROM arcs),
+       |walk(v, node, h) AS (
+       |  SELECT v, v, 0 FROM nodes
+       |  UNION
+       |  SELECT w.v, a.dst, w.h + 1
+       |  FROM walk w JOIN arcs a ON a.src = w.node
+       |  WHERE w.h < $NfMaxH),
+       |d AS (SELECT v, node, min(h) AS d FROM walk GROUP BY 1, 2),
+       |nf AS (
+       |  SELECT g.h::BIGINT AS h,
+       |    (SELECT count(*) FROM d WHERE d.d <= g.h)::BIGINT
+       |      AS reach_pairs
+       |  FROM generate_series(0, $NfMaxH) g(h))
+       |SELECT h, reach_pairs,
+       |  CASE WHEN h = 0 THEN 1000
+       |       ELSE (1000 * reach_pairs) //
+       |         lag(reach_pairs) OVER (ORDER BY h) END::BIGINT
+       |    AS growth_pm,
+       |  TRUE AS bound_ok
+       |FROM nf ORDER BY h""".stripMargin
+
   // ---- q254: degree assortativity of the co-purchase backbone --------
 
   /** Do HUBS connect to hubs, or to leaves? — degree assortativity,
@@ -1022,6 +1134,11 @@ object GraphQueries {
         sum("sz").as("n_nodes"))
       .select(lit(round.toLong).as("round"), col("n_nodes"),
         col("n_classes"), col("max_class_size"), col("n_singletons"))
+    // eager per-round colors: each round references the previous colors
+    // TWICE (neighbor join + own-color join) and every summary reads
+    // them again — a lazy chain re-derives all earlier rounds per
+    // reference (measured 13.8 s vs ~2 s). Checkpoints are |V|-row.
+    colors = colors.localCheckpoint(true)
     var out = summary(0, colors)
     for (r <- 1 to WlRounds) {
       val nb = arcs.join(colors, col("dst") === col("node"))
@@ -1032,6 +1149,7 @@ object GraphQueries {
         .select(col("src").as("node"),
           md5(concat(col("color"), lit(":"),
             concat_ws(",", col("ns")))).as("color"))
+        .localCheckpoint(true)
       out = out.unionByName(summary(r, colors))
     }
     val result = out.orderBy("round").localCheckpoint(true)

@@ -3494,15 +3494,7 @@ object ScaleQueries {
     * file → one micro-batch, and the processor sorts each batch's rows
     * by (ts_us, event_id), so stream ≡ batch exactly. */
   def streamMilestones(spark: SparkSession, dir: String): DataFrame = {
-    val s = twsSessionPool.computeIfAbsent(spark, { p =>
-      val c = p.newSession()
-      c.conf.set("spark.sql.shuffle.partitions",
-        QueryUtil.StreamStatePartitions.toString)
-      c.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      c
-    })
+    val s = twsSession(spark)
     import org.apache.spark.sql.{Encoders => Enc}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.streaming.{MilestoneHit, SpendEvent, SpendMilestones}
@@ -3535,6 +3527,77 @@ object ScaleQueries {
     * pooled per parent like [[QueryUtil.withStreamStatePartitions]]. */
   private val twsSessionPool =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def twsSession(spark: SparkSession): SparkSession =
+    twsSessionPool.computeIfAbsent(spark, { p =>
+      val c = p.newSession()
+      c.conf.set("spark.sql.shuffle.partitions",
+        QueryUtil.StreamStatePartitions.toString)
+      c.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      c
+    })
+
+  // ---- q285: event-time timer follow-up reports ----------------------------
+
+  /** Follow-up window: 7 days (whole milliseconds, as timers need). */
+  val FollowupWindowUs: Long = 7L * 86400000000L
+
+  /** EVENT-TIME TIMERS on `transformWithState`
+    * ([[graft.streaming.FollowupTimers]]) — q281 exercised typed value
+    * state; this exercises the API's other half: every purchase
+    * schedules a timer at `ts + 7 days`, and when the event-time
+    * WATERMARK passes it the processor emits that purchase's
+    * follow-up report (how many purchases the user made inside the
+    * window). The watermark is what makes the deferred answer SOUND —
+    * a timer fires only once the window provably closed, so the count
+    * is complete no matter how the replay batches. Same staged
+    * sentinel source as q267 (one write-once copy, far-future flush
+    * rows) so every real timer fires before the finite replay stops;
+    * the oracle is the batch self-join over the same window. */
+  def streamTimers(spark: SparkSession, dir: String): DataFrame = {
+    val s = twsSession(spark)
+    import org.apache.spark.sql.{Encoders => Enc}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{FollowupReport, FollowupTimers, PurchaseTick}
+    val staged = ensureOuterStreamEvents(s, dir)
+    val schema = s.read.parquet(staged).schema
+    val ev = s.readStream.schema(schema).parquet(staged)
+      .filter(col("event_type") === "purchase")
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "1 minute")
+      .select(col("user_id"), col("ts_us"))
+      .as(Enc.product[PurchaseTick])
+    implicit val repEnc: org.apache.spark.sql.Encoder[FollowupReport] =
+      Enc.product[FollowupReport]
+    val reports = ev.groupByKey(_.user_id)(Enc.scalaLong)
+      .transformWithState(new FollowupTimers(FollowupWindowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+    try s.catalog.dropTempView("stream_timers_result")
+    catch { case _: Throwable => () }
+    val q = reports.toDF()
+      .writeStream.format("memory").queryName("stream_timers_result")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table("stream_timers_result")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "purchase_ts_us")
+  }
+
+  val streamTimersSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT a.user_id AS user_id, a.ts_us AS purchase_ts_us,
+       |  count(b.ts_us)::BIGINT AS followups
+       |FROM p a LEFT JOIN p b
+       |  ON b.user_id = a.user_id AND b.ts_us > a.ts_us
+       |  AND b.ts_us <= a.ts_us + $FollowupWindowUs
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   val streamMilestonesSql: String = {
     val ths = MilestoneThresholds.map(t => s"($t)").mkString(", ")
@@ -3662,18 +3725,38 @@ object ScaleQueries {
     * ≤ G²/2 — bounded by the FEED count squared, never the corpus;
     * the final grid is G²/2 rows. */
   def sourceMirror(spark: SparkSession, dir: String): DataFrame = {
+    // the posting table feeds two consumers (sizes + intersections) —
+    // persist it or pay the corpus shingle scan twice. The narrow
+    // pre-shingle repartition exists for the BENCH corpus, one tiny
+    // single-row-group parquet file: without it the shingle explode
+    // runs as one task (measured 3.3 s of the query's wall); a real
+    // multi-file corpus already scans wide and AQE would elide the
+    // exchange.
     val sh = table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("source"), explode(graft.text.Hashing.wordShingles(
         lower(trim(col("text"))), MirrorShingleK)).as("sh"))
       .distinct()
+      .persist()
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
-    val inter = sh.toDF("src_a", "sh")
-      .join(sh.toDF("src_b", "sh2"),
-        col("sh") === col("sh2") && col("src_a") < col("src_b"))
+    // intersections WITHOUT a posting self-join: group each shingle's
+    // carrier set (≤ G sources, sorted) and emit its pairs from one
+    // row — the per-shingle pair explosion then collapses under
+    // map-side combine into ≤ G²/2 keys per partition instead of
+    // shuffling a Σ(k choose 2)-row join product (measured 9.7 s →
+    // ~1 s at sf0.1; same exact semantics, carrier sets are distinct
+    // postings either way)
+    val inter = sh.groupBy("sh")
+      .agg(sort_array(collect_set("source")).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+           transform(slice(ss, i + 2, size(ss)),
+             y -> struct(x AS src_a, y AS src_b))))""")).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
     val grid = sizes.toDF("src_a", "sz_a")
       .join(sizes.toDF("src_b", "sz_b"), col("src_a") < col("src_b"))
-    grid.join(inter, Seq("src_a", "src_b"), "left")
+    val out = grid.join(inter, Seq("src_a", "src_b"), "left")
       .na.fill(0L, Seq("inter"))
       .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
         col("inter"),
@@ -3681,6 +3764,9 @@ object ScaleQueries {
         expr("(1000 * inter) div least(sz_a, sz_b)").as("containment_pm"))
       .withColumn("mirror_suspect", col("containment_pm") > MirrorSuspectPm)
       .orderBy("src_a", "src_b")
+    val result = out.localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    result
   }
 
   val sourceMirrorSql: String = {

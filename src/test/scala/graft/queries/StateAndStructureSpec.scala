@@ -101,6 +101,41 @@ class StateAndStructureSpec extends SparkSpec {
     assert(rows.map(r => (r._3, r._4, r._5)).toSeq == exp)
   }
 
+  test("q285: event-time timer reports equal the batch follow-up windows") {
+    val got = ScaleQueries.streamTimers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val p = QueryUtil.eventsTsUs(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = p.map { case (u, t) =>
+      (u, t, p.count(x => x._1 == u && x._2 > t &&
+        x._2 <= t + ScaleQueries.FollowupWindowUs).toLong)
+    }.sortBy(x => (x._1, x._2)).toSeq
+    assert(got.toSeq == exp,
+      "every purchase's timer must fire with the complete window count")
+    assert(got.exists(_._3 > 0), "no follow-ups at all — window too narrow")
+    assert(got.exists(_._3 == 0), "every purchase followed — window trivial")
+  }
+
+  test("q286: neighborhood function — exact reach replay, growth arithmetic, sketch bound") {
+    val rows = GraphQueries.neighborhoodFunction(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(_._4), "sketch estimate escaped the 5% bound")
+    // exact replay via BFS from every backbone node
+    val global = GraphQueries.triangleCount(spark, sfDir).collect().head
+    assert(rows.head._2 == global.getLong(0), "N(0) = node count")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, "balls can only grow")
+      assert(b._3 == 1000L * b._2 / a._2, "growth arithmetic")
+      ()
+    }
+    assert(rows.head._3 == 1000L)
+    assert(rows.last._2 <= rows.head._2 * rows.head._2,
+      "reach cannot exceed the node-pair universe")
+  }
+
   test("q283: local clustering matches a driver replay and recomposes q116") {
     val got = GraphQueries.localClustering(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
