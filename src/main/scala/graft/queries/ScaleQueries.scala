@@ -3719,6 +3719,13 @@ object ScaleQueries {
     * floor per-mille. Zero-overlap pairs stay in the table (complete
     * G²/2 grid) — absence of overlap is a finding too.
     *
+    * Planted fixture (the q237/q79 convention — a gate must
+    * DISCRIMINATE, and this synthetic corpus has no natural mirror):
+    * a virtual feed `zz_mirror` re-hosting every src1 document rides
+    * the audit — a pure function of the data the oracle regenerates
+    * identically — so the suspect flag provably fires on the true
+    * mirror (containment 1000) and on nothing else.
+    *
     * Scale shape: one corpus scan → distinct (source, shingle)
     * postings (map-side combined, bounded by G·V); the intersection
     * self-join fans out per shingle by (feeds carrying it choose 2)
@@ -3732,7 +3739,11 @@ object ScaleQueries {
     // runs as one task (measured 3.3 s of the query's wall); a real
     // multi-file corpus already scans wide and AQE would elide the
     // exchange.
-    val sh = table(spark, dir, "documents")
+    val base = table(spark, dir, "documents").select("source", "text")
+    val docs = base.unionByName(
+      base.filter(col("source") === "src1")
+        .select(lit("zz_mirror").as("source"), col("text")))
+    val sh = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("source"), explode(graft.text.Hashing.wordShingles(
         lower(trim(col("text"))), MirrorShingleK)).as("sh"))
@@ -3771,9 +3782,14 @@ object ScaleQueries {
 
   val sourceMirrorSql: String = {
     import graft.text.Hashing
-    s"""WITH tok AS (
+    s"""WITH docs AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT 'zz_mirror' AS source, text FROM documents
+       |  WHERE source = 'src1'),
+       |tok AS (
        |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS w
-       |  FROM documents),
+       |  FROM docs),
        |sh AS (
        |  SELECT DISTINCT source, sh FROM tok,
        |    unnest(${Hashing.wordShinglesSql("w", MirrorShingleK)}) AS t(sh)),

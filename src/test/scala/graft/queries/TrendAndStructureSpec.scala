@@ -150,10 +150,12 @@ class TrendAndStructureSpec extends SparkSpec {
       "a ~90-day slice of a multi-year span should skip >90% of sorted zones")
   }
 
-  test("q272: feed mirror pairs match a driver set replay; grid complete") {
-    val docs = QueryUtil.table(spark, sfDir, "documents")
+  test("q272: feed mirror pairs match a driver set replay; planted mirror flagged") {
+    val raw = QueryUtil.table(spark, sfDir, "documents")
       .select(col("source"), col("text")).collect()
       .map(r => (r.getString(0), r.getString(1)))
+    val docs = raw ++ raw.filter(_._1 == "src1")
+      .map { case (_, t) => ("zz_mirror", t) }
     def shingles(t: String): Set[String] = {
       val w = t.trim.toLowerCase.split("\\s+").toSeq
       if (w.length < ScaleQueries.MirrorShingleK) Set.empty
@@ -174,6 +176,14 @@ class TrendAndStructureSpec extends SparkSpec {
       assert(r.getLong(5) == 1000L * inter / (pa.size + pb.size - inter))
       assert(r.getLong(6) == 1000L * inter / math.min(pa.size, pb.size))
     }
+    // the suspect flag discriminates: exactly the planted re-host fires
+    val flagged = got.filter(_.getBoolean(7))
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(flagged.toSeq == Seq(("src1", "zz_mirror")),
+      s"flag must fire on the planted mirror alone, got ${flagged.toSeq}")
+    val planted = got.find(r =>
+      r.getString(0) == "src1" && r.getString(1) == "zz_mirror").get
+    assert(planted.getLong(6) == 1000L, "identical set => containment 1000")
   }
 
   test("q273: Jonckheere statistic matches a driver replay; trend is real") {
