@@ -1204,6 +1204,77 @@ object CurationQueries {
        |FROM scored GROUP BY 1, 2, 3
        |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin
 
+  // ---- q287: systematic importance resampling ------------------------------
+
+  /** Target number of resampled slots. */
+  val ResampleTarget = 1000L
+
+  /** Turn WEIGHTS into an actual SAMPLE — systematic (fixed-stride)
+    * resampling with replacement, the low-variance standard from
+    * particle filters and survey statistics: documents ordered by
+    * doc_id carry their token mass as weight, the cumulative weight
+    * axis is cut every `stride = ⌊W/m⌋` units, and a document receives
+    * one copy per cut inside its weight span
+    * (`copies = ⌊cum/stride⌋ − ⌊(cum−w)/stride⌋` — a heavy doc can
+    * legitimately draw several copies). This is the step that turns
+    * q154's DSIR-style scores or a token-budget plan into concrete
+    * training rows; token-mass weighting makes it the "sample
+    * documents proportional to tokens" primitive token-weighted
+    * mixtures need.
+    *
+    * Exactness: the copy expression TELESCOPES — Σ copies =
+    * ⌊W/stride⌋ exactly, a conservation law the spec asserts (no
+    * rounding drift, ever). All integer floor arithmetic.
+    *
+    * Scale discipline: the global cumulative weight is the
+    * single-partition-window trap again — it runs through
+    * [[graft.operators.PrefixSum]] on the unique doc_id order, then
+    * copies are a row-local expression and the report a per-source
+    * aggregate. */
+  def importanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("w"))
+    val mx = docs.agg(sum("w"), max("doc_id")).head()
+    val (totW, maxId) = (mx.getLong(0), mx.getLong(1))
+    val stride = math.max(totW / ResampleTarget, 1L)
+    val width = maxId / 1024L + 1L
+    val cummed = graft.operators.PrefixSum.withPrefixSum(
+      docs, "doc_id", "w", expr(s"doc_id div ${width}L"), "cum", "pre")
+    cummed
+      .select(col("source"), col("w"),
+        (expr(s"cum div ${stride}L") - expr(s"pre div ${stride}L"))
+          .as("copies"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("tokens"),
+        sum("copies").as("copies"))
+      .withColumn("share_pm",
+        expr(s"(1000 * copies) div ${totW / stride}L"))
+      .orderBy("source")
+  }
+
+  val importanceResampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT sum(w)::BIGINT AS tw,
+       |    greatest(sum(w) // $ResampleTarget, 1)::BIGINT AS stride
+       |  FROM docs),
+       |c AS (
+       |  SELECT source, w,
+       |    sum(w) OVER (ORDER BY doc_id) AS cum
+       |  FROM docs)
+       |SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS tokens,
+       |  sum(cum // t.stride - (cum - w) // t.stride)::BIGINT AS copies,
+       |  ((1000 * sum(cum // t.stride - (cum - w) // t.stride))
+       |    // (t.tw // t.stride))::BIGINT AS share_pm
+       |FROM c, t
+       |GROUP BY source, t.stride, t.tw
+       |ORDER BY source""".stripMargin
+
   // ---- q257: Lorenz/Pareto revenue deciles -------------------------------
 
   /** The 80/20 question, answered exactly: the Lorenz decile table of

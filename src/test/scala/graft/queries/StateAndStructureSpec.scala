@@ -136,6 +136,98 @@ class StateAndStructureSpec extends SparkSpec {
       "reach cannot exceed the node-pair universe")
   }
 
+  test("q287: systematic resample conserves slots exactly and matches a replay") {
+    val got = CurationQueries.importanceResample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totW = docs.map(_._3).sum
+    val stride = math.max(totW / CurationQueries.ResampleTarget, 1L)
+    // telescoping conservation: total copies is exactly floor(W/stride)
+    assert(got.map(_._4).sum == totW / stride)
+    // driver replay of the stride-crossing rule per source
+    var cum = 0L
+    val copies = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    docs.foreach { case (_, src, w) =>
+      val c0 = cum / stride; cum += w
+      copies(src) += cum / stride - c0
+    }
+    got.foreach { case (src, n, toks, cps, share) =>
+      assert(cps == copies(src), s"$src copies")
+      assert(n == docs.count(_._2 == src))
+      assert(toks == docs.filter(_._2 == src).map(_._3).sum)
+      assert(share == 1000L * cps / (totW / stride))
+    }
+  }
+
+  test("q288: Markov attribution — independent journey replay and fixpoint") {
+    val got = ScaleQueries.markovAttribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // fixpoint: one more iteration changes nothing
+    val more = ScaleQueries.markovAttributionIters(spark, sfDir, ScaleQueries.MarkovIters + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == more.toSeq, "power iteration not converged")
+    // independent replay from raw events
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      val cut = ordered.indexOf("purchase")
+      val seq0 = (if (cut >= 0) ordered.take(cut + 1) else ordered)
+        .map(t => if (t == "purchase") "conv" else t)
+      val states = (Seq("start") ++ seq0) ++
+        (if (cut >= 0) Nil else Seq("null"))
+      states.sliding(2).foreach {
+        case Seq(a, b) => trans((a, b)) = trans((a, b)) + 1
+        case _ => ()
+      }
+    }
+    val outMass = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val t = trans.map { case ((f, to), c) =>
+      (f, to) -> 1000L * c / outMass(f) }.toMap
+    val channels = trans.keys.map(_._1).filter(_ != "start").toSeq
+      .distinct.sorted
+    def conv(excl: Option[String]): Long = {
+      val keep = t.filter { case ((f, to), _) =>
+        !excl.contains(f) && !excl.contains(to) }
+      val sts = ("start" +: channels).filterNot(excl.contains)
+      var p = sts.map(_ -> 0L).toMap
+      for (_ <- 1 to ScaleQueries.MarkovIters) {
+        p = sts.map { s =>
+          s -> ((sts.map(c => keep.getOrElse((s, c), 0L) * p(c)).sum +
+            keep.getOrElse((s, "conv"), 0L) * 1000L) / 1000L)
+        }.toMap
+      }
+      p("start")
+    }
+    val pFull = conv(None)
+    val exp = channels.map { c =>
+      val pRem = conv(Some(c))
+      (c, pFull, pRem, 1000L - 1000L * pRem / math.max(pFull, 1L))
+    }
+    val effSum = math.max(exp.map(_._4).sum, 1L)
+    assert(got.toSeq == exp.map(e =>
+      (e._1, e._2, e._3, e._4, 1000L * e._4 / effSum)).toSeq)
+    got.foreach { g =>
+      assert(g._3 <= g._2, "removing a channel cannot raise conversion")
+      assert(g._4 >= 0 && g._4 <= 1000)
+    }
+    assert(got.map(_._5).sum <= 1000,
+      "normalized attribution shares must not exceed the whole")
+  }
+
   test("q283: local clustering matches a driver replay and recomposes q116") {
     val got = GraphQueries.localClustering(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
