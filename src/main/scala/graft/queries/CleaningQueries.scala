@@ -400,6 +400,75 @@ object CleaningQueries {
       |  coalesce(sum(tlen), 0)::BIGINT AS sum_text_len
       |FROM r GROUP BY 1 ORDER BY lang_group""".stripMargin
 
+  // ---- q289: CSV dirty-ingest quarantine ----------------------------------
+
+  /** Write-once CSV shard derived from `orders` with a deterministic
+    * corruption (every 97th key's money field is the unparseable token
+    * `CORRUPT_PRICE`) — the q82 convention: the dirt is a pure function
+    * of the key, so the oracle regenerates the expected quarantine from
+    * the clean parquet without ever reading the CSV. */
+  private def ensureCsvShard(spark: SparkSession, dir: String): String =
+    synchronized {
+      val src = new java.io.File(s"$dir/orders.parquet")
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.length}:${src.lastModified}"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_csv_orders_$tag"
+      if (!new java.io.File(path, "_SUCCESS").exists) {
+        table(spark, dir, "orders")
+          .select(concat(
+            col("o_orderkey"), lit(","), col("o_custkey"), lit(","),
+            when(col("o_orderkey") % 97 === 0, lit("CORRUPT_PRICE"))
+              .otherwise(floor(col("o_totalprice") * 100).cast("long")
+                .cast("string"))).as("value"))
+          .write.mode("overwrite").text(path)
+      }
+      path
+    }
+
+  /** The CSV twin of q82's resilient JSON ingest — the other wire
+    * format a 100 TB landing zone actually receives. PERMISSIVE read
+    * with an explicit schema and a corrupt-record column: a row whose
+    * money field fails the BIGINT cast keeps its parseable fields,
+    * nulls the bad one, and lands in quarantine — counted, rated
+    * per-mille, and key-checksummed so the quarantine is auditable
+    * (WHICH rows died, not just how many), while the good rows flow
+    * to the revenue aggregate untouched. One pass, no second read.
+    *
+    * The staged shard's corruption is `o_orderkey % 97 = 0`
+    * ([[ensureCsvShard]]) — the oracle reproduces every output number
+    * from the clean parquet with that predicate. */
+  def csvIngest(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureCsvShard(spark, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("o_orderkey", "long").add("o_custkey", "long")
+      .add("cents", "long").add("_corrupt_record", "string")
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_quarantined"),
+        expr("(1000 * count(_corrupt_record)) div count(1)")
+          .as("quarantine_pm"),
+        coalesce(sum("cents"), lit(0L)).as("revenue_cents"),
+        coalesce(sum(when(col("_corrupt_record").isNotNull,
+          col("o_orderkey"))), lit(0L)).as("quarantined_key_checksum"))
+  }
+
+  val csvIngestSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_quarantined,
+      |  ((1000 * sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END))
+      |    // count(*))::BIGINT AS quarantine_pm,
+      |  coalesce(sum(CASE WHEN o_orderkey % 97 <> 0
+      |    THEN floor(o_totalprice * 100)::BIGINT END), 0)::BIGINT
+      |    AS revenue_cents,
+      |  coalesce(sum(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey END),
+      |    0)::BIGINT AS quarantined_key_checksum
+      |FROM orders""".stripMargin
+
   val paragraphDedupSql: String = {
     val b = Boiler.map(_.replace("'", "''"))
     s"""WITH d AS (

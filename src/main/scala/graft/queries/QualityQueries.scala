@@ -2260,6 +2260,120 @@ object QualityQueries {
        |ORDER BY g.pos""".stripMargin
   }
 
+  // ---- q290: Stouffer stratified meta-analysis ------------------------------
+
+  /** `z_{0.05}` in milli for the combined two-sided gate. */
+  val StoufferCritMilli = 1960L
+
+  /** Combine evidence ACROSS strata instead of pooling rows — the
+    * Stouffer meta-analysis every "stratify and combine" instruction
+    * in this repo's rank tests points at (q273's scaladoc promises it;
+    * this is the operator). Question: do English documents have a
+    * different type-token ratio than non-English ones — tested WITHIN
+    * each source (so feed-level composition differences can't
+    * masquerade as a language effect, the classic Simpson trap of
+    * pooling), then combined: per source with both classes, the exact
+    * doubled Mann-Whitney U₂ (q235 machinery, partitioned by source),
+    * a per-stratum normal score `z_milli = 1000·(U₂ − n_a·n_b) div
+    * ⌊√(n_a·n_b·(N+1)/3)⌋` (Var(U₂) = n_a·n_b·(N+1)/3; ties
+    * uncorrected — conservative), and `Z = Σz/√k` as
+    * `(1000·Σz_milli) div ⌊√(10⁶·k)⌋`. Every radicand < 2⁵² (q261
+    * floor-sqrt determinism); signed divisions truncate identically
+    * in both engines.
+    *
+    * Scale shape: one scan → (source, value, class) counts; one
+    * bounded window per stratum; the combination is arithmetic over
+    * k ≤ feed-count rows. */
+  def stoufferCombined(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+      .select(col("source"), (col("lang") === "en").as("en"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("source"), col("en"),
+        expr("(1000 * size(array_distinct(w))) div size(w)").as("v"))
+    val vals = base.groupBy("source", "v")
+      .agg(sum(when(col("en"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("en"), 1L).otherwise(0L)).as("cb"))
+    val tot = vals.groupBy("source")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+    val byV = Window.partitionBy("source").orderBy("v")
+    val u = vals
+      .join(tot, Seq("source"))
+      .withColumn("cumb", coalesce(sum("cb").over(
+        byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("source", "na", "nb")
+      .agg(sum(col("ca") * (lit(2L) * col("cumb") + col("cb"))).as("u2"))
+      .select(col("source"), col("na"), col("nb"), col("u2"),
+        expr("""(1000 * (u2 - na * nb)) div greatest(
+                cast(floor(sqrt(cast(na * nb * (na + nb + 1) as double)
+                  / 3.0)) as bigint), 1)""").as("z_milli"))
+    u.agg(count(lit(1)).as("k_strata"),
+        sum(expr("na + nb")).as("n_docs"),
+        sum("z_milli").as("sum_z_milli"))
+      .select(col("k_strata"), col("n_docs"), col("sum_z_milli"),
+        expr("""CASE WHEN sum_z_milli >= 0
+                THEN (1000 * sum_z_milli) div
+                  cast(floor(sqrt(cast(1000000 * k_strata as double)))
+                    as bigint)
+                ELSE -((1000 * -sum_z_milli) div
+                  cast(floor(sqrt(cast(1000000 * k_strata as double)))
+                    as bigint)) END""").as("stouffer_z_milli"))
+      .withColumn("reject",
+        abs(col("stouffer_z_milli")) > StoufferCritMilli)
+  }
+
+  val stoufferCombinedSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang = 'en' AS en,
+       |    ((1000 * len(list_distinct(w))) // len(w))::BIGINT AS v
+       |  FROM (SELECT source, lang,
+       |          string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM documents)),
+       |vals AS (
+       |  SELECT source, v,
+       |    sum(CASE WHEN en THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN NOT en THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM base GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT source, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+       |  FROM vals GROUP BY 1
+       |  HAVING sum(ca) > 0 AND sum(cb) > 0),
+       |u AS (
+       |  SELECT source, na, nb,
+       |    sum(ca * (2 * cumb + cb))::BIGINT AS u2
+       |  FROM (
+       |    SELECT v.source, t.na, t.nb, v.ca, v.cb,
+       |      coalesce(sum(v.cb) OVER (PARTITION BY v.source ORDER BY v.v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS cumb
+       |    FROM vals v JOIN tot t USING (source))
+       |  GROUP BY 1, 2, 3),
+       |z AS (
+       |  SELECT source, na, nb,
+       |    ((1000 * (u2 - na * nb)) // greatest(
+       |      floor(sqrt((na * nb * (na + nb + 1))::DOUBLE / 3.0))::BIGINT,
+       |      1))::BIGINT AS z_milli
+       |  FROM u),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS k_strata,
+       |    sum(na + nb)::BIGINT AS n_docs,
+       |    sum(z_milli)::BIGINT AS sum_z_milli
+       |  FROM z)
+       |SELECT k_strata, n_docs, sum_z_milli,
+       |  (CASE WHEN sum_z_milli >= 0
+       |        THEN (1000 * sum_z_milli) //
+       |          floor(sqrt((1000000 * k_strata)::DOUBLE))::BIGINT
+       |        ELSE -((1000 * -sum_z_milli) //
+       |          floor(sqrt((1000000 * k_strata)::DOUBLE))::BIGINT)
+       |   END)::BIGINT AS stouffer_z_milli,
+       |  abs(CASE WHEN sum_z_milli >= 0
+       |        THEN (1000 * sum_z_milli) //
+       |          floor(sqrt((1000000 * k_strata)::DOUBLE))::BIGINT
+       |        ELSE -((1000 * -sum_z_milli) //
+       |          floor(sqrt((1000000 * k_strata)::DOUBLE))::BIGINT)
+       |   END) > $StoufferCritMilli AS reject
+       |FROM agg""".stripMargin
+
   // ---- q284: information-gain feature selection ----------------------------
 
   /** WHICH cheap features are worth a classifier's budget? — the

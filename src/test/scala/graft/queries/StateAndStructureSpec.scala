@@ -228,6 +228,54 @@ class StateAndStructureSpec extends SparkSpec {
       "normalized attribution shares must not exceed the whole")
   }
 
+  test("q289: CSV quarantine catches exactly the planted corruption") {
+    val r = CleaningQueries.csvIngest(spark, sfDir).collect().head
+    val orders = QueryUtil.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val bad = orders.filter(_._1 % 97 == 0)
+    assert(r.getLong(0) == orders.length)
+    assert(r.getLong(1) == bad.length)
+    assert(bad.nonEmpty, "fixture must plant at least one corrupt row")
+    assert(r.getLong(2) == 1000L * bad.length / orders.length)
+    assert(r.getLong(3) == orders.filter(_._1 % 97 != 0).map(_._2).sum,
+      "good revenue must exclude quarantined rows exactly")
+    assert(r.getLong(4) == bad.map(_._1).sum,
+      "quarantined keys must stay auditable through the corrupt record")
+  }
+
+  test("q290: Stouffer combination matches a brute-force per-stratum replay") {
+    val r = QualityQueries.stoufferCombined(spark, sfDir).collect().head
+    val docs = QueryUtil.table(spark, sfDir, "documents")
+      .select(col("source"), (col("lang") === "en"),
+        lower(trim(col("text")))).collect()
+      .map { x =>
+        val w = x.getString(2).split("\\s+")
+        (x.getString(0), x.getBoolean(1), 1000L * w.distinct.length / w.length)
+      }
+    val strata = docs.groupBy(_._1).filter { case (_, ds) =>
+      ds.exists(_._2) && ds.exists(!_._2) }
+    val zs = strata.toSeq.sortBy(_._1).map { case (_, ds) =>
+      val a = ds.filter(_._2).map(_._3)
+      val b = ds.filterNot(_._2).map(_._3)
+      val u2 = (for (x <- a; y <- b) yield
+        (if (x > y) 2L else if (x == y) 1L else 0L)).sum
+      val na = a.length.toLong; val nb = b.length.toLong
+      val sd = math.max(math.floor(math.sqrt(
+        (na * nb * (na + nb + 1)).toDouble / 3.0)).toLong, 1L)
+      1000L * (u2 - na * nb) / sd
+    }
+    assert(r.getLong(0) == strata.size)
+    assert(r.getLong(1) == strata.values.map(_.length).sum)
+    assert(r.getLong(2) == zs.sum)
+    val den = math.floor(math.sqrt(1000000.0 * strata.size)).toLong
+    val sz = zs.sum
+    val expZ = if (sz >= 0) 1000L * sz / den else -((1000L * -sz) / den)
+    assert(r.getLong(3) == expZ)
+    assert(r.getBoolean(4) == (math.abs(expZ) > QualityQueries.StoufferCritMilli))
+  }
+
   test("q283: local clustering matches a driver replay and recomposes q116") {
     val got = GraphQueries.localClustering(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
