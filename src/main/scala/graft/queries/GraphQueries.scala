@@ -750,6 +750,74 @@ object GraphQueries {
        |  TRUE AS bound_ok
        |FROM nf ORDER BY h""".stripMargin
 
+  // ---- q291: greedy maximal matching ------------------------------------
+
+  /** Proposal rounds — mutual-min matching halves the live graph
+    * per round in the worst case; 12 covers the backbone with margin
+    * and the spec asserts MAXIMALITY (zero remaining live edges),
+    * so sufficiency is tested, not assumed. */
+  val MatchRounds = 12
+
+  /** Graph COARSENING's first move — a deterministic greedy maximal
+    * matching over the co-purchase backbone
+    * ([[graft.operators.Matching]]: mutual-minimum proposals, id tie
+    * break, O(log n) rounds): the contraction step multilevel
+    * partitioners (METIS lineage) build their hierarchy from, and a
+    * load-balancing primitive in its own right (matched pairs merge
+    * into super-nodes). Publishes the convergence table — pairs
+    * matched per round, cumulative, and nodes still unmatched — the
+    * curve that shows the halving actually happening. */
+  def greedyMatching(spark: SparkSession, dir: String): DataFrame = {
+    val ui = table(spark, dir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val e = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(TriEdges)
+      .select("a", "b")
+    val arcs = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b"), col("a"))).distinct()
+    graft.operators.Matching.rounds(arcs, MatchRounds).orderBy("round")
+  }
+
+  val greedyMatchingSql: String = {
+    import graft.operators.Matching
+    val roundCtes = (1 to MatchRounds)
+      .map(k => Matching.roundSql(k, s"un_$k", s"m_$k")).mkString(",\n")
+    val stats = (1 to MatchRounds).map { k =>
+      s"""SELECT $k::BIGINT AS round,
+         |  (SELECT count(*) FROM new_$k)::BIGINT AS new_pairs,
+         |  (SELECT count(*) FROM m_${k + 1})::BIGINT AS cum_pairs,
+         |  (SELECT count(*) FROM un_${k + 1})::BIGINT AS unmatched_nodes"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item
+       |  FROM events
+       |  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |p AS (
+       |  SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n_ab
+       |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p ORDER BY n_ab DESC, a, b LIMIT $TriEdges),
+       |arcs AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+       |un_1 AS MATERIALIZED (SELECT DISTINCT src AS v FROM arcs),
+       |m_1 AS (SELECT NULL::BIGINT AS a, NULL::BIGINT AS b WHERE 1 = 0),
+       |$roundCtes
+       |SELECT * FROM (
+       |$stats)
+       |ORDER BY round""".stripMargin
+  }
+
   // ---- q254: degree assortativity of the co-purchase backbone --------
 
   /** Do HUBS connect to hubs, or to leaves? — degree assortativity,

@@ -276,6 +276,47 @@ class StateAndStructureSpec extends SparkSpec {
     assert(r.getBoolean(4) == (math.abs(expZ) > QualityQueries.StoufferCritMilli))
   }
 
+  test("q291: greedy matching matches a driver replay and is maximal") {
+    val rows = GraphQueries.greedyMatching(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to GraphQueries.MatchRounds).toSeq)
+    // driver replay of mutual-min proposal rounds on the same backbone
+    val ui = QueryUtil.table(spark, sfDir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val e = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(GraphQueries.TriEdges)
+      .select("a", "b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).distinct
+    val nbrs = e.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    var un = nbrs.keySet
+    val n = un.size.toLong
+    var cum = 0L
+    val exp = (1 to GraphQueries.MatchRounds).map { r =>
+      val cand = un.iterator.flatMap { v =>
+        nbrs(v).find(un.contains).map(v -> _) }.toMap
+      val mutual = cand.filter { case (v, c) =>
+        cand.get(c).contains(v) && v < c }
+      cum += mutual.size
+      un = un -- mutual.keySet -- mutual.values
+      (r.toLong, mutual.size.toLong, cum, n - 2 * cum)
+    }
+    assert(rows.toSeq == exp)
+    // maximality: no edge joins two unmatched nodes
+    assert(!e.exists { case (a, b) => un.contains(a) && un.contains(b) },
+      "matching not maximal after the configured rounds")
+    assert(cum > 0, "the backbone must admit at least one matched pair")
+  }
+
   test("q283: local clustering matches a driver replay and recomposes q116") {
     val got = GraphQueries.localClustering(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
