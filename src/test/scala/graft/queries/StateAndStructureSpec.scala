@@ -317,6 +317,30 @@ class StateAndStructureSpec extends SparkSpec {
     assert(cum > 0, "the backbone must admit at least one matched pair")
   }
 
+  test("q292: graph store serves at rest and equals q282's final round") {
+    // build (or reuse) the store, then check the SERVING plan reads
+    // the store alone — zero events scans (the q184/q217 discipline)
+    GraphQueries.ensureGraphStore(spark, sfDir)
+    val df = GraphQueries.graphStore(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("orders.parquet") &&
+      !plan.contains("lineitem.parquet"),
+      s"serving plan must not rescan the base tables:\n$plan")
+    assert(plan.contains("graft_graph_store_"),
+      s"serving plan must read the store:\n$plan")
+    val r = df.collect().head
+    // recompute equivalence with q282's final refinement round
+    val wl = GraphQueries.wlRefinement(spark, sfDir).collect()
+      .find(_.getLong(0) == GraphQueries.WlRounds.toLong).get
+    assert(r.getLong(0) == wl.getLong(1), "n_nodes")
+    assert(r.getLong(1) == wl.getLong(2), "n_classes")
+    assert(r.getLong(2) == wl.getLong(3), "max_class_size")
+    assert(r.getLong(3) == wl.getLong(4), "n_singletons")
+    // edge-side arithmetic
+    assert(r.getLong(4) > 0 && r.getLong(5) <= r.getLong(4))
+    assert(r.getLong(6) == 1000L * r.getLong(5) / r.getLong(4))
+  }
+
   test("q283: local clustering matches a driver replay and recomposes q116") {
     val got = GraphQueries.localClustering(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
