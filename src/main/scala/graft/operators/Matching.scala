@@ -39,25 +39,35 @@ object Matching {
     val nNodes = un.count()
     var cum = 0L
     var out = Vector.empty[(Long, Long, Long, Long)]
+    var converged = false
     for (r <- 1 to nRounds) {
-      val live = e
-        .join(un.select(col("v").as("u1")), col("src") === col("u1"))
-        .join(un.select(col("v").as("u2")), col("dst") === col("u2"))
-        .select("src", "dst")
-      val cand = live.groupBy(col("src").as("v"))
-        .agg(min("dst").as("c"))
-      val mutual = cand.as("c1")
-        .join(cand.as("c2"), col("c1.c") === col("c2.v") &&
-          col("c2.c") === col("c1.v") && col("c1.v") < col("c1.c"))
-        .select(col("c1.v").as("a"), col("c1.c").as("b"))
-        .localCheckpoint(true)
-      val matched = mutual.count()
-      cum += matched
-      un = un.join(
-          mutual.select(explode(array(col("a"), col("b"))).as("v")),
-          Seq("v"), "left_anti")
-        .localCheckpoint(true)
-      out :+= ((r.toLong, matched, cum, nNodes - 2 * cum))
+      // once a round matches nothing the state is frozen — every later
+      // round recomputes the identical zero, so fill those rows without
+      // paying their jobs (the per-round job latency is what a stall-y
+      // phase amplifies)
+      if (converged) {
+        out :+= ((r.toLong, 0L, cum, nNodes - 2 * cum))
+      } else {
+        val live = e
+          .join(un.select(col("v").as("u1")), col("src") === col("u1"))
+          .join(un.select(col("v").as("u2")), col("dst") === col("u2"))
+          .select("src", "dst")
+        val cand = live.groupBy(col("src").as("v"))
+          .agg(min("dst").as("c"))
+        val mutual = cand.as("c1")
+          .join(cand.as("c2"), col("c1.c") === col("c2.v") &&
+            col("c2.c") === col("c1.v") && col("c1.v") < col("c1.c"))
+          .select(col("c1.v").as("a"), col("c1.c").as("b"))
+          .localCheckpoint(true)
+        val matched = mutual.count()
+        converged = matched == 0
+        cum += matched
+        un = un.join(
+            mutual.select(explode(array(col("a"), col("b"))).as("v")),
+            Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        out :+= ((r.toLong, matched, cum, nNodes - 2 * cum))
+      }
     }
     val spark = arcs.sparkSession
     e.unpersist(blocking = false)
