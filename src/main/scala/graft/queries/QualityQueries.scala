@@ -2631,6 +2631,106 @@ object QualityQueries {
        |FROM j, e, vp""".stripMargin
   }
 
+  // ---- q293: Page's trend test over matched daily blocks -------------------
+
+  /** The a-priori channel ORDER under test (j = 1, 2, 3): the
+    * hypothesis that daily volume rises purchase → view → click (the
+    * standard funnel-width ordering). Page's test only means anything
+    * with the order fixed BEFORE looking — hence a named constant, not
+    * a data-driven sort. */
+  val PageOrder = Seq("purchase", "view", "click")
+
+  /** Page's L test (Page 1963) — the ORDERED sibling of q269's
+    * Friedman: Friedman asks "do the channels differ at all?" within
+    * matched day blocks; Page asks the sharper directional question —
+    * do their ranks follow the [[PageOrder]] funnel ordering? —
+    * exactly as q273's Jonckheere sharpens q248's Kruskal-Wallis for
+    * independent samples. Statistic `L = Σ_j j·R_j` over the same
+    * doubled average ranks as q269 (integer under ties);
+    * `E[L₂] = n·k(k+1)²/2`, `Var(L₂) = n·k²(k+1)²(k−1)/36`, and the
+    * α = 0.05 two-sided gate evaluates
+    * `36000·(L₂−E₂)² > 3842·n·k²(k+1)²(k−1)` — all integer, both
+    * engines truncate alike. Same scale shape as q269: one scan →
+    * (day, channel) counts, 3-row ranking windows, constant-size
+    * arithmetic. */
+  def pageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val k = PageOrder.size.toLong
+    val evRaw = table(spark, dir, "events")
+    val ev = evRaw
+      .filter(col("event_type").isin(PageOrder: _*))
+      .select(to_date(eventTs(evRaw)).as("d"), col("event_type"))
+    val counts = ev.groupBy("d", "event_type").agg(count(lit(1)).as("n"))
+    val grid = ev.select("d").distinct()
+      .select(col("d"),
+        explode(array(PageOrder.map(lit): _*)).as("event_type"))
+    val jCol = coalesce(PageOrder.zipWithIndex
+      .map { case (t, i) => when(col("event_type") === t, (i + 1).toLong) }
+      : _*)
+    val cells = grid.join(counts, Seq("d", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("r1", rank().over(Window.partitionBy("d").orderBy("n")))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("d", "n")))
+      .withColumn("dr", lit(2L) * col("r1") + col("t") - 1L)
+      .withColumn("j", jCol)
+    val l2 = cells.agg(sum(expr("j * dr")).as("l2"))
+    val nDf = cells.select("d").distinct().agg(count(lit(1)).as("nb"))
+    l2.crossJoin(broadcast(nDf))
+      .select(col("nb").as("n_blocks"), col("l2"),
+        expr(s"nb * $k * ${(k + 1) * (k + 1)} div 2").as("mean2"))
+      .select(col("n_blocks"), col("l2"), col("mean2"),
+        when(col("l2") > col("mean2"), "with_order")
+          .when(col("l2") < col("mean2"), "against_order")
+          .otherwise("none").as("direction"),
+        (lit(36000L) * (col("l2") - col("mean2"))
+          * (col("l2") - col("mean2"))
+          > lit(3842L) * col("n_blocks") * lit(k * k)
+            * lit((k + 1) * (k + 1)) * lit(k - 1)).as("reject"))
+  }
+
+  val pageTrendSql: String = {
+    val k = PageOrder.size.toLong
+    val types = PageOrder.map(t => s"'$t'").mkString(", ")
+    val jExpr = "CASE event_type " + PageOrder.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN ${i + 1}" }
+      .mkString(" ") + " END"
+    s"""WITH ev AS (
+       |  SELECT ts::DATE AS d, event_type FROM events
+       |  WHERE event_type IN ($types)),
+       |counts AS (
+       |  SELECT d, event_type, count(*)::BIGINT AS n
+       |  FROM ev GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d, t.event_type
+       |  FROM (SELECT DISTINCT d FROM ev),
+       |    (VALUES ${PageOrder.map(t => s"('$t')").mkString(", ")})
+       |      t(event_type)),
+       |cells AS (
+       |  SELECT g.d, g.event_type, coalesce(c.n, 0) AS n
+       |  FROM grid g LEFT JOIN counts c USING (d, event_type)),
+       |ranked AS (
+       |  SELECT d, event_type, n,
+       |    2 * rank() OVER (PARTITION BY d ORDER BY n)
+       |      + count(*) OVER (PARTITION BY d, n) - 1 AS dr,
+       |    ($jExpr)::BIGINT AS j
+       |  FROM cells),
+       |agg AS (
+       |  SELECT sum(j * dr)::BIGINT AS l2,
+       |    count(DISTINCT d)::BIGINT AS nb
+       |  FROM ranked)
+       |SELECT nb AS n_blocks, l2,
+       |  (nb * $k * ${(k + 1) * (k + 1)} // 2)::BIGINT AS mean2,
+       |  CASE WHEN l2 > nb * $k * ${(k + 1) * (k + 1)} // 2
+       |         THEN 'with_order'
+       |       WHEN l2 < nb * $k * ${(k + 1) * (k + 1)} // 2
+       |         THEN 'against_order'
+       |       ELSE 'none' END AS direction,
+       |  36000 * (l2 - nb * $k * ${(k + 1) * (k + 1)} // 2)
+       |    * (l2 - nb * $k * ${(k + 1) * (k + 1)} // 2)
+       |    > 3842 * nb * ${k * k} * ${(k + 1) * (k + 1)} * ${k - 1}
+       |    AS reject
+       |FROM agg""".stripMargin
+  }
+
   // ---- q269: Friedman test over matched daily blocks ----------------------
 
   /** The three matched treatments whose daily volumes the Friedman test

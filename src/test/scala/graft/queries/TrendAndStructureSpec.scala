@@ -115,6 +115,38 @@ class TrendAndStructureSpec extends SparkSpec {
     assert(QualityQueries.FriedmanTypes.map(rs).sum == n * k * (k + 1))
   }
 
+  test("q293: Page's L matches a driver replay; consistent with q269's ranks") {
+    val r = QualityQueries.pageTrend(spark, sfDir).collect().head
+    val k = QualityQueries.PageOrder.size.toLong
+    val ev = QueryUtil.table(spark, sfDir, "events")
+    val counts = ev
+      .filter(col("event_type").isin(QualityQueries.PageOrder: _*))
+      .select(to_date(QueryUtil.eventTs(ev)).as("d"), col("event_type"))
+      .groupBy("d", "event_type").count().collect()
+      .map(x => (x.get(0).toString, x.getString(1)) -> x.getLong(2)).toMap
+    val days = counts.keys.map(_._1).toSeq.distinct
+    val n = days.length.toLong
+    var l2 = 0L
+    days.foreach { d =>
+      val vals = QualityQueries.PageOrder
+        .map(t => t -> counts.getOrElse((d, t), 0L))
+      vals.zipWithIndex.foreach { case ((_, v), j) =>
+        val less = vals.count(_._2 < v).toLong
+        val ties = vals.count(_._2 == v).toLong
+        l2 += (j + 1) * (2 * less + ties + 1)
+      }
+    }
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == l2)
+    val mean2 = n * k * (k + 1) * (k + 1) / 2
+    assert(r.getLong(2) == mean2)
+    assert(r.getString(3) == (if (l2 > mean2) "with_order"
+      else if (l2 < mean2) "against_order" else "none"))
+    assert(r.getBoolean(4) ==
+      (36000L * (l2 - mean2) * (l2 - mean2) >
+        3842L * n * k * k * (k + 1) * (k + 1) * (k - 1)))
+  }
+
   test("q270: modularity bounds and edge conservation against q10") {
     val rows = ScaleQueries.dedupModularity(spark, sfDir).collect()
       .map(r => r.getString(0) ->
