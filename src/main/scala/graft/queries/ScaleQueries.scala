@@ -3658,6 +3658,17 @@ object ScaleQueries {
   /** Lifetime-spend milestones (cents) the alert stream fires on. */
   val MilestoneThresholds = Seq(30000L, 80000L)
 
+  /** q281's sentinel offset: the watermark delay must exceed the
+    * corpus's whole event-time span (30 days — so NO real row can ever
+    * be late-dropped, whatever order a multi-batch replay delivers
+    * files in), and the sentinel must sit farther out than the delay so
+    * the final watermark still seals every real event. 45-day delay,
+    * 90-day sentinel: final watermark = max_ts + 45 d > every real
+    * timer (max_ts + 1 ms); in-flight watermark ≤ max_ts − 45 d <
+    * min_ts, so nothing real is ever late. */
+  val MilestoneFlushUs: Long = 90L * 86400000000L
+  private val MilestoneDelay = "45 days"
+
   /** Spark 4's `transformWithState` — the arbitrary-stateful-processing
     * API that supersedes `flatMapGroupsWithState` (typed state handles,
     * per-state TTL, timers) — driving a per-user LIFETIME spend
@@ -3672,27 +3683,45 @@ object ScaleQueries {
     * the RocksDB state-store provider, and setting that on the shared
     * pooled streaming session would silently switch every other
     * streaming gate's provider mid-round. The batch oracle is the
-    * per-user cumulative sum's first-crossing rows; the replay is one
-    * file → one micro-batch, and the processor sorts each batch's rows
-    * by (ts_us, event_id), so stream ≡ batch exactly. */
+    * per-user cumulative sum's first-crossing rows. Determinism is
+    * ARRIVAL-ORDER-INDEPENDENT (the round-10 flake fix): the processor
+    * only buffers on input and folds watermark-sealed prefixes in
+    * event-time order at timer expiry ([[graft.streaming
+    * .SpendMilestones]]), and the [[MilestoneDelay]]/[[MilestoneFlushUs]]
+    * contract guarantees no real row is late and every timer fires —
+    * so stream ≡ batch however the replay batches (spec-pinned by
+    * MilestoneReplaySpec's shuffled 1/2/3-batch replays). */
   def streamMilestones(spark: SparkSession, dir: String): DataFrame = {
     val s = twsSession(spark)
+    val staged = ensureSentinelEvents(s, dir, MilestoneFlushUs)
+    streamMilestonesFrom(s, staged, maxFilesPerTrigger = 0)
+  }
+
+  /** The q281 pipeline over an already-staged (sentinel-bearing) events
+    * directory — factored out so the replay spec can drive the SAME
+    * plan over multi-file shuffled stagings with `maxFilesPerTrigger`
+    * forcing batch boundaries. `maxFilesPerTrigger = 0` means unset. */
+  def streamMilestonesFrom(s: SparkSession, staged: String,
+      maxFilesPerTrigger: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders => Enc}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.streaming.{MilestoneHit, SpendEvent, SpendMilestones}
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val ev = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val schema = s.read.parquet(staged).schema
+    val reader = s.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val ev = reader.parquet(staged)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), eventTsUs(schema, "ts").as("ts_us"),
-        col("event_id"),
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", MilestoneDelay)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
         floor(col("value") * 100).cast("long").as("cents"))
       .as(Enc.product[SpendEvent])
     implicit val hitEnc: org.apache.spark.sql.Encoder[MilestoneHit] =
       Enc.product[MilestoneHit]
     val hits = ev.groupByKey(_.user_id)(Enc.scalaLong)
       .transformWithState(new SpendMilestones(MilestoneThresholds),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
     try s.catalog.dropTempView("stream_milestones_result")
     catch { case _: Throwable => () }
     val q = hits.toDF()
@@ -4218,11 +4247,21 @@ object ScaleQueries {
     * them (new data keeps the watermark moving — this is the standard
     * finite-replay trick, not an engine workaround). */
   private def ensureOuterStreamEvents(
-      spark: SparkSession, dir: String): String = synchronized {
+      spark: SparkSession, dir: String): String =
+    ensureSentinelEvents(spark, dir, OuterFlushUs)
+
+  /** Generalized [[ensureOuterStreamEvents]]: the sentinel offset is a
+    * parameter so gates with different watermark-delay contracts (q281
+    * needs delay > the corpus's whole event-time span, hence a sentinel
+    * farther out than [[OuterFlushUs]]) get their own staged copy; the
+    * offset participates in the path tag so two gates never share a
+    * mismatched layout. */
+  private def ensureSentinelEvents(spark: SparkSession, dir: String,
+      flushUs: Long): String = synchronized {
     val src = new java.io.File(s"$dir/events.parquet")
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir:${src.length}:${src.lastModified}"))
+        s"$dir:${src.length}:${src.lastModified}:$flushUs"))
     val path = s"${sys.props("java.io.tmpdir")}/graft_outer_events_$tag"
     if (!new java.io.File(path, "_SUCCESS").exists) {
       val ev = eventsTsUs(spark, dir)
@@ -4230,7 +4269,7 @@ object ScaleQueries {
       val maxTs = ev.agg(max("ts_us")).head.getLong(0)
       val sentinels = spark.range(2).select(
         lit(-1L).as("event_id"),
-        lit(maxTs + OuterFlushUs).as("ts_us"),
+        lit(maxTs + flushUs).as("ts_us"),
         lit(-1L).as("user_id"),
         when(col("id") === 0L, "click").otherwise("purchase")
           .as("event_type"),
