@@ -80,7 +80,8 @@ object Matching {
   def remainingEdges(arcs: DataFrame, nRounds: Int): Long = {
     val e = arcs.persist()
     var un = e.select(col("src").as("v")).distinct()
-    for (_ <- 1 to nRounds) {
+    var converged = false
+    for (_ <- 1 to nRounds if !converged) {
       val live = e
         .join(un.select(col("v").as("u1")), col("src") === col("u1"))
         .join(un.select(col("v").as("u2")), col("dst") === col("u2"))
@@ -91,6 +92,10 @@ object Matching {
           col("c2.c") === col("c1.v") && col("c1.v") < col("c1.c"))
         .select(col("c1.v").as("a"), col("c1.c").as("b"))
         .localCheckpoint(true)
+      // frozen state: every later round recomputes the identical
+      // zero — stop paying its per-round jobs (same short-circuit as
+      // rounds(); the checkpoint makes the count a local scan)
+      converged = mutual.isEmpty
       un = un.join(
           mutual.select(explode(array(col("a"), col("b"))).as("v")),
           Seq("v"), "left_anti")

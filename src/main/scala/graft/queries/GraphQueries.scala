@@ -705,10 +705,13 @@ object GraphQueries {
     }
     arcs.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    // max(prev, 1): an empty backbone yields reach 0 at every h — keep
+    // the degenerate case a 0-growth row, not an ArithmeticException
+    // (oracle mirrors with greatest(lag(...), 1))
     val out = rows.zip(0L +: rows.map(_._2)).map {
       case ((h, exact, est), prev) =>
         (h, exact,
-          if (h == 0) 1000L else 1000L * exact / prev,
+          if (h == 0) 1000L else 1000L * exact / math.max(prev, 1L),
           1000L * math.abs(est - exact) <= NfRelErrPm * exact)
     }
     spark.createDataFrame(out)
@@ -745,7 +748,8 @@ object GraphQueries {
        |SELECT h, reach_pairs,
        |  CASE WHEN h = 0 THEN 1000
        |       ELSE (1000 * reach_pairs) //
-       |         lag(reach_pairs) OVER (ORDER BY h) END::BIGINT
+       |         greatest(lag(reach_pairs) OVER (ORDER BY h), 1)
+       |       END::BIGINT
        |    AS growth_pm,
        |  TRUE AS bound_ok
        |FROM nf ORDER BY h""".stripMargin

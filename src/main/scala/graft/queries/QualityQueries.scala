@@ -2532,12 +2532,16 @@ object QualityQueries {
     * q235's doubling convention (`J₂ = Σ_v c_j(v)·(2·cum_i(v⁻) +
     * c_i(v))` per pair, from (bin, value) count tables — no rank
     * midpoints, no floats). The α=0.05 normal gate evaluates
-    * `18000·(J₂−E₂)² > `[[JtZ2Milli]]`·V` with `E₂ = Σ n_i·n_j` and
-    * `V = N²(2N+3) − Σ n_g²(2n_g+3)` (= 72·Var(J); J₂ = 2J makes the
-    * 18), ties uncorrected — conservative, like q235. Long headroom:
-    * |J₂−E₂| ≤ N²/2, so the gate LHS stays inside int64 to N ≈ 2·10⁴
-    * documents; a larger corpus runs the audit per stratum and
-    * Stouffer-combines, exactly like every rank test here.
+    * `(J₂−E₂)² > (`[[JtZ2Milli]]`·V) div 18000` with `E₂ = Σ n_i·n_j`
+    * and `V = N²(2N+3) − Σ n_g²(2n_g+3)` (= 72·Var(J); J₂ = 2J makes
+    * the 18), ties uncorrected — conservative, like q235. The div
+    * form is EXACTLY the real-division gate for integer LHS (`d² > q
+    * ⟺ d² > ⌊q⌋`) and keeps both sides inside int64 far longer than
+    * the naive `18000·d²` scaling (which wrapped at N ≈ 6.7·10³):
+    * |J₂−E₂| ≤ N²/2 caps the LHS at N⁴/4 and [[JtZ2Milli]]·V at
+    * ~7.7·10³·N³, so the gate holds to N ≈ 7·10⁴ documents; a larger
+    * corpus runs the audit per stratum and Stouffer-combines, exactly
+    * like every rank test here.
     *
     * Scale shape: one scan → per-doc (bin, TTR-milli) → (bin, value)
     * counts (map-side combined, ≤ 4·1001 rows); the pair machinery is
@@ -2584,9 +2588,8 @@ object QualityQueries {
         when(col("jt2") > col("mean2"), "increasing")
           .when(col("jt2") < col("mean2"), "decreasing")
           .otherwise("none").as("direction"),
-        (lit(18000L) * (col("jt2") - col("mean2"))
-          * (col("jt2") - col("mean2"))
-          > lit(JtZ2Milli) * col("v72")).as("reject"))
+        ((col("jt2") - col("mean2")) * (col("jt2") - col("mean2"))
+          > expr(s"($JtZ2Milli * v72) div 18000")).as("reject"))
   }
 
   val jonckheereTrendSql: String = {
