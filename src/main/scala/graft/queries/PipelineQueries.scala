@@ -40,10 +40,13 @@ object PipelineQueries {
 
   val MinhashThreshold = 0.5
 
+  /** Served from the persisted pair store ([[ensurePairStore]]): the
+    * detector runs once per corpus generation at store build; this and
+    * every other member of its consumer family read the stored
+    * candidates. [[graft.dedup.MinHashLSH.nearDuplicates]] remains the
+    * from-scratch library path (and the store builder's engine). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    MinHashLSH.nearDuplicates(table(spark, dir, "documents"),
-        "doc_id", "text", MinhashThreshold)
-      .orderBy("doc_a", "doc_b")
+    storedVerifiedPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   /** The full MinHash pipeline as SQL CTEs ending in `verified
     * (doc_a, doc_b, est_jaccard, jaccard)` — shared by the q10 oracle
@@ -99,6 +102,78 @@ object PipelineQueries {
        |FROM verified WHERE jaccard >= $MinhashThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- the persisted MinHash pair store (detector economics) ----------
+
+  /** Write-once persisted MinHash CANDIDATE-PAIR table over the FULL
+    * corpus — the detector-economics fix for the q10 consumer family
+    * (q10/q56/q240/q263/q264/q265/q270/q280 each used to re-run the
+    * whole MinHash pipeline per query; at 100 TB that is eight
+    * redundant full-corpus detector passes per round). The store holds
+    * one row per banding candidate with everything any member derives:
+    * `(doc_a, doc_b, matches, inter, un)` — signature agreement count
+    * plus exact shingle intersection/union — so verified pairs
+    * (`inter/un ≥ threshold`, q10), calibration rows (q263), dup-id
+    * sets (q240/q280), and the pair graph (q56/q264/q265/q270) are all
+    * cheap projections/filters of ONE detector run per corpus
+    * generation. Candidate volume is ∝ banding collisions (≪ n²), a
+    * few hundred bytes per row — orders of magnitude under the corpus.
+    *
+    * Lifecycle is [[graft.sources.IndexStore]] verbatim (content
+    * fingerprint over contained data files, staging + atomic-rename
+    * publish, superseded-generation cleanup); plain parquet, not
+    * bucketed — members read the table whole, never key-join it.
+    * Returns the catalog table name. */
+  def ensurePairStore(spark: SparkSession, dir: String): String =
+    PipelineQueries.synchronized {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/documents.parquet"))
+      val name = s"pair_idx_${dirTag}_$fpTag"
+      if (!spark.catalog.tableExists(name)) {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, s"graft_pair_idx_${dirTag}_$fpTag")
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          val res = MinHashLSH.calibrationResult(
+            table(spark, dir, "documents"), "doc_id", "text")
+          // local corpora yield a few thousand candidate rows → a small
+          // fixed file count; at scale the write keeps the detector's
+          // natural partitioning (drop the coalesce)
+          res.df.coalesce(4).write.mode("overwrite").parquet(staging.getPath)
+          res.release()
+        }
+        val lt = org.apache.spark.sql.types.LongType
+        val schema = org.apache.spark.sql.types.StructType(
+          Seq("doc_a", "doc_b", "matches", "inter", "un")
+            .map(org.apache.spark.sql.types.StructField(_, lt)))
+        IndexStore.registerParquet(spark, name, dest.getPath, schema)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_pair_idx_${dirTag}_", dest.getName,
+          s"pair_idx_${dirTag}_", name)
+      }
+      name
+    }
+
+  /** Every banding candidate from the pair store:
+    * `(doc_a, doc_b, matches, inter, un)`. */
+  def storedCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensurePairStore(spark, dir))
+
+  /** q10's verified near-dup pairs `(doc_a, doc_b, est_jaccard,
+    * jaccard)` derived from the pair store — value-identical to
+    * [[graft.dedup.MinHashLSH.nearDuplicates]]: `est = matches/32`
+    * (a binary fraction, exact in double) and `jaccard = inter/un`
+    * are the same two divisions the recompute path performs, filtered
+    * and rounded identically (PairStoreSpec pins store ≡ recompute). */
+  def storedVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    storedCandidatePairs(spark, dir)
+      .withColumn("jacc",
+        col("inter").cast("double") / col("un").cast("double"))
+      .filter(col("jacc") >= MinhashThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("matches").cast("double") /
+          lit(MinHashLSH.NumHashes.toDouble), 6).as("est_jaccard"),
+        round(col("jacc"), 6).as("jaccard"))
+
   // ---- q263: MinHash estimator calibration ------------------------------
 
   /** Is the 32-hash MinHash estimate actually TRACKING Jaccard on
@@ -119,9 +194,7 @@ object PipelineQueries {
     * collisions; only the 33-column signature table persists); the
     * calibration arithmetic is per-candidate-row projection. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val res = MinHashLSH.calibrationResult(
-      table(spark, dir, "documents"), "doc_id", "text")
-    res.df
+    storedCandidatePairs(spark, dir)
       .withColumn("est_milli", expr("(1000 * matches) div 32"))
       .withColumn("exact_milli", expr("(1000 * inter) div un"))
       .withColumn("err_milli", expr("est_milli - exact_milli"))
@@ -1163,8 +1236,7 @@ object PipelineQueries {
     import graft.text.TextStats
     import org.apache.spark.sql.expressions.Window
     val docs = table(spark, dir, "documents")
-    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
-      MinhashThreshold)
+    val pairs = storedVerifiedPairs(spark, dir)
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val scored = docs
@@ -1246,8 +1318,7 @@ object PipelineQueries {
     import graft.text.TextStats
     import org.apache.spark.sql.expressions.Window
     val docs = table(spark, dir, "documents")
-    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
-      MinhashThreshold)
+    val pairs = storedVerifiedPairs(spark, dir)
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val binned = docs

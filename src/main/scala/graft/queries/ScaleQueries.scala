@@ -642,15 +642,13 @@ object ScaleQueries {
     * The oracle runs the identical minhash pipeline in SQL and
     * resolves components with a recursive CTE. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
-      table(spark, dir, "documents"), "doc_id", "text",
-      PipelineQueries.MinhashThreshold)
-    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
-    pairs.count() // materialize: exactly one MinHash evaluation
-    val out = dedupClustersFrom(pairs)
-    pairs.unpersist(blocking = false)
-    minhash.release()
-    out
+    // pairs come from the persisted pair store (one detector run per
+    // corpus generation, shared with q10/q240/q263/q264/q265/q270/
+    // q280) — the store IS the materialization, so no persist needed
+    // for CC's repeated reads
+    val pairs = PipelineQueries.storedVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    dedupClustersFrom(pairs)
   }
 
   /** q10's full SQL pipeline as a CTE, then min-label reachability via
@@ -693,10 +691,10 @@ object ScaleQueries {
     * the removed ids against it. */
   def dedupYield(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
-      docs, "doc_id", "text", PipelineQueries.MinhashThreshold)
-    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
-    val nPairs = pairs.count() // materialize: one MinHash evaluation
+    // pair-store read (shared detector run, see ensurePairStore)
+    val pairs = PipelineQueries.storedVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val nPairs = pairs.count()
     val comp = graft.operators.ConnectedComponents
       .components(pairs, "doc_a", "doc_b", partitions = 8)
     val stats = docs.select(col("doc_id"),
@@ -719,10 +717,7 @@ object ScaleQueries {
           .as("token_savings_permille"),
         expr("(1000 * chars_removed) div total_chars")
           .as("char_savings_permille"))
-    val result = out.localCheckpoint(true)
-    pairs.unpersist(blocking = false)
-    minhash.release()
-    result
+    out.localCheckpoint(true)
   }
 
   val dedupYieldSql: String =
@@ -786,10 +781,9 @@ object ScaleQueries {
     * removed ids against the doc→source map. */
   def dupAttribution(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
-      docs, "doc_id", "text", PipelineQueries.MinhashThreshold)
-    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
-    pairs.count() // materialize: one MinHash evaluation
+    // pair-store read (shared detector run, see ensurePairStore)
+    val pairs = PipelineQueries.storedVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
     val comp = graft.operators.ConnectedComponents
       .components(pairs, "doc_a", "doc_b", partitions = 8)
     val src = docs.select(col("doc_id"), col("source"))
@@ -813,10 +807,7 @@ object ScaleQueries {
       .na.fill(0L, Seq("docs_removed", "within_pairs", "cross_pairs"))
       .withColumn("dup_rate_pm", expr("(1000 * docs_removed) div n_docs"))
       .orderBy("source")
-    val result = out.localCheckpoint(true)
-    pairs.unpersist(blocking = false)
-    minhash.release()
-    result
+    out.localCheckpoint(true)
   }
 
   val dupAttributionSql: String =
@@ -4146,10 +4137,10 @@ object ScaleQueries {
     * those bounded tables. */
   def dedupModularity(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val minhash = graft.dedup.MinHashLSH.nearDuplicatesResult(
-      docs, "doc_id", "text", PipelineQueries.MinhashThreshold)
-    val pairs = minhash.df.select(col("doc_a"), col("doc_b")).persist()
-    val m = pairs.count() // materialize: one MinHash evaluation
+    // pair-store read (shared detector run, see ensurePairStore)
+    val pairs = PipelineQueries.storedVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val m = pairs.count()
     val comp = graft.operators.ConnectedComponents
       .components(pairs, "doc_a", "doc_b", partitions = 8)
     val src = docs.select(col("doc_id"), col("source"))
@@ -4178,10 +4169,7 @@ object ScaleQueries {
     val out = schemeRow(compLabel, "component", compWithin)
       .unionByName(schemeRow(srcLabel, "source", srcWithin))
       .orderBy("scheme")
-    val result = out.localCheckpoint(true)
-    pairs.unpersist(blocking = false)
-    minhash.release()
-    result
+    out.localCheckpoint(true)
   }
 
   val dedupModularitySql: String =

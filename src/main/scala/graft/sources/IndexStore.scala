@@ -127,4 +127,14 @@ object IndexStore {
          |USING PARQUET
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
          |LOCATION '$path'""".stripMargin)
+
+  /** Register an external plain-parquet table over a published store —
+    * for stores whose consumers never key-join them (e.g. the pair
+    * table, read whole by every member query). */
+  def registerParquet(spark: SparkSession, tableName: String, path: String,
+      schema: StructType): Unit =
+    spark.sql(
+      s"""CREATE TABLE $tableName (${schema.toDDL})
+         |USING PARQUET
+         |LOCATION '$path'""".stripMargin)
 }
