@@ -28,19 +28,31 @@ object KCore {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).persist()
     var alive = e.select(col("src").as("id")).distinct()
-    for (_ <- 1 to rounds) {
-      // eager per-round checkpoint: the alive set is referenced TWICE
-      // per round (both endpoints), so a lazy loop would double the
-      // plan every round — 2^R copies of the base scan by round R.
-      // Checkpointing |V|-row state per round is the ConnectedComponents
-      // economics; edges stay cached once.
-      alive = e
-        .join(alive.select(col("id").as("src")), Seq("src"))
-        .join(alive.select(col("id").as("dst")), Seq("dst"))
+    // Checkpoint every SECOND peel: the alive set is referenced TWICE
+    // per round (both endpoints), so a fully lazy loop doubles the
+    // plan per round (2^R copies of the base scan by round R — this
+    // froze a test run for 10+ min before the per-round fix), while
+    // per-round checkpoints pay R driver-side job latencies; two lazy
+    // peels per checkpoint caps the duplication at 4 subtree copies
+    // and halves the job count. Early exit once the alive count stops
+    // shrinking: peeling a fixpoint is the identity, so the remaining
+    // rounds would recompute identical state.
+    def peel(prev: DataFrame): DataFrame =
+      e.join(prev.select(col("id").as("src")), Seq("src"))
+        .join(prev.select(col("id").as("dst")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
+    var prevN = -1L
+    var done = 0
+    while (done < rounds && prevN != 0L) {
+      val step = math.min(2, rounds - done)
+      alive = (1 to step).foldLeft(alive)((acc, _) => peel(acc))
         .localCheckpoint(true)
+      done += step
+      val n = alive.count() // local scan of the checkpointed state
+      if (n == prevN) done = rounds // fixpoint
+      prevN = n
     }
     val core = alive
     val result = e

@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   * Scale shape: the edge table persists once (hash-partitioned by
   * `src` on first use, reused every round); per round only the
   * |V|-row cost table moves — one join against edges, one `min`
-  * re-aggregate. The loop stays lazy (K is small and fixed) and
-  * materializes in one final localCheckpoint — [[PageRank]]'s
-  * economics; a deep-K caller would checkpoint periodically like
-  * [[ConnectedComponents]]. */
+  * re-aggregate. The loop checkpoints every SECOND relaxation: the
+  * cost table is referenced twice per round (carry-over union + join),
+  * so a fully lazy chain duplicates each earlier round's work 2× per
+  * later round (2^K copies of round 1 by round K — the q268/q282
+  * lesson), while checkpointing every round pays K driver-side job
+  * latencies; two lazy rounds per checkpoint caps the duplication at
+  * 4 subtree copies and halves the job count. Convergence exits
+  * early on a (count, Σcost) stamp — valid because a relaxation can
+  * only add a node (count grows) or lower a cost (sum shrinks), so an
+  * unchanged stamp proves the fixpoint; later rounds would recompute
+  * identical state. */
 object MinPlus {
 
   /** Cheapest ≤`rounds`-hop path costs from `seed` over `edges`
@@ -37,16 +44,29 @@ object MinPlus {
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .persist()
     var d = spark.range(1).select(lit(seed).as("node"), lit(0L).as("cost"))
-    for (_ <- 1 to rounds) {
-      d = d.select(col("node"), col("cost"))
+    def relax(prev: DataFrame): DataFrame =
+      prev.select(col("node"), col("cost"))
         .unionByName(
-          d.join(e, col("node") === col("src"))
+          prev.join(e, col("node") === col("src"))
             .select(col("dst").as("node"), (col("cost") + col("w")).as("cost")))
         .groupBy("node").agg(min(col("cost")).as("cost"))
+    def stamp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("cost"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    val result = d.localCheckpoint(true)
+    var prev = stamp(d)
+    var done = 0
+    var converged = false
+    while (done < rounds && !converged) {
+      val step = math.min(2, rounds - done)
+      d = (1 to step).foldLeft(d)((acc, _) => relax(acc)).localCheckpoint(true)
+      done += step
+      val cur = stamp(d) // local scan of the checkpointed state
+      converged = cur == prev
+      prev = cur
+    }
     e.unpersist(blocking = false)
-    result
+    d
   }
 
   /** DuckDB mirror of one relaxation round, reading costs from CTE

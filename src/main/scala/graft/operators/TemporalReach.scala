@@ -35,16 +35,32 @@ object TemporalReach {
         col("dst").cast("long").as("dst"), col("t").cast("long").as("t"))
       .persist()
     var a = spark.range(1).select(lit(seed).as("node"), lit(startT).as("arr"))
-    for (_ <- 1 to rounds) {
-      a = a.select(col("node"), col("arr"))
+    // checkpoint every 2nd relaxation + (count, Σarr) convergence exit —
+    // same economics and proof as MinPlus (arrivals only ever shrink,
+    // nodes only ever join)
+    def relax(prev: DataFrame): DataFrame =
+      prev.select(col("node"), col("arr"))
         .unionByName(
-          a.join(e, col("node") === col("src") && col("t") >= col("arr"))
+          prev.join(e, col("node") === col("src") && col("t") >= col("arr"))
             .select(col("dst").as("node"), col("t").as("arr")))
         .groupBy("node").agg(min(col("arr")).as("arr"))
+    def stamp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("arr"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    val result = a.localCheckpoint(true)
+    var prev = stamp(a)
+    var done = 0
+    var converged = false
+    while (done < rounds && !converged) {
+      val step = math.min(2, rounds - done)
+      a = (1 to step).foldLeft(a)((acc, _) => relax(acc)).localCheckpoint(true)
+      done += step
+      val cur = stamp(a)
+      converged = cur == prev
+      prev = cur
+    }
     e.unpersist(blocking = false)
-    result
+    a
   }
 
   /** DuckDB mirror of one relaxation round over arrival CTE `prev`
