@@ -156,6 +156,19 @@ object Bench {
     // file is unambiguous.
     val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    // And append the same line (timestamped) to a committed history:
+    // the round driver's BENCH_rNN.json keeps only a 2,000-char tail,
+    // so ~55 of the per-query times survive per round in ITS artifacts
+    // — this file preserves every query's time for round-over-round
+    // diffing. Append-only; ~50 KB per full-surface run.
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")
+    if (hist.nonEmpty) {
+      val stamped = s"""{"at":"${java.time.Instant.now()}",""" + json.drop(1) + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(hist),
+        stamped.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     spark.stop()
   }
 }
