@@ -2506,4 +2506,81 @@ object CurationQueries {
        |  (abs(noise) <= ${b * math.log(100.0)}) AS within_99pct
        |FROM h ORDER BY event_type""".stripMargin
   }
+
+  // ---- q299: split-conformal lower bound on the quality score -----------
+
+  /** Miscoverage level alpha (permille) and the calibration slice
+    * (every 5th doc — disjoint from nothing else by design; the
+    * eval slice is the rest). */
+  val ConformalAlphaPm = 100L
+  val ConformalCalMod = 5L
+
+  /** SPLIT-CONFORMAL calibration (Vovk; Papadopoulos et al. 2002) —
+    * the distribution-free guarantee the threshold decisions around
+    * the quality score (q240 ranks, q280 calibrates, q170 audits)
+    * don't have: from a held-out calibration slice, the r-th smallest
+    * score with `r = floor(alpha * (n_cal + 1))` is a lower prediction
+    * bound L such that a fresh document's score is >= L with
+    * probability >= 1 - alpha, no distributional assumptions at all.
+    * Publishes the bound and its empirical coverage on the eval slice
+    * — the audit that turns "keep if quality >= tau" into a
+    * statement with a guarantee attached.
+    *
+    * Integer discipline: scores are the q240 micro-quality longs; the
+    * order statistic is "min score whose calibration cumulative count
+    * reaches r" — exact, tie-safe, engine-identical. Scale shape: the
+    * rank runs over DISTINCT score cells (<= 10^6 by construction, the
+    * q240 argument), never a global row sort; coverage is one
+    * broadcast-join count. */
+  def conformalBound(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("s"))
+    val cal = scored.filter(col("doc_id") % ConformalCalMod === 0)
+    val nCal = cal.groupBy().agg(count(lit(1)).as("n_cal"))
+    val cum = cal.groupBy("s").agg(count(lit(1)).as("c"))
+      .withColumn("cumc", sum("c").over(
+        Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)))
+    val bound = cum.crossJoin(broadcast(nCal))
+      .withColumn("r", expr(s"($ConformalAlphaPm * (n_cal + 1)) div 1000"))
+      .filter(col("cumc") >= col("r"))
+      .agg(min("s").as("lower_bound_score"))
+    val eval = scored.filter(col("doc_id") % ConformalCalMod =!= 0)
+    eval.crossJoin(broadcast(bound)).crossJoin(broadcast(nCal))
+      .agg(first("n_cal").as("n_cal"), count(lit(1)).as("n_eval"),
+        first("lower_bound_score").as("lower_bound_score"),
+        sum(when(col("s") >= col("lower_bound_score"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("n_eval"),
+        lit(ConformalAlphaPm).as("alpha_pm"), col("lower_bound_score"),
+        col("n_covered"),
+        expr("(1000 * n_covered) div n_eval").as("coverage_pm"))
+  }
+
+  val conformalBoundSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    round(${TextStats.qualityScoreSql("text")} * 1e6)::BIGINT AS s
+       |  FROM documents),
+       |cal AS (SELECT s FROM sc WHERE doc_id % $ConformalCalMod = 0),
+       |n AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+       |cum AS (
+       |  SELECT s, sum(count(*)) OVER (ORDER BY s
+       |    ROWS UNBOUNDED PRECEDING) AS cumc
+       |  FROM cal GROUP BY s),
+       |b AS (
+       |  SELECT min(s)::BIGINT AS lower_bound_score
+       |  FROM cum, n
+       |  WHERE cumc >= ($ConformalAlphaPm * (n.n_cal + 1)) // 1000),
+       |ev AS (SELECT s FROM sc WHERE doc_id % $ConformalCalMod <> 0)
+       |SELECT n.n_cal, count(*)::BIGINT AS n_eval,
+       |  $ConformalAlphaPm::BIGINT AS alpha_pm, b.lower_bound_score,
+       |  sum(CASE WHEN ev.s >= b.lower_bound_score THEN 1 ELSE 0 END)
+       |    ::BIGINT AS n_covered,
+       |  ((1000 * sum(CASE WHEN ev.s >= b.lower_bound_score
+       |    THEN 1 ELSE 0 END)) // count(*))::BIGINT AS coverage_pm
+       |FROM ev, b, n
+       |GROUP BY n.n_cal, b.lower_bound_score""".stripMargin
 }

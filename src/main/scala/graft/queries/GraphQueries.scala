@@ -1417,4 +1417,42 @@ object GraphQueries {
        |SELECT * FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
        |ORDER BY role, score DESC, node""".stripMargin
   }
+
+  // ---- q294: label-propagation communities ------------------------------
+
+  /** Synchronous update rounds — fixed, the operator's determinism
+    * contract (sync LPA may oscillate on bipartite structure; see
+    * [[graft.operators.LabelPropagation]]). */
+  val LpaRounds = 4
+
+  /** Community detection on the purchase graph by label propagation —
+    * the DENSE-substructure complement of q56/q142's connected
+    * components: a component answers "any path?", a community answers
+    * "which block does the majority of your trading pull you into?"
+    * ([[graft.operators.LabelPropagation]]: majority vote per round,
+    * min-label tie break, [[LpaRounds]] synchronous rounds). Publishes
+    * one row per surviving community: member count and an id checksum
+    * proving exact membership — the stratification table a sampler
+    * reads ("one representative per community"). */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LabelPropagation
+      .run(purchaseArcs(spark, dir), LpaRounds)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_checksum"))
+      .orderBy("community")
+
+  val lpaCommunitiesSql: String = {
+    val stages = (1 to LpaRounds)
+      .map(i => s"l$i AS MATERIALIZED " +
+        s"(${graft.operators.LabelPropagation.roundSql(s"l${i - 1}")})")
+      .mkString(",\n")
+    s"""WITH $arcsCtePrefix,
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM e0),
+       |$stages
+       |SELECT label AS community, count(*)::BIGINT AS n_members,
+       |  sum(node)::BIGINT AS id_checksum
+       |FROM l$LpaRounds
+       |GROUP BY label ORDER BY community""".stripMargin
+  }
 }

@@ -174,6 +174,152 @@ object PipelineQueries {
           lit(MinHashLSH.NumHashes.toDouble), 6).as("est_jaccard"),
         round(col("jacc"), 6).as("jaccard"))
 
+  // ---- q295: dedup threshold sensitivity sweep -------------------------
+
+  /** The sweep grid (permille). 500 is q10's operating point, so that
+    * row's n_pairs equals the q10 pair count by construction. */
+  val SweepThresholdsPm: Seq[Long] = Seq(300L, 400L, 500L, 600L, 700L,
+    800L, 900L)
+
+  /** What would the dedup pass remove at OTHER thresholds? — the
+    * tuning curve every threshold decision (q10's 0.5) should be read
+    * against, and the reason [[ensurePairStore]] stores candidates
+    * UNFILTERED: the sweep is a pure projection of the stored
+    * `(inter, un)` integers — re-tuning costs one store scan, never a
+    * detector re-run. Per grid threshold: surviving pair count and
+    * distinct documents touched. Exact integer gate:
+    * `(1000·inter) div un ≥ t ⟺ inter/un ≥ t/1000` (floor division
+    * against an integer grid is lossless), so the 500 row reproduces
+    * q10's pair set exactly.
+    *
+    * Scale shape: the store is ∝ banding collisions; the sweep is one
+    * scan of it joined to a 7-row broadcast grid — tuning becomes
+    * O(candidates), independent of the corpus. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = storedCandidatePairs(spark, dir)
+      .withColumn("jacc_pm", expr("(1000 * inter) div un"))
+    val ths = SweepThresholdsPm.toDF("threshold_pm")
+    val hits = broadcast(ths).join(cand,
+      col("jacc_pm") >= col("threshold_pm"), "left")
+    val pairsAgg = hits.groupBy("threshold_pm")
+      .agg(count(col("doc_a")).as("n_pairs"))
+    val docsAgg = hits
+      .select(col("threshold_pm"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold_pm")
+      .agg(countDistinct(col("d")).as("docs_touched"))
+    pairsAgg.join(docsAgg, Seq("threshold_pm"), "left")
+      .na.fill(0L, Seq("docs_touched"))
+      .orderBy("threshold_pm")
+  }
+
+  val dedupThresholdSweepSql: String = {
+    val n = MinHashLSH.NumHashes
+    val sigMins = (0 until n)
+      .map(i => s"min(${Hashing.affineSql(i, "x")}) AS h$i").mkString(",\n    ")
+    val bands = (0 until MinHashLSH.Bands).map { b =>
+      val key = (0 until MinHashLSH.RowsPerBand)
+        .map(r => s"h${b * MinHashLSH.RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val grid = SweepThresholdsPm.map(t => s"($t)").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sets AS (
+       |  SELECT id, ${Hashing.wordShinglesSql("w", 3)} AS sh FROM tok),
+       |post AS (SELECT id, unnest(sh) AS shingle FROM sets),
+       |xs AS (SELECT id, ${Hashing.x31Sql("shingle")} AS x FROM post),
+       |sig AS (SELECT id, $sigMins FROM xs GROUP BY id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+       |jac AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b,
+       |    ((1000 * len(list_intersect(a.sh, b.sh)))
+       |      // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+       |      ::BIGINT AS jacc_pm
+       |  FROM cand c
+       |  JOIN sets a ON a.id = c.doc_a
+       |  JOIN sets b ON b.id = c.doc_b),
+       |th(threshold_pm) AS (VALUES $grid),
+       |hits AS (
+       |  SELECT th.threshold_pm, jac.doc_a, jac.doc_b
+       |  FROM th LEFT JOIN jac ON jac.jacc_pm >= th.threshold_pm),
+       |p AS (
+       |  SELECT threshold_pm, count(doc_a)::BIGINT AS n_pairs
+       |  FROM hits GROUP BY 1),
+       |d AS (
+       |  SELECT threshold_pm, count(DISTINCT d)::BIGINT AS docs_touched
+       |  FROM (
+       |    SELECT threshold_pm, doc_a AS d FROM hits
+       |    UNION ALL SELECT threshold_pm, doc_b FROM hits)
+       |  GROUP BY 1)
+       |SELECT p.threshold_pm, p.n_pairs,
+       |  coalesce(d.docs_touched, 0)::BIGINT AS docs_touched
+       |FROM p LEFT JOIN d USING (threshold_pm)
+       |ORDER BY threshold_pm""".stripMargin
+  }
+
+  // ---- q296: multi-keyword lexicon tagging (Aho-Corasick) ---------------
+
+  /** The gated lexicon — two-word phrases over the corpus vocabulary,
+    * each BORDER-FREE (no proper prefix equals a suffix), which is
+    * what makes the automaton's every-occurrence count equal the SQL
+    * oracle's non-overlapping `replace`-length count
+    * (AhoCorasickSpec proves the property and the equality). */
+  val KeywordLexicon: Seq[String] = Seq("batch stream", "fast scan",
+    "hash join", "merge join", "slow query", "sort merge", "table scan",
+    "window agg")
+
+  /** Lexicon tagging in ONE corpus pass —
+    * [[graft.text.AhoCorasick]]: how many documents mention each
+    * blocklist/brand/PII term, and how often. The operational point is
+    * the k-independence: q79/q187's regex redaction scans per pattern
+    * (O(k·n) — fine for k ≈ 10 patterns), while a real lexicon is
+    * 10⁴-10⁶ terms and only an automaton keeps the scan O(n). The
+    * matcher builds once per PARTITION from the broadcast lexicon and
+    * the per-doc counts aggregate map-side — mapPartitions used
+    * exactly where it belongs (a stateful character-level scan no
+    * Column function expresses; the MediaCodec argument), below a
+    * plain DataFrame aggregation. */
+  def keywordTagging(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = KeywordLexicon
+    val hits = table(spark, dir, "documents")
+      .select(col("text")).as[String]
+      .mapPartitions { it =>
+        val ac = new graft.text.AhoCorasick(lex)
+        it.flatMap { t =>
+          val cs = ac.counts(t)
+          cs.iterator.zipWithIndex.filter(_._1 > 0)
+            .map { case (c, i) => (lex(i), 1L, c) }
+        }
+      }
+      .toDF("keyword", "doc", "hits")
+      .groupBy("keyword")
+      .agg(sum("doc").as("n_docs"), sum("hits").as("n_hits"))
+    broadcast(lex.toDF("keyword"))
+      .join(hits, Seq("keyword"), "left")
+      .na.fill(0L, Seq("n_docs", "n_hits"))
+      .orderBy("keyword")
+  }
+
+  val keywordTaggingSql: String =
+    KeywordLexicon.map { kw =>
+      s"""SELECT '$kw' AS keyword,
+         |  coalesce(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_docs,
+         |  coalesce(sum(c), 0)::BIGINT AS n_hits
+         |FROM (SELECT (length(text) - length(replace(text, '$kw', '')))
+         |        // ${kw.length} AS c
+         |      FROM documents)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY keyword"
+
   // ---- q263: MinHash estimator calibration ------------------------------
 
   /** Is the 32-hash MinHash estimate actually TRACKING Jaccard on

@@ -2857,4 +2857,96 @@ object QualityQueries {
        |    ) > $FriedmanCritMilli AS significant
        |FROM rs, s2, ties, nb""".stripMargin
   }
+
+  // ---- q298: Wald sequential probability ratio test ---------------------
+
+  /** SPRT hypotheses on the purchase share: H0 p=0.25 vs H1 p=0.35. */
+  val SprtP0Pm = 250L
+  val SprtP1Pm = 350L
+  /** Per-event milli-nat LLR increments, `round(1000·ln(p1/p0))` and
+    * `round(1000·ln((1−p1)/(1−p0)))` — fixed INTEGER constants, so the
+    * walk is exact and engine-identical. */
+  val SprtUpMilli = 336L
+  val SprtDownMilli = -143L
+  /** Decision bounds at α = β = 0.05: ±`round(1000·ln(19))`. */
+  val SprtBoundMilli = 2944L
+
+  /** Wald's SPRT (1945) over the event stream — SEQUENTIAL hypothesis
+    * testing, the cell the fixed-sample tests (q235/q248/q273) leave
+    * open: instead of fixing n and then testing, the log-likelihood
+    * ratio walks one increment per event in event-time order and the
+    * test DECIDES the moment the walk leaves (−A, A) — the
+    * early-stopping monitor an experimentation pipeline runs while
+    * data arrives (is the purchase share 0.25 or 0.35? stop collecting
+    * as soon as the evidence suffices). Publishes the audit: totals,
+    * the final walk value, and the first decision crossing (when, at
+    * what evidence).
+    *
+    * Integer discipline: increments and bounds are fixed milli-nat
+    * constants, the walk a pure integer cumulative sum. The running
+    * total uses [[graft.operators.PrefixSum]] (two-phase bucket scan,
+    * day buckets) — NOT a single-partition global window — so the
+    * monitor scales with the stream; first-crossing extraction is a
+    * TakeOrdered(1). At 100 TB the same walk runs per experiment key;
+    * this gate is the single-experiment form. */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir)
+      .select(col("ts_us"), col("event_id"),
+        when(col("event_type") === "purchase", lit(SprtUpMilli))
+          .otherwise(lit(SprtDownMilli)).as("inc"))
+      .withColumn("ok", struct(col("ts_us"), col("event_id")))
+    val walk0 = graft.operators.PrefixSum.withPrefixSum(
+      ev, "ok", "inc", expr("ts_us div 86400000000"), cumCol = "llr")
+    val walk = graft.operators.PrefixSum.withPrefixSum(
+      walk0.withColumn("one", lit(1L)), "ok", "one",
+      expr("ts_us div 86400000000"), cumCol = "n")
+    val tot = walk.agg(count(lit(1)).as("n_events"),
+      sum(when(col("inc") === SprtUpMilli, 1L).otherwise(0L))
+        .as("n_purchases"),
+      sum("inc").as("final_llr_milli"))
+    val firstCross = walk
+      .filter(col("llr") >= SprtBoundMilli || col("llr") <= -SprtBoundMilli)
+      .orderBy("n").limit(1)
+      .select(col("n").as("decided_at_n"),
+        col("llr").as("llr_at_decision_milli"))
+    tot.join(firstCross, lit(true), "left")
+      .select(col("n_events"), col("n_purchases"), col("final_llr_milli"),
+        when(col("llr_at_decision_milli") >= SprtBoundMilli, "accept_h1")
+          .when(col("llr_at_decision_milli") <= -SprtBoundMilli,
+            "accept_h0")
+          .otherwise("continue").as("verdict"),
+        coalesce(col("decided_at_n"), lit(0L)).as("decided_at_n"),
+        coalesce(col("llr_at_decision_milli"), lit(0L))
+          .as("llr_at_decision_milli"))
+  }
+
+  val sprtMonitorSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN $SprtUpMilli
+       |         ELSE $SprtDownMilli END AS inc
+       |  FROM events),
+       |w AS (
+       |  SELECT inc,
+       |    row_number() OVER (ORDER BY ts_us, event_id) AS n,
+       |    sum(inc) OVER (ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS llr
+       |  FROM e),
+       |c AS (
+       |  SELECT n, llr FROM w
+       |  WHERE llr >= $SprtBoundMilli OR llr <= -$SprtBoundMilli
+       |  ORDER BY n LIMIT 1),
+       |t AS (
+       |  SELECT count(*)::BIGINT AS n_events,
+       |    sum(CASE WHEN inc = $SprtUpMilli THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_purchases,
+       |    sum(inc)::BIGINT AS final_llr_milli
+       |  FROM w)
+       |SELECT t.n_events, t.n_purchases, t.final_llr_milli,
+       |  CASE WHEN c.llr >= $SprtBoundMilli THEN 'accept_h1'
+       |       WHEN c.llr <= -$SprtBoundMilli THEN 'accept_h0'
+       |       ELSE 'continue' END AS verdict,
+       |  coalesce(c.n, 0)::BIGINT AS decided_at_n,
+       |  coalesce(c.llr, 0)::BIGINT AS llr_at_decision_milli
+       |FROM t LEFT JOIN c ON TRUE""".stripMargin
 }

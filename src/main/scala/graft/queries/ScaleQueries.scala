@@ -3801,6 +3801,63 @@ object ScaleQueries {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q297: MapState per-type engagement rollup ---------------------------
+
+  /** MAP STATE on `transformWithState`
+    * ([[graft.streaming.SpendByType]]) — the state-shape cell q281
+    * (ValueState) and q285 (ListState + timers) leave open: one
+    * `MapState[event_type → Tally]` per user accumulating the lifetime
+    * engagement profile (per-type counts + spend), updated ONE map
+    * entry per event. Emission is exactly-once per user at a fixed
+    * far-future event-time timer only the flush sentinel can seal;
+    * the fold is commutative (counts/sums), so the result is
+    * arrival-order- and batch-boundary-independent by construction —
+    * the q281 lesson applied from the start. Same staged
+    * sentinel copy and 45-day-delay contract as q281; oracle is the
+    * plain per-(user, type) batch GROUP BY. */
+  def streamTypeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val s = twsSession(spark)
+    import org.apache.spark.sql.{Encoders => Enc}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{SpendByType, TypedEvent, TypeTotal}
+    val staged = ensureSentinelEvents(s, dir, MilestoneFlushUs)
+    val schema = s.read.parquet(staged).schema
+    val maxAll = s.read.parquet(staged).agg(max("ts_us")).head.getLong(0)
+    // flush 1 day past the last REAL event: above every real row, below
+    // the sentinel-driven final watermark (maxReal + 45 d), unreachable
+    // by any real-data watermark (≤ maxReal − 45 d)
+    val flushAtMs = (maxAll - MilestoneFlushUs + 86400000000L) / 1000
+    val ev = s.readStream.schema(schema).parquet(staged)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", MilestoneDelay)
+      .select(col("user_id"), col("ts_us"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as(Enc.product[TypedEvent])
+    implicit val outEnc: org.apache.spark.sql.Encoder[TypeTotal] =
+      Enc.product[TypeTotal]
+    val rolled = ev.groupByKey(_.user_id)(Enc.scalaLong)
+      .transformWithState(new SpendByType(flushAtMs),
+        TimeMode.EventTime(), OutputMode.Append())
+    try s.catalog.dropTempView("stream_type_rollup_result")
+    catch { case _: Throwable => () }
+    val q = rolled.toDF()
+      .writeStream.format("memory").queryName("stream_type_rollup_result")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table("stream_type_rollup_result")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamTypeRollupSql: String =
+    """SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+      |  sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val streamMilestonesSql: String = {
     val ths = MilestoneThresholds.map(t => s"($t)").mkString(", ")
     s"""WITH p AS (
