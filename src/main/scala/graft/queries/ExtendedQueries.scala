@@ -1097,4 +1097,37 @@ object ExtendedQueries {
        |${one(segment, "segment")})
        |ORDER BY block_key""".stripMargin
   }
+
+  // ---- q300: custom DataSource V2 connector with pushdown ---------------
+
+  /** Generated-table span and the pushed id range (a 50% slice). */
+  val GenRows = 2000000L
+  val GenLo = 250000L
+  val GenHi = 1250000L
+
+  /** A CUSTOM DataSource V2 connector end-to-end
+    * ([[graft.sources.RangeGen]]) — the connector integration surface
+    * none of the file formats exercise: filter pushdown (the id range
+    * narrows the generated span inside the source; Spark's residual
+    * Filter disappears), partition pruning (only slices overlapping
+    * the pushed range are planned — this query plans ~50% of the
+    * full-table partitions), and column pruning (the reader computes
+    * exactly the queried columns). Rows are a pure function of id, so
+    * the oracle regenerates them with `generate_series` — the gate
+    * spans the whole connector path from pushdown to values.
+    * RangeGenSpec pins the plan-level claims (pushed filters, pruned
+    * read schema, partition count ∝ pushed span). */
+  def customSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.RangeGen")
+      .option("rows", GenRows.toString).load()
+      .filter(col("id") >= GenLo && col("id") < GenHi)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .orderBy("bucket")
+
+  val customSourceSql: String =
+    s"""SELECT i % 97 AS bucket, count(*)::BIGINT AS n,
+       |  sum((i * 2654435761) % 1000000007)::BIGINT AS sum_value
+       |FROM (SELECT unnest(generate_series($GenLo, ${GenHi - 1})) AS i)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }
