@@ -3282,4 +3282,108 @@ object PipelineQueries {
        |SELECT * FROM (
        |$unions) ORDER BY sel_rank""".stripMargin
   }
+
+  // ---- q302: decision stump on the quality score -------------------------
+
+  /** The one-split tree every "keep if quality >= tau" rule implicitly
+    * is, FITTED: over distinct micro-quality scores, the threshold
+    * maximizing information gain against the near-dup label (labels
+    * from the pair store — another member of the shared-detector
+    * family). q284 RANKS whole features by MI; this picks the actual
+    * operating POINT inside the winning feature, publishing the split
+    * with both sides' sizes and dup rates — the row a curation config
+    * copies its threshold from.
+    *
+    * Integer discipline: IG numerators in count-micronats via the
+    * q239 convention — L(k) = round(1e6*ln k), side term f(n,p) =
+    * n*L(n) - p*L(p) - (n-p)*L(n-p) (0 ln 0 = 0), IG_num =
+    * f(N,P) - f(nl,pl) - f(nr,pr), argmax with min-threshold
+    * tie-break: a total order, bit-identical cross-engine. Scale
+    * shape: one corpus scan + pair-store read collapse to distinct
+    * score cells (<= 10^6, the q240 argument); the cumulative window
+    * runs over cells, the argmax is a TakeOrdered(1). */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val pairs = storedVerifiedPairs(spark, dir)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val scored = docs
+      .join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .select(
+        round(graft.text.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("s"),
+        coalesce(col("dup"), lit(0L)).as("y"))
+    val cells = scored.groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val w = Window.orderBy("s")
+    val cum = cells
+      .withColumn("nl", sum("n").over(w.rowsBetween(
+        Window.unboundedPreceding, 0)))
+      .withColumn("pl", sum("p").over(w.rowsBetween(
+        Window.unboundedPreceding, 0)))
+    val tot = scored.agg(count(lit(1)).as("nn"), sum("y").as("pp"))
+    def lmicro(k: String): String =
+      s"CASE WHEN $k > 0 THEN $k * cast(round(1e6 * ln($k)) as bigint) " +
+        "ELSE 0 END"
+    def f(n: String, p: String): String =
+      s"(${lmicro(n)}) - (${lmicro(p)}) - (${lmicro(s"($n - $p)")})"
+    val splits = cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nn")) // a split must leave a right side
+      .withColumn("ig_num", expr(
+        s"(${f("nn", "pp")}) - (${f("nl", "pl")}) " +
+          s"- (${f("(nn - nl)", "(pp - pl)")})"))
+    splits
+      .orderBy(desc("ig_num"), asc("s")).limit(1)
+      .select(col("nn").as("n_docs"), col("pp").as("n_dup"),
+        col("s").as("best_threshold"),
+        // IG >= 0 mathematically; quantization can dip a hair below
+        // zero - q239's sign peel keeps div/'//' aligned
+        expr("""CASE WHEN ig_num >= 0 THEN ig_num div nn
+                ELSE -((-ig_num) div nn) END""").as("ig_micronats"),
+        col("nl").as("n_left"), (col("nn") - col("nl")).as("n_right"),
+        expr("(1000 * pl) div nl").as("dup_left_pm"),
+        expr("(1000 * (pp - pl)) div (nn - nl)").as("dup_right_pm"))
+  }
+
+  val decisionStumpSql: String = {
+    def lmicro(k: String): String =
+      s"CASE WHEN $k > 0 THEN $k * round(1e6 * ln($k))::BIGINT ELSE 0 END"
+    def f(n: String, p: String): String =
+      s"(${lmicro(n)}) - (${lmicro(p)}) - (${lmicro(s"($n - $p)")})"
+    s"""WITH pairs AS (
+       |${dedupMinhashSql}
+       |),
+       |dups AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs)),
+       |sc AS (
+       |  SELECT round(${graft.text.TextStats.qualityScoreSql("text")}
+       |      * 1e6)::BIGINT AS s,
+       |    (CASE WHEN dups.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS y
+       |  FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id),
+       |cells AS (
+       |  SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+       |  FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT s,
+       |    sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS nl,
+       |    sum(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS pl
+       |  FROM cells),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS pp FROM sc),
+       |ig AS (
+       |  SELECT s, nl, pl, nn, pp,
+       |    (${f("nn", "pp")}) - (${f("nl", "pl")})
+       |      - (${f("(nn - nl)", "(pp - pl)")}) AS ig_num
+       |  FROM cum, tot WHERE nl < nn)
+       |SELECT nn AS n_docs, pp AS n_dup, s AS best_threshold,
+       |  (CASE WHEN ig_num >= 0 THEN ig_num // nn
+       |        ELSE -((-ig_num) // nn) END)::BIGINT AS ig_micronats,
+       |  nl AS n_left, (nn - nl)::BIGINT AS n_right,
+       |  ((1000 * pl) // nl)::BIGINT AS dup_left_pm,
+       |  ((1000 * (pp - pl)) // (nn - nl))::BIGINT AS dup_right_pm
+       |FROM ig ORDER BY ig_num DESC, s LIMIT 1""".stripMargin
+  }
 }

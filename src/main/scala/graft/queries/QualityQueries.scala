@@ -2949,4 +2949,170 @@ object QualityQueries {
        |  coalesce(c.n, 0)::BIGINT AS decided_at_n,
        |  coalesce(c.llr, 0)::BIGINT AS llr_at_decision_milli
        |FROM t LEFT JOIN c ON TRUE""".stripMargin
+
+  // ---- q301: Cliff's delta effect size -----------------------------------
+
+  /** Romano et al. magnitude thresholds on |delta| (permille). */
+  val CliffSmallPm = 147L
+  val CliffMediumPm = 330L
+  val CliffLargePm = 474L
+
+  /** Cliff's delta — the EFFECT SIZE the q235 significance gate
+    * doesn't report: `delta = (#(a>b) - #(a<b)) / (n_a*n_b)`, the
+    * probability a random A-value exceeds a random B-value minus the
+    * reverse, for every event-type pair. A rank test on 10^5 rows
+    * rejects on trivial differences; delta says whether the
+    * difference MATTERS (the standard Romano bands label it). Strict
+    * greater/less counts come from the same (value, count) cumulative
+    * as q235 — `gt = sum ca*cumb(v-)`, `lt = sum ca*(n_b - cumb(v-) -
+    * cb)`, ties by difference — all exact integers; the signed
+    * per-mille uses the q239 sign-peel so Spark's truncating `div`
+    * and DuckDB's flooring `//` agree on negatives.
+    *
+    * Scale shape: identical to q235 — (group, value) counts with
+    * map-side combine, one bounded cumulative window per pair,
+    * constant-size output. */
+  def cliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = table(spark, dir, "events")
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vals.groupBy("g").agg(sum("c").as("n"))
+    val pairs = tot.select(col("g").as("src_a"), col("n").as("n_a"))
+      .join(tot.select(col("g").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val pv = vals.join(broadcast(pairs),
+        col("g") === col("src_a") || col("g") === col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b", "v")
+      .agg(
+        sum(when(col("g") === col("src_a"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("src_b"), col("c")).otherwise(0L)).as("cb"))
+    val byV = Window.partitionBy("src_a", "src_b").orderBy("v")
+    pv.withColumn("cumb",
+        sum("cb").over(byV.rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(0L, Seq("cumb"))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(
+        sum(col("ca") * col("cumb")).as("gt"),
+        sum(col("ca") * (col("n_b") - col("cumb") - col("cb"))).as("lt"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("gt"), col("lt"),
+        (col("n_a") * col("n_b") - col("gt") - col("lt")).as("ties"),
+        expr("""CASE WHEN gt >= lt
+                THEN (1000 * (gt - lt)) div (n_a * n_b)
+                ELSE -((1000 * (lt - gt)) div (n_a * n_b)) END""")
+          .as("delta_pm"))
+      .withColumn("magnitude",
+        when(abs(col("delta_pm")) < CliffSmallPm, "negligible")
+          .when(abs(col("delta_pm")) < CliffMediumPm, "small")
+          .when(abs(col("delta_pm")) < CliffLargePm, "medium")
+          .otherwise("large"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val cliffsDeltaSql: String =
+    s"""WITH vals AS (
+       |  SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c)::BIGINT AS n FROM vals GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.g AS src_a, a.n AS n_a, b.g AS src_b, b.n AS n_b
+       |  FROM tot a JOIN tot b ON a.g < b.g),
+       |pv AS (
+       |  SELECT src_a, src_b, n_a, n_b, v,
+       |    sum(CASE WHEN vals.g = src_a THEN c ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN vals.g = src_b THEN c ELSE 0 END)::BIGINT AS cb
+       |  FROM pairs JOIN vals ON vals.g = src_a OR vals.g = src_b
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |cum AS (
+       |  SELECT src_a, src_b, n_a, n_b, ca, cb,
+       |    coalesce(sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+       |  FROM pv),
+       |d AS (
+       |  SELECT src_a, src_b, n_a, n_b,
+       |    sum(ca * cumb)::BIGINT AS gt,
+       |    sum(ca * (n_b - cumb - cb))::BIGINT AS lt
+       |  FROM cum GROUP BY 1, 2, 3, 4)
+       |SELECT src_a, src_b, n_a, n_b, gt, lt,
+       |  (n_a * n_b - gt - lt)::BIGINT AS ties,
+       |  (CASE WHEN gt >= lt THEN (1000 * (gt - lt)) // (n_a * n_b)
+       |        ELSE -((1000 * (lt - gt)) // (n_a * n_b)) END)::BIGINT
+       |    AS delta_pm,
+       |  CASE WHEN abs(CASE WHEN gt >= lt
+       |          THEN (1000 * (gt - lt)) // (n_a * n_b)
+       |          ELSE -((1000 * (lt - gt)) // (n_a * n_b)) END)
+       |        < $CliffSmallPm THEN 'negligible'
+       |       WHEN abs(CASE WHEN gt >= lt
+       |          THEN (1000 * (gt - lt)) // (n_a * n_b)
+       |          ELSE -((1000 * (lt - gt)) // (n_a * n_b)) END)
+       |        < $CliffMediumPm THEN 'small'
+       |       WHEN abs(CASE WHEN gt >= lt
+       |          THEN (1000 * (gt - lt)) // (n_a * n_b)
+       |          ELSE -((1000 * (lt - gt)) // (n_a * n_b)) END)
+       |        < $CliffLargePm THEN 'medium'
+       |       ELSE 'large' END AS magnitude
+       |FROM d ORDER BY src_a, src_b""".stripMargin
+
+  // ---- q303: capture-recapture population estimate -----------------------
+
+  /** Chapman's nearly-unbiased capture-recapture estimator pointed at
+    * the user universe: treat the month's first half as capture 1 and
+    * the second half as capture 2; the overlap (users seen in both)
+    * estimates the TOTAL population "N-hat = (n1+1)(n2+1)/(m+1) - 1" —
+    * the coverage question a crawl planner asks about any population
+    * it can only sample (how many users/domains/entities exist beyond
+    * what we've seen?). The gate runs it where truth is KNOWN (the
+    * distinct user count), publishing the estimator's signed error —
+    * the calibration check you run before trusting it where truth
+    * isn't. The halfway point derives from the data (min+max over 2),
+    * so the query is corpus-portable; all counts are semi-join
+    * distincts, the estimate one integer expression (q239 sign-peel
+    * for the error). */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTsUs(spark, dir).select("user_id", "ts_us")
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    val c1 = tagged.filter(col("ts_us") < col("mid"))
+      .select("user_id").distinct()
+    val c2 = tagged.filter(col("ts_us") >= col("mid"))
+      .select("user_id").distinct()
+    val n1 = c1.agg(count(lit(1)).as("n1"))
+    val n2 = c2.agg(count(lit(1)).as("n2"))
+    val m = c1.join(c2, Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("m"))
+    val truth = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_true"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .crossJoin(broadcast(truth))
+      .withColumn("n_est",
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+      .select(col("n1"), col("n2"), col("m"), col("n_est"), col("n_true"),
+        expr("""CASE WHEN n_est >= n_true
+                THEN (1000 * (n_est - n_true)) div n_true
+                ELSE -((1000 * (n_true - n_est)) div n_true) END""")
+          .as("err_pm"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+      |mid AS (
+      |  SELECT ((min(ts_us) + max(ts_us)) // 2)::BIGINT AS mid FROM e),
+      |c1 AS (SELECT DISTINCT user_id FROM e, mid WHERE ts_us < mid),
+      |c2 AS (SELECT DISTINCT user_id FROM e, mid WHERE ts_us >= mid),
+      |s AS (
+      |  SELECT (SELECT count(*) FROM c1)::BIGINT AS n1,
+      |    (SELECT count(*) FROM c2)::BIGINT AS n2,
+      |    (SELECT count(*) FROM c1 WHERE user_id IN
+      |      (SELECT user_id FROM c2))::BIGINT AS m,
+      |    (SELECT count(DISTINCT user_id) FROM e)::BIGINT AS n_true)
+      |SELECT n1, n2, m,
+      |  (((n1 + 1) * (n2 + 1)) // (m + 1) - 1)::BIGINT AS n_est, n_true,
+      |  (CASE WHEN ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 >= n_true
+      |    THEN (1000 * (((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_true))
+      |      // n_true
+      |    ELSE -((1000 * (n_true - (((n1 + 1) * (n2 + 1)) // (m + 1) - 1)))
+      |      // n_true) END)::BIGINT AS err_pm
+      |FROM s""".stripMargin
 }

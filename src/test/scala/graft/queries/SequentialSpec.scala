@@ -66,4 +66,80 @@ class SequentialSpec extends SparkSpec {
     assert(row.getAs[Long]("coverage_pm") >=
       1000L - CurationQueries.ConformalAlphaPm - 45L)
   }
+
+  test("Cliff's delta: brute-force pairwise replay on sf0.001") {
+    val rows = graft.SparkEntry
+      .queries("q301_cliffs_delta")(spark, sfDir).collect()
+    val ev = QueryUtil.table(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byG = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val (xs, ys) = (byG(a), byG(b))
+      var gt = 0L; var lt = 0L
+      for (x <- xs; y <- ys) {
+        if (x > y) gt += 1 else if (x < y) lt += 1
+      }
+      assert(r.getAs[Long]("gt") == gt && r.getAs[Long]("lt") == lt,
+        s"($a,$b)")
+      assert(r.getAs[Long]("ties") ==
+        xs.length.toLong * ys.length - gt - lt)
+      val nm = xs.length.toLong * ys.length
+      val want = if (gt >= lt) 1000 * (gt - lt) / nm
+                 else -(1000 * (lt - gt) / nm)
+      assert(r.getAs[Long]("delta_pm") == want)
+    }
+    assert(rows.length == 10) // 5 event types -> 10 pairs
+  }
+
+  test("decision stump: exhaustive split replay on sf0.001") {
+    val row = graft.SparkEntry
+      .queries("q302_decision_stump")(spark, sfDir).collect().head
+    val pairs = PipelineQueries.storedVerifiedPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val scored = QueryUtil.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        round(graft.text.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("s"))
+      .collect().map(r => (r.getLong(1), if (pairs(r.getLong(0))) 1L else 0L))
+    def lm(k: Long) = if (k > 0) k * math.round(1e6 * math.log(k.toDouble))
+                      else 0L
+    def f(n: Long, p: Long) = lm(n) - lm(p) - lm(n - p)
+    val nn = scored.length.toLong
+    val pp = scored.map(_._2).sum
+    val best = scored.map(_._1).distinct.sorted.dropRight(1).map { t =>
+      val left = scored.filter(_._1 <= t)
+      val nl = left.length.toLong; val pl = left.map(_._2).sum
+      (f(nn, pp) - f(nl, pl) - f(nn - nl, pp - pl), t)
+    }.maxBy(x => (x._1, -x._2))
+    assert(row.getAs[Long]("best_threshold") == best._2)
+    val ig = best._1
+    val want = if (ig >= 0) ig / nn else -((-ig) / nn)
+    assert(row.getAs[Long]("ig_micronats") == want)
+    // a split must separate: the dup rate differs across sides
+    assert(row.getAs[Long]("dup_left_pm") !=
+      row.getAs[Long]("dup_right_pm"))
+  }
+
+  test("capture-recapture: Chapman arithmetic replay on sf0.001") {
+    val row = graft.SparkEntry
+      .queries("q303_capture_recapture")(spark, sfDir).collect().head
+    val ev = QueryUtil.eventsTsUs(spark, sfDir)
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val c1 = ev.filter(_._2 < mid).map(_._1).toSet
+    val c2 = ev.filter(_._2 >= mid).map(_._1).toSet
+    val m = (c1 & c2).size.toLong
+    val est = (c1.size.toLong + 1) * (c2.size + 1) / (m + 1) - 1
+    assert(row.getAs[Long]("n1") == c1.size)
+    assert(row.getAs[Long]("n2") == c2.size)
+    assert(row.getAs[Long]("m") == m)
+    assert(row.getAs[Long]("n_est") == est)
+    assert(row.getAs[Long]("n_true") == ev.map(_._1).distinct.length)
+    // the estimator should land in the right ballpark on real overlap
+    assert(math.abs(row.getAs[Long]("err_pm")) < 500)
+  }
 }
