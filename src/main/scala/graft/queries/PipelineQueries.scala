@@ -3386,4 +3386,117 @@ object PipelineQueries {
        |  ((1000 * (pp - pl)) // (nn - nl))::BIGINT AS dup_right_pm
        |FROM ig ORDER BY ig_num DESC, s LIMIT 1""".stripMargin
   }
+
+  // ---- q304: cross-detector agreement audit ------------------------------
+
+  /** Do the two text near-dup detectors AGREE? — the pair-set Venn of
+    * q11's SimHash (Hamming <= 3 on 64-bit fingerprints: fast, order-
+    * sensitive, misses reorderings) against q10's verified MinHash
+    * pairs (exact Jaccard >= 0.5 on shingle SETS: order-blind). Wide
+    * disagreement means the corpus's duplication mode (reordered
+    * mirrors vs verbatim copies) makes the detector CHOICE a recall
+    * decision, not a cost decision — the audit to run before betting a
+    * pipeline on the cheaper one. MinHash pairs read from the pair
+    * store; SimHash recomputes (its fingerprints are the thing under
+    * audit). One full-outer join of two collision-bounded pair
+    * tables -> one row of Venn counts + agreement Jaccard. */
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val mh = storedVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_mh"))
+    val shRes = SimHash.nearDuplicatesResult(
+      table(spark, dir, "documents"), "doc_id", "text", SimhashMaxHamming)
+    val sh = shRes.df
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_sh"))
+    val out = mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_mh"), lit(0L))).as("minhash_pairs"),
+        sum(coalesce(col("in_sh"), lit(0L))).as("simhash_pairs"),
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        count(lit(1)).as("union_pairs"))
+      .select(col("minhash_pairs"), col("simhash_pairs"), col("n_both"),
+        (col("minhash_pairs") - col("n_both")).as("only_minhash"),
+        (col("simhash_pairs") - col("n_both")).as("only_simhash"),
+        expr("(1000 * n_both) div greatest(union_pairs, 1)")
+          .as("agreement_pm"))
+      .localCheckpoint(true)
+    shRes.release()
+    out
+  }
+
+  val detectorAgreementSql: String =
+    s"""WITH mh AS MATERIALIZED (
+       |$dedupMinhashSql
+       |),
+       |sh AS MATERIALIZED (
+       |$dedupSimhashSql
+       |),
+       |v AS (
+       |  SELECT
+       |    sum(CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |      AS minhash_pairs,
+       |    sum(CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |      AS simhash_pairs,
+       |    sum(CASE WHEN mh.doc_a IS NOT NULL AND sh.doc_a IS NOT NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       |    count(*)::BIGINT AS union_pairs
+       |  FROM mh FULL OUTER JOIN sh
+       |    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b)
+       |SELECT minhash_pairs, simhash_pairs, n_both,
+       |  (minhash_pairs - n_both)::BIGINT AS only_minhash,
+       |  (simhash_pairs - n_both)::BIGINT AS only_simhash,
+       |  ((1000 * n_both) // greatest(union_pairs, 1))::BIGINT
+       |    AS agreement_pm
+       |FROM v""".stripMargin
+
+  // ---- q305: Pareto frontier (skyline) selection --------------------------
+
+  /** The PARETO FRONTIER of (quality, token count) — multi-objective
+    * document selection without a weighting: a doc survives iff no
+    * other doc is >= on both axes and > on one (equal points are
+    * mutually non-dominating and both stay). This is what "take the
+    * best docs" means before someone arbitrarily picks a scalar blend;
+    * the frontier is also the input set to any downstream weighted
+    * choice.
+    *
+    * 2-D skyline without any pairwise join: collapse to distinct
+    * (q, t) cells, reduce to per-q max-t, one DESC-q cumulative max
+    * gives `best t among strictly higher q` — a frontier cell is a
+    * per-q max-t cell strictly above it. Cells are bounded by score
+    * resolution x length resolution, never corpus size; docs join
+    * back to frontier cells by equi-join. The oracle states the
+    * definition directly (NOT EXISTS dominator). */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(graft.text.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("q"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("t"))
+    val cells = scored.groupBy("q").agg(max("t").as("mt"))
+    val byQDesc = Window.orderBy(desc("q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierCells = cells
+      .withColumn("best_above", max("mt").over(byQDesc))
+      .filter(col("best_above").isNull || col("mt") > col("best_above"))
+      .select(col("q"), col("mt").as("t"))
+    scored.join(frontierCells, Seq("q", "t"), "left_semi")
+      .select(col("doc_id"), col("q").as("quality_micro"),
+        col("t").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val paretoFrontierSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    round(${graft.text.TextStats.qualityScoreSql("text")}
+       |      * 1e6)::BIGINT AS q,
+       |    len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS t
+       |  FROM documents)
+       |SELECT doc_id, q AS quality_micro, t AS n_tokens
+       |FROM sc a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM sc b
+       |  WHERE b.q >= a.q AND b.t >= a.t AND (b.q > a.q OR b.t > a.t))
+       |ORDER BY doc_id""".stripMargin
 }

@@ -3115,4 +3115,79 @@ object QualityQueries {
       |    ELSE -((1000 * (n_true - (((n1 + 1) * (n2 + 1)) // (m + 1) - 1)))
       |      // n_true) END)::BIGINT AS err_pm
       |FROM s""".stripMargin
+
+  // ---- q306: Wasserstein-1 distribution shift ----------------------------
+
+  /** Earth-mover distance (Wasserstein-1) between per-source document
+    * LENGTH distributions — the MAGNITUDE complement of the shift
+    * family: KS (q225) reports the largest CDF gap, PSI (q89) a
+    * binned divergence, JSD a probability distance; W1 is the only
+    * one in the UNITS OF THE VARIABLE ("feed A's docs are ~N
+    * characters longer-distributed than B's") and the right loss for
+    * re-weighting decisions. In 1-D it is exact and integer:
+    * `W1 = integral |F_A - F_B| dv = sum_cells |cumA*nB - cumB*nA| *
+    * gap / (nA*nB)`, published milli-scaled with truncating division.
+    *
+    * Scale shape: q235's economics verbatim — (source, value) counts
+    * map-side combined, one bounded cumulative window per source
+    * pair, constant-size output (G^2/2 rows). */
+  def wassersteinShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = table(spark, dir, "documents")
+      .groupBy(col("source").as("g"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vals.groupBy("g").agg(sum("c").as("n"))
+    val pairs = tot.select(col("g").as("src_a"), col("n").as("n_a"))
+      .join(tot.select(col("g").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val pv = vals.join(broadcast(pairs),
+        col("g") === col("src_a") || col("g") === col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b", "v")
+      .agg(
+        sum(when(col("g") === col("src_a"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("src_b"), col("c")).otherwise(0L)).as("cb"))
+    val byV = Window.partitionBy("src_a", "src_b").orderBy("v")
+    pv
+      .withColumn("cuma", sum("ca").over(
+        byV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cumb", sum("cb").over(
+        byV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead("v", 1).over(
+        Window.partitionBy("src_a", "src_b").orderBy("v")) - col("v"))
+      .filter(col("gap").isNotNull) // at the top cell both CDFs are 1
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(sum(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
+        * col("gap")).as("area"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        expr("(1000 * area) div (n_a * n_b)").as("w1_milli_chars"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val wassersteinShiftSql: String =
+    """WITH vals AS (
+      |  SELECT source AS g, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT g, sum(c)::BIGINT AS n FROM vals GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.g AS src_a, a.n AS n_a, b.g AS src_b, b.n AS n_b
+      |  FROM tot a JOIN tot b ON a.g < b.g),
+      |pv AS (
+      |  SELECT src_a, src_b, n_a, n_b, v,
+      |    sum(CASE WHEN vals.g = src_a THEN c ELSE 0 END)::BIGINT AS ca,
+      |    sum(CASE WHEN vals.g = src_b THEN c ELSE 0 END)::BIGINT AS cb
+      |  FROM pairs JOIN vals ON vals.g = src_a OR vals.g = src_b
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |cum AS (
+      |  SELECT src_a, src_b, n_a, n_b,
+      |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+      |    lead(v) OVER w - v AS gap
+      |  FROM pv
+      |  WINDOW w AS (PARTITION BY src_a, src_b ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT src_a, src_b, n_a, n_b,
+      |  ((1000 * sum(abs(cuma * n_b - cumb * n_a) * gap))
+      |    // (n_a * n_b))::BIGINT AS w1_milli_chars
+      |FROM cum WHERE gap IS NOT NULL
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY src_a, src_b""".stripMargin
 }
