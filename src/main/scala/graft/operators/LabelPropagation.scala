@@ -37,19 +37,27 @@ object LabelPropagation {
     * ties. Returns (`node`, `label`). */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // one hash exchange on src, then never again: every round's
+    // labels⋈edges join sees labels as the (small) shuffled side while
+    // the persisted edge partitions are read in place (Bfs's edge
+    // economics)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).persist()
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    def round(prev: DataFrame): DataFrame = {
-      val w = Window.partitionBy("node").orderBy(desc("c"), asc("label"))
+    def round(prev: DataFrame): DataFrame =
       e.join(prev.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "label")
-    }
+        // top-1 per node WITHOUT a rank window: max of (count, -label)
+        // realizes (count DESC, label ASC) as one aggregate — same
+        // shuffle key as the window but no per-partition sort, and the
+        // partial max combines map-side
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
     var done = 0
     while (done < rounds) {
       val step = math.min(2, rounds - done)
