@@ -3190,4 +3190,124 @@ object QualityQueries {
       |FROM cum WHERE gap IS NOT NULL
       |GROUP BY 1, 2, 3, 4
       |ORDER BY src_a, src_b""".stripMargin
+
+  // ---- q307: Benjamini-Hochberg FDR across the pair-test family ----------
+
+  /** Milli-z² BH critical values at FDR alpha = 0.05 over m = 10
+    * tests: `1000 * (inv_Phi(1 - (k*alpha/m)/2))^2` for rank k = 1..10
+    * — fixed literals shared verbatim by both engines (the q235
+    * convention: criticals are constants, never computed at query
+    * time). */
+  val BhCritZ2Milli: Seq[Long] = Seq(7879L, 6635L, 5916L, 5412L,
+    5024L, 4709L, 4445L, 4218L, 4019L, 3841L)
+
+  /** Multiple-testing control — the correction every audit SUITE here
+    * implicitly needs once it runs many tests at once: Benjamini-
+    * Hochberg over the 10 Mann-Whitney event-type-pair tests (q235's
+    * family, a FIXED m = 10 grid). Per pair the milli-z²
+    * `(3·dev² ·n_a·n_b) div ((n_a+n_b+1)·1000)`; BH sorts descending,
+    * finds the largest rank k whose z² clears [[BhCritZ2Milli]](k),
+    * and rejects ranks 1..k — the step-up rule that bounds the
+    * expected share of FALSE discoveries at 5% where per-test gates
+    * (q235's raw reject) bound only each test alone. Published per
+    * pair: statistic, rank, the rank's critical, raw vs BH verdicts —
+    * the table showing which raw rejections survive correction.
+    *
+    * Determinism: floor-milli statistics with (z², pair-name) total
+    * tie order; the step-up cutoff is a max over a 10-row table.
+    * Scale: q235's economics; everything after the per-pair counts is
+    * a 10-row computation. */
+  def bhFdr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = table(spark, dir, "events")
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vals.groupBy("g").agg(sum("c").as("n"))
+    val pairs = tot.select(col("g").as("src_a"), col("n").as("n_a"))
+      .join(tot.select(col("g").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val pv = vals.join(broadcast(pairs),
+        col("g") === col("src_a") || col("g") === col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b", "v")
+      .agg(
+        sum(when(col("g") === col("src_a"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("src_b"), col("c")).otherwise(0L)).as("cb"))
+    val byV = Window.partitionBy("src_a", "src_b").orderBy("v")
+    val u = pv
+      .withColumn("cumb",
+        sum("cb").over(byV.rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(0L, Seq("cumb"))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(sum(col("ca") * (lit(2L) * col("cumb") + col("cb"))).as("u2"))
+      .withColumn("dev_pm",
+        expr("(1000 * abs(u2 - n_a * n_b)) div (n_a * n_b)"))
+      .withColumn("z2_milli",
+        expr("(3 * dev_pm * dev_pm * n_a * n_b)" +
+          " div ((n_a + n_b + 1) * 1000)"))
+    import spark.implicits._
+    val crit = BhCritZ2Milli.zipWithIndex
+      .map { case (c, i) => (i + 1L, c) }
+      .toDF("rank", "crit_z2_milli")
+    val ranked = u
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("z2_milli"), asc("src_a"), asc("src_b"))))
+      .join(broadcast(crit), Seq("rank"))
+    val cutoff = ranked
+      .filter(col("z2_milli") >= col("crit_z2_milli"))
+      .agg(coalesce(max("rank"), lit(0L)).as("k"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col("src_a"), col("src_b"), col("z2_milli"),
+        col("rank").cast("long").as("rank"), col("crit_z2_milli"),
+        // raw per-test gate at alpha = .05 = BH's rank-m critical
+        (col("z2_milli") >= lit(BhCritZ2Milli.last)).as("raw_reject"),
+        (col("rank") <= col("k")).as("bh_reject"))
+      .orderBy("rank")
+  }
+
+  val bhFdrSql: String = {
+    val critRows = BhCritZ2Milli.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, $c)" }.mkString(", ")
+    s"""WITH vals AS (
+       |  SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT g, sum(c)::BIGINT AS n FROM vals GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.g AS src_a, a.n AS n_a, b.g AS src_b, b.n AS n_b
+       |  FROM tot a JOIN tot b ON a.g < b.g),
+       |pv AS (
+       |  SELECT src_a, src_b, n_a, n_b, v,
+       |    sum(CASE WHEN vals.g = src_a THEN c ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN vals.g = src_b THEN c ELSE 0 END)::BIGINT AS cb
+       |  FROM pairs JOIN vals ON vals.g = src_a OR vals.g = src_b
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |cum AS (
+       |  SELECT src_a, src_b, n_a, n_b, ca, cb,
+       |    coalesce(sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+       |  FROM pv),
+       |u AS (
+       |  SELECT src_a, src_b, n_a, n_b,
+       |    sum(ca * (2 * cumb + cb))::BIGINT AS u2
+       |  FROM cum GROUP BY 1, 2, 3, 4),
+       |z AS (
+       |  SELECT src_a, src_b,
+       |    (3 * ((1000 * abs(u2 - n_a * n_b)) // (n_a * n_b))
+       |       * ((1000 * abs(u2 - n_a * n_b)) // (n_a * n_b))
+       |       * n_a * n_b) // ((n_a + n_b + 1) * 1000) AS z2_milli
+       |  FROM u),
+       |r AS (
+       |  SELECT src_a, src_b, z2_milli,
+       |    row_number() OVER (ORDER BY z2_milli DESC, src_a, src_b)
+       |      AS rank
+       |  FROM z),
+       |crit(rank, crit_z2_milli) AS (VALUES $critRows),
+       |rc AS (SELECT r.*, crit.crit_z2_milli FROM r JOIN crit USING (rank)),
+       |k AS (
+       |  SELECT coalesce(max(rank), 0) AS k FROM rc
+       |  WHERE z2_milli >= crit_z2_milli)
+       |SELECT src_a, src_b, z2_milli, rank::BIGINT AS rank, crit_z2_milli,
+       |  z2_milli >= ${BhCritZ2Milli.last} AS raw_reject,
+       |  rank <= k.k AS bh_reject
+       |FROM rc, k ORDER BY rank""".stripMargin
+  }
 }

@@ -3858,6 +3858,79 @@ object ScaleQueries {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---- q309: chained stateful streaming (dedup -> windowed agg) -----------
+
+  /** Staged copy of the events table with a planted EXACT DUPLICATE of
+    * every 7th event (same event_id — the at-least-once-delivery
+    * shape) plus the far-future flush sentinel, write-once per (dir,
+    * fingerprint) like every staged stream source here. */
+  private def ensureDupedStreamEvents(spark: SparkSession,
+      dir: String): String = synchronized {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.length}:${src.lastModified}:duped"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_duped_events_$tag"
+    if (!new java.io.File(path, "_SUCCESS").exists) {
+      val ev = eventsTsUs(spark, dir)
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+      val maxTs = ev.agg(max("ts_us")).head.getLong(0)
+      val dups = ev.filter(col("event_id") % 7 === 0)
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"), lit(maxTs + OuterFlushUs).as("ts_us"),
+        lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+        lit(0d).as("value"))
+      ev.unionByName(dups).unionByName(sentinel)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** CHAINED STATEFUL OPERATORS in one streaming query — the engine
+    * capability none of the single-operator streaming gates touch:
+    * `dropDuplicatesWithinWatermark` (state: ids inside the watermark
+    * horizon) feeding an event-time windowed aggregate (state: open
+    * windows) in the SAME query, with the watermark propagating
+    * through the dedup into the window operator. The staged source
+    * plants an exact duplicate of every 7th event (the at-least-once
+    * redelivery a real ingest sees), so the gate proves BOTH stages:
+    * daily counts equal the CLEAN batch aggregate exactly — every
+    * planted duplicate was absorbed by stage 1, every window flushed
+    * complete by stage 2 when the sentinel sealed it. Append mode:
+    * a window only emits once the watermark proves it closed. */
+  def streamChained(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+    val staged = ensureDupedStreamEvents(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val src = spark.readStream.schema(schema).parquet(staged)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+      .filter(col("user_id") =!= -1L)
+    val agg = src
+      .groupBy(window(col("event_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    try spark.catalog.dropTempView("stream_chained_result")
+    catch { case _: Throwable => () }
+    val q = agg
+      .select(unix_micros(col("window.start")).as("day_start_us"),
+        col("n_events"), col("sum_cents"))
+      .writeStream.format("memory").queryName("stream_chained_result")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("stream_chained_result").orderBy("day_start_us")
+    }
+
+  val streamChainedSql: String =
+    """SELECT epoch_us(date_trunc('day', ts)::TIMESTAMP) AS day_start_us,
+      |  count(*)::BIGINT AS n_events,
+      |  sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val streamMilestonesSql: String = {
     val ths = MilestoneThresholds.map(t => s"($t)").mkString(", ")
     s"""WITH p AS (

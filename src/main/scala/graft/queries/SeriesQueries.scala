@@ -1492,4 +1492,94 @@ object SeriesQueries {
        |SELECT dur AS day, n_at_risk, deaths, hazard_micro,
        |  cum_hazard_micro
        |FROM hz WHERE deaths > 0 ORDER BY day""".stripMargin
+
+  // ---- q308: Markov next-event prediction accuracy ------------------------
+
+  /** Does the q134 transition matrix actually PREDICT? — the
+    * backtest every "next-event model" needs before anyone trusts its
+    * probabilities: per current type, the argmax next type (min type
+    * name on count ties — a total order), scored against every
+    * consecutive (user-ordered) event pair. Publishes per-type rows —
+    * the prediction, support, hits, accuracy, and the baseline the
+    * model must beat: that type's share of all transitions (predicting
+    * the global majority class). Model accuracy below baseline means
+    * the chain carries no sequence signal for that type.
+    *
+    * Scale shape: q134's — one user-keyed window builds adjacency, the
+    * matrix is a <= |types|^2 broadcast, scoring is one more pass of
+    * the same pairs. */
+  def markovAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tr = eventsTsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    val counts = tr.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("prev_type")
+      .orderBy(desc("n"), asc("next_type"))
+    val predicted = counts
+      .withColumn("rn", row_number().over(byFrom))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"))
+    val global = tr.groupBy(col("next_type"))
+      .agg(count(lit(1)).as("gn"))
+    val globalTop = global
+      .orderBy(desc("gn"), asc("next_type")).limit(1)
+      .select(col("next_type").as("majority_next"), col("gn"))
+    val tot = tr.agg(count(lit(1)).as("n_all"))
+    tr.join(broadcast(predicted), Seq("prev_type"))
+      .groupBy("prev_type", "predicted_next")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("next_type") === col("predicted_next"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(globalTop)).crossJoin(broadcast(tot))
+      .select(col("prev_type"), col("predicted_next"), col("n_pairs"),
+        col("n_correct"),
+        expr("(1000 * n_correct) div n_pairs").as("accuracy_pm"),
+        col("majority_next"),
+        expr("(1000 * gn) div n_all").as("baseline_pm"))
+      .orderBy("prev_type")
+  }
+
+  val markovAccuracySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+      |    event_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT prev_type, next_type FROM (
+      |    SELECT lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type,
+      |      event_type AS next_type
+      |    FROM e)
+      |  WHERE prev_type IS NOT NULL),
+      |c AS (
+      |  SELECT prev_type, next_type, count(*)::BIGINT AS n
+      |  FROM tr GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT prev_type, next_type AS predicted_next FROM (
+      |    SELECT prev_type, next_type,
+      |      row_number() OVER (PARTITION BY prev_type
+      |        ORDER BY n DESC, next_type) AS rn
+      |    FROM c)
+      |  WHERE rn = 1),
+      |g AS (
+      |  SELECT next_type AS majority_next, count(*)::BIGINT AS gn
+      |  FROM tr GROUP BY 1 ORDER BY gn DESC, majority_next LIMIT 1),
+      |t AS (SELECT count(*)::BIGINT AS n_all FROM tr)
+      |SELECT tr.prev_type, pred.predicted_next,
+      |  count(*)::BIGINT AS n_pairs,
+      |  sum(CASE WHEN tr.next_type = pred.predicted_next THEN 1 ELSE 0
+      |    END)::BIGINT AS n_correct,
+      |  ((1000 * sum(CASE WHEN tr.next_type = pred.predicted_next
+      |    THEN 1 ELSE 0 END)) // count(*))::BIGINT AS accuracy_pm,
+      |  g.majority_next,
+      |  ((1000 * g.gn) // t.n_all)::BIGINT AS baseline_pm
+      |FROM tr JOIN pred USING (prev_type), g, t
+      |GROUP BY tr.prev_type, pred.predicted_next, g.majority_next,
+      |  g.gn, t.n_all
+      |ORDER BY tr.prev_type""".stripMargin
 }

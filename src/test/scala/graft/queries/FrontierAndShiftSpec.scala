@@ -59,4 +59,68 @@ class FrontierAndShiftSpec extends SparkSpec {
     }
     assert(rows.length >= 10)
   }
+
+  test("BH-FDR: step-up rule replay; BH never rejects more than raw") {
+    val rows = graft.SparkEntry
+      .queries("q307_bh_fdr")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 10)
+    val z = rows.map(_.getAs[Long]("z2_milli"))
+    assert(z.sameElements(z.sorted.reverse), "ranked by z2 desc")
+    val crit = QualityQueries.BhCritZ2Milli
+    val k = (1 to 10).filter(i => z(i - 1) >= crit(i - 1))
+      .lastOption.getOrElse(0)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("crit_z2_milli") == crit(i))
+      assert(r.getAs[Boolean]("bh_reject") == (i + 1 <= k))
+      assert(r.getAs[Boolean]("raw_reject") == (z(i) >= crit.last))
+      // step-up vs per-test: BH at FDR alpha rejects a SUBSET of the
+      // raw alpha gates (crit(k) >= crit(m) for every k)
+      if (r.getAs[Boolean]("bh_reject"))
+        assert(r.getAs[Boolean]("raw_reject"))
+    }
+  }
+
+  test("Markov accuracy: argmax prediction and scoring replay") {
+    val rows = graft.SparkEntry
+      .queries("q308_markov_accuracy")(spark, sfDir).collect()
+    val tr = QueryUtil.eventsTsUs(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values.toSeq
+      .flatMap { evs =>
+        val o = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        o.zip(o.tail)
+      }
+    val counts = tr.groupBy(identity).view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val from = r.getAs[String]("prev_type")
+      val pred = counts.keys.filter(_._1 == from).toSeq
+        .map { k => (k._2, counts(k)) }
+        .sortBy { case (t, c) => (-c, t) }.head._1
+      assert(r.getAs[String]("predicted_next") == pred, from)
+      val pairs = tr.filter(_._1 == from)
+      assert(r.getAs[Long]("n_pairs") == pairs.size)
+      assert(r.getAs[Long]("n_correct") == pairs.count(_._2 == pred))
+    }
+    assert(rows.length == 5)
+  }
+
+  test("chained streaming: the staged source really carries duplicates") {
+    // the q309 gate proves dedup+window == clean batch; this proves the
+    // test wasn't vacuous (duplicates exist to absorb)
+    graft.SparkEntry.queries("q309_stream_chained")(spark, sfDir).count()
+    val staged = new java.io.File(sys.props("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_duped_events_"))
+    assert(staged.nonEmpty)
+    val anyDuped = staged.exists { d =>
+      val df = spark.read.parquet(d.getPath)
+      val n = df.count()
+      val nd = df.select("event_id").distinct().count()
+      n > nd + 1 // sentinel aside, planted copies collapse under distinct
+    }
+    assert(anyDuped)
+  }
 }
