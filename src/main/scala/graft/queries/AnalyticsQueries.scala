@@ -725,4 +725,63 @@ object AnalyticsQueries {
        |FROM bk JOIN pre pl ON pl.i = bk.lo JOIN pre ph ON ph.i = bk.hi
        |ORDER BY bucket""".stripMargin
   }
+
+  // ---- q312: TPC-H Q5 — cyclic star join (local-supplier revenue) ---------
+
+  /** The Q5 date window (one year, TPC-H's shape on this corpus's
+    * 1995-2001 span). */
+  val Q5DateLo = "1996-01-01"
+  val Q5DateHi = "1997-01-01"
+  val Q5Region = "ASIA"
+
+  /** TPC-H Q5 — the canonical CYCLIC star join q18 doesn't exercise:
+    * six tables with the local-supplier constraint `c_nationkey =
+    * s_nationkey` closing a cycle in the join graph (customer-orders-
+    * lineitem-supplier-nation), plus a selective region filter and a
+    * one-year date window. This is the optimizer workout: the region
+    * and date predicates must push into the dimension/fact scans, the
+    * three small dimensions broadcast, and only orders⋈lineitem⋈
+    * supplier shuffle — exactly what Catalyst picks from the
+    * declarative form, which is the point (no join hints beyond
+    * broadcast on the bounded dims). Money in the exact-cents
+    * convention. */
+  def localSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Q5DateLo) &&
+        col("o_orderdate") < lit(Q5DateHi))
+    val c = table(spark, dir, "customer")
+    val su = table(spark, dir, "supplier")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region").filter(col("r_name") === Q5Region)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        su("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val localSupplierRevenueSql: String =
+    s"""SELECT n_name,
+       |  (sum(floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)
+       |    ::DOUBLE / 100) AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |  AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$Q5Region'
+       |  AND o_orderdate >= '$Q5DateLo' AND o_orderdate < '$Q5DateHi'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
 }

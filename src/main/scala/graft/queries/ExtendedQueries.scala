@@ -1130,4 +1130,58 @@ object ExtendedQueries {
        |  sum((i * 2654435761) % 1000000007)::BIGINT AS sum_value
        |FROM (SELECT unnest(generate_series($GenLo, ${GenHi - 1})) AS i)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q310: schema evolution (mergeSchema ingest) -------------------------
+
+  /** Deterministic channel tag generation 2 carries: orderkey mod 3. */
+  private val ChannelCase =
+    "CASE o_orderkey % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'store' " +
+      "ELSE 'app' END"
+
+  /** SCHEMA EVOLUTION across parquet generations — the ingest reality
+    * every long-lived dataset hits: generation 1 (even orderkeys) was
+    * written BEFORE the `channel` column existed; generation 2 (odd)
+    * carries it. One `mergeSchema` read reconciles the union schema,
+    * gen-1 rows surface NULL channel, and the query folds them into an
+    * explicit 'unknown' bucket — the null-vs-absent distinction made
+    * auditable instead of silently dropped. Staged write-once per
+    * (dir, fingerprint) like every derived layout here; the oracle
+    * regenerates both generations from the clean table (channel is a
+    * pure function of the key). Scale: schema merge is a footer-only
+    * operation (no data rewrite), the query one scan. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir:${src.length}:${src.lastModified}:evolved"))
+    val base = s"${sys.props("java.io.tmpdir")}/graft_evolved_orders_$tag"
+    ExtendedQueries.synchronized {
+      if (!new java.io.File(s"$base/gen1", "_SUCCESS").exists) {
+        val o = table(spark, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$base/gen1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("channel", expr(ChannelCase))
+          .write.mode("overwrite").parquet(s"$base/gen2")
+      }
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .select(coalesce(col("channel"), lit("unknown")).as("channel"),
+        col("o_totalprice"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("channel")
+  }
+
+  val schemaEvolutionSql: String =
+    s"""SELECT channel, count(*)::BIGINT AS n_orders,
+       |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+       |FROM (
+       |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'unknown'
+       |    ELSE $ChannelCase END AS channel, o_totalprice
+       |  FROM orders)
+       |GROUP BY channel ORDER BY channel""".stripMargin
 }

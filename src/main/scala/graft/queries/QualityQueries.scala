@@ -3310,4 +3310,87 @@ object QualityQueries {
        |  rank <= k.k AS bh_reject
        |FROM rc, k ORDER BY rank""".stripMargin
   }
+
+  // ---- q311: rank-biased overlap of two source rankings -------------------
+
+  /** Suffix weight table `CW(d) = round(1e6 * sum_{j>=d}
+    * (1-p)*p^(j-1)/j)`, p = 0.9, depth 20 — fixed literals (the BH
+    * convention), which makes RBO a pure integer lookup-sum:
+    * an item at ranks (ra, rb) contributes to every overlap depth
+    * d >= max(ra, rb), so its total weight is exactly CW(max(ra,rb)). */
+  val RboSuffixMicro: Seq[Long] = Seq(251483L, 151483L, 106483L, 79483L,
+    61258L, 48136L, 38295L, 30703L, 24724L, 19941L, 16067L, 12897L,
+    10282L, 8109L, 6294L, 4769L, 3482L, 2392L, 1465L, 675L)
+
+  /** Rank-biased overlap (Webber et al. 2010) between two rankings of
+    * the sources — by total token mass vs by total quality mass: the
+    * top-weighted ranking-similarity measure IR evaluation uses where
+    * Kendall/Spearman (q243/q253) weight every position equally (a
+    * swap at rank 1 should matter more than at rank 20; p = 0.9 makes
+    * the top ~10 carry ~90% of the weight). Identity telescopes to
+    * `sum_d (1-p)p^(d-1) = 1 - p^20` (~878,423 micro — the spec pins
+    * it), so the published micro value reads as a share of that
+    * ceiling. Exact integers end to end: both rankings are
+    * sum-ordered with source tie-break, and the RBO is one join +
+    * [[RboSuffixMicro]] lookup-sum.
+    *
+    * Scale: per-source sums (map-side combined), two bounded sorts of
+    * G rows, one G-row join. */
+  def rboRankings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = table(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        sum(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+          .as("tok"),
+        sum(round(graft.text.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long")).as("qual"))
+    val ra = per.withColumn("ra", row_number().over(
+      Window.orderBy(desc("tok"), asc("source")))).select("source", "ra")
+    val rb = per.withColumn("rb", row_number().over(
+      Window.orderBy(desc("qual"), asc("source")))).select("source", "rb")
+    import spark.implicits._
+    val cw = RboSuffixMicro.zipWithIndex
+      .map { case (w, i) => (i + 1L, w) }.toDF("d", "cw")
+    val contrib = ra.join(rb, Seq("source"))
+      .withColumn("d", greatest(col("ra"), col("rb")))
+      .join(broadcast(cw), Seq("d"))
+    contrib.agg(
+        count(lit(1)).as("n_sources"),
+        sum("cw").as("rbo_micro"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L))
+          .as("n_same_rank"))
+      .select(col("n_sources"), col("rbo_micro"), col("n_same_rank"),
+        lit(878423L).as("identity_micro"),
+        expr("(1000 * rbo_micro) div 878423").as("rbo_share_pm"))
+  }
+
+  val rboRankingsSql: String = {
+    val cwRows = RboSuffixMicro.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH per AS (
+       |  SELECT source,
+       |    sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+       |      AS tok,
+       |    sum(round(${graft.text.TextStats.qualityScoreSql("text")}
+       |      * 1e6)::BIGINT)::BIGINT AS qual
+       |  FROM documents GROUP BY source),
+       |ra AS (
+       |  SELECT source, row_number() OVER (ORDER BY tok DESC, source)
+       |    AS ra FROM per),
+       |rb AS (
+       |  SELECT source, row_number() OVER (ORDER BY qual DESC, source)
+       |    AS rb FROM per),
+       |cw(d, w) AS (VALUES $cwRows),
+       |c AS (
+       |  SELECT greatest(ra.ra, rb.rb) AS d, ra.ra, rb.rb
+       |  FROM ra JOIN rb USING (source))
+       |SELECT count(*)::BIGINT AS n_sources,
+       |  sum(cw.w)::BIGINT AS rbo_micro,
+       |  sum(CASE WHEN c.ra = c.rb THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_same_rank,
+       |  878423::BIGINT AS identity_micro,
+       |  ((1000 * sum(cw.w)) // 878423)::BIGINT AS rbo_share_pm
+       |FROM c JOIN cw ON cw.d = c.d""".stripMargin
+  }
 }

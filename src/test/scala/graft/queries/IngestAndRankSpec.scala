@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** q310/q311/q312 contracts. */
+class IngestAndRankSpec extends SparkSpec {
+
+  test("schema evolution: generations really differ; merge reconciles") {
+    // run once to stage
+    val out = graft.SparkEntry
+      .queries("q310_schema_evolution")(spark, sfDir).collect()
+    val base = new java.io.File(sys.props("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_evolved_orders_"))
+      .head
+    val g1 = spark.read.parquet(s"$base/gen1")
+    val g2 = spark.read.parquet(s"$base/gen2")
+    assert(!g1.columns.contains("channel"), "gen1 must predate channel")
+    assert(g2.columns.contains("channel"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+    assert(merged.columns.contains("channel"))
+    // gen-1 rows surface as NULL channel → folded to 'unknown'
+    val unk = out.find(_.getString(0) == "unknown").get
+    assert(unk.getLong(1) == g1.count())
+    assert(out.map(_.getLong(1)).sum == g1.count() + g2.count())
+  }
+
+  test("RBO: self-identity hits the depth-20 ceiling; replay") {
+    val row = graft.SparkEntry
+      .queries("q311_rbo_rankings")(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_sources") == 20)
+    // identity: every item at equal ranks → Σ CW(d) over d=1..20
+    assert(QualityQueries.RboSuffixMicro.sum == 878423L ||
+      math.abs(QualityQueries.RboSuffixMicro.sum - 878423L) <= 10,
+      s"ceiling drifted: ${QualityQueries.RboSuffixMicro.sum}")
+    // replay from per-source sums
+    val per = QueryUtil.table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(
+        sum(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+          .as("tok"),
+        sum(round(graft.text.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long")).as("qual"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ra = per.sortBy(p => (-p._2, p._1)).map(_._1).zipWithIndex.toMap
+    val rb = per.sortBy(p => (-p._3, p._1)).map(_._1).zipWithIndex.toMap
+    val want = per.map(p => QualityQueries.RboSuffixMicro(
+      math.max(ra(p._1), rb(p._1)))).sum
+    assert(row.getAs[Long]("rbo_micro") == want)
+    assert(row.getAs[Long]("rbo_micro") <= 878423L)
+  }
+
+  test("Q5 plan: dims broadcast, date filter pushed to the orders scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry
+      .queries("q312_local_supplier_revenue")(spark, sfDir)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case other => other +: other.children.flatMap(walk)
+      }
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[BroadcastExchangeExec]) >= 3,
+      "customer/nation/region should broadcast")
+    val ordersScan = nodes.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("orders.parquet")) => s
+    }
+    assert(ordersScan.nonEmpty)
+    assert(ordersScan.head.metadata.get("PushedFilters").exists(f =>
+      f.contains("o_orderdate")),
+      s"date filter not pushed: ${ordersScan.head.metadata}")
+    assert(df.collect().nonEmpty)
+  }
+}
