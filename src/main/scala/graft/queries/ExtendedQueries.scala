@@ -1184,4 +1184,37 @@ object ExtendedQueries {
        |    ELSE $ChannelCase END AS channel, o_totalprice
        |  FROM orders)
        |GROUP BY channel ORDER BY channel""".stripMargin
+
+  // ---- q314: custom DataSource V2 sink (commit-protocol audit) ------------
+
+  /** The WRITE half of the connector story ([[graft.sources
+    * .SummarySink]]; q300 covers the read half): the corpus's
+    * (doc_id, n_chars) stream folds task-locally into per-column sums,
+    * the V2 commit protocol ships only partials, and the driver
+    * publishes ONE atomic summary artifact — the ingest-checksum
+    * manifest pattern in the engine's own transactional frame. The
+    * gate re-reads the published artifact and compares it against the
+    * direct aggregate the oracle computes — write path ≡ read path,
+    * end to end. */
+  def customSink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IndexStore, SummarySink}
+    val fpTag = IndexStore.contentTag(
+      new java.io.File(s"$dir/documents.parquet"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_sink_" +
+      s"${IndexStore.pathTag(dir)}_$fpTag.tsv"
+    table(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .write.format("graft.sources.SummarySink")
+      .option("path", path).mode("append").save()
+    val (n, sums) = SummarySink.read(path)
+    import spark.implicits._
+    Seq((n, sums.head, sums(1)))
+      .toDF("n_rows", "sum_doc_id", "sum_n_chars")
+  }
+
+  val customSinkSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  sum(doc_id)::BIGINT AS sum_doc_id,
+      |  sum(n_chars)::BIGINT AS sum_n_chars
+      |FROM documents""".stripMargin
 }

@@ -1455,4 +1455,77 @@ object GraphQueries {
        |FROM l$LpaRounds
        |GROUP BY label ORDER BY community""".stripMargin
   }
+
+  // ---- q313: recursive CTE reach (SQL-surface recursion) ------------------
+
+  /** Depth bound for the recursive walk: UNION ALL recursion
+    * enumerates WALKS (Spark's recursive CTEs don't support UNION
+    * distinct yet), so the bound is what keeps the expansion
+    * polynomial — 3 hops over the 500-edge backbone stays ≤ ~10⁵
+    * rows; the min-hop GROUP BY collapses walks to distances. */
+  val RecReachHops = 3
+
+  /** Spark 4's RECURSIVE CTE surface, gated — the SQL-parity cell the
+    * DataFrame-side iterative operators (q211 BFS and family) leave
+    * open: the same min-hop reachability, expressed as `WITH
+    * RECURSIVE` in `spark.sql` and replayed verbatim by the oracle's
+    * recursive CTE. Both engines share UNION ALL walk semantics with
+    * the depth guard in the recursive arm, so the gate proves the
+    * SQL-level recursion machinery end-to-end, not just the operator.
+    * For production-scale graphs the iterative checkpointed operator
+    * (q211) remains the scale path — walk enumeration is exponential
+    * in hubs; this is the SQL-surface form on the bounded backbone. */
+  def recursiveReach(spark: SparkSession, dir: String): DataFrame = {
+    val ui = table(spark, dir, "events")
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+      .filter(col("item") =!= "")
+      .select(col("user_id"), col("item").cast("long").as("item"))
+      .distinct()
+    val edges = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(TriEdges)
+      .select("a", "b")
+    val arcs = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    try spark.catalog.dropTempView("rec_arcs")
+    catch { case _: Throwable => () }
+    arcs.createOrReplaceTempView("rec_arcs")
+    spark.sql(
+      s"""WITH RECURSIVE walk(node, h) AS (
+         |  SELECT (SELECT min(src) FROM rec_arcs), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT a.dst, w.h + 1
+         |  FROM walk w JOIN rec_arcs a ON a.src = w.node
+         |  WHERE w.h < $RecReachHops)
+         |SELECT node, min(h) AS min_hops
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  val recursiveReachSql: String =
+    s"""WITH RECURSIVE ui AS (
+       |  SELECT DISTINCT user_id,
+       |    regexp_extract(props, '"k": (\\d+)', 1)::BIGINT AS item
+       |  FROM events
+       |  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''),
+       |p AS (
+       |  SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n_ab
+       |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM p ORDER BY n_ab DESC, a, b LIMIT $TriEdges),
+       |arcs AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |walk(node, h) AS (
+       |  SELECT (SELECT min(src) FROM arcs), 0::BIGINT
+       |  UNION ALL
+       |  SELECT a.dst, w.h + 1
+       |  FROM walk w JOIN arcs a ON a.src = w.node
+       |  WHERE w.h < $RecReachHops)
+       |SELECT node, min(h)::BIGINT AS min_hops
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
 }

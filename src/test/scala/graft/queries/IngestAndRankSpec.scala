@@ -77,4 +77,56 @@ class IngestAndRankSpec extends SparkSpec {
       s"date filter not pushed: ${ordersScan.head.metadata}")
     assert(df.collect().nonEmpty)
   }
+
+  test("recursive CTE: min-hop reach equals the iterative walk") {
+    val rec = graft.SparkEntry
+      .queries("q313_recursive_reach")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rec.nonEmpty)
+    assert(rec.values.min == 0 && rec.values.max <= 3)
+    // replay: driver-side BFS over the same backbone
+    val arcs = {
+      val ui = QueryUtil.table(spark, sfDir, "events")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("i"))
+        .filter(col("i") =!= "")
+        .select(col("user_id"), col("i").cast("long").as("item"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byU = ui.groupBy(_._1).values
+      val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      byU.foreach { evs =>
+        val items = evs.map(_._2).distinct.sorted
+        for (a <- items; b <- items if a < b)
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+      }
+      counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
+        .take(graft.queries.GraphQueries.TriEdges).map(_._1)
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    }
+    val adj = arcs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = arcs.map(_._1).min
+    var dist = Map(seed -> 0L)
+    var frontier = Seq(seed)
+    for (h <- 1 to graft.queries.GraphQueries.RecReachHops) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .distinct.filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h.toLong)
+    }
+    assert(rec == dist)
+  }
+
+  test("custom sink: commit protocol publishes exactly the aggregate") {
+    val row = graft.SparkEntry
+      .queries("q314_custom_sink")(spark, sfDir).collect().head
+    val want = QueryUtil.table(spark, sfDir, "documents")
+      .agg(count(lit(1)), sum("doc_id"),
+        sum(col("n_chars").cast("long"))).collect().head
+    assert(row.getLong(0) == want.getLong(0))
+    assert(row.getLong(1) == want.getLong(1))
+    assert(row.getLong(2) == want.getLong(2))
+    // re-running overwrites atomically (same artifact, same values)
+    val again = graft.SparkEntry
+      .queries("q314_custom_sink")(spark, sfDir).collect().head
+    assert(again == row)
+  }
 }
