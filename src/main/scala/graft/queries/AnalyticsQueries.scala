@@ -784,4 +784,61 @@ object AnalyticsQueries {
        |  AND o_orderdate >= '$Q5DateLo' AND o_orderdate < '$Q5DateHi'
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---- q316: observed metrics (one-pass side-channel audit) ---------------
+
+  /** The q312 date window reused for the observed slice. */
+  private val ObsDateLo = "1996-01-01"
+
+  /** `Dataset.observe` / CollectMetrics — the ONE-PASS audit channel:
+    * ingest metrics (rows seen, quantity mass, null count) collected
+    * on the UNFILTERED stream as it flows through the very same scan
+    * that feeds the windowed aggregate — no second pass, no race
+    * between "the data we audited" and "the data we aggregated" (the
+    * reconciliation bug a separate audit query always risks). The
+    * observed values ride back on the driver callback and publish as
+    * constant columns beside the per-flag aggregate; the oracle
+    * recomputes both sides from the table. The aggregate rows are
+    * bounded (≤ flag cardinality), so the driver-side merge is
+    * constant work. */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val li = table(spark, dir, "lineitem")
+    val audited = li.observe(obs,
+      count(lit(1)).as("rows_seen"),
+      sum(col("l_quantity").cast("long")).as("qty_seen"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+        .as("null_shipdates"))
+    val agg = audited
+      .filter(col("l_shipdate") >= lit(ObsDateLo))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("gross"))
+    val rows = agg.collect() // bounded: one row per flag; fires observe
+    val m = obs.get
+    val s = spark
+    import s.implicits._
+    val out = rows.toSeq.map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), m("rows_seen").asInstanceOf[Long],
+      m("qty_seen").asInstanceOf[Long],
+      m("null_shipdates").asInstanceOf[Long]))
+    out.toDF("l_returnflag", "n_items", "gross", "rows_seen",
+        "qty_seen", "null_shipdates")
+      .orderBy("l_returnflag")
+  }
+
+  val observedMetricsSql: String =
+    s"""WITH m AS (
+       |  SELECT count(*)::BIGINT AS rows_seen,
+       |    sum(l_quantity::BIGINT)::BIGINT AS qty_seen,
+       |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |      AS null_shipdates
+       |  FROM lineitem)
+       |SELECT l_returnflag, count(*)::BIGINT AS n_items,
+       |  ${moneySumSql("l_extendedprice")} AS gross,
+       |  m.rows_seen, m.qty_seen, m.null_shipdates
+       |FROM lineitem, m
+       |WHERE l_shipdate >= '$ObsDateLo'
+       |GROUP BY l_returnflag, m.rows_seen, m.qty_seen, m.null_shipdates
+       |ORDER BY l_returnflag""".stripMargin
 }

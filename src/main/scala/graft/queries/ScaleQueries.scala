@@ -286,6 +286,47 @@ object ScaleQueries {
     path
   }
 
+  // ---- q315: dynamic partition pruning ------------------------------------
+
+  /** Busiest-purchase-date dim size. */
+  val DppTopDates = 3
+
+  /** DYNAMIC partition pruning — the runtime half of q47's story: the
+    * date set is not a literal (it is the top-[[DppTopDates]] busiest
+    * purchase dates, computed from the data), so static pruning is
+    * impossible — yet the scan still skips partitions, because Spark
+    * plants a dynamic-pruning subquery on the fact's partition column
+    * fed by the broadcast dim at RUNTIME (PlanSpec-style assertion in
+    * IngestAndRankSpec: `dynamicpruning` in the scan). At 100 TB this
+    * is the difference between "join filters after reading everything"
+    * and "the dim's result prunes directories before the fact scan" —
+    * the mechanism star-schema dashboards live on. */
+  def dynamicPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartitionedEvents(spark, dir)
+    val fact = spark.read.parquet(path)
+    val ev0 = table(spark, dir, "events")
+    val dim = ev0.filter(col("event_type") === "purchase")
+      .groupBy(to_date(eventTs(ev0)).as("event_date"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("event_date"))
+      .limit(DppTopDates)
+      .select("event_date")
+    fact.join(broadcast(dim), Seq("event_date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val dynamicPartitionPruneSql: String =
+    s"""WITH d AS (
+       |  SELECT ts::DATE AS event_date, count(*) AS n
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1 ORDER BY n DESC, event_date LIMIT $DppTopDates)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |  ${moneySumSql("value")} AS sum_value
+       |FROM events JOIN d ON events.ts::DATE = d.event_date
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val partitionPruneSql: String =
     s"""SELECT ts::DATE::VARCHAR AS event_date, event_type,
        |  count(*)::BIGINT AS n_events,

@@ -129,4 +129,42 @@ class IngestAndRankSpec extends SparkSpec {
       .queries("q314_custom_sink")(spark, sfDir).collect().head
     assert(again == row)
   }
+
+  test("DPP: the fact scan carries a dynamic-pruning partition filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry
+      .queries("q315_dynamic_partition_pruning")(spark, sfDir)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val factScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains("graft_part_events_")))
+    assert(factScans.nonEmpty, "no partitioned fact scan in the plan")
+    assert(factScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamic pruning: ${factScans.map(_.partitionFilters)}")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("observed metrics equal the direct unfiltered aggregates") {
+    val rows = graft.SparkEntry
+      .queries("q316_observed_metrics")(spark, sfDir).collect()
+    val want = QueryUtil.table(spark, sfDir, "lineitem")
+      .agg(count(lit(1)), sum(col("l_quantity").cast("long")))
+      .collect().head
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_seen") == want.getLong(0))
+      assert(r.getAs[Long]("qty_seen") == want.getLong(1))
+      assert(r.getAs[Long]("null_shipdates") == 0L)
+    }
+    // the filtered aggregate really is a subset of the observed stream
+    assert(rows.map(_.getAs[Long]("n_items")).sum <= want.getLong(0))
+  }
 }
