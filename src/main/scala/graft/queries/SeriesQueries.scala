@@ -1126,8 +1126,11 @@ object SeriesQueries {
       .withColumn("day", expr(s"ts_us div $DayUs"))
       .groupBy(col("event_type").as("t"), col("day"))
       .agg(count(lit(1)).as("x"))
+    // both grid sides are domain-bounded (|types| and |days|); the
+    // hint states it declaratively (and satisfies PlanSpec's
+    // quadratic-creep sweep)
     val grid = daily.select("t").distinct()
-      .crossJoin(daily.select("day").distinct())
+      .crossJoin(broadcast(daily.select("day").distinct()))
       .join(daily, Seq("t", "day"), "left")
       .na.fill(0L, Seq("x"))
     // centered doubled average-rank: 2·rank + ties − (n + 2); Σ c = 0

@@ -371,4 +371,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian leak:\n$p")
   }
+
+  test("condition-free joins are scalar-bounded outside the exact baselines") {
+    // the quadratic-creep net: a cross join is legitimate ONLY when one
+    // side is provably tiny (a scalar aggregate, a literal grid, a
+    // LIMIT head, a literal bucket grid — a KNOWN logical row bound,
+    // maxRows <= 1024) or the query is one of the
+    // two DOCUMENTED exact-regime baselines whose all-pairs scan is the
+    // point (q13 brute-force kNN over a 16-row broadcast query set —
+    // filter hides the bound from maxRows; q249's all-vectors kNN
+    // audit, whose scale path is the stored ANN graph).
+    // Boundedness evidence, either: a structural row bound (maxRows —
+    // scalar aggregates, literal grids, LIMIT heads), or an explicit
+    // broadcast() hint on a side (the author's audited small-side
+    // claim — domain-bounded group grids like per-band counts have no
+    // structural bound, and the hint is what documents them).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+    val whitelist = Set("q13_knn_cosine", "q249_hubness_audit")
+    val batch = SparkEntry.queries.keys
+      .filterNot(_.contains("stream")).filterNot(whitelist)
+      .toSeq.sorted
+    def hintedBroadcast(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.exists(_.toString.contains("broadcast")))
+    batch.foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      lp.foreach {
+        case j: Join if j.condition.isEmpty =>
+          val bounded = Seq(j.left, j.right).exists(
+            _.maxRows.exists(_ <= 1024)) ||
+            hintedBroadcast(j.hint.leftHint) ||
+            hintedBroadcast(j.hint.rightHint)
+          assert(bounded,
+            s"$q plans an unbounded, unhinted condition-free join:\n$j")
+        case _ => ()
+      }
+    }
+  }
 }
