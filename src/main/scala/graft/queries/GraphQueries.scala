@@ -477,6 +477,56 @@ object GraphQueries {
     * the backbone, whatever the corpus size. */
   val TriEdges = 500
 
+  /** Write-once persisted co-purchase BACKBONE (the top-[[TriEdges]]
+    * item-pair edges by shared-user support) — the structure-audit
+    * family's detector-economics fix, same move as the MinHash pair
+    * store: q116/q254/q283/q286/q291/q313 each re-derived the backbone
+    * from the events corpus (distinct (user, item) -> pair self-join ->
+    * top-E) once per query; now ONE build per corpus generation
+    * persists the E-row edge table under the full
+    * [[graft.sources.IndexStore]] lifecycle and every member reads it.
+    * Returns the catalog table name. */
+  def ensureBackboneStore(spark: SparkSession, dir: String): String =
+    GraphQueries.synchronized {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/events.parquet"))
+      val name = s"backbone_${dirTag}_$fpTag"
+      if (!spark.catalog.tableExists(name)) {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, s"graft_backbone_${dirTag}_$fpTag")
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          val ui = table(spark, dir, "events")
+            .select(col("user_id"),
+              regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
+            .filter(col("item") =!= "")
+            .select(col("user_id"), col("item").cast("long").as("item"))
+            .distinct()
+          ui.as("a")
+            .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+              col("a.item") < col("b.item"))
+            .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+            .agg(count(lit(1)).as("n_ab"))
+            .orderBy(col("n_ab").desc, col("a"), col("b"))
+            .limit(TriEdges)
+            .select("a", "b")
+            .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+        }
+        val lt = org.apache.spark.sql.types.LongType
+        val schema = org.apache.spark.sql.types.StructType(
+          Seq("a", "b").map(org.apache.spark.sql.types.StructField(_, lt)))
+        IndexStore.registerParquet(spark, name, dest.getPath, schema)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_backbone_${dirTag}_", dest.getName,
+          s"backbone_${dirTag}_", name)
+      }
+      name
+    }
+
+  /** The stored backbone's edge list (a < b). */
+  def backboneEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureBackboneStore(spark, dir)).select("a", "b")
+
   /** Exact triangle count + global clustering coefficient over the
     * item co-occurrence backbone: distinct (user, item) collapse →
     * pair supports (the q114 construction) → top-[[TriEdges]] edges →
@@ -485,20 +535,7 @@ object GraphQueries {
     * size the joins broadcast; wedges = Σ C(deg, 2) in exact integer
     * math, clustering = `3000·T div wedges` per-mille. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val ui = table(spark, dir, "events")
-      .select(col("user_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
-      .filter(col("item") =!= "")
-      .select(col("user_id"), col("item").cast("long").as("item"))
-      .distinct()
-    val edges = ui.as("a")
-      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(TriEdges)
-      .select("a", "b")
+    val edges = backboneEdges(spark, dir)
       .persist()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e2.a") === col("e1.b"))
@@ -568,20 +605,7 @@ object GraphQueries {
     * oriented triangle join and two bounded aggregates over the
     * E-row edge table. */
   def localClustering(spark: SparkSession, dir: String): DataFrame = {
-    val ui = table(spark, dir, "events")
-      .select(col("user_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
-      .filter(col("item") =!= "")
-      .select(col("user_id"), col("item").cast("long").as("item"))
-      .distinct()
-    val edges = ui.as("a")
-      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(TriEdges)
-      .select("a", "b")
+    val edges = backboneEdges(spark, dir)
       .persist()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e2.a") === col("e1.b"))
@@ -663,20 +687,7 @@ object GraphQueries {
     * Output per hop: exact reach pairs, growth vs the previous hop in
     * floor per-mille, and the sketch-accuracy boolean. */
   def neighborhoodFunction(spark: SparkSession, dir: String): DataFrame = {
-    val ui = table(spark, dir, "events")
-      .select(col("user_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
-      .filter(col("item") =!= "")
-      .select(col("user_id"), col("item").cast("long").as("item"))
-      .distinct()
-    val e = ui.as("a")
-      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(TriEdges)
-      .select("a", "b")
+    val e = backboneEdges(spark, dir)
     val arcs = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b"), col("a"))).distinct().persist()
     val nodes = arcs.select(col("src").as("v")).distinct().persist()
@@ -772,20 +783,7 @@ object GraphQueries {
     * matched per round, cumulative, and nodes still unmatched — the
     * curve that shows the halving actually happening. */
   def greedyMatching(spark: SparkSession, dir: String): DataFrame = {
-    val ui = table(spark, dir, "events")
-      .select(col("user_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
-      .filter(col("item") =!= "")
-      .select(col("user_id"), col("item").cast("long").as("item"))
-      .distinct()
-    val e = ui.as("a")
-      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(TriEdges)
-      .select("a", "b")
+    val e = backboneEdges(spark, dir)
     val arcs = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b"), col("a"))).distinct()
     graft.operators.Matching.rounds(arcs, MatchRounds).orderBy("round")
@@ -977,20 +975,7 @@ object GraphQueries {
     * co-purchase pairs → top-E edges); degrees and moments are
     * aggregates over the bounded edge table. */
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val ui = table(spark, dir, "events")
-      .select(col("user_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
-      .filter(col("item") =!= "")
-      .select(col("user_id"), col("item").cast("long").as("item"))
-      .distinct()
-    val edges = ui.as("a")
-      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(TriEdges)
-      .select("a", "b")
+    val edges = backboneEdges(spark, dir)
     val deg = edges.select(col("a").as("v"))
       .union(edges.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -1476,20 +1461,7 @@ object GraphQueries {
     * (q211) remains the scale path — walk enumeration is exponential
     * in hubs; this is the SQL-surface form on the bounded backbone. */
   def recursiveReach(spark: SparkSession, dir: String): DataFrame = {
-    val ui = table(spark, dir, "events")
-      .select(col("user_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("item"))
-      .filter(col("item") =!= "")
-      .select(col("user_id"), col("item").cast("long").as("item"))
-      .distinct()
-    val edges = ui.as("a")
-      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(TriEdges)
-      .select("a", "b")
+    val edges = backboneEdges(spark, dir)
     val arcs = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
     try spark.catalog.dropTempView("rec_arcs")
