@@ -67,19 +67,52 @@ object GraphQueries {
     * packed-long node ids (`2·custkey` / `2·suppkey+1`) — the shared
     * edge construction of q111 and q211: one orders⋈lineitem join, a
     * distinct collapse, both arcs from one `explode` pass. */
-  private def purchaseArcs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
-      .join(table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2L).as("c"),
-        (col("l_suppkey") * 2L + 1L).as("s"))
-      .distinct()
-    pairs
-      .select(explode(array(
-        struct(col("c").as("src"), col("s").as("dst")),
-        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
-      .select("e.src", "e.dst")
-  }
+  private def purchaseArcs(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensurePurchaseArcsStore(spark, dir)).select("src", "dst")
+
+  /** Write-once persisted purchase-graph ARCS (customer 2k ↔ supplier
+    * 2k+1, both directions) — the second graph-family backbone store
+    * (after [[ensureBackboneStore]]): q111/q211/q216/q228/q291/q294
+    * each re-derived these arcs (orders⋈lineitem → distinct →
+    * symmetrize) once per query; one build per corpus generation now
+    * persists them under the [[graft.sources.IndexStore]] lifecycle
+    * (fingerprint spans BOTH source tables — either regenerating
+    * invalidates). Returns the catalog table name. */
+  def ensurePurchaseArcsStore(spark: SparkSession, dir: String): String =
+    GraphQueries.synchronized {
+      import graft.sources.IndexStore
+      val dirTag = IndexStore.pathTag(dir)
+      val fpTag = IndexStore.contentTag(new java.io.File(s"$dir/orders.parquet")) +
+        IndexStore.contentTag(new java.io.File(s"$dir/lineitem.parquet"))
+      val name = s"purchase_arcs_${dirTag}_$fpTag"
+      if (!spark.catalog.tableExists(name)) {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot,
+          s"graft_purchase_arcs_${dirTag}_$fpTag")
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+            .join(table(spark, dir, "lineitem")
+              .select("l_orderkey", "l_suppkey"),
+              col("o_orderkey") === col("l_orderkey"))
+            .select((col("o_custkey") * 2L).as("c"),
+              (col("l_suppkey") * 2L + 1L).as("s"))
+            .distinct()
+            .select(explode(array(
+              struct(col("c").as("src"), col("s").as("dst")),
+              struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+            .select("e.src", "e.dst")
+            .coalesce(4).write.mode("overwrite").parquet(staging.getPath)
+        }
+        val lt = org.apache.spark.sql.types.LongType
+        val schema = org.apache.spark.sql.types.StructType(
+          Seq("src", "dst").map(org.apache.spark.sql.types.StructField(_, lt)))
+        IndexStore.registerParquet(spark, name, dest.getPath, schema)
+        IndexStore.cleanupSuperseded(spark, storeRoot,
+          s"graft_purchase_arcs_${dirTag}_", dest.getName,
+          s"purchase_arcs_${dirTag}_", name)
+      }
+      name
+    }
 
   /** The shared edge/seed CTE prefix of the q211 oracle. */
   private val arcsCtePrefix =
