@@ -64,7 +64,7 @@ object ProfileMain {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      graft.queries.QueryUtil.awaitOrFail(q)
       spark.table(sink).orderBy(col("window_start"), col(keyCol))
     }
 

@@ -205,7 +205,7 @@ object CurationQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
       val frontier = spark.table("stream_cdc_frontier")
         .select(col("o_orderkey"), col("w.op").as("__op"),
           col("w.o_orderstatus").as("__new_st"),
@@ -2348,7 +2348,7 @@ object CurationQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
       val out = spark.table("stream_novelty_result")
         .select(col("doc_id"), col("source"), col("n_grams"), col("n_novel"))
         .withColumn("novelty_pm", expr("(1000 * n_novel) div n_grams"))

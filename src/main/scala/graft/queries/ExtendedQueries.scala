@@ -217,7 +217,7 @@ object ExtendedQueries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("stream_moments_result").orderBy("hour_epoch", "event_type")
   }
 
@@ -276,7 +276,7 @@ object ExtendedQueries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     val got = spark.table("stream_quantiles_result")
 
     // gate-only exact side: the true <=-rank of each returned quantile
@@ -1155,15 +1155,22 @@ object ExtendedQueries {
       scala.util.hashing.MurmurHash3.stringHash(
         s"$dir:${src.length}:${src.lastModified}:evolved"))
     val base = s"${sys.props("java.io.tmpdir")}/graft_evolved_orders_$tag"
+    // Stage BOTH generations under one temp dir and publish by atomic
+    // rename (IndexStore discipline): a crash between the gen1 and
+    // gen2 writes can never leave a half-staged layout a later run
+    // would treat as complete. Validity = the LAST-written artifact's
+    // _SUCCESS (gen2), not the first's.
     ExtendedQueries.synchronized {
-      if (!new java.io.File(s"$base/gen1", "_SUCCESS").exists) {
+      graft.sources.IndexStore.publish(new java.io.File(base),
+        d => new java.io.File(new java.io.File(d, "gen2"), "_SUCCESS")
+          .exists) { staging =>
         val o = table(spark, dir, "orders")
           .select("o_orderkey", "o_totalprice")
         o.filter(col("o_orderkey") % 2 === 0)
-          .write.mode("overwrite").parquet(s"$base/gen1")
+          .write.mode("overwrite").parquet(s"$staging/gen1")
         o.filter(col("o_orderkey") % 2 === 1)
           .withColumn("channel", expr(ChannelCase))
-          .write.mode("overwrite").parquet(s"$base/gen2")
+          .write.mode("overwrite").parquet(s"$staging/gen2")
       }
     }
     spark.read.option("mergeSchema", "true")

@@ -765,7 +765,7 @@ object PipelineQueries {
         .option("checkpointLocation", s"${dest.getPath}/checkpoint")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
     }
   }
 
@@ -1162,7 +1162,7 @@ object PipelineQueries {
         .option("checkpointLocation", s"${dest.getPath}/checkpoint")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
     }
   }
 
@@ -1359,7 +1359,7 @@ object PipelineQueries {
         .option("checkpointLocation", s"${dest.getPath}/checkpoint")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
     }
 
   // ---- q240: quality-score AUC against duplicate labels ---------------
@@ -2675,7 +2675,7 @@ object PipelineQueries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("events_stream_result").orderBy("hour_epoch", "event_type")
   }
 
@@ -2714,7 +2714,7 @@ object PipelineQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("stream_dedup_result").orderBy("h")
   }
 
@@ -2754,7 +2754,7 @@ object PipelineQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("stream_dedup_wm_result")
       .orderBy("event_type", "user_id", "hour_epoch")
   }
@@ -2795,7 +2795,7 @@ object PipelineQueries {
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("stream_topk_result").orderBy("key", "rank")
   }
 
@@ -3294,14 +3294,25 @@ object PipelineQueries {
     * with both sides' sizes and dup rates — the row a curation config
     * copies its threshold from.
     *
-    * Integer discipline: IG numerators in count-micronats via the
-    * q239 convention — L(k) = round(1e6*ln k), side term f(n,p) =
-    * n*L(n) - p*L(p) - (n-p)*L(n-p) (0 ln 0 = 0), IG_num =
-    * f(N,P) - f(nl,pl) - f(nr,pr), argmax with min-threshold
-    * tie-break: a total order, bit-identical cross-engine. Scale
-    * shape: one corpus scan + pair-store read collapse to distinct
-    * score cells (<= 10^6, the q240 argument); the cumulative window
-    * runs over cells, the argmax is a TakeOrdered(1). */
+    * Integer discipline: the split criterion is the GINI impurity
+    * decrease (CART's stump criterion), which — unlike entropy IG —
+    * is RATIONAL in the counts, so no transcendental is ever
+    * evaluated at query time (the round-11 red was exactly a
+    * cross-engine `round(1e6*ln k)` last-ulp seam; Gini removes the
+    * libm call instead of trying to make two libms agree). Side term
+    * in micro units, exact integer ops only:
+    *   term(n,p) = n*1e6 - (1e6*(p² + (n-p)²)) div n   (term(0,·)=0)
+    * is n·1e6·Gini(n,p) up to one deterministic truncation; the split
+    * score gain_num = term(N,P) - term(nl,pl) - term(nr,pr) is N·1e6
+    * times the impurity decrease, argmax with min-threshold tie-break:
+    * a total order, bit-identical cross-engine (all divisions have
+    * non-negative operands, where trunc == floor, so Spark `div` ==
+    * DuckDB `//`). Overflow: 1e6·p² stays under Long for corpora to
+    * ~3e6 docs; past that the same expression runs in DECIMAL(38,0)
+    * (both engines support it exactly). Scale shape: one corpus scan +
+    * pair-store read collapse to distinct score cells (<= 10^6, the
+    * q240 argument); the cumulative window runs over cells, the
+    * argmax is a TakeOrdered(1). */
   def decisionStump(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = table(spark, dir, "documents")
@@ -3323,34 +3334,33 @@ object PipelineQueries {
       .withColumn("pl", sum("p").over(w.rowsBetween(
         Window.unboundedPreceding, 0)))
     val tot = scored.agg(count(lit(1)).as("nn"), sum("y").as("pp"))
-    def lmicro(k: String): String =
-      s"CASE WHEN $k > 0 THEN $k * cast(round(1e6 * ln($k)) as bigint) " +
+    def term(n: String, p: String): String =
+      s"CASE WHEN $n > 0 THEN $n * 1000000 " +
+        s"- (1000000 * (($p) * ($p) + ($n - ($p)) * ($n - ($p)))) div $n " +
         "ELSE 0 END"
-    def f(n: String, p: String): String =
-      s"(${lmicro(n)}) - (${lmicro(p)}) - (${lmicro(s"($n - $p)")})"
     val splits = cum.crossJoin(broadcast(tot))
       .filter(col("nl") < col("nn")) // a split must leave a right side
-      .withColumn("ig_num", expr(
-        s"(${f("nn", "pp")}) - (${f("nl", "pl")}) " +
-          s"- (${f("(nn - nl)", "(pp - pl)")})"))
+      .withColumn("gain_num", expr(
+        s"(${term("nn", "pp")}) - (${term("nl", "pl")}) " +
+          s"- (${term("(nn - nl)", "(pp - pl)")})"))
     splits
-      .orderBy(desc("ig_num"), asc("s")).limit(1)
+      .orderBy(desc("gain_num"), asc("s")).limit(1)
       .select(col("nn").as("n_docs"), col("pp").as("n_dup"),
         col("s").as("best_threshold"),
-        // IG >= 0 mathematically; quantization can dip a hair below
-        // zero - q239's sign peel keeps div/'//' aligned
-        expr("""CASE WHEN ig_num >= 0 THEN ig_num div nn
-                ELSE -((-ig_num) div nn) END""").as("ig_micronats"),
+        // Gini decrease >= 0 mathematically; quantization can dip a
+        // hair below zero - q239's sign peel keeps div/'//' aligned
+        expr("""CASE WHEN gain_num >= 0 THEN gain_num div nn
+                ELSE -((-gain_num) div nn) END""").as("gini_gain_micro"),
         col("nl").as("n_left"), (col("nn") - col("nl")).as("n_right"),
         expr("(1000 * pl) div nl").as("dup_left_pm"),
         expr("(1000 * (pp - pl)) div (nn - nl)").as("dup_right_pm"))
   }
 
   val decisionStumpSql: String = {
-    def lmicro(k: String): String =
-      s"CASE WHEN $k > 0 THEN $k * round(1e6 * ln($k))::BIGINT ELSE 0 END"
-    def f(n: String, p: String): String =
-      s"(${lmicro(n)}) - (${lmicro(p)}) - (${lmicro(s"($n - $p)")})"
+    def term(n: String, p: String): String =
+      s"CASE WHEN $n > 0 THEN $n * 1000000 " +
+        s"- (1000000 * (($p) * ($p) + ($n - ($p)) * ($n - ($p)))) // $n " +
+        "ELSE 0 END"
     s"""WITH pairs AS (
        |${dedupMinhashSql}
        |),
@@ -3375,16 +3385,16 @@ object PipelineQueries {
        |  SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS pp FROM sc),
        |ig AS (
        |  SELECT s, nl, pl, nn, pp,
-       |    (${f("nn", "pp")}) - (${f("nl", "pl")})
-       |      - (${f("(nn - nl)", "(pp - pl)")}) AS ig_num
+       |    (${term("nn", "pp")}) - (${term("nl", "pl")})
+       |      - (${term("(nn - nl)", "(pp - pl)")}) AS gain_num
        |  FROM cum, tot WHERE nl < nn)
        |SELECT nn AS n_docs, pp AS n_dup, s AS best_threshold,
-       |  (CASE WHEN ig_num >= 0 THEN ig_num // nn
-       |        ELSE -((-ig_num) // nn) END)::BIGINT AS ig_micronats,
+       |  (CASE WHEN gain_num >= 0 THEN gain_num // nn
+       |        ELSE -((-gain_num) // nn) END)::BIGINT AS gini_gain_micro,
        |  nl AS n_left, (nn - nl)::BIGINT AS n_right,
        |  ((1000 * pl) // nl)::BIGINT AS dup_left_pm,
        |  ((1000 * (pp - pl)) // (nn - nl))::BIGINT AS dup_right_pm
-       |FROM ig ORDER BY ig_num DESC, s LIMIT 1""".stripMargin
+       |FROM ig ORDER BY gain_num DESC, s LIMIT 1""".stripMargin
   }
 
   // ---- q304: cross-detector agreement audit ------------------------------

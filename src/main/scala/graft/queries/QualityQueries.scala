@@ -289,7 +289,7 @@ object QualityQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
       val curCounts = spark.table("stream_psi_cur")
       val g = ref.join(curCounts, Seq("feature", "bucket"), "full_outer")
         .select(col("feature"), col("bucket"),
@@ -399,7 +399,7 @@ object QualityQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
       anomalyReport(spark, spark.table("stream_rate_hourly"))
     }
 
@@ -442,7 +442,7 @@ object QualityQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
       spark.table("stream_validation_result").orderBy("check_name")
     }
 
@@ -3352,17 +3352,22 @@ object QualityQueries {
     import spark.implicits._
     val cw = RboSuffixMicro.zipWithIndex
       .map { case (w, i) => (i + 1L, w) }.toDF("d", "cw")
+    // LEFT join the depth-20 weight table (coalesce 0 beyond it): a
+    // source landing past rank 20 in either ranking contributes zero
+    // RBO weight but still COUNTS — n_sources/n_same_rank audit every
+    // source, and the _d20_ column name carries the truncation depth
+    // so the cap is explicit, never silent.
     val contrib = ra.join(rb, Seq("source"))
       .withColumn("d", greatest(col("ra"), col("rb")))
-      .join(broadcast(cw), Seq("d"))
+      .join(broadcast(cw), Seq("d"), "left")
     contrib.agg(
         count(lit(1)).as("n_sources"),
-        sum("cw").as("rbo_micro"),
+        sum(coalesce(col("cw"), lit(0L))).as("rbo_d20_micro"),
         sum(when(col("ra") === col("rb"), 1L).otherwise(0L))
           .as("n_same_rank"))
-      .select(col("n_sources"), col("rbo_micro"), col("n_same_rank"),
+      .select(col("n_sources"), col("rbo_d20_micro"), col("n_same_rank"),
         lit(878423L).as("identity_micro"),
-        expr("(1000 * rbo_micro) div 878423").as("rbo_share_pm"))
+        expr("(1000 * rbo_d20_micro) div 878423").as("rbo_share_pm"))
   }
 
   val rboRankingsSql: String = {
@@ -3386,11 +3391,12 @@ object QualityQueries {
        |  SELECT greatest(ra.ra, rb.rb) AS d, ra.ra, rb.rb
        |  FROM ra JOIN rb USING (source))
        |SELECT count(*)::BIGINT AS n_sources,
-       |  sum(cw.w)::BIGINT AS rbo_micro,
+       |  sum(coalesce(cw.w, 0))::BIGINT AS rbo_d20_micro,
        |  sum(CASE WHEN c.ra = c.rb THEN 1 ELSE 0 END)::BIGINT
        |    AS n_same_rank,
        |  878423::BIGINT AS identity_micro,
-       |  ((1000 * sum(cw.w)) // 878423)::BIGINT AS rbo_share_pm
-       |FROM c JOIN cw ON cw.d = c.d""".stripMargin
+       |  ((1000 * sum(coalesce(cw.w, 0))) // 878423)::BIGINT
+       |    AS rbo_share_pm
+       |FROM c LEFT JOIN cw ON cw.d = c.d""".stripMargin
   }
 }

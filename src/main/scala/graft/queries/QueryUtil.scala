@@ -190,4 +190,27 @@ object QueryUtil {
     })
     body(s)
   }
+
+  /** Streaming-gate drain timeout (ms): generous against contended
+    * environments (the driver has run 10× slower than steady under
+    * hypervisor load), small enough that a hung query fails the round
+    * visibly instead of wedging the whole Verify run. */
+  val StreamDrainTimeoutMs = 300000L
+
+  /** Await a finite streaming replay's termination and FAIL LOUDLY on
+    * timeout. Every gate used to `awaitTermination(300000)` and fall
+    * through to reading the memory sink — on a timeout that reads a
+    * PARTIAL result and turns an environment hang into a silent
+    * hash-level red (the round-11 verdict flagged exactly this seam on
+    * q281's shared child session). A timeout now stops the query and
+    * throws, so the driver's gate records an honest error row instead
+    * of comparing truncated output. */
+  def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (!q.awaitTermination(StreamDrainTimeoutMs)) {
+      try q.stop() catch { case _: Throwable => () }
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' did not drain in " +
+          s"${StreamDrainTimeoutMs / 1000} s — refusing to read a " +
+          "possibly-partial memory sink")
+    }
 }

@@ -329,7 +329,7 @@ object RetrievalQueries {
           .option("checkpointLocation", s"${dest.getPath}/checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(300000)
+        QueryUtil.awaitOrFail(q)
       }
 
   // ---- q201: hybrid retrieval served entirely from stored indexes -----

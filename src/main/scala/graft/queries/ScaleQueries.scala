@@ -221,7 +221,7 @@ object ScaleQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     // (user_id, ts) is unique per side, so this ORDER BY is total
     spark.table("stream_range_join_result")
       .orderBy("user_id", "purchase_ts_us", "click_ts_us")
@@ -414,7 +414,7 @@ object ScaleQueries {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("stream_enrich_result").orderBy("nation")
     }
 
@@ -599,7 +599,7 @@ object ScaleQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("stream_sessions_result")
       .orderBy("user_id", "session_start_us")
     }
@@ -1761,7 +1761,7 @@ object ScaleQueries {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     val streamed = spark.table("stream_window_distinct_result")
     // gate-only exact side, trimmed: the arithmetic day bucket equals
     // window('1 day').start for epoch-aligned days and skips the window
@@ -2887,7 +2887,7 @@ object ScaleQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
       val cands = spark.table("stream_mg_result")
         .select(explode(col("cands")).as("e"))
         .select(col("e.hkey").as("hkey"), col("e.mg_count").as("mg_count"))
@@ -3724,7 +3724,7 @@ object ScaleQueries {
     * so stream ≡ batch however the replay batches (spec-pinned by
     * MilestoneReplaySpec's shuffled 1/2/3-batch replays). */
   def streamMilestones(spark: SparkSession, dir: String): DataFrame = {
-    val s = twsSession(spark)
+    val s = twsSession(spark, "q281_milestones")
     val staged = ensureSentinelEvents(s, dir, MilestoneFlushUs)
     streamMilestonesFrom(s, staged, maxFilesPerTrigger = 0)
   }
@@ -3761,19 +3761,27 @@ object ScaleQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     s.table("stream_milestones_result")
       .orderBy("user_id", "threshold_cents")
   }
 
   /** Dedicated `transformWithState` child sessions (RocksDB provider),
-    * pooled per parent like [[QueryUtil.withStreamStatePartitions]]. */
-  private val twsSessionPool =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    * pooled per (parent, GATE) — not per parent: the driver's Verify
+    * runs 4 queries concurrently, and q281/q285/q297/q309 used to
+    * share ONE child session (one StreamingQueryManager, one memory
+    * -sink catalog, one state-store coordinator registration) while
+    * all four streamed at once. Nothing in that sharing is documented
+    * unsafe, but q281's driver-gate red was environment-specific to
+    * exactly that concurrency shape, so each gate now gets its own
+    * child: per-query isolation costs one lightweight `newSession`
+    * per gate per JVM and removes the seam wholesale. */
+  private val twsSessionPool = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SparkSession]()
 
-  private def twsSession(spark: SparkSession): SparkSession =
-    twsSessionPool.computeIfAbsent(spark, { p =>
-      val c = p.newSession()
+  private def twsSession(spark: SparkSession, gate: String): SparkSession =
+    twsSessionPool.computeIfAbsent((spark, gate), { _ =>
+      val c = spark.newSession()
       c.conf.set("spark.sql.shuffle.partitions",
         QueryUtil.StreamStatePartitions.toString)
       c.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -3800,7 +3808,7 @@ object ScaleQueries {
     * rows) so every real timer fires before the finite replay stops;
     * the oracle is the batch self-join over the same window. */
   def streamTimers(spark: SparkSession, dir: String): DataFrame = {
-    val s = twsSession(spark)
+    val s = twsSession(spark, "q285_timers")
     import org.apache.spark.sql.{Encoders => Enc}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.streaming.{FollowupReport, FollowupTimers, PurchaseTick}
@@ -3824,7 +3832,7 @@ object ScaleQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     s.table("stream_timers_result")
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id", "purchase_ts_us")
@@ -3857,7 +3865,7 @@ object ScaleQueries {
     * sentinel copy and 45-day-delay contract as q281; oracle is the
     * plain per-(user, type) batch GROUP BY. */
   def streamTypeRollup(spark: SparkSession, dir: String): DataFrame = {
-    val s = twsSession(spark)
+    val s = twsSession(spark, "q297_type_rollup")
     import org.apache.spark.sql.{Encoders => Enc}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.streaming.{SpendByType, TypedEvent, TypeTotal}
@@ -3886,7 +3894,7 @@ object ScaleQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     s.table("stream_type_rollup_result")
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id", "event_type")
@@ -3961,7 +3969,7 @@ object ScaleQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     spark.table("stream_chained_result").orderBy("day_start_us")
     }
 
@@ -3979,11 +3987,11 @@ object ScaleQueries {
        |    floor(value * 100)::BIGINT AS cents
        |  FROM events WHERE event_type = 'purchase'),
        |c AS (
-       |  SELECT user_id, ts_us, cents,
+       |  SELECT user_id, ts_us, event_id, cents,
        |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
        |      AS cum
        |  FROM p)
-       |SELECT user_id, t.th::BIGINT AS threshold_cents, ts_us,
+       |SELECT user_id, t.th::BIGINT AS threshold_cents, ts_us, event_id,
        |  cum AS cum_cents
        |FROM c, (VALUES $ths) t(th)
        |WHERE cum >= t.th AND cum - cents < t.th
@@ -4485,7 +4493,7 @@ object ScaleQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    QueryUtil.awaitOrFail(q)
     // (user_id, ts) is unique per side → total order; sentinel rows out
     spark.table("stream_outer_join_result")
       .filter(col("user_id") =!= -1L)

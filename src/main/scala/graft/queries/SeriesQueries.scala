@@ -579,7 +579,7 @@ object SeriesQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      QueryUtil.awaitOrFail(q)
       spark.table("stream_decay_state")
         .orderBy(col("decayed_score").desc, col("user_id"))
         .limit(DecayTopK)

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** One event on the wire (any type, cents pre-floored). */
 case class TypedEvent(user_id: Long, ts_us: Long, event_type: String,
@@ -37,10 +38,14 @@ class SpendByType(flushAtMs: Long)
     extends StatefulProcessor[Long, TypedEvent, TypeTotal] {
 
   @transient private var totals: MapState[String, Tally] = _
+  @transient private var flushArmed: ValueState[Boolean] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     totals = getHandle.getMapState[String, Tally]("totals",
       Encoders.STRING, Encoders.product[Tally], TTLConfig.NONE)
+    flushArmed = getHandle.getValueState[Boolean]("flushArmed",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
       timers: TimerValues): Iterator[TypeTotal] = {
@@ -51,7 +56,15 @@ class SpendByType(flushAtMs: Long)
       totals.updateValue(r.event_type,
         Tally(cur.n + 1L, cur.cents + r.cents))
     }
-    getHandle.registerTimer(flushAtMs) // idempotent per (key, expiry)
+    // Arm the single flush timer ONCE per key (explicit ValueState
+    // guard): re-registering the same (key, expiry) every micro-batch
+    // leaned on TimerStateImpl's undocumented warn-skip of duplicates.
+    // The flush expiry is fixed and only the sentinel-driven final
+    // watermark can reach it, so events can never arrive after it fired.
+    if (!flushArmed.exists()) {
+      getHandle.registerTimer(flushAtMs)
+      flushArmed.update(true)
+    }
     Iterator.empty
   }
 

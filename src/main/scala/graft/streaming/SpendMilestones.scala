@@ -10,10 +10,13 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
 case class SpendEvent(user_id: Long, ts_us: Long, event_id: Long,
     cents: Long)
 
-/** A lifetime-spend threshold crossing: WHICH milestone, WHEN, and the
-  * exact cumulative at the crossing row. */
+/** A lifetime-spend threshold crossing: WHICH milestone, WHEN, the
+  * exact cumulative at the crossing row, and the crossing event's id —
+  * the id makes any cross-engine diff name its rows (the round-11
+  * driver-gate red was a hash-only mismatch on 179 equal-count rows;
+  * without the id a differing row couldn't be traced to its event). */
 case class MilestoneHit(user_id: Long, threshold_cents: Long, ts_us: Long,
-    cum_cents: Long)
+    event_id: Long, cum_cents: Long)
 
 /** Arbitrary stateful processing on Spark 4's `transformWithState`
   * API (the successor of `flatMapGroupsWithState` — typed state
@@ -57,12 +60,15 @@ class SpendMilestones(thresholds: Seq[Long])
 
   @transient private var cum: ValueState[Long] = _
   @transient private var buf: ListState[SpendEvent] = _
+  @transient private var lastTimerMs: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong,
       TTLConfig.NONE)
     buf = getHandle.getListState[SpendEvent]("buf",
       Encoders.product[SpendEvent], TTLConfig.NONE)
+    lastTimerMs = getHandle.getValueState[Long]("lastTimerMs",
+      Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
@@ -73,10 +79,20 @@ class SpendMilestones(thresholds: Seq[Long])
       if (r.ts_us > maxTsUs) maxTsUs = r.ts_us
     }
     // One timer just past the batch's newest event: it fires once the
-    // watermark seals that event, pulling the fold forward. Timer
-    // registration is idempotent per (key, expiry).
-    if (maxTsUs != Long.MinValue)
-      getHandle.registerTimer(maxTsUs / 1000 + 1)
+    // watermark seals that event, pulling the fold forward. Guard the
+    // re-registration EXPLICITLY (a ValueState of the last expiry)
+    // rather than leaning on TimerStateImpl's undocumented warn-skip of
+    // duplicate (key, expiry) registrations. Skipping an expiry we
+    // already registered is always safe: if that timer has since FIRED,
+    // every event in this batch (ts ≤ maxTs < watermark) would have
+    // been late-dropped before reaching us, so we cannot be here.
+    if (maxTsUs != Long.MinValue) {
+      val expiry = maxTsUs / 1000 + 1
+      if (!lastTimerMs.exists() || lastTimerMs.get() != expiry) {
+        getHandle.registerTimer(expiry)
+        lastTimerMs.update(expiry)
+      }
+    }
     Iterator.empty
   }
 
@@ -91,7 +107,8 @@ class SpendMilestones(thresholds: Seq[Long])
     ready.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
       val nc = c + r.cents
       thresholds.foreach { t =>
-        if (c < t && nc >= t) out += MilestoneHit(key, t, r.ts_us, nc)
+        if (c < t && nc >= t)
+          out += MilestoneHit(key, t, r.ts_us, r.event_id, nc)
       }
       c = nc
     }

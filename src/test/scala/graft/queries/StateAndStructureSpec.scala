@@ -36,7 +36,8 @@ class StateAndStructureSpec extends SparkSpec {
 
   test("q281: transformWithState milestones equal the batch first-crossings") {
     val got = ScaleQueries.streamMilestones(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
     val ev = QueryUtil.eventsTsUs(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -49,7 +50,7 @@ class StateAndStructureSpec extends SparkSpec {
         val nc = c + r._4
         val hits = ScaleQueries.MilestoneThresholds
           .filter(t => c < t && nc >= t)
-          .map(t => (u, t, r._2, nc))
+          .map(t => (u, t, r._2, r._3, nc))
         c = nc
         hits
       }
@@ -57,7 +58,7 @@ class StateAndStructureSpec extends SparkSpec {
     assert(got.toSeq == exp)
     // at-most-once per (user, tier); crossing row proves the tier
     assert(got.map(h => (h._1, h._2)).distinct.length == got.length)
-    got.foreach(h => assert(h._4 >= h._2))
+    got.foreach(h => assert(h._5 >= h._2))
   }
 
   test("q282: WL refinement matches a driver hash replay; classes only split") {
