@@ -174,6 +174,82 @@ object PipelineQueries {
           lit(MinHashLSH.NumHashes.toDouble), 6).as("est_jaccard"),
         round(col("jacc"), 6).as("jaccard"))
 
+  // ---- the persisted IVF centroid store (training economics) ----------
+
+  /** In-JVM memo over [[storedCentroids]] — bench reps and the ~8
+    * consumer queries share one training per (corpus variant, params)
+    * without even a parquet re-read. */
+  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
+  /** Write-once persisted IVF coarse-quantizer centroids — the
+    * training-economics fix mirroring [[ensurePairStore]]: eight gated
+    * queries used to re-run `IvfIndex.train` (3 Lloyd passes over the
+    * embeddings + a driver collect) over the SAME corpus per query; at
+    * 100 TB that is eight redundant full-corpus training sweeps per
+    * round. Keyed by (embeddings content fingerprint, corpus VARIANT,
+    * nlist, iters, init mode) — the variant names which deterministic
+    * derivation of the embeddings table was trained on:
+    * `full` (the table), `grouped` ([[groupedEmbeddings]]),
+    * `base` (the q108 pre-append slice, vec_id % [[AnnDeltaMod]] != 0).
+    * Assignment stays per-query: it is ONE broadcast-argmax map over
+    * the scan, cheap at any scale, and persisting it would store the
+    * corpus a second time.
+    *
+    * Training is deterministic (id-ordered / hash-spread seeds, no
+    * RNG) and doubles roundtrip parquet bit-exactly, so store ≡
+    * recompute EXACTLY (CentroidStoreSpec pins it). Lifecycle is
+    * [[graft.sources.IndexStore]] verbatim; the params sit BEFORE the
+    * fingerprint in the store name so superseded-generation cleanup
+    * never deletes sibling variants. */
+  def storedCentroids(spark: SparkSession, dir: String, variant: String,
+      nlist: Int, spreadInit: Boolean = false,
+      iters: Int = 3): Array[Array[Double]] = {
+    import graft.sources.IndexStore
+    val dirTag = IndexStore.pathTag(dir)
+    val fpTag = IndexStore.contentTag(
+      new java.io.File(s"$dir/embeddings.parquet"))
+    val init = if (spreadInit) "s" else "i"
+    val prefix =
+      s"graft_ivf_cent_${dirTag}_${variant}_${nlist}_${iters}${init}_"
+    val key = s"$prefix$fpTag"
+    centroidMemo.computeIfAbsent(key, { _ =>
+      PipelineQueries.synchronized {
+        val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dest = new java.io.File(storeRoot, key)
+        IndexStore.publish(dest, IndexStore.hasSuccess) { staging =>
+          val corpus = variant match {
+            case "full" => table(spark, dir, "embeddings")
+            case "grouped" =>
+              groupedEmbeddings(table(spark, dir, "embeddings"))
+            case "base" => table(spark, dir, "embeddings")
+              .filter(col("vec_id") % AnnDeltaMod =!= 0)
+            case v => throw new IllegalArgumentException(
+              s"unknown centroid-store corpus variant '$v'")
+          }
+          val centroids =
+            IvfIndex.train(corpus, "vec_id", "embedding", nlist, iters,
+              spreadInit)
+          import spark.implicits._
+          centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+            .toDF("cell", "centroid").coalesce(1)
+            .write.mode("overwrite").parquet(staging.getPath)
+        }
+        IndexStore.cleanupSuperseded(spark, storeRoot, prefix,
+          dest.getName,
+          // no catalog entries for centroid stores; prefix matches none
+          prefix, dest.getName)
+        val rows = spark.read.parquet(dest.getPath)
+          .select("cell", "centroid").collect()
+        val out = new Array[Array[Double]](rows.length)
+        rows.foreach { r =>
+          out(r.getInt(0)) = r.getSeq[Double](1).toArray
+        }
+        out
+      }
+    })
+  }
+
   // ---- q295: dedup threshold sensitivity sweep -------------------------
 
   /** The sweep grid (permille). 500 is q10's operating point, so that
@@ -1762,7 +1838,7 @@ object PipelineQueries {
     * (see [[IvfIndex.nearDupCandidates]] scaladoc). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = NearDupNlist)
+    val centroids = storedCentroids(spark, dir, "full", NearDupNlist)
     val cands = IvfIndex.nearDupCandidates(
       emb, "vec_id", "embedding", centroids, nprobe = NearDupProbe)
     CosineKnn.verifyPairs(cands, emb, "vec_id", "embedding", NearDupCos)
@@ -1803,8 +1879,7 @@ object PipelineQueries {
     * only in the DuckDB oracle. */
   def dbscan(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val centroids = IvfIndex.train(emb, "vec_id", "embedding",
-      nlist = NearDupNlist)
+    val centroids = storedCentroids(spark, dir, "full", NearDupNlist)
     val cands = IvfIndex.nearDupCandidates(
       emb, "vec_id", "embedding", centroids, nprobe = NearDupProbe)
     val pairs = CosineKnn.verifyPairs(cands, emb, "vec_id", "embedding",
@@ -1929,8 +2004,8 @@ object PipelineQueries {
     * id-ordered seeds collapse onto the id-correlated groups. */
   def neardupEcon(spark: SparkSession, dir: String): DataFrame = {
     val corpus = groupedEmbeddings(table(spark, dir, "embeddings"))
-    val centroids = IvfIndex.train(
-      corpus, "vec_id", "embedding", nlist = EconNlist, spreadInit = true)
+    val centroids = storedCentroids(spark, dir, "grouped", EconNlist,
+      spreadInit = true)
     val cands = IvfIndex.nearDupCandidates(
       corpus, "vec_id", "embedding", centroids, nprobe = EconProbe)
     CosineKnn.verifyPairs(cands, corpus, "vec_id", "embedding", EconCos)
@@ -2021,8 +2096,8 @@ object PipelineQueries {
     * it against brute force on raw slices). */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val corpus = groupedEmbeddings(table(spark, dir, "embeddings"))
-    val centroids = IvfIndex.train(
-      corpus, "vec_id", "embedding", nlist = EconNlist, spreadInit = true)
+    val centroids = storedCentroids(spark, dir, "grouped", EconNlist,
+      spreadInit = true)
     val cands = IvfIndex.nearDupCandidates(
       corpus, "vec_id", "embedding", centroids, nprobe = EconProbe)
     val pairs = CosineKnn.verifyPairs(cands, corpus, "vec_id", "embedding", EconCos)
@@ -2066,7 +2141,7 @@ object PipelineQueries {
     * identical at any nprobe — PlanSpec asserts it. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = AnnNlist)
+    val centroids = storedCentroids(spark, dir, "full", AnnNlist)
     val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
     val queries = emb.filter(col("vec_id") < KnnQueries)
     IvfIndex.search(assigned, "vec_id", "embedding", queries, centroids,
@@ -2129,7 +2204,7 @@ object PipelineQueries {
     val emb = table(spark, dir, "embeddings")
     val base = emb.filter(col("vec_id") % AnnDeltaMod =!= 0)
     val delta = emb.filter(col("vec_id") % AnnDeltaMod === 0)
-    val centroids = IvfIndex.train(base, "vec_id", "embedding", nlist = AnnNlist)
+    val centroids = storedCentroids(spark, dir, "base", AnnNlist)
     val merged = IvfIndex.assign(base, "vec_id", "embedding", centroids)
       .unionByName(IvfIndex.assign(delta, "vec_id", "embedding", centroids))
     val queries = emb.filter(col("vec_id") < KnnQueries)
@@ -2196,8 +2271,7 @@ object PipelineQueries {
       IndexStore.publish(dest, valid) { staging =>
         val emb = table(spark, dir, "embeddings")
         val baseEmb = emb.filter(col("vec_id") % AnnDeltaMod =!= 0)
-        val centroids = IvfIndex.train(baseEmb, "vec_id", "embedding",
-          nlist = AnnNlist)
+        val centroids = storedCentroids(spark, dir, "base", AnnNlist)
         val centRows = centroids.zipWithIndex.map { case (c, i) => (i, c) }
         import spark.implicits._
         centRows.toSeq.toDF("cell", "centroid")
@@ -2534,7 +2608,7 @@ object PipelineQueries {
   def annFiltered(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps
     val emb = table(spark, dir, "embeddings")
-    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = AnnNlist)
+    val centroids = storedCentroids(spark, dir, "full", AnnNlist)
     val v = CosineKnn.toDoubleArray(col("embedding"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
       CosineKnn.toDoubleArray(col("embedding")).as("cvec"), col("label"),
