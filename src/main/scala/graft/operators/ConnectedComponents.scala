@@ -97,26 +97,37 @@ object ConnectedComponents {
     // eager localCheckpoint: materializes AND truncates lineage
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = und.join(labels, col("b") === col("id"))
+    // One propagation step; __improved counts strict improvements so
+    // the batch's LAST step doubles as the convergence test.
+    def step(ls: DataFrame): DataFrame = {
+      val nbrMin = und.join(ls, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("nbr_comp"))
-      // LAZY localCheckpoint: the convergence aggregate right below is
-      // the materializing action, so the round runs ONE job whose side
-      // effect caches the blocks and truncates lineage — an eager
-      // checkpoint plus a separate count would run the same stages as
-      // two jobs per round (measured ~40% of wall on this loop of tiny
-      // stages, where wall-clock is job/stage count × fixed overhead).
-      val next = labels.join(nbrMin, col("id") === col("a"), "left")
+      ls.join(nbrMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (col("nbr_comp") < col("comp")).cast("int").as("__improved"))
+    }
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // TWO lazy steps per checkpoint (the MinPlus/KCore batching,
+      // commit 56df0aa): the label table is referenced twice per step
+      // (join + carry-over), so fully lazy would double the plan per
+      // step — two steps caps the duplication at 4 subtree copies and
+      // halves the job count of this tiny-stage loop, where wall-clock
+      // is job count × dispatch overhead, not data volume. The LAZY
+      // localCheckpoint keeps the convergence aggregate below as the
+      // materializing action — one job per batch. Convergence reads
+      // the last step's __improved only: propagation is monotone, so a
+      // step that improves nothing is the fixpoint even if the step
+      // before it improved.
+      val n = math.min(2, maxIter - iter)
+      val next = (1 to n).foldLeft(labels)((acc, _) => step(acc.drop("__improved")))
         .localCheckpoint(false)
       changed = next.agg(coalesce(sum(col("__improved")), lit(0L))).head()
         .getLong(0)
       labels = next.drop("__improved")
-      iter += 1
+      iter += n
     }
     und.unpersist()
     labels

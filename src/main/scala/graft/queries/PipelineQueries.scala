@@ -3583,4 +3583,159 @@ object PipelineQueries {
        |  SELECT 1 FROM sc b
        |  WHERE b.q >= a.q AND b.t >= a.t AND (b.q > a.q OR b.t > a.t))
        |ORDER BY doc_id""".stripMargin
+
+  // ---- q317/q318: end-to-end curation funnel --------------------------
+
+  /** Funnel quality floor, in the micro-quality units every quality
+    * gate on this surface shares (q240/q280/q302/q305): the comparison
+    * is integer-vs-integer, so no float boundary can diverge
+    * cross-engine. */
+  val FunnelQualityMinMicro = 500000L
+
+  /** Per-document funnel flags shared by q317/q318 — one corpus scan
+    * computing the CUMULATIVE stage predicates of the canonical
+    * pretraining curation chain (FineWeb/RefinedWeb shape):
+    * language-ID == 'en' → quality floor → Gopher word-count bounds →
+    * near-dup keep-first (drop every `doc_b` of a stored verified
+    * pair; pairs are min-id-first, so this is the q80 keep-first
+    * policy over the pair graph). The dup-loser table comes from the
+    * persisted pair store (one detector run per corpus generation) and
+    * BROADCASTS into the left join — at 100 TB the funnel is one scan
+    * + one broadcast join, no corpus shuffle anywhere.
+    *
+    * Language scores are materialized as plain columns BEFORE the
+    * argmax fold ([[graft.text.TextStats.langIdFromScores]] duplicates
+    * each score subtree O(2^langs) if fed nested expressions). */
+  private def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextStats
+    val docs = table(spark, dir, "documents")
+    val losers = storedVerifiedPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val scoreCols = TextStats.langScores(col("text"))
+      .map { case (lang, c) => c.as(s"ls_$lang") }
+    val base = docs.select(Seq(col("doc_id"), col("source"),
+      TextStats.nTokens(col("text")).as("nw"),
+      round(TextStats.qualityScore(col("text")) * lit(1e6))
+        .cast("long").as("qm")) ++ scoreCols: _*)
+    val lang = TextStats.langIdFromScores(
+      TextStats.langMarkers.map { case (l, _) => l -> col(s"ls_$l") })
+    base
+      .join(broadcast(losers.withColumn("loser", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("source"), col("nw"),
+        (lang === "en").as("c1"),
+        coalesce(col("loser"), lit(false)).as("loser"), col("qm"))
+      .withColumn("c2", col("c1") && col("qm") >= FunnelQualityMinMicro)
+      .withColumn("c3", col("c2") && col("nw")
+        .between(CleaningQueries.GopherMinWords, CleaningQueries.GopherMaxWords))
+      .withColumn("c4", col("c3") && !col("loser"))
+  }
+
+  /** The curation funnel REPORT — one row per stage of the chain with
+    * surviving doc and token counts, cumulative yield, and the
+    * stage-local drop rate: the number every data-curation writeup
+    * publishes and every pipeline change is judged against. All
+    * arithmetic integer (`div`), rule cardinality bounds everything
+    * after the single scan + tiny aggregate (the q113 stack shape). */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val f = funnelFlags(spark, dir)
+    def n(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    def t(c: String) = coalesce(sum(when(col(c), col("nw"))), lit(0L))
+    val agg = f.agg(count(lit(1)).as("n0"), sum(col("nw")).as("t0"),
+      n("c1").as("n1"), t("c1").as("t1"), n("c2").as("n2"), t("c2").as("t2"),
+      n("c3").as("n3"), t("c3").as("t3"), n("c4").as("n4"), t("c4").as("t4"))
+    agg.select(expr(
+        "stack(5, 0L, 'all', n0, t0, n0, " +
+          "1L, 'lang_en', n1, t1, n0, " +
+          "2L, 'quality', n2, t2, n1, " +
+          "3L, 'length', n3, t3, n2, " +
+          "4L, 'dedup', n4, t4, n3)")
+        .as(Seq("stage_idx", "stage", "n_docs", "n_tokens", "prev_n")),
+        col("n0"))
+      .select(col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens"),
+        expr("(1000 * n_docs) div n0").as("yield_pm"),
+        expr("(1000 * (prev_n - n_docs)) div greatest(prev_n, 1L)")
+          .as("stage_drop_pm"))
+      .orderBy("stage_idx")
+  }
+
+  /** Funnel oracle CTEs shared by q317/q318: the pair store's verified
+    * pairs (full MinHash SQL), the dup-loser id set, and the per-doc
+    * cumulative stage flags. */
+  private def funnelFlagsCte: String = {
+    import graft.text.TextStats
+    s"""WITH pairs AS (
+       |${dedupMinhashSql}
+       |),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+       |f AS (
+       |  SELECT d.source, ${TextStats.nTokensSql("text")} AS nw,
+       |    round(${TextStats.qualityScoreSql("text")} * 1e6)::BIGINT AS qm,
+       |    (${TextStats.langIdSql("text")} = 'en') AS c1,
+       |    (l.doc_id IS NOT NULL) AS loser
+       |  FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id),
+       |c AS (
+       |  SELECT source, nw, c1,
+       |    (c1 AND qm >= $FunnelQualityMinMicro) AS c2,
+       |    (c1 AND qm >= $FunnelQualityMinMicro
+       |      AND nw BETWEEN ${CleaningQueries.GopherMinWords}
+       |      AND ${CleaningQueries.GopherMaxWords}) AS c3,
+       |    (c1 AND qm >= $FunnelQualityMinMicro
+       |      AND nw BETWEEN ${CleaningQueries.GopherMinWords}
+       |      AND ${CleaningQueries.GopherMaxWords} AND NOT loser) AS c4
+       |  FROM f)""".stripMargin
+  }
+
+  val curationFunnelSql: String =
+    s"""$funnelFlagsCte,
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n0, sum(nw)::BIGINT AS t0,
+       |    sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    coalesce(sum(CASE WHEN c1 THEN nw END), 0)::BIGINT AS t1,
+       |    sum(CASE WHEN c2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+       |    coalesce(sum(CASE WHEN c2 THEN nw END), 0)::BIGINT AS t2,
+       |    sum(CASE WHEN c3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+       |    coalesce(sum(CASE WHEN c3 THEN nw END), 0)::BIGINT AS t3,
+       |    sum(CASE WHEN c4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+       |    coalesce(sum(CASE WHEN c4 THEN nw END), 0)::BIGINT AS t4
+       |  FROM c),
+       |u AS (
+       |  SELECT 0::BIGINT AS stage_idx, 'all' AS stage, n0 AS n_docs,
+       |    t0 AS n_tokens, n0 AS prev_n, n0 FROM a
+       |  UNION ALL SELECT 1, 'lang_en', n1, t1, n0, n0 FROM a
+       |  UNION ALL SELECT 2, 'quality', n2, t2, n1, n0 FROM a
+       |  UNION ALL SELECT 3, 'length', n3, t3, n2, n0 FROM a
+       |  UNION ALL SELECT 4, 'dedup', n4, t4, n3, n0 FROM a)
+       |SELECT stage_idx, stage, n_docs, n_tokens,
+       |  ((1000 * n_docs) // n0)::BIGINT AS yield_pm,
+       |  ((1000 * (prev_n - n_docs)) // greatest(prev_n, 1))::BIGINT
+       |    AS stage_drop_pm
+       |FROM u ORDER BY stage_idx""".stripMargin
+
+  /** The funnel ATTRIBUTED BY SOURCE — per source, how many documents
+    * enter and how many survive each stage: the audit that names WHICH
+    * feed loses its mass at WHICH gate (a per-source `yield_pm`
+    * collapse at `lang` vs at `dedup` demands opposite fixes). Same
+    * single-scan flags, one groupBy(source) — 20 output rows here,
+    * source cardinality anywhere. */
+  def funnelBySource(spark: SparkSession, dir: String): DataFrame = {
+    val f = funnelFlags(spark, dir)
+    def n(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_all"), n("c1").as("n_lang"),
+        n("c2").as("n_quality"), n("c3").as("n_length"), n("c4").as("n_kept"))
+      .withColumn("yield_pm", expr("(1000 * n_kept) div n_all"))
+      .orderBy("source")
+  }
+
+  val funnelBySourceSql: String =
+    s"""$funnelFlagsCte
+       |SELECT source, count(*)::BIGINT AS n_all,
+       |  sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+       |  sum(CASE WHEN c2 THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       |  sum(CASE WHEN c3 THEN 1 ELSE 0 END)::BIGINT AS n_length,
+       |  sum(CASE WHEN c4 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  ((1000 * sum(CASE WHEN c4 THEN 1 ELSE 0 END)) // count(*))::BIGINT
+       |    AS yield_pm
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
 }

@@ -10,9 +10,16 @@ class IngestAndRankSpec extends SparkSpec {
     // run once to stage
     val out = graft.SparkEntry
       .queries("q310_schema_evolution")(spark, sfDir).collect()
-    val base = new java.io.File(sys.props("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith("graft_evolved_orders_"))
-      .head
+    // the engine's per-(dir, fingerprint) tag — NOT listFiles().head:
+    // Verify runs at other SFs leave their own graft_evolved_orders_*
+    // stores in the shared tmpdir, and an arbitrary pick reads a
+    // different corpus's generations
+    val src = new java.io.File(s"$sfDir/orders.parquet")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$sfDir:${src.length}:${src.lastModified}:evolved"))
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_evolved_orders_$tag")
     val g1 = spark.read.parquet(s"$base/gen1")
     val g2 = spark.read.parquet(s"$base/gen2")
     assert(!g1.columns.contains("channel"), "gen1 must predate channel")
@@ -45,10 +52,14 @@ class IngestAndRankSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val ra = per.sortBy(p => (-p._2, p._1)).map(_._1).zipWithIndex.toMap
     val rb = per.sortBy(p => (-p._3, p._1)).map(_._1).zipWithIndex.toMap
-    val want = per.map(p => QualityQueries.RboSuffixMicro(
-      math.max(ra(p._1), rb(p._1)))).sum
-    assert(row.getAs[Long]("rbo_micro") == want)
-    assert(row.getAs[Long]("rbo_micro") <= 878423L)
+    // rbo_d20_micro carries the depth-20 truncation in its name: a
+    // source ranked past depth 20 on either side contributes nothing
+    val want = per.map { p =>
+      val d = math.max(ra(p._1), rb(p._1))
+      if (d < 20) QualityQueries.RboSuffixMicro(d) else 0L
+    }.sum
+    assert(row.getAs[Long]("rbo_d20_micro") == want)
+    assert(row.getAs[Long]("rbo_d20_micro") <= 878423L)
   }
 
   test("Q5 plan: dims broadcast, date filter pushed to the orders scan") {

@@ -93,7 +93,7 @@ class SequentialSpec extends SparkSpec {
     assert(rows.length == 10) // 5 event types -> 10 pairs
   }
 
-  test("decision stump: exhaustive split replay on sf0.001") {
+  test("decision stump: exhaustive Gini split replay on sf0.001") {
     val row = graft.SparkEntry
       .queries("q302_decision_stump")(spark, sfDir).collect().head
     val pairs = PipelineQueries.storedVerifiedPairs(spark, sfDir)
@@ -104,20 +104,24 @@ class SequentialSpec extends SparkSpec {
         round(graft.text.TextStats.qualityScore(col("text")) * lit(1e6))
           .cast("long").as("s"))
       .collect().map(r => (r.getLong(1), if (pairs(r.getLong(0))) 1L else 0L))
-    def lm(k: Long) = if (k > 0) k * math.round(1e6 * math.log(k.toDouble))
-                      else 0L
-    def f(n: Long, p: Long) = lm(n) - lm(p) - lm(n - p)
+    // mirrors the engine's integer Gini side term: n*1e6*Gini(n,p) up
+    // to one truncation; Java `/` on the non-negative operands here is
+    // the same trunc==floor division as Spark `div` / DuckDB `//`
+    def term(n: Long, p: Long): Long =
+      if (n > 0) n * 1000000L -
+        (1000000L * (p * p + (n - p) * (n - p))) / n
+      else 0L
     val nn = scored.length.toLong
     val pp = scored.map(_._2).sum
     val best = scored.map(_._1).distinct.sorted.dropRight(1).map { t =>
       val left = scored.filter(_._1 <= t)
       val nl = left.length.toLong; val pl = left.map(_._2).sum
-      (f(nn, pp) - f(nl, pl) - f(nn - nl, pp - pl), t)
+      (term(nn, pp) - term(nl, pl) - term(nn - nl, pp - pl), t)
     }.maxBy(x => (x._1, -x._2))
     assert(row.getAs[Long]("best_threshold") == best._2)
-    val ig = best._1
-    val want = if (ig >= 0) ig / nn else -((-ig) / nn)
-    assert(row.getAs[Long]("ig_micronats") == want)
+    val g = best._1
+    val want = if (g >= 0) g / nn else -((-g) / nn)
+    assert(row.getAs[Long]("gini_gain_micro") == want)
     // a split must separate: the dup rate differs across sides
     assert(row.getAs[Long]("dup_left_pm") !=
       row.getAs[Long]("dup_right_pm"))
