@@ -2583,4 +2583,152 @@ object CurationQueries {
        |    THEN 1 ELSE 0 END)) // count(*))::BIGINT AS coverage_pm
        |FROM ev, b, n
        |GROUP BY n.n_cal, b.lower_bound_score""".stripMargin
+
+  // ---- q321: multinomial Naive Bayes source classifier ---------------------
+
+  /** Count-clip ceiling for the shared micronat log table: every log
+    * argument (count+1, denominator, prior) saturates here. Inactive
+    * at gate SF (per-source token totals are in the hundreds); at
+    * larger corpora the clip turns the model into quantized NB with
+    * 8-bit-style count saturation — still fully deterministic, and
+    * documented rather than silently wrong. */
+  val NbLnClip = 1000
+
+  /** L(k) = round(10⁶·ln k) for k = 1..[[NbLnClip]] — computed ONCE
+    * here and inlined as identical literals into the Spark plan
+    * (broadcast lookup) and the oracle SQL (zipped-unnest table), the
+    * q68/q144/q302 shared-constants discipline: neither engine ever
+    * evaluates a transcendental at query time, so there is no libm
+    * rounding seam to agree on. */
+  val NbLnMicroTab: IndexedSeq[Long] =
+    (1 to NbLnClip).map(k => Math.round(1e6 * Math.log(k.toDouble)))
+
+  /** Can the corpus's SOURCE be recovered from its word counts alone?
+    * — the question behind every "classifier-based quality filter"
+    * (fastText-style curation models): if a linear bag-of-words model
+    * separates the feeds, per-source contamination and style leakage
+    * are measurable. TRAINS multinomial Naive Bayes with Laplace
+    * smoothing on an md5-hash half of the docs and scores the other
+    * half (the q43/q109 deterministic-split convention — doc_id
+    * PARITY is source-correlated in this corpus and would put every
+    * test source outside the training label set),
+    * entirely in-engine, entirely in exact integer micronats:
+    * score(d, s) = L(n_s) + Σ_w m_w·L(c_sw + 1) − len_d·L(tok_s + V),
+    * all L values from [[NbLnMicroTab]]. Argmax with min-source
+    * tie-break — a total order, hash-identical cross-engine. Published
+    * per true source: test docs, correct predictions, accuracy
+    * permille — the confusion diagonal a curation model card reports.
+    *
+    * Scale shape: tokenize once (one corpus scan, map-side combined
+    * per (source, word)); the MODEL is |S|·|V| rows — broadcast-sized
+    * by construction (vocabulary clipping is standard at scale);
+    * scoring is one token scan joined to the broadcast model, then a
+    * per-doc×|S| argmax window over doc-bounded rows. No collect, no
+    * iteration. */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val lnTab = broadcast(
+      NbLnMicroTab.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+        .toDF("k", "lmicro"))
+    def lOf(df: DataFrame, kExpr: String, as: String): DataFrame =
+      df.withColumn("k", expr(s"least($kExpr, $NbLnClip)"))
+        .join(lnTab, "k").withColumnRenamed("lmicro", as).drop("k")
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val inTrain =
+      expr("substring(md5(concat(cast(doc_id as string), ':nb')), 1, 1) < '8'")
+    val train = toks.filter(inTrain)
+    val test = toks.filter(!inTrain)
+    val vocab = train.agg(countDistinct("word").as("v"))
+    val csw = train.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val model = lOf(csw, "c + 1", "lnum").select("source", "word", "lnum")
+    val perSource = train.groupBy("source")
+      .agg(count(lit(1)).as("tok"), countDistinct("doc_id").as("ndocs"))
+      .crossJoin(broadcast(vocab))
+    val classes = lOf(lOf(perSource, "tok + v", "lden"), "ndocs", "lprior")
+      .select(col("source").as("cand"), col("lden"), col("lprior"))
+    val docs = test.groupBy(col("doc_id"), col("source").as("truth"))
+      .agg(count(lit(1)).as("len"))
+    val m = test.groupBy("doc_id", "word").agg(count(lit(1)).as("mult"))
+    val matched = m.join(broadcast(model), "word")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("mult") * col("lnum")).as("msum"))
+      .withColumnRenamed("source", "cand")
+    val scored = docs.crossJoin(broadcast(classes))
+      .join(matched, Seq("doc_id", "cand"), "left")
+      .withColumn("score",
+        coalesce(col("msum"), lit(0L)) - col("len") * col("lden")
+          + col("lprior"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("truth").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cand") === col("truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_pm", expr("(1000 * n_correct) div n_docs"))
+      .orderBy("source")
+  }
+
+  val naiveBayesSql: String = {
+    val lits = NbLnMicroTab.mkString(", ")
+    s"""WITH lntab AS MATERIALIZED (
+       |  SELECT unnest(range(1, ${NbLnClip + 1}))::BIGINT AS k,
+       |         unnest([$lits])::BIGINT AS lmicro),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, source, w AS word FROM (
+       |    SELECT doc_id, source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |train AS (SELECT * FROM toks
+       |  WHERE substring(md5(doc_id::VARCHAR || ':nb'), 1, 1) < '8'),
+       |test AS (SELECT * FROM toks
+       |  WHERE NOT (substring(md5(doc_id::VARCHAR || ':nb'), 1, 1) < '8')),
+       |vocab AS (SELECT count(DISTINCT word)::BIGINT AS v FROM train),
+       |model AS (
+       |  SELECT source, word, l.lmicro AS lnum FROM (
+       |    SELECT source, word, count(*)::BIGINT AS c
+       |    FROM train GROUP BY 1, 2) c
+       |  JOIN lntab l ON l.k = least(c.c + 1, $NbLnClip)),
+       |classes AS (
+       |  SELECT p.source AS cand, ld.lmicro AS lden, lp.lmicro AS lprior
+       |  FROM (
+       |    SELECT source, count(*)::BIGINT AS tok,
+       |      count(DISTINCT doc_id)::BIGINT AS ndocs
+       |    FROM train GROUP BY 1) p
+       |  CROSS JOIN vocab
+       |  JOIN lntab ld ON ld.k = least(p.tok + vocab.v, $NbLnClip)
+       |  JOIN lntab lp ON lp.k = least(p.ndocs, $NbLnClip)),
+       |docs AS (
+       |  SELECT doc_id, source AS truth, count(*)::BIGINT AS len
+       |  FROM test GROUP BY 1, 2),
+       |mult AS (
+       |  SELECT doc_id, word, count(*)::BIGINT AS mult
+       |  FROM test GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT m.doc_id, md.source AS cand,
+       |    sum(m.mult * md.lnum)::BIGINT AS msum
+       |  FROM mult m JOIN model md USING (word) GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.doc_id, d.truth, c.cand,
+       |    (coalesce(ma.msum, 0) - d.len * c.lden + c.lprior)::BIGINT
+       |      AS score
+       |  FROM docs d CROSS JOIN classes c
+       |  LEFT JOIN matched ma ON ma.doc_id = d.doc_id AND ma.cand = c.cand),
+       |pred AS (
+       |  SELECT doc_id, truth, cand FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT truth AS source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN cand = truth THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       |  ((1000 * sum(CASE WHEN cand = truth THEN 1 ELSE 0 END))
+       |    // count(*))::BIGINT AS acc_pm
+       |FROM pred GROUP BY 1 ORDER BY source""".stripMargin
+  }
 }

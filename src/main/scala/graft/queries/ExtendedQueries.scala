@@ -1224,4 +1224,76 @@ object ExtendedQueries {
       |  sum(doc_id)::BIGINT AS sum_doc_id,
       |  sum(n_chars)::BIGINT AS sum_n_chars
       |FROM documents""".stripMargin
+
+  // ---- q320: small-file compaction planner ----------------------------
+
+  /** Target compacted-file size in bytes. Tiny against production's
+    * 128 MB so the plan has multi-bin structure at gate SF; the
+    * planner is scale-free in it. */
+  val CompactTargetBytes = 131072L
+
+  /** The maintenance pass every long-lived table needs: the daily
+    * ingest writes one small file per (day) partition, and a table of
+    * thousands of KB-scale files destroys scan throughput (per-file
+    * open cost, tiny row groups, starved readers). This PLANS the
+    * compaction: the file inventory (per-day file with a
+    * content-derived size), ordered by its sort key, packed
+    * SEQUENTIALLY into target-sized output bins — `bin = cum_before
+    * div target`, the sort-preserving streaming packer (same shape as
+    * Spark's own file-coalesce planning): each bin overshoots the
+    * target by at most one file, and the day ranges of distinct bins
+    * never interleave, so the compacted layout keeps the table's sort
+    * order and its min/max pruning (q271's zonemaps survive the
+    * rewrite). First-fit-decreasing would pack marginally tighter but
+    * destroys key locality — the wrong trade for a sorted table, and
+    * its greedy state is inherently sequential; the div-packer is one
+    * cumulative window, fully distributed.
+    *
+    * Per output bin: file count, total bytes, fill permille vs the
+    * target, and the day span — the row a compaction job executes
+    * from. Scale shape: one orders scan → per-day cells (bounded by
+    * the corpus day span), one cumulative window over cells, one
+    * group-by bin. The window's single global ordering runs over the
+    * CELLS table (days), never the raw rows. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val files = o
+      .select(expr(s"${eventTsUsExpr(o.schema, "o_orderdate")} div 86400000000")
+          .as("day"),
+        (lit(40L) + length(col("o_orderpriority")).cast("long")).as("row_bytes"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), sum("row_bytes").as("bytes"))
+    val w = Window.orderBy("day")
+    files
+      .withColumn("cum_before",
+        coalesce(sum("bytes").over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $CompactTargetBytes"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum("bytes").as("bytes"),
+        min("day").as("first_day"),
+        max("day").as("last_day"))
+      .withColumn("fill_pm",
+        expr(s"(1000 * bytes) div $CompactTargetBytes"))
+      .orderBy("bin_id")
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH files AS (
+       |  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS day,
+       |    count(*)::BIGINT AS n_rows,
+       |    sum(40 + length(o_orderpriority))::BIGINT AS bytes
+       |  FROM orders GROUP BY 1),
+       |packed AS (
+       |  SELECT day, bytes,
+       |    coalesce(sum(bytes) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $CompactTargetBytes AS bin_id
+       |  FROM files)
+       |SELECT bin_id::BIGINT AS bin_id, count(*)::BIGINT AS n_files,
+       |  sum(bytes)::BIGINT AS bytes,
+       |  min(day)::BIGINT AS first_day, max(day)::BIGINT AS last_day,
+       |  ((1000 * sum(bytes)) // $CompactTargetBytes)::BIGINT AS fill_pm
+       |FROM packed GROUP BY 1 ORDER BY bin_id""".stripMargin
 }

@@ -2657,6 +2657,81 @@ object ScaleQueries {
        |GROUP BY e.user_id
        |ORDER BY e.user_id""".stripMargin
 
+  // ---- q322: AMS tug-of-war second-moment sketch ----------------------
+
+  /** Sketch rows. Median-of-16 gives the classic (ε, δ) trade; kept
+    * REPRODUCIBLY odd-free so the integer lower-mid/upper-mid average
+    * is the documented median convention. */
+  val AmsRows = 16
+
+  /** The second frequency moment F₂ = Σ_k c_k² — the self-join size
+    * of the key (q112's question) and the repeat-concentration of a
+    * corpus — estimated by the Alon-Matias-Szegedy tug-of-war sketch
+    * (AMS 1996): per sketch row r, every occurrence of key k adds
+    * sign_r(k) ∈ {−1, +1} to ONE counter; E[S_r²] = F₂ exactly, and
+    * the median of [[AmsRows]] squares concentrates. State is 16
+    * longs TOTAL, vs the per-key table exact F₂ needs — the whole
+    * point at an unbounded key domain.
+    *
+    * Determinism: sign_r(k) is the parity of the first hex digit of
+    * `md5(k || ':ams:' || r)` — the engine-shared hash family every
+    * deterministic sampler here uses (q43/q106); no RNG state. The
+    * median of 16 squares is `(s₈ + s₉) div 2` on the sorted order —
+    * a pinned convention, not an engine's quantile choice. The exact
+    * F₂ rides the output row with the relative error in permille —
+    * the accuracy claim made hash-checkable (q22/q59/q103
+    * convention).
+    *
+    * Scale shape: the ×[[AmsRows]] explode feeds a 16-GROUP map-side-
+    * combined aggregate (each partition emits 16 partial sums — the
+    * textbook mergeable-sketch shape); the exact side is one
+    * per-key count (gate-only — at 100 TB one ships the estimate).
+    * No collect beyond the 16-row sketch. */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, dir, "orders")
+    val rs = (1 to AmsRows).map(lit(_))
+    val signs = ev.select(col("o_custkey"),
+        explode(array(rs: _*)).as("r"))
+      .withColumn("sign", when(
+        expr("instr('13579bdf', substring(md5(concat(" +
+          "cast(o_custkey as string), ':ams:', cast(r as string))), 1, 1)) > 0"),
+        lit(1L)).otherwise(lit(-1L)))
+      .groupBy("r").agg(sum("sign").as("s"))
+      .withColumn("s2", col("s") * col("s"))
+    val w = Window.orderBy("s2", "r")
+    val med = signs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === AmsRows / 2 || col("rn") === AmsRows / 2 + 1)
+      .agg(expr("sum(s2) div 2").as("est_f2"))
+    val exact = ev.groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"))
+    med.crossJoin(exact)
+      .select(lit(AmsRows.toLong).as("sketch_rows"),
+        col("est_f2"), col("exact_f2"),
+        expr("(1000 * abs(est_f2 - exact_f2)) div exact_f2").as("err_pm"))
+  }
+
+  val amsF2Sql: String =
+    s"""WITH signs AS (
+       |  SELECT r, sum(CASE WHEN strpos('13579bdf', substring(
+       |      md5(o_custkey::VARCHAR || ':ams:' || r::VARCHAR), 1, 1)) > 0
+       |    THEN 1 ELSE -1 END)::BIGINT AS s
+       |  FROM orders CROSS JOIN (
+       |    SELECT unnest(range(1, ${AmsRows + 1}))::BIGINT AS r)
+       |  GROUP BY r),
+       |sq AS (
+       |  SELECT s * s AS s2, row_number() OVER (ORDER BY s * s, r) AS rn
+       |  FROM signs),
+       |med AS (
+       |  SELECT (sum(s2) // 2)::BIGINT AS est_f2 FROM sq
+       |  WHERE rn IN (${AmsRows / 2}, ${AmsRows / 2 + 1})),
+       |exact AS (
+       |  SELECT sum(c * c)::BIGINT AS exact_f2 FROM (
+       |    SELECT count(*)::BIGINT AS c FROM orders GROUP BY o_custkey))
+       |SELECT ${AmsRows}::BIGINT AS sketch_rows, est_f2, exact_f2,
+       |  ((1000 * abs(est_f2 - exact_f2)) // exact_f2)::BIGINT AS err_pm
+       |FROM med CROSS JOIN exact""".stripMargin
+
   // ---- q106: temperature-based mixture sampling (alpha = 0.5) --------
 
   /** Target corpus fraction after resampling. */

@@ -1585,4 +1585,113 @@ object SeriesQueries {
       |GROUP BY tr.prev_type, pred.predicted_next, g.majority_next,
       |  g.gn, t.n_all
       |ORDER BY tr.prev_type""".stripMargin
+
+  // ---- q319: Kaplan-Meier survival (product-limit) -------------------------
+
+  /** The product-limit estimator the q277 doc deliberately deferred
+    * ("KM is a cumulative PRODUCT — not integer-expressible without
+    * logs"), made integer-exact after all: the survival curve S(t) =
+    * Π_{t_i ≤ t} (n_i - d_i)/n_i is a SEQUENTIAL recurrence in micro
+    * units — `s_k = (s_{k-1} · (n_k - d_k)) div n_k`, seeded at 10⁶ —
+    * whose every step is one exact integer multiply (≤ 10⁶·n < 2⁶³)
+    * and one floor division, identical in both engines. No log, no
+    * libm, no float product order to agree on. Same cohort as q277
+    * (entry = first `signup`, death = first `purchase` on/after entry,
+    * right-censored at the corpus horizon), so the two estimators
+    * publish the same risk sets and the curves cross-check:
+    * 1 − S(t) ≈ 1 − exp(−H(t)). Alongside S(t): Greenwood's variance
+    * accumulator Σ d/(n(n-d)) in nano units — the standard CI input —
+    * which is a plain cumulative SUM.
+    *
+    * Scale shape: identical to q277 — one events scan collapses to
+    * per-user (dur, converted), then to ≤ horizon-days duration cells.
+    * Only the cells (bounded by the corpus day span, thousands at
+    * most) visit the driver for the sequential product — the same
+    * bounded-collect contract as ExactQuantile; the oracle runs the
+    * identical recurrence as a recursive CTE over the same cells. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsTsUs(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_us div 86400000000").as("day"))
+    val horizon = ev.agg(max("day")).head.getLong(0)
+    val entries = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("entry"))
+    val deaths = ev.filter(col("event_type") === "purchase")
+      .join(entries, Seq("user_id"))
+      .filter(col("day") >= col("entry"))
+      .groupBy("user_id").agg(min("day").as("purch"))
+    val per = entries.join(deaths, Seq("user_id"), "left")
+      .select(
+        coalesce(col("purch") - col("entry"),
+          lit(horizon) - col("entry")).as("dur"),
+        col("purch").isNotNull.as("converted"))
+    val w = Window.orderBy("dur")
+    val cells = per.groupBy("dur")
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("deaths"))
+      .withColumn("n_at_risk",
+        sum("n_all").over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .select("dur", "n_at_risk", "deaths")
+      .orderBy("dur")
+      .collect()
+    var surv = 1000000L
+    var gwNano = 0L
+    val out = cells.iterator.map { r =>
+      val (dur, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      surv = (surv * (n - d)) / n
+      if (d > 0 && n > d) gwNano += (1000000000L * d) / (n * (n - d))
+      (dur, n, d, surv, gwNano)
+    }.filter(_._3 > 0).toSeq
+    out.toDF("day", "n_at_risk", "deaths", "surv_micro", "greenwood_nano")
+      .orderBy("day")
+  }
+
+  val kaplanMeierSql: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, event_type,
+       |    epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+       |  FROM events),
+       |h AS (SELECT max(day)::BIGINT AS horizon FROM ev),
+       |entries AS (
+       |  SELECT user_id, min(day) AS entry FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |deaths AS (
+       |  SELECT e.user_id, min(e.day) AS purch
+       |  FROM ev e JOIN entries n USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.day >= n.entry
+       |  GROUP BY 1),
+       |per AS (
+       |  SELECT coalesce(d.purch - n.entry, horizon - n.entry) AS dur,
+       |    d.purch IS NOT NULL AS converted
+       |  FROM entries n LEFT JOIN deaths d USING (user_id), h),
+       |cells AS MATERIALIZED (
+       |  SELECT dur, deaths, n_at_risk,
+       |    row_number() OVER (ORDER BY dur) AS rn
+       |  FROM (
+       |    SELECT dur,
+       |      sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS deaths,
+       |      sum(count(*)) OVER (ORDER BY dur
+       |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |        ::BIGINT AS n_at_risk
+       |    FROM per GROUP BY dur)),
+       |km AS (
+       |  SELECT rn, dur, n_at_risk, deaths,
+       |    ((1000000 * (n_at_risk - deaths)) // n_at_risk)::BIGINT AS surv,
+       |    (CASE WHEN deaths > 0 AND n_at_risk > deaths
+       |      THEN (1000000000 * deaths) // (n_at_risk * (n_at_risk - deaths))
+       |      ELSE 0 END)::BIGINT AS gw
+       |  FROM cells WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.rn, c.dur, c.n_at_risk, c.deaths,
+       |    ((km.surv * (c.n_at_risk - c.deaths)) // c.n_at_risk)::BIGINT,
+       |    (km.gw + CASE WHEN c.deaths > 0 AND c.n_at_risk > c.deaths
+       |      THEN (1000000000 * c.deaths)
+       |        // (c.n_at_risk * (c.n_at_risk - c.deaths))
+       |      ELSE 0 END)::BIGINT
+       |  FROM km JOIN cells c ON c.rn = km.rn + 1)
+       |SELECT dur AS day, n_at_risk, deaths, surv AS surv_micro,
+       |  gw AS greenwood_nano
+       |FROM km WHERE deaths > 0 ORDER BY day""".stripMargin
 }
