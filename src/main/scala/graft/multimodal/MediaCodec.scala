@@ -154,6 +154,97 @@ object MediaCodec {
     (sampleRate, samples)
   }
 
+  // ---- G.711 μ-law (8-bit companded audio; WAV format code 7) --------
+  //
+  // The ITU-T G.711 μ-law compander: 14-bit linear PCM → 8 bits via a
+  // piecewise-linear log approximation (sign + 3-bit exponent + 4-bit
+  // mantissa, bias 0x84, ones-complement on the wire). Pure integer —
+  // encode∘decode is an exact 256-entry function, which is what makes
+  // the q324 oracle a shared lookup table instead of a float seam.
+
+  private val MuBias = 0x84
+  private val MuClip = 32635
+
+  /** Encode one 16-bit PCM sample as a μ-law byte (G.711). */
+  def muLawEncode(pcm: Short): Byte = {
+    var s = pcm.toInt
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > MuClip) s = MuClip
+    s += MuBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mantissa = (s >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mantissa)).toByte
+  }
+
+  /** Decode one μ-law byte back to 16-bit PCM (G.711). */
+  def muLawDecode(b: Byte): Short = {
+    val u = (~b) & 0xff
+    val exp = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val mag = (((mantissa << 3) + MuBias) << exp) - MuBias
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** Encode μ-law bytes as a WAV container with format code 7 — the
+    * STRICTER chunk grammar G.711 WAVs carry in the wild: an extended
+    * fmt chunk (18 bytes, cbSize = 0) plus a `fact` chunk with the
+    * sample count before `data`, so a decoder that assumes the PCM
+    * fixed layout (fmt at 12, data at 36) misparses it. */
+  def encodeWavMuLaw(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val dataLen = samples.length
+    // RIFF(12) + fmt(8+18) + fact(8+4) + data(8+n)
+    val b = ByteBuffer.allocate(58 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(50 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(7)              // WAVE_FORMAT_MULAW
+      .putShort(1)              // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)       // byte rate (1 byte/sample)
+      .putShort(1)              // block align
+      .putShort(8)              // bits per sample
+      .putShort(0)              // cbSize
+    b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.put(samples)
+    b.array()
+  }
+
+  /** Decode a mono μ-law WAV to (sampleRate, 16-bit PCM samples) by an
+    * honest chunk WALK (fmt/fact/data in any order, unknown chunks
+    * skipped with odd-length padding) — fail-loudly like
+    * [[decodeWavPcm16]]. */
+  def decodeWavMuLaw(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var sampleRate = -1
+    var data: Array[Byte] = null
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = b.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(b.getShort(off + 8) == 7, "not μ-law (fmt != 7)")
+          require(b.getShort(off + 10) == 1, "only mono supported")
+          require(b.getShort(off + 22) == 8, "μ-law must be 8-bit")
+          sampleRate = b.getInt(off + 12)
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case _ => () // fact & friends: length-skipped
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    (sampleRate, data.map(muLawDecode))
+  }
+
   // ---- PNG (8-bit RGB/RGBA, non-interlaced) --------------------------
   //
   // A COMPRESSED container with zero dependencies: PNG's DEFLATE layer

@@ -1853,6 +1853,69 @@ object PipelineQueries {
        |WHERE list_cosine_similarity(a.e, b.e) >= $NearDupCos
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q325: semantic leakage across the train/val/test split --------------
+
+  /** The contamination audit q109 CANNOT see: q109 pins exact
+    * group-level leakage to zero, but a row-hash split still puts
+    * NEAR-DUPLICATE embeddings on both sides of the train/eval fence —
+    * the semantic leakage that inflates every benchmark score.
+    * Classifies each q24 verified near-dup pair (same config → same
+    * stored centroids, amortized; candidate recall 1.0, oracle exact)
+    * by the q109 row-keyed split of its two endpoints and publishes
+    * the (split_a, split_b) matrix with a `crossing` flag — the
+    * train↔val/test rows are the leaked mass an eval must excise (or
+    * re-split by cluster, q86's job).
+    *
+    * Scale shape: q24's candidates→verify (cell-keyed postings joins,
+    * work ∝ collisions) plus one projection for the split class and a
+    * 9-cell aggregate. */
+  def semanticLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val emb = table(spark, dir, "embeddings")
+    val centroids = storedCentroids(spark, dir, "full", NearDupNlist)
+    val cands = IvfIndex.nearDupCandidates(
+      emb, "vec_id", "embedding", centroids, nprobe = NearDupProbe)
+    val pairs = CosineKnn.verifyPairs(cands, emb, "vec_id", "embedding", NearDupCos)
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < format_string("%04x", lit(CurationQueries.SplitTrainThr)),
+        "train")
+        .when(bucket < format_string("%04x", lit(CurationQueries.SplitValThr)),
+          "val")
+        .otherwise("test")
+    val splits = emb.select(col("vec_id"),
+      splitOf(Sampling.bucket(col("vec_id"), "split")).as("split"))
+    pairs
+      .join(splits.withColumnRenamed("vec_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(splits.withColumnRenamed("vec_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crossing", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val semanticLeakageSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (
+       |  SELECT vec_id,
+       |    CASE WHEN substr(md5(vec_id::VARCHAR || ':split'), 1, 4)
+       |           < printf('%04x', ${CurationQueries.SplitTrainThr}) THEN 'train'
+       |         WHEN substr(md5(vec_id::VARCHAR || ':split'), 1, 4)
+       |           < printf('%04x', ${CurationQueries.SplitValThr}) THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM v),
+       |p AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.e, b.e) >= $NearDupCos)
+       |SELECT sa.split AS split_a, sb.split AS split_b,
+       |  count(*)::BIGINT AS n_pairs,
+       |  (sa.split <> sb.split) AS crossing
+       |FROM p JOIN s sa ON sa.vec_id = p.doc_a
+       |JOIN s sb ON sb.vec_id = p.doc_b
+       |GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin
+
   // ---- q226: DBSCAN density clustering over embeddings ----------------
 
   /** Minimum neighborhood size (incl. the point itself) for a core
@@ -3738,4 +3801,94 @@ object PipelineQueries {
        |  ((1000 * sum(CASE WHEN c4 THEN 1 ELSE 0 END)) // count(*))::BIGINT
        |    AS yield_pm
        |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q323: greedy k-center coreset (Gonzalez) ----------------------------
+
+  val KCenterK = 8
+  /** The seed center: the smallest vec_id — a pinned deterministic
+    * start (Gonzalez is 2-approx from ANY start). */
+  val KCenterSeed = 0L
+
+  /** Coreset SELECTION for data pruning — the "pick K maximally-spread
+    * exemplars" primitive behind diversity-aware subsampling
+    * (herding/k-center lineage; SemDedup's complement: q86 REMOVES
+    * redundancy, this KEEPS a spanning skeleton): Gonzalez's greedy
+    * 2-approximation to the k-center cover. Each round adds the point
+    * FARTHEST (max min-cosine-distance, micro-quantized; vec_id
+    * tie-break — a total order) from the centers so far, and publishes
+    * it with its distance at selection — a nonincreasing sequence
+    * whose k-th value is the (2-approx) coverage radius of k centers:
+    * the curve a "how many exemplars do I need" decision reads.
+    *
+    * Scale shape: the greedy is inherently sequential in K but each
+    * round is ONE corpus scan against a SINGLE broadcast vector
+    * (update `mind = least(mind, d(v, c_new))`, then a TakeOrdered(1)
+    * argmax) — K scans total, no pairwise matrix anywhere;
+    * `localCheckpoint` per round caps plan growth (the q268/q282
+    * iterative-loop lesson). The oracle replays the identical greedy
+    * as K unrolled MATERIALIZED stages (the q159 pattern). */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.similarity.CosineKnn.toDoubleArray(col("embedding")).as("v"))
+    def vecOf(id: Long): Array[Double] =
+      emb.filter(col("vec_id") === id).head.getSeq[Double](1).toArray
+    def dTo(center: Array[Double]) =
+      lit(1000000L) - round(lit(1e6) *
+        graft.similarity.CosineKnn.cosine(col("v"), typedLit(center)))
+        .cast("long")
+    var state = emb.filter(col("vec_id") =!= KCenterSeed)
+      .withColumn("mind", dTo(vecOf(KCenterSeed)))
+      .localCheckpoint(true)
+    var selected = Vector((1L, KCenterSeed, 1000000L))
+    while (selected.length < KCenterK) {
+      // the argmax row carries its own vector — no second lookup scan
+      val next = state.orderBy(col("mind").desc, col("vec_id"))
+        .select(col("vec_id"), col("mind"), col("v")).head
+      val (id, d) = (next.getLong(0), next.getLong(1))
+      selected :+= ((selected.length + 1L, id, d))
+      if (selected.length < KCenterK)
+        state = state.filter(col("vec_id") =!= id)
+          .withColumn("mind",
+            least(col("mind"), dTo(next.getSeq[Double](2).toArray)))
+          .localCheckpoint(true)
+    }
+    selected.toDF("sel_rank", "vec_id", "dist_micro").orderBy("sel_rank")
+  }
+
+  val kcenterCoresetSql: String = {
+    def stage(k: Int): String =
+      if (k == 1)
+        s"""m1 AS MATERIALIZED (
+           |  SELECT v.vec_id, 1000000 - round(1000000 *
+           |      list_cosine_similarity(v.e, s.e))::BIGINT AS mind
+           |  FROM v JOIN v s ON s.vec_id = $KCenterSeed
+           |  WHERE v.vec_id <> $KCenterSeed),
+           |c1 AS MATERIALIZED (
+           |  SELECT vec_id, mind FROM m1 ORDER BY mind DESC, vec_id LIMIT 1)"""
+          .stripMargin
+      else
+        s"""m$k AS MATERIALIZED (
+           |  SELECT m.vec_id, least(m.mind, 1000000 - round(1000000 *
+           |      list_cosine_similarity(v.e, c.e))::BIGINT) AS mind
+           |  FROM m${k - 1} m
+           |  JOIN v ON v.vec_id = m.vec_id
+           |  JOIN v c ON c.vec_id = (SELECT vec_id FROM c${k - 1})
+           |  WHERE m.vec_id <> (SELECT vec_id FROM c${k - 1})),
+           |c$k AS MATERIALIZED (
+           |  SELECT vec_id, mind FROM m$k ORDER BY mind DESC, vec_id LIMIT 1)"""
+          .stripMargin
+    val stages = (1 until KCenterK).map(stage).mkString(",\n")
+    val unions = (1 until KCenterK).map(k =>
+      s"SELECT ${k + 1}::BIGINT AS sel_rank, vec_id, mind AS dist_micro FROM c$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |$stages
+       |SELECT * FROM (
+       |SELECT 1::BIGINT AS sel_rank, $KCenterSeed::BIGINT AS vec_id,
+       |  1000000::BIGINT AS dist_micro
+       |UNION ALL $unions) ORDER BY sel_rank""".stripMargin
+  }
 }

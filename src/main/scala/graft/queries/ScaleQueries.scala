@@ -1825,6 +1825,82 @@ object ScaleQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  // ---- q324: G.711 μ-law WAV round trip (companded audio) ------------
+
+  val MuLawMaxSamples = 400
+  val MuLawSampleRate = 8000 // the G.711 telephony rate
+
+  /** encode(pcm(b)) ∘ decode as a pure function of the source BYTE —
+    * the composite 256-entry table computed ONCE from the Scala codec
+    * and inlined into the oracle (shared-constants discipline): the
+    * oracle never re-implements the compander, it looks the round
+    * trip up. pcm(b) = (b − 128)·256 spans the 16-bit range. */
+  val MuLawRoundTrip: IndexedSeq[Int] =
+    (0 until 256).map { b =>
+      graft.multimodal.MediaCodec.muLawDecode(
+        graft.multimodal.MediaCodec.muLawEncode(
+          (((b & 0xff) - 128) * 256).toShort)).toInt
+    }
+
+  /** Telephony-grade audio through a REAL companded container: each
+    * doc's bytes become 16-bit PCM, G.711 μ-law-compressed into a
+    * format-7 WAV (extended fmt chunk + fact chunk — the stricter
+    * chunk grammar wild G.711 files carry), then decoded back by an
+    * honest chunk-walking parser and summarized (sample count,
+    * container bytes, Σ|pcm|, max|pcm|). Extends the codec family
+    * beyond q55's uncompressed PCM with the one audio CODEC the JVM
+    * needs no native library for — μ-law is pure integer, so the
+    * decode is bit-exact and ORACLE-CHECKABLE: the oracle recomputes
+    * container geometry from first principles and the sample stats
+    * via the [[MuLawRoundTrip]] table over the raw text bytes. A
+    * decoder that misparsed the extended fmt, skipped `fact` wrong,
+    * or got one compander bit wrong fails the hash.
+    *
+    * Scale shape: embarrassingly per-row (mapPartitions batch shape,
+    * q55's); nothing shuffles until the final orderBy-for-gate. */
+  def mulawRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8").take(MuLawMaxSamples)
+        val pcm = bytes.map(b => (((b & 0xff) - 128) * 256).toShort)
+        val wav = MediaCodec.encodeWavMuLaw(
+          MuLawSampleRate, pcm.map(MediaCodec.muLawEncode))
+        val (rate, decoded) = MediaCodec.decodeWavMuLaw(wav)
+        require(rate == MuLawSampleRate, "rate round-trip")
+        (id, decoded.length.toLong, wav.length.toLong,
+          decoded.map(s => math.abs(s.toInt).toLong).sum,
+          decoded.foldLeft(0L)((m, s) => math.max(m, math.abs(s.toInt))))
+      }
+      .toDF("media_id", "n_samples", "n_bytes", "sum_abs", "max_abs")
+      .orderBy("media_id")
+  }
+
+  val mulawRoundtripSql: String = {
+    val tab = MuLawRoundTrip.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    least(octet_length(encode(text)), $MuLawMaxSamples) AS n,
+       |    hex(encode(text)) AS hx
+       |  FROM documents),
+       |tab AS MATERIALIZED (
+       |  SELECT unnest(range(0, 256))::BIGINT AS b,
+       |         unnest([$tab])::BIGINT AS pcm),
+       |u AS (
+       |  SELECT d.doc_id, ${byteAtSql("d.hx", "s.i")}::BIGINT AS byte
+       |  FROM d, unnest(generate_series(1, d.n)) AS s(i))
+       |SELECT d.doc_id AS media_id, d.n::BIGINT AS n_samples,
+       |  (58 + d.n)::BIGINT AS n_bytes,
+       |  sum(abs(t.pcm))::BIGINT AS sum_abs,
+       |  max(abs(t.pcm))::BIGINT AS max_abs
+       |FROM d JOIN u USING (doc_id) JOIN tab t ON t.b = u.byte
+       |GROUP BY d.doc_id, d.n
+       |ORDER BY media_id""".stripMargin
+  }
+
   // ---- q66: PNG encode→decode round trip (compressed container) ------
 
   /** Documents encoded as REAL non-interlaced PNGs (RGB even ids,
