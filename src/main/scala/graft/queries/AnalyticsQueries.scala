@@ -448,6 +448,85 @@ object AnalyticsQueries {
       |  TRUE AS part_ok, TRUE AS supp_ok, TRUE AS order_ok
       |FROM lineitem""".stripMargin
 
+  // ---- q326: KMV (k-minimum-values) distinct sketch -------------------
+
+  val KmvK = 64
+
+  /** Distinct counting via the KMV bottom-k sketch (Bar-Yossef et al.
+    * 2002): keep the [[KmvK]] smallest 32-bit hash values per group;
+    * the estimate `(k−1)·2³² div h_k` follows from the k-th minimum's
+    * expected position. The family's third trade-off point: q21 exact
+    * (state ∝ distinct), q22 HLL (KB state, engine-specific estimate
+    * gated by an error BOUND), KMV (k words of state, estimate
+    * DETERMINISTIC — the hash values come from the engine-shared md5
+    * family, so unlike HLL the ESTIMATE ITSELF hash-matches
+    * cross-engine and rides the gate exactly, err_pm and all). Also
+    * the sketch behind distinct-intersection estimates (its bottom-k
+    * sets are mergeable by union-then-truncate).
+    *
+    * Groups under k distinct hashes publish the exact count (the
+    * sketch's own convention — the bottom-k set IS the value set) and
+    * flag `exact_regime`. Scale shape: one distinct-hash aggregate
+    * (map-side combined), a per-group bottom-k window over distinct
+    * hashes, a one-row-per-group stitch. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(concat(cast(user_id as string), " +
+          "':kmv')), 1, 8), 16, 10) as bigint)").as("h"))
+      .distinct()
+    val nd = table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("nd_users"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kth = hs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === KmvK)
+      .select(col("event_type"), col("h").as("hk"))
+    nd.join(kth, Seq("event_type"), "left")
+      .select(col("event_type"), col("nd_users"),
+        when(col("hk").isNotNull,
+          expr(s"(${KmvK - 1} * 4294967296) div hk"))
+          .otherwise(col("nd_users")).as("est_kmv"),
+        col("hk").isNull.as("exact_regime"))
+      .withColumn("err_pm",
+        expr("(1000 * abs(est_kmv - nd_users)) div nd_users"))
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctSql: String = {
+    // 8 lowercase hex digits of md5 → 32-bit uint, digit-folded (no
+    // engine hex-cast dialect in the way)
+    val h32 = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, ($h32)::BIGINT AS h FROM (
+       |    SELECT DISTINCT event_type,
+       |      md5(user_id::VARCHAR || ':kmv') AS m
+       |    FROM events)),
+       |nd AS (
+       |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS nd_users
+       |  FROM events GROUP BY 1),
+       |kth AS (
+       |  SELECT event_type, h AS hk FROM (
+       |    SELECT event_type, h, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM hs)
+       |  WHERE rn = $KmvK)
+       |SELECT nd.event_type, nd.nd_users,
+       |  (CASE WHEN kth.hk IS NOT NULL
+       |    THEN (${KmvK - 1} * 4294967296) // kth.hk
+       |    ELSE nd.nd_users END)::BIGINT AS est_kmv,
+       |  kth.hk IS NULL AS exact_regime,
+       |  ((1000 * abs((CASE WHEN kth.hk IS NOT NULL
+       |    THEN (${KmvK - 1} * 4294967296) // kth.hk
+       |    ELSE nd.nd_users END) - nd.nd_users)) // nd.nd_users)::BIGINT
+       |    AS err_pm
+       |FROM nd LEFT JOIN kth USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ---- q23: histogram ------------------------------------------------
 
   /** Fixed-width histogram via width_bucket-style bucketing — declared

@@ -4665,4 +4665,66 @@ object ScaleQueries {
        |  AND c.click_ts_us > p.purchase_ts_us - $RangeWindowUs
        |  AND c.click_ts_us <= p.purchase_ts_us
        |ORDER BY user_id, purchase_ts_us, click_ts_us NULLS FIRST""".stripMargin
+
+  // ---- q327: stream-stream LEFT SEMI join ------------------------------
+
+  /** q267's interval join in its EXISTENCE form — "purchases preceded
+    * by a click within 24 h", emitted ONCE per purchase regardless of
+    * how many clicks matched: the streaming semi join. Worth its own
+    * gate because the state/emission contract differs from both inner
+    * and outer: a purchase emits on its FIRST match (no click columns
+    * ever leave the operator, no duplicate emission on later
+    * matches), and unmatched purchases are dropped at watermark
+    * eviction rather than null-padded. Same staged sentinel corpus as
+    * q267 (`ensureOuterStreamEvents` — amortized), same watermark
+    * discipline, so the two gates isolate exactly the join-type
+    * semantics. Oracle: EXISTS over the clean batch table.
+    *
+    * Scale shape: state ∝ in-window rows per side (identical to
+    * q267); emission dedup is the operator's own, not a downstream
+    * distinct. */
+  def streamSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+    val staged = ensureOuterStreamEvents(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    def src = spark.readStream.schema(schema).parquet(staged)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_ts").as("p_ts"), col("event_id"))
+      .withWatermark("p_ts", "1 minute")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_ts").as("c_ts"))
+      .withWatermark("c_ts", "1 minute")
+    val matched = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") <= col("p_ts"),
+      "leftSemi")
+    try spark.catalog.dropTempView("stream_semi_join_result")
+    catch { case _: Throwable => () }
+    val q = matched
+      .select(col("user_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
+        col("event_id"))
+      .writeStream.format("memory").queryName("stream_semi_join_result")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    QueryUtil.awaitOrFail(q)
+    spark.table("stream_semi_join_result")
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"), col("purchase_ts_us"), col("event_id"))
+    }
+
+  val streamSemiJoinSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS purchase_ts_us, event_id
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT p.user_id, p.purchase_ts_us, p.event_id
+       |FROM p
+       |WHERE EXISTS (
+       |  SELECT 1 FROM events c
+       |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |    AND epoch_us(c.ts::TIMESTAMP) > p.purchase_ts_us - $RangeWindowUs
+       |    AND epoch_us(c.ts::TIMESTAMP) <= p.purchase_ts_us)
+       |ORDER BY user_id, purchase_ts_us, event_id""".stripMargin
 }
