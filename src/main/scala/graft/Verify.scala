@@ -36,6 +36,14 @@ object Verify {
     // overlap roughly halves wall time. Spark schedules concurrent
     // jobs from one session safely; per-query state (temp view names,
     // write-once caches) is either distinct per query or synchronized.
+    // Force the whole query-object graph to initialize HERE, on one
+    // thread, before the pool starts: concurrent first-touch of the
+    // query objects from pool threads can deadlock on class-init
+    // monitors if any init-time reference chain runs between them
+    // (the SQL vals cite each other's fragments/constants; JVM clinit
+    // is re-entrant per thread but a mutual-wait across threads is
+    // fatal). Evaluating oracleSql touches every object's vals.
+    SparkEntry.oracleSql
     val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

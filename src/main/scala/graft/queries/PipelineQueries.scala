@@ -1895,7 +1895,15 @@ object PipelineQueries {
       .orderBy("split_a", "split_b")
   }
 
-  val semanticLeakageSql: String =
+  /** `def`, not `val`: the string references [[CurationQueries]]'
+    * split thresholds, and a clinit-time cross-object reference here
+    * closes a cycle with the pre-existing ScaleQueries→PipelineQueries
+    * and CurationQueries→ScaleQueries SQL-val edges — under Verify's
+    * concurrent query pool, two threads initializing the cycle from
+    * opposite ends DEADLOCK on the class-init monitors (hit once in
+    * round 12). Deferring to call time keeps object initialization
+    * acyclic. */
+  def semanticLeakageSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |s AS (
        |  SELECT vec_id,
@@ -3855,6 +3863,80 @@ object PipelineQueries {
           .localCheckpoint(true)
     }
     selected.toDF("sel_rank", "vec_id", "dist_micro").orderBy("sel_rank")
+  }
+
+  // ---- q330: ANN recall-vs-nprobe tuning curve ----------------------------
+
+  /** The probe ladder. Nested by construction (each prefix of a
+    * wider probe set), so recall is provably nondecreasing along it;
+    * the last rung is exhaustive (= [[AnnNlist]]), where q25's gate
+    * already proves IVF ≡ brute force. */
+  val RecallProbeLadder = Seq(1, 2, 4, 8, 16)
+
+  /** Static recall@k floors (permille) per rung, generous-margin
+    * calibrated on the shipped corpus family — the same
+    * economical-regime floor discipline the IVF specs use, lifted
+    * into the gate so a layout/probing regression trips the driver,
+    * not just the spec suite. The exhaustive rung's floor is exactly
+    * 1000 by mathematics, not measurement. */
+  val RecallFloorsPm = Seq(1 -> 250L, 2 -> 400L, 4 -> 550L, 8 -> 700L,
+    16 -> 1000L)
+
+  /** The tuning curve every IVF deployment reads before picking
+    * nprobe: recall@[[KnnK]] of the multi-probe search against the
+    * exact top-k, at each rung of the probe ladder — ONE brute-force
+    * pass (the gate-side exact list, [[KnnQueries]] queries only) and
+    * one cheap probe-bounded search per rung, all sharing the stored
+    * centroids and one assignment pass. Published oracle-checkable:
+    * per rung, the recall floor it must clear, nondecreasing-along-
+    * the-ladder, and exactness at the exhaustive rung (probe nesting
+    * makes the monotone claim a theorem; the floors catch regressions
+    * in training/assignment/probing). Raw recall permille rides the
+    * spec (AnnRecallSpec), not the hash gate — it is corpus-specific.
+    *
+    * Scale shape: the exact list is query-bounded (16 × corpus scan,
+    * map-side top-k); each rung is a cell-keyed postings join ∝
+    * probed cells. At 100 TB the same query runs with a sampled
+    * query set — the curve is a statistic, not a per-row product. */
+  def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    val centroids = storedCentroids(spark, dir, "full", AnnNlist)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < KnnQueries)
+    val exact = CosineKnn.topK(emb, "vec_id", "embedding", queries, KnnK)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val denom = exact.count()
+    val recalls = RecallProbeLadder.map { np =>
+      val hits = IvfIndex.search(assigned, "vec_id", "embedding", queries,
+          centroids, KnnK, nprobe = np)
+        .select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .count()
+      np.toLong -> (1000L * hits) / denom
+    }
+    val rows = recalls.zip(RecallFloorsPm).zipWithIndex.map {
+      case (((np, r), (_, floor)), i) =>
+        val prev = if (i == 0) 0L else recalls(i - 1)._2
+        (np, floor, r >= floor, r >= prev,
+          np != AnnNlist.toLong || r == 1000L)
+    }
+    rows.toDF("nprobe", "floor_pm", "above_floor", "nondecreasing",
+        "exact_at_exhaustive")
+      .orderBy("nprobe")
+  }
+
+  val annRecallCurveSql: String = {
+    val rows = RecallFloorsPm.map { case (np, f) =>
+      s"($np, $f, TRUE, TRUE, TRUE)"
+    }.mkString(", ")
+    s"""SELECT nprobe::BIGINT AS nprobe, floor_pm::BIGINT AS floor_pm,
+       |  above_floor, nondecreasing, exact_at_exhaustive
+       |FROM (VALUES $rows)
+       |  t(nprobe, floor_pm, above_floor, nondecreasing,
+       |    exact_at_exhaustive)
+       |ORDER BY nprobe""".stripMargin
   }
 
   val kcenterCoresetSql: String = {

@@ -3399,4 +3399,99 @@ object QualityQueries {
        |    AS rbo_share_pm
        |FROM c LEFT JOIN cw ON cw.d = c.d""".stripMargin
   }
+
+  // ---- q329: Welch's unequal-variance t-test -------------------------------
+
+  /** The parametric two-sample location test the rank battery
+    * (q235/q248/q269) deliberately sidesteps — included because it is
+    * what every experimentation platform actually reports, in Welch's
+    * unequal-variance form (never pooled-variance Student: equal
+    * variances is an assumption the data must earn). Click vs purchase
+    * event values: means in exact integer micro units; the t statistic
+    * and Welch–Satterthwaite df from a PINNED chain of IEEE ops over
+    * exact integer inputs (each +,−,×,÷,√ is correctly rounded, so
+    * identical operands in identical order are bit-identical
+    * cross-engine — the q239 discipline), then FLOOR to micro (floor
+    * of an identical double is unambiguous; `round`'s
+    * shortest-decimal-vs-binary tie behavior is the documented
+    * cross-engine seam, so it never touches a float here).
+    *
+    * Overflow bound: Σcents² stays under 2⁶³ for |value| ≤ ~10³ out to
+    * ~10¹² rows — past that the same three sums run in DECIMAL(38,0).
+    * Scale shape: ONE conditional-aggregate pass over events (three
+    * exact integer sums per group), then a two-row stitch. */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        floor(col("value") * lit(100d)).cast("long").as("cents"))
+    val g = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    val a = g.filter(col("event_type") === "click")
+      .select(col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+    val b = g.filter(col("event_type") === "purchase")
+      .select(col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
+    val args = ("cast(n1 as double)", "cast(s1 as double)", "cast(q1 as double)",
+      "cast(n2 as double)", "cast(s2 as double)", "cast(q2 as double)")
+    a.crossJoin(b).select(
+      col("n1"), col("n2"),
+      expr("((2 * s1 * 10000 + n1) div (2 * n1))").as("mean1_micro"),
+      expr("((2 * s2 * 10000 + n2) div (2 * n2))").as("mean2_micro"),
+      expr(welchTExpr(args._1, args._2, args._3, args._4, args._5, args._6))
+        .as("t_micro"),
+      expr(welchDfExpr(args._1, args._2, args._3, args._4, args._5, args._6))
+        .as("df_floor"))
+      .withColumn("reject_95", abs(col("t_micro")) >= lit(1960000L))
+  }
+
+  /** Per-group `v/n` from the exact (n, Σcents, Σcents²) sums — the
+    * building block both pinned expressions share verbatim. */
+  private def welchTerm(n: String, s: String, q: String): String =
+    s"((($q - $s * $s / $n) / ($n - 1)) / $n)"
+
+  /** The t statistic as ONE op-chain string interpolated into BOTH
+    * engines, so every intermediate double is identical. Means /100
+    * (cents→currency) and se² /10000 keep t in the usual units. */
+  private def welchTExpr(n1: String, s1: String, q1: String,
+      n2: String, s2: String, q2: String): String =
+    s"cast(floor(1000000 * (($s1 / $n1 - $s2 / $n2) / 100)" +
+      s" / sqrt((${welchTerm(n1, s1, q1)} + ${welchTerm(n2, s2, q2)})" +
+      " / 10000)) as bigint)"
+
+  /** Welch–Satterthwaite effective df, floored — same pinned-chain
+    * rule. */
+  private def welchDfExpr(n1: String, s1: String, q1: String,
+      n2: String, s2: String, q2: String): String = {
+    val t1 = welchTerm(n1, s1, q1); val t2 = welchTerm(n2, s2, q2)
+    s"cast(floor(($t1 + $t2) * ($t1 + $t2)" +
+      s" / ($t1 * $t1 / ($n1 - 1) + $t2 * $t2 / ($n2 - 1))) as bigint)"
+  }
+
+  val welchTTestSql: String = {
+    val (n1, s1, q1) = ("g1.n::DOUBLE", "g1.s::DOUBLE", "g1.q::DOUBLE")
+    val (n2, s2, q2) = ("g2.n::DOUBLE", "g2.s::DOUBLE", "g2.q::DOUBLE")
+    val se2 = s"(${welchTerm(n1, s1, q1)} + ${welchTerm(n2, s2, q2)})"
+    val t1 = welchTerm(n1, s1, q1); val t2 = welchTerm(n2, s2, q2)
+    val tExpr = s"floor(1000000 * (($s1 / $n1 - $s2 / $n2) / 100)" +
+      s" / sqrt($se2 / 10000))::BIGINT"
+    s"""WITH g AS (
+       |  SELECT event_type, count(*)::BIGINT AS n,
+       |    sum(floor(value * 100)::BIGINT)::BIGINT AS s,
+       |    sum(floor(value * 100)::BIGINT * floor(value * 100)::BIGINT)
+       |      ::BIGINT AS q
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |g1 AS (SELECT * FROM g WHERE event_type = 'click'),
+       |g2 AS (SELECT * FROM g WHERE event_type = 'purchase')
+       |SELECT g1.n AS n1, g2.n AS n2,
+       |  ((2 * g1.s * 10000 + g1.n) // (2 * g1.n))::BIGINT AS mean1_micro,
+       |  ((2 * g2.s * 10000 + g2.n) // (2 * g2.n))::BIGINT AS mean2_micro,
+       |  $tExpr AS t_micro,
+       |  floor(($t1 + $t2) * ($t1 + $t2)
+       |    / ($t1 * $t1 / ($n1 - 1) + $t2 * $t2 / ($n2 - 1)))::BIGINT
+       |    AS df_floor,
+       |  abs($tExpr) >= 1960000 AS reject_95
+       |FROM g1 CROSS JOIN g2""".stripMargin
+  }
 }

@@ -2333,6 +2333,54 @@ object ScaleQueries {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q328: Hilbert-curve layout + min/max data skipping -------------
+
+  /** q74's skipping scan over the HILBERT layout
+    * ([[graft.sources.HilbertCurve]], native codegen expression) —
+    * the locality-preserving curve the production optimizers moved to:
+    * Morton's quadrant seams let one contiguous key-range file cover
+    * two distant rectangles; Hilbert's strict cell adjacency keeps
+    * per-file bounding rectangles tight, so the same [min,max] index
+    * prunes at least as hard (HilbertSpec quantifies rectangle area
+    * vs the z layout on this corpus; the skipped-file counts ride
+    * there too). Same predicate, same full-scan oracle — the gate
+    * proves the layout NEVER affects results, only cost. */
+  def hilbertScan(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ensureHilbertLineitem(spark, dir)
+    graft.sources.ZOrderLayout
+      .skippingScan(spark, stats, "l_partkey", "l_suppkey",
+        ZPartLo, ZPartHi, ZSuppLo, ZSuppHi)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val hStatsCache =
+    scala.collection.mutable.Map.empty[String, Seq[graft.sources.ZOrderLayout.FileStats]]
+
+  private[queries] def ensureHilbertLineitem(
+      spark: SparkSession, dir: String): Seq[graft.sources.ZOrderLayout.FileStats] =
+    synchronized {
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir:${src.length}:${src.lastModified}:hilbert:$ZFiles"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_hilbert_lineitem_$tag"
+      hStatsCache.getOrElseUpdate(path, {
+        val Z = graft.sources.ZOrderLayout
+        if (new java.io.File(path, "_SUCCESS").exists)
+          Z.collectStats(spark, path, "l_partkey", "l_suppkey")
+        else
+          Z.writeHilbertOrdered(table(spark, dir, "lineitem")
+              .select("l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice"),
+            path, "l_partkey", "l_suppkey", ZFiles)
+      })
+    }
+
+  /** Identical oracle to q74 — the layout must never change results. */
+  def hilbertScanSql: String = zorderScanSql
+
   // ---- q75: deterministic weighted sample (A-ES top-K) ---------------
 
   val WeightedSampleK = 200
