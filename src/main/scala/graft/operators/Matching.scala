@@ -58,14 +58,20 @@ object Matching {
           .join(cand.as("c2"), col("c1.c") === col("c2.v") &&
             col("c2.c") === col("c1.v") && col("c1.v") < col("c1.c"))
           .select(col("c1.v").as("a"), col("c1.c").as("b"))
-          .localCheckpoint(true)
-        val matched = mutual.count()
-        converged = matched == 0
-        cum += matched
+        // ONE checkpoint + ONE count per round: the matched-pair count
+        // falls out of the unmatched-set shrinkage (each mutual pair
+        // removes exactly 2 nodes), so the separate mutual.count() +
+        // second checkpoint the first cut paid — 2 extra job
+        // dispatches per round, the dominant cost of this loop under
+        // a stall-y phase — carry no information and are gone.
+        val prevUn = nNodes - 2 * cum
         un = un.join(
             mutual.select(explode(array(col("a"), col("b"))).as("v")),
             Seq("v"), "left_anti")
           .localCheckpoint(true)
+        val matched = (prevUn - un.count()) / 2
+        converged = matched == 0
+        cum += matched
         out :+= ((r.toLong, matched, cum, nNodes - 2 * cum))
       }
     }

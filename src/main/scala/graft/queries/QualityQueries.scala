@@ -3434,7 +3434,9 @@ object QualityQueries {
       .select(col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
     val args = ("cast(n1 as double)", "cast(s1 as double)", "cast(q1 as double)",
       "cast(n2 as double)", "cast(s2 as double)", "cast(q2 as double)")
-    a.crossJoin(b).select(
+    // both sides are one-row aggregate stitches; the hint states it
+    // for the condition-free-join sweep (and the planner)
+    a.crossJoin(broadcast(b)).select(
       col("n1"), col("n2"),
       expr("((2 * s1 * 10000 + n1) div (2 * n1))").as("mean1_micro"),
       expr("((2 * s2 * 10000 + n2) div (2 * n2))").as("mean2_micro"),

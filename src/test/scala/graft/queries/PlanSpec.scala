@@ -409,4 +409,39 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("q320: the packer is windows over day cells — one orders scan, no join at all") {
+    val p = plan("q320_compaction_plan")
+    assert("Scan parquet|FileScan".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    assert(!p.contains("Join"), s"packer should not join:\n$p")
+  }
+
+  test("q321: the NB model and class tables reach scoring as broadcasts") {
+    val p = plan("q321_naive_bayes")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"model/ln-table joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"NB plan has a cartesian:\n$p")
+  }
+
+  test("q322: the AMS sketch aggregate is map-side combined (partial HashAggregate)") {
+    val p = plan("q322_ams_f2")
+    assert(!p.contains("CartesianProduct"), p)
+    // partial_sum before the 16-group exchange = mergeable-sketch shape
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"no partial aggregation in sketch plan:\n$p")
+  }
+
+  test("q324: the codec pass is one documents scan with pruned columns") {
+    val p = plan("q324_mulaw_roundtrip")
+    assert("Scan parquet|FileScan".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q326: KMV never shuffles raw events — distinct hashes aggregate partially") {
+    val p = plan("q326_kmv_distinct")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Partial"), s"no partial aggregate in KMV plan:\n$p")
+  }
 }
