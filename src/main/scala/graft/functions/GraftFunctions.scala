@@ -36,7 +36,10 @@ object GraftFunctions {
     "decimal_render_length" ->
       ((exprs: Seq[Expression]) => RenderLengthExpression(exprs.head, "decimal")),
     "nfc_normalize" ->
-      ((exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
+      ((exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)),
+    "hilbert_key" ->
+      ((exprs: Seq[Expression]) =>
+        graft.sources.HilbertKeyExpression(exprs(0), exprs(1))))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -1786,6 +1786,96 @@ object ScaleQueries {
       |  TRUE AS within_bound
       |FROM events GROUP BY 1 ORDER BY day_epoch""".stripMargin
 
+  // ---- q331: streaming KMV distinct sketch (deterministic estimate) --
+
+  /** q59's windowed distinct question answered by the KMV bottom-k
+    * sketch ([[graft.operators.KmvSketch]], k = [[AnalyticsQueries
+    * .KmvK]]) instead of HLL — and the gate gets STRONGER for it: HLL
+    * internals are engine-specific, so q59 can only hash-match a
+    * within-bound boolean; KMV's bottom-k set is a deterministic,
+    * idempotent lattice join over md5-derived hashes, so the streamed
+    * per-window ESTIMATE itself is bit-reproducible under any
+    * batching/partitioning/replay and rides the cross-engine hash
+    * gate, err_pm included (the oracle recomputes the same bottom-k
+    * arithmetic in SQL). State per window: k longs. */
+  def streamKmv(spark: SparkSession, dir: String): DataFrame =
+    withStreamStatePartitions(spark) { spark =>
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", eventTs(schema, "ts"))
+      .withWatermark("event_ts", "1 hour")
+      .withColumn("h",
+        expr("cast(conv(substring(md5(concat(cast(user_id as string), " +
+          "':kmv')), 1, 8), 16, 10) as bigint)"))
+    try spark.catalog.dropTempView("stream_kmv_result")
+    catch { case _: Throwable => () }
+    val bk = udaf(graft.operators.KmvSketch.bottomKAgg(AnalyticsQueries.KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val k = AnalyticsQueries.KmvK
+    val q = src
+      .groupBy(window(col("event_ts"), "1 day"))
+      .agg(bk(col("h")).as("bk"), count(lit(1)).as("n_events"))
+      .select(unix_seconds(col("window.start")).as("day_epoch"),
+        col("n_events"),
+        expr(s"CASE WHEN size(bk) >= $k THEN " +
+          s"(${k - 1} * 4294967296) div element_at(bk, $k) " +
+          "ELSE cast(size(bk) as bigint) END").as("est_kmv"),
+        (size(col("bk")) < k).as("exact_regime"))
+      .writeStream.format("memory").queryName("stream_kmv_result")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    QueryUtil.awaitOrFail(q)
+    val streamed = spark.table("stream_kmv_result")
+    val ev = table(spark, dir, "events")
+    val exact = ev
+      .groupBy(((eventTsUs(ev) - pmod(eventTsUs(ev), lit(86400000000L)))
+        .divide(lit(1000000L))).cast("long").as("day_epoch"))
+      .agg(countDistinct(col("user_id")).as("nd_users"))
+    streamed.join(exact, "day_epoch")
+      .select(col("day_epoch"), col("n_events"), col("nd_users"),
+        col("est_kmv"), col("exact_regime"),
+        expr("(1000 * abs(est_kmv - nd_users)) div nd_users").as("err_pm"))
+      .orderBy("day_epoch")
+    }
+
+  val streamKmvSql: String = {
+    val k = AnalyticsQueries.KmvK
+    val h32 = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH hs AS (
+       |  SELECT DISTINCT day_epoch, ($h32)::BIGINT AS h FROM (
+       |    SELECT DISTINCT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+       |      md5(user_id::VARCHAR || ':kmv') AS m
+       |    FROM events)),
+       |kth AS (
+       |  SELECT day_epoch, h AS hk, rn, cnt FROM (
+       |    SELECT day_epoch, h,
+       |      row_number() OVER (PARTITION BY day_epoch ORDER BY h) AS rn,
+       |      count(*) OVER (PARTITION BY day_epoch) AS cnt
+       |    FROM hs)
+       |  WHERE rn = $k OR (cnt < $k AND rn = 1)),
+       |est AS (
+       |  SELECT day_epoch,
+       |    (CASE WHEN cnt >= $k THEN (${k - 1} * 4294967296) // hk
+       |     ELSE cnt END)::BIGINT AS est_kmv,
+       |    cnt < $k AS exact_regime
+       |  FROM kth),
+       |ex AS (
+       |  SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+       |    count(*)::BIGINT AS n_events,
+       |    count(DISTINCT user_id)::BIGINT AS nd_users
+       |  FROM events GROUP BY 1)
+       |SELECT ex.day_epoch, ex.n_events, ex.nd_users, est.est_kmv,
+       |  est.exact_regime,
+       |  ((1000 * abs(est.est_kmv - ex.nd_users)) // ex.nd_users)::BIGINT
+       |    AS err_pm
+       |FROM ex JOIN est USING (day_epoch)
+       |ORDER BY day_epoch""".stripMargin
+  }
+
   // ---- q55: real media encode→decode round trip ----------------------
 
   /** Documents encoded into REAL containers (24-bit BMP / PCM WAV /

@@ -31,6 +31,6 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names are sequential and well-formed") {
     val nums = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
-    assert(nums == (1 to 330).map(i => f"q$i%02d").toSet, nums.toSeq.sorted.mkString(","))
+    assert(nums == (1 to 331).map(i => f"q$i%02d").toSet, nums.toSeq.sorted.mkString(","))
   }
 }
