@@ -33,6 +33,10 @@ object MinHashLSH {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Eager scratch persistence — see [[graft.Scratch.eager]] (the
+    * cache-race rationale was first measured on this operator). */
+  private def eager(df: DataFrame): DataFrame = graft.Scratch.eager(df)
+
   /** Distinct (id, shingle) postings. */
   def postings(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     docs.select(col(idCol).as("id"),
@@ -93,8 +97,7 @@ object MinHashLSH {
       k: Int = 3): graft.CachedResult = {
     val spread = graft.Partitioning.spread(docs, col(idCol))
     val post = postings(spread, idCol, textCol, k)
-    val sig = signatures(post)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = eager(signatures(post))
     val cand = candidates(sig)
     val sets = post
       .select(col("id"), Hashing.h60(col("shingle")).as("h"))
@@ -142,8 +145,9 @@ object MinHashLSH {
     // O(total shingles) — materializing a multiple of the corpus size
     // to MEMORY_AND_DISK is exactly what a 100 TB run cannot afford,
     // while recomputing it costs one extra scan + codegen'd hashing.
-    val sig = signatures(post)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The sig persist is EAGER (see [[eager]]): lazy, AQE's concurrent
+    // stage jobs race recomputes into the unfilled cache.
+    val sig = eager(signatures(post))
     val cand = candidates(sig)
     // exact verification: sorted hashed shingle-sets intersected with
     // the native two-pointer expression (same pattern as NgramJaccard —
@@ -219,7 +223,6 @@ object MinHashLSH {
   def incrementalFromIndexResult(
       index: DataFrame, delta: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): graft.CachedResult = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigCols = col("id") +: (0 until NumHashes).map(i => col(s"h$i"))
     val baseSig = index.select(sigCols: _*)
     val baseSets = index.select(col("id"), col("sh"))
@@ -227,8 +230,10 @@ object MinHashLSH {
       graft.Partitioning.spread(delta, col(idCol)), idCol, textCol, k)
     // the delta signature aggregate feeds three scans (band keys +
     // both estimate joins); the base side reads the index FILES three
-    // times instead — a scan of a tiny table, deliberately unpersisted
-    val deltaSig = signatures(deltaPost).persist(MEMORY_AND_DISK)
+    // times instead — a scan of a tiny table, deliberately unpersisted.
+    // Eagerly built (see [[eager]]): lazy, it raced 6-8 recomputes of
+    // the delta shingle+hash subtree under AQE's concurrent stage jobs.
+    val deltaSig = eager(signatures(deltaPost))
     val baseBk = bandKeys(baseSig)
     val deltaBk = bandKeys(deltaSig)
     val cross = deltaBk.as("l").join(baseBk.as("r"),
@@ -241,7 +246,9 @@ object MinHashLSH {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .distinct()
-    val pairs = cross.union(dd)
+    // collision-sized by construction; read three times (both estimate
+    // joins + the candidate-id union) — eager for the same reason
+    val pairs = eager(cross.union(dd))
     val allSig = baseSig.unionByName(deltaSig)
     val sa = allSig.toDF(allSig.columns.map(c => if (c == "id") c else s"a_$c").toIndexedSeq: _*)
     val sb = allSig.toDF(allSig.columns.map(c => if (c == "id") c else s"b_$c").toIndexedSeq: _*)
@@ -261,8 +268,10 @@ object MinHashLSH {
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), Hashing.h60(col("shingle")).as("h"))
       .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh"))
-    val sets = baseSets.join(candIds, Seq("id"), "left_semi")
-      .unionByName(deltaSets)
+    // candidate-sized (semi-joined before the heavy aggregate); read
+    // twice (sh_a / sh_b sides) — eager, or the delta re-shingles twice
+    val sets = eager(baseSets.join(candIds, Seq("id"), "left_semi")
+      .unionByName(deltaSets))
     val sA = sets.toDF("doc_a", "sh_a")
     val sB = sets.toDF("doc_b", "sh_b")
     val out = est
@@ -277,7 +286,7 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
-    graft.CachedResult(out, Seq(deltaSig))
+    graft.CachedResult(out, Seq(deltaSig, pairs, sets))
   }
 
   /** Incremental near-dup: all pairs touching a NEW shard (`delta`)
@@ -308,7 +317,6 @@ object MinHashLSH {
   def incrementalNearDuplicatesResult(
       base: DataFrame, delta: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): graft.CachedResult = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val basePost = postings(
       graft.Partitioning.spread(base, col(idCol)), idCol, textCol, k)
     val deltaPost = postings(
@@ -318,9 +326,12 @@ object MinHashLSH {
     // 32-min aggregate runs once per input, not 3×. One 33-column row
     // per doc, so the cache cost is negligible next to the recompute.
     // Postings are deliberately NOT persisted — same O(total shingles)
-    // materialization argument as nearDuplicatesResult.
-    val baseSig = signatures(basePost).persist(MEMORY_AND_DISK)
-    val deltaSig = signatures(deltaPost).persist(MEMORY_AND_DISK)
+    // materialization argument as nearDuplicatesResult. Both persists
+    // are EAGER (see [[eager]]): lazy, AQE's concurrent stage jobs
+    // raced 6-8 recomputes of the shingle+hash subtrees into the
+    // unfilled caches.
+    val baseSig = eager(signatures(basePost))
+    val deltaSig = eager(signatures(deltaPost))
     val baseBk = bandKeys(baseSig)
     val deltaBk = bandKeys(deltaSig)
     val cross = deltaBk.as("l").join(baseBk.as("r"),
@@ -333,7 +344,9 @@ object MinHashLSH {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .distinct()
-    val pairs = cross.union(dd)
+    // collision-sized; read three times (both estimate joins + the
+    // candidate-id union) — eager for the same reason
+    val pairs = eager(cross.union(dd))
     val allSig = baseSig.union(deltaSig)
     val sa = allSig.toDF(allSig.columns.map(c => if (c == "id") c else s"a_$c").toIndexedSeq: _*)
     val sb = allSig.toDF(allSig.columns.map(c => if (c == "id") c else s"b_$c").toIndexedSeq: _*)
@@ -347,10 +360,12 @@ object MinHashLSH {
         (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
     val candIds = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
-    val sets = basePost.union(deltaPost)
+    // candidate-sized (semi-joined before the heavy aggregate); read
+    // twice (sh_a / sh_b sides) — eager, or the corpus re-shingles twice
+    val sets = eager(basePost.union(deltaPost)
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), Hashing.h60(col("shingle")).as("h"))
-      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh"))
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("sh")))
     val sA = sets.toDF("doc_a", "sh_a")
     val sB = sets.toDF("doc_b", "sh_b")
     val out = est
@@ -365,6 +380,6 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
-    graft.CachedResult(out, Seq(baseSig, deltaSig))
+    graft.CachedResult(out, Seq(baseSig, deltaSig, pairs, sets))
   }
 }

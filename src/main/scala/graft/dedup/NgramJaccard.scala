@@ -53,9 +53,13 @@ object NgramJaccard {
     // compute, and AQE plans by bytes, not downstream CPU — without
     // this the gram/md5 pipeline runs on one core.
     val spread = graft.Partitioning.spread(docs, col(idCol))
-    val post = postings(spread, idCol, textCol, n)
-      .select(col("id"), Hashing.h60(col("gram")).as("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager (graft.Scratch.eager): four downstream exchanges read the
+    // hashed postings (sizes, df, ranked, garr) — lazily persisted,
+    // AQE's concurrent stage jobs raced recomputes of the gram+md5
+    // subtree into the unfilled cache (the q184 cache-race finding)
+    val post = graft.Scratch.eager(
+      postings(spread, idCol, textCol, n)
+        .select(col("id"), Hashing.h60(col("gram")).as("g")))
     val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
 
     // global document frequency per gram — drives the rarest-first order
@@ -64,11 +68,11 @@ object NgramJaccard {
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(asc("df"), asc("g"))))
       .join(sizes, "id")
-    // prefix length: sz - ceil(τ·sz) + 1; persisted — both sides of the
-    // candidate self-join read it (the window subtree is expensive)
-    val prefix = ranked.filter(
-        col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // prefix length: sz - ceil(τ·sz) + 1; eagerly persisted — both
+    // sides of the candidate self-join read it (the window subtree is
+    // expensive, and lazy it raced under AQE)
+    val prefix = graft.Scratch.eager(ranked.filter(
+        col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1))
 
     val pa = prefix.select(col("id").as("doc_a"), col("g"), col("sz").as("sz_a"))
     val pb = prefix.select(col("id").as("doc_b"), col("g"), col("sz").as("sz_b"))
@@ -136,16 +140,17 @@ object NgramJaccard {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val spread = graft.Partitioning.spread(docs, col(idCol))
-    val post = postings(spread, idCol, textCol, n)
-      .select(col("id"), Hashing.h60(col("gram")).as("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager persists (graft.Scratch.eager): same cache-race rationale
+    // as similarPairsResult above
+    val post = graft.Scratch.eager(
+      postings(spread, idCol, textCol, n)
+        .select(col("id"), Hashing.h60(col("gram")).as("g")))
     val sizes = post.groupBy("id").agg(count(lit(1)).as("sz"))
     val df = post.groupBy("g").agg(count(lit(1)).as("df"))
-    val ranked = post.join(df, "g")
+    val ranked = graft.Scratch.eager(post.join(df, "g")
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(asc("df"), asc("g"))))
-      .join(sizes, "id")
-      .persist(StorageLevel.MEMORY_AND_DISK) // both candidate sides
+      .join(sizes, "id")) // both candidate sides
     val pa = ranked
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id").as("doc_a"), col("g"), col("sz").as("sz_a"))

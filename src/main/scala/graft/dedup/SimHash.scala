@@ -59,8 +59,10 @@ object SimHash {
   def nearDuplicatesResult(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): graft.CachedResult = {
-    val fp = fingerprints(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager (graft.Scratch.eager): both chunk self-join sides read the
+    // fingerprints; lazy, AQE's concurrent stage jobs raced recomputes
+    // of the explode + 60-bit-sum aggregate into the unfilled cache
+    val fp = graft.Scratch.eager(fingerprints(docs, idCol, textCol))
     graft.CachedResult(nearDuplicates(fp, maxHamming), Seq(fp))
   }
 

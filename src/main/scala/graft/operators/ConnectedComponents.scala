@@ -90,11 +90,26 @@ object ConnectedComponents {
   def components(
       edges: DataFrame, src: String, dst: String,
       maxIter: Int = 50, partitions: Int = 0): DataFrame = {
-    val undRaw = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+    // single-scan direction expansion (explode, not a union of two
+    // selects): a union plans the edge subtree twice, and when `edges`
+    // arrives as a deep unmaterialized pipeline (q212's delta screen,
+    // q226's candidates→verify) the checkpoint job below would compute
+    // it twice. One scan → each upstream partition computes once.
+    val undRaw = edges
+      .select(explode(array(
+        struct(col(src).as("a"), col(dst).as("b")),
+        struct(col(dst).as("a"), col(src).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    // eager localCheckpoint, not persist: the loop re-plans a tree
+    // containing the edge list once per batch, and a persisted table
+    // only swaps in its cache AFTER analysis — when `edges` arrives
+    // with a deep upstream plan (q212: the whole delta screen), the
+    // per-batch analyzer walk of that dead subtree dominated the loop
+    // (measured: 3.9 s for a 430-edge graph, jobs summing to ~1.5 s).
+    // The checkpoint truncates the logical plan to a LogicalRDD, so
+    // every batch plans against an edge-sized leaf.
     val und = (if (partitions > 0) undRaw.repartition(partitions, col("a"))
-      else undRaw).persist()
-    // eager localCheckpoint: materializes AND truncates lineage
+      else undRaw).localCheckpoint(true)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     // One propagation step; __improved counts strict improvements so
@@ -109,6 +124,7 @@ object ConnectedComponents {
     }
     var changed = 1L
     var iter = 0
+    val debug = sys.props.contains("graft.cc.debug")
     while (changed > 0 && iter < maxIter) {
       // TWO lazy steps per checkpoint (the MinPlus/KCore batching,
       // commit 56df0aa): the label table is referenced twice per step
@@ -121,6 +137,7 @@ object ConnectedComponents {
       // the last step's __improved only: propagation is monotone, so a
       // step that improves nothing is the fixpoint even if the step
       // before it improved.
+      val t0 = System.nanoTime()
       val n = math.min(2, maxIter - iter)
       val next = (1 to n).foldLeft(labels)((acc, _) => step(acc.drop("__improved")))
         .localCheckpoint(false)
@@ -128,8 +145,10 @@ object ConnectedComponents {
         .getLong(0)
       labels = next.drop("__improved")
       iter += n
+      if (debug)
+        System.err.println(f"[cc-ml] iters ${iter - n}->$iter changed=$changed " +
+          f"took ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    und.unpersist()
     labels
   }
 

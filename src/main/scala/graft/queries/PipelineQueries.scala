@@ -1965,10 +1965,18 @@ object PipelineQueries {
   private[graft] def dbscanFrom(pairs: DataFrame, vecs: DataFrame,
       minPts: Long): DataFrame = {
     import graft.operators.ConnectedComponents
+    // single-scan direction expansion + EAGER checkpoint: the union
+    // form planned the (deep, candidates→verify) pair subtree twice,
+    // and a lazy persist let AQE's concurrent stage jobs race
+    // recomputes into the unfilled cache; the checkpoint also keeps the
+    // degree/core/border joins below planning against an edge-sized
+    // leaf instead of the full IVF pipeline (round-12 q226 fix).
     val und = pairs
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .persist()
+      .select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint(true)
     val core = und.groupBy(col("a").as("id"))
       .agg((count(lit(1)) + 1L).as("deg"))
       .filter(col("deg") >= minPts).select("id")
@@ -1997,7 +2005,6 @@ object PipelineQueries {
         coalesce(col("core_cluster"), col("border_cluster"), lit(-1L))
           .as("cluster"))
       .localCheckpoint(true)
-    und.unpersist(blocking = false)
     out
   }
 

@@ -73,9 +73,11 @@ object CosineLsh {
   def nearDuplicatesResult(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double): graft.CachedResult = {
-    val prepared = corpus
-      .select(col(idCol), CosineKnn.toDoubleArray(col(vecCol)).as(vecCol))
-      .persist()
+    // eager (graft.Scratch.eager): the sketch/verify sides all read the
+    // prepared vectors; lazy, AQE's concurrent stage jobs raced
+    // recomputes into the unfilled cache
+    val prepared = graft.Scratch.eager(corpus
+      .select(col(idCol), CosineKnn.toDoubleArray(col(vecCol)).as(vecCol)))
     val cand = candidatePairs(prepared, idCol, vecCol, dim)
     val out = CosineKnn.verifyPairs(cand, prepared, idCol, vecCol, threshold)
     graft.CachedResult(out, Seq(prepared))

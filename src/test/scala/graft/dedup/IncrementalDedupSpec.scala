@@ -84,23 +84,25 @@ class IncrementalDedupSpec extends SparkSpec {
     val res = MinHashLSH.incrementalNearDuplicatesResult(
       docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
       "doc_id", "text", 0.5)
-    val plan = res.df.queryExecution.optimizedPlan
     // every collect_list aggregate (the per-doc shingle-set build) must
     // sit ABOVE a left-semi join — i.e. the corpus postings are
-    // restricted to candidate ids before the heavy aggregation
-    val setBuilds = plan.collect {
-      case a: Aggregate if a.aggregateExpressions.exists(
-        _.exists(_.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]))
-        && a.toString.contains("collect_list") => a
+    // restricted to candidate ids before the heavy aggregation. The set
+    // build is eagerly persisted (round-12 cache-race fix), so the
+    // aggregate lives inside the cached relation's plan: find the `sh`
+    // InMemoryRelation and assert the property on its cachedPlan.
+    // the relation's outputs are re-aliased per occurrence (sh_a /
+    // sh_b), so match on the prefix
+    val setCaches = res.df.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+        if m.output.exists(_.name.startsWith("sh")) => m
     }
-    assert(setBuilds.nonEmpty, "expected a collect_list set-build aggregate")
-    setBuilds.foreach { a =>
-      val hasSemiBelow = a.child.collect {
-        case j: Join if j.joinType == LeftSemi => j
-      }.nonEmpty
-      assert(hasSemiBelow,
-        s"set-build aggregate is not restricted by a semi-join:\n$a")
+    assert(setCaches.nonEmpty, "expected a cached shingle-set relation")
+    setCaches.foreach { m =>
+      val s = m.cachedPlan.toString
+      assert(s.contains("collect_list"),
+        s"cached set relation has no collect_list set-build aggregate:\n$s")
+      assert(s.contains("LeftSemi"),
+        s"set-build aggregate is not restricted by a semi-join:\n$s")
     }
     res.release()
   }

@@ -34,12 +34,26 @@ class StoredIndexSpec extends SparkSpec
   private def rows(q: String, dir: String = sfDir) =
     SparkEntry.queries(q)(spark, dir).collect().toSeq
 
-  /** Every FileSourceScanExec in the (AQE-unwrapped) physical plan. */
+  /** Every FileSourceScanExec in the (AQE-unwrapped) physical plan —
+    * INCLUDING scans inside persisted scratch subtrees: the dedup
+    * screens eagerly materialize their signature/pair scratch (round-12
+    * cache-race fix), so the executed plan substitutes
+    * InMemoryTableScans whose cachedPlan holds the file scans this spec
+    * asserts on. A scan hidden behind a cache is still a scan the query
+    * pays on a cold run, so the no-recompute property must hold there
+    * too. */
   private def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
     def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
       p match {
         case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        // executed cached plans wrap their subtrees in QueryStageExec
+        // LEAVES (children = Nil); descend through the wrapped plan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          unwrap(q.plan)
         case s: FileSourceScanExec => Seq(s)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          unwrap(m.relation.cachedPlan) ++
+            m.children.flatMap(unwrap) ++ m.subqueries.flatMap(unwrap)
         case other =>
           other.children.flatMap(unwrap) ++
             other.subqueries.flatMap(unwrap)
