@@ -1361,9 +1361,15 @@ object PipelineQueries {
       .reduce(_.unionByName(_))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("seg_batch").desc)
-    val latest = over
+    // eager (graft.Scratch.eager): the effective index is read four
+    // times by the screen (band keys, both estimate joins, verify
+    // sets) — uncached, each read re-ran the segment union + window +
+    // anti-join overlay resolution. The overlay is ∝ the CDC batches,
+    // never the corpus, so caching it is the scale-correct side (the
+    // base index stays a plain file scan, deliberately unpersisted).
+    val latest = graft.Scratch.eager(over
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "seg_batch")
+      .drop("rn", "seg_batch"))
     val eff = base.join(latest.select("id"), Seq("id"), "left_anti")
       .unionByName(latest)
     val docs = table(spark, dir, "documents")
