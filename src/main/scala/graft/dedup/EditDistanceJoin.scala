@@ -65,8 +65,13 @@ object EditDistanceJoin {
             col("__s").substr(lit(1), col("__d") - 1),
             col("__s").substr(col("__d") + 1, length(col("__s"))))))
           .as("__vh"))
-    val a = v.select(col("__vh"), col("__id").as("id_a"), col("__s").as("s_a"))
-    val b = v.select(col("__vh"), col("__id").as("id_b"), col("__s").as("s_b"))
+    // eager (graft.Scratch.eager): both join sides read the variant
+    // index, and the rename-only projections above the sides defeat
+    // exchange reuse — uncached, the explode + string pipeline ran
+    // twice per action (and raced under AQE's concurrent stage jobs)
+    val vc = graft.Scratch.eager(v)
+    val a = vc.select(col("__vh"), col("__id").as("id_a"), col("__s").as("s_a"))
+    val b = vc.select(col("__vh"), col("__id").as("id_b"), col("__s").as("s_b"))
     a.join(b, "__vh")
       .filter(col("id_a") < col("id_b") &&
         levenshtein(col("s_a"), col("s_b")) <= 1)
@@ -123,8 +128,10 @@ object EditDistanceJoin {
       // per string before the join so index-side duplicates can't
       // multiply into k_a*k_b candidate copies
       .dropDuplicates("__id", "__vh")
-    val a = v.select(col("__vh"), col("__id").as("id_a"), col("__s").as("s_a"))
-    val b = v.select(col("__vh"), col("__id").as("id_b"), col("__s").as("s_b"))
+    // eager: same two-sided-read rationale as selfJoinEd1
+    val vc = graft.Scratch.eager(v)
+    val a = vc.select(col("__vh"), col("__id").as("id_a"), col("__s").as("s_a"))
+    val b = vc.select(col("__vh"), col("__id").as("id_b"), col("__s").as("s_b"))
     a.join(b, "__vh")
       // bounded levenshtein returns -1 ABOVE the threshold, so the
       // within-bound test is >= 0, not <= 2

@@ -47,10 +47,12 @@ object KCore {
     var done = 0
     while (done < rounds && prevN != 0L) {
       val step = math.min(2, rounds - done)
+      // LAZY checkpoint; the count below materializes it (one job per
+      // batch — the ConnectedComponents/MinPlus convention)
       alive = (1 to step).foldLeft(alive)((acc, _) => peel(acc))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       done += step
-      val n = alive.count() // local scan of the checkpointed state
+      val n = alive.count() // materializes the checkpoint
       if (n == prevN) done = rounds // fixpoint
       prevN = n
     }

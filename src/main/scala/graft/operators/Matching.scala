@@ -65,10 +65,12 @@ object Matching {
         // dispatches per round, the dominant cost of this loop under
         // a stall-y phase — carry no information and are gone.
         val prevUn = nNodes - 2 * cum
+        // LAZY checkpoint; the count below is the materializing action
+        // (one job per round — the ConnectedComponents convention)
         un = un.join(
             mutual.select(explode(array(col("a"), col("b"))).as("v")),
             Seq("v"), "left_anti")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val matched = (prevUn - un.count()) / 2
         converged = matched == 0
         cum += matched

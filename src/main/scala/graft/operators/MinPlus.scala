@@ -59,9 +59,13 @@ object MinPlus {
     var converged = false
     while (done < rounds && !converged) {
       val step = math.min(2, rounds - done)
-      d = (1 to step).foldLeft(d)((acc, _) => relax(acc)).localCheckpoint(true)
+      // LAZY checkpoint + stamp as the materializing action (the
+      // ConnectedComponents convention): one job per batch instead of
+      // checkpoint-job + stamp-job — on this loop of tiny stages the
+      // job count is the cost, not the data
+      d = (1 to step).foldLeft(d)((acc, _) => relax(acc)).localCheckpoint(false)
       done += step
-      val cur = stamp(d) // local scan of the checkpointed state
+      val cur = stamp(d) // materializes the checkpoint
       converged = cur == prev
       prev = cur
     }

@@ -53,7 +53,9 @@ object TemporalReach {
     var converged = false
     while (done < rounds && !converged) {
       val step = math.min(2, rounds - done)
-      a = (1 to step).foldLeft(a)((acc, _) => relax(acc)).localCheckpoint(true)
+      // LAZY checkpoint; the stamp is the materializing action (one
+      // job per batch — the ConnectedComponents/MinPlus convention)
+      a = (1 to step).foldLeft(a)((acc, _) => relax(acc)).localCheckpoint(false)
       done += step
       val cur = stamp(a)
       converged = cur == prev

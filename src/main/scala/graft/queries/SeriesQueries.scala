@@ -890,9 +890,14 @@ object SeriesQueries {
     // by the join condition); it exists because the BNLJ's generated
     // consume path evaluates this projection before the condition
     // under ANSI mode, and a phantom day2 == day pair must not throw
-    val pairs = daily.join(right, col("day") < col("day2"))
-      .select(expr("(1000000 * (y2 - y)) div greatest(day2 - day, 1)")
-        .as("slope_micro"))
+    // eager (graft.Scratch.eager): the slope set is read by two
+    // separate actions (direction counts + the quantile operator) and
+    // is calendar-bounded (a decade is 13M longs), so caching it is
+    // cheaper than re-running the day×day BNLJ per action
+    val pairs = graft.Scratch.eager(
+      daily.join(right, col("day") < col("day2"))
+        .select(expr("(1000000 * (y2 - y)) div greatest(day2 - day, 1)")
+          .as("slope_micro")))
     val stats = pairs.agg(count(lit(1)).as("n_pairs"),
         sum(when(col("slope_micro") > 0, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("slope_micro") < 0, 1L).otherwise(0L)).as("n_neg"))
@@ -901,6 +906,7 @@ object SeriesQueries {
       pairs.select(col("slope_micro").cast("double").as("s")), "s", Seq(0.5))
       .head
     val nDays = daily.count()
+    pairs.unpersist(blocking = false)
     import spark.implicits._
     Seq((nDays, stats.getLong(0), stats.getLong(1), stats.getLong(2),
       math.round(med * 2d)))
