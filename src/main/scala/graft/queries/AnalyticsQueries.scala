@@ -69,7 +69,7 @@ object AnalyticsQueries {
   }
 
   val topOrdersPerCustomerSql: String =
-    """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS total_price
+    """SELECT o_custkey, rk::INTEGER AS rk, o_orderkey, round(o_totalprice, 2) AS total_price
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey

@@ -335,7 +335,7 @@ object PipelineQueries {
        |    SELECT threshold_pm, doc_a AS d FROM hits
        |    UNION ALL SELECT threshold_pm, doc_b FROM hits)
        |  GROUP BY 1)
-       |SELECT p.threshold_pm, p.n_pairs,
+       |SELECT p.threshold_pm::BIGINT AS threshold_pm, p.n_pairs,
        |  coalesce(d.docs_touched, 0)::BIGINT AS docs_touched
        |FROM p LEFT JOIN d USING (threshold_pm)
        |ORDER BY threshold_pm""".stripMargin
@@ -3549,7 +3549,7 @@ object PipelineQueries {
        |SELECT nn AS n_docs, pp AS n_dup, s AS best_threshold,
        |  (CASE WHEN gain_num >= 0 THEN gain_num // nn
        |        ELSE -((-gain_num) // nn) END)::BIGINT AS gini_gain_micro,
-       |  nl AS n_left, (nn - nl)::BIGINT AS n_right,
+       |  nl::BIGINT AS n_left, (nn - nl)::BIGINT AS n_right,
        |  ((1000 * pl) // nl)::BIGINT AS dup_left_pm,
        |  ((1000 * (pp - pl)) // (nn - nl))::BIGINT AS dup_right_pm
        |FROM ig ORDER BY gain_num DESC, s LIMIT 1""".stripMargin

@@ -2503,7 +2503,7 @@ object QualityQueries {
        |        THEN (1000 * mi_micronats) // h.h_label
        |        ELSE -((1000 * -mi_micronats) // h.h_label) END)::BIGINT
        |    AS ig_ratio_pm,
-       |  row_number() OVER (ORDER BY mi_micronats DESC, feature)::BIGINT
+       |  row_number() OVER (ORDER BY mi_micronats DESC, feature)::INTEGER
        |    AS rank
        |FROM allmi, h
        |ORDER BY rank""".stripMargin
@@ -3305,7 +3305,8 @@ object QualityQueries {
        |k AS (
        |  SELECT coalesce(max(rank), 0) AS k FROM rc
        |  WHERE z2_milli >= crit_z2_milli)
-       |SELECT src_a, src_b, z2_milli, rank::BIGINT AS rank, crit_z2_milli,
+       |SELECT src_a, src_b, z2_milli, rank::BIGINT AS rank,
+       |  crit_z2_milli::BIGINT AS crit_z2_milli,
        |  z2_milli >= ${BhCritZ2Milli.last} AS raw_reject,
        |  rank <= k.k AS bh_reject
        |FROM rc, k ORDER BY rank""".stripMargin

@@ -4281,7 +4281,7 @@ object ScaleQueries {
        |      AS cum
        |  FROM p)
        |SELECT user_id, t.th::BIGINT AS threshold_cents, ts_us, event_id,
-       |  cum AS cum_cents
+       |  cum::BIGINT AS cum_cents
        |FROM c, (VALUES $ths) t(th)
        |WHERE cum >= t.th AND cum - cents < t.th
        |ORDER BY user_id, threshold_cents""".stripMargin

@@ -48,6 +48,8 @@ def main(sf_dir, out_dir):
             oracle = con.execute(sql)
             ocols = [d[0] for d in oracle.description]
             orows = oracle.fetchall()
+            otypes = dict(zip(con.sql(f"SELECT * FROM ({sql}) LIMIT 0").columns,
+                              [str(t) for t in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").types]))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -56,6 +58,21 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM read_parquet({spark_glob!r})")
         gcols = [d[0] for d in got.description]
         grows = got.fetchall()
+        # strict type parity: the driver's hash is computed over TYPED
+        # values (HUGEINT/DECIMAL materialize differently than BIGINT in
+        # arrow/pandas even when the integer values are equal — the
+        # r10-r12 q281/q302 driver-only reds were exactly an uncast
+        # window-sum HUGEINT). fetchall() hides this (python ints), so
+        # check types explicitly.
+        grel = con.sql(f"SELECT * FROM read_parquet({spark_glob!r}) LIMIT 0")
+        gtypes = dict(zip(grel.columns, [str(t) for t in grel.types]))
+        tdiff = {c: (otypes.get(c), gtypes.get(c))
+                 for c in set(otypes) | set(gtypes)
+                 if otypes.get(c) != gtypes.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: column type mismatch (oracle vs spark): {tdiff}")
+            n_fail += 1
+            continue
         # sort columns by name (the driver's convention)
         oidx = [i for _, i in sorted((c, i) for i, c in enumerate(ocols))]
         gidx = [i for _, i in sorted((c, i) for i, c in enumerate(gcols))]
