@@ -37,7 +37,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // off every streaming gate. Contents are rebuildable by design
   // (stores re-derive from the corpus fingerprint; temp checkpoints
   // delete on stop), so losing them on reboot only re-pays a build.
-  "-Djava.io.tmpdir=/dev/shm",
+  // Guarded: tmpfs is capped (typically 50% RAM) and shares physical
+  // memory with the JVM heaps — fall back to /tmp when /dev/shm is
+  // missing or nearly full (< 8 GiB usable) instead of ENOSPC-failing
+  // mid-query. Checked once per fork.
+  "-Djava.io.tmpdir=" + {
+    val shm = file("/dev/shm")
+    if (shm.isDirectory && shm.getUsableSpace > 8L * 1024 * 1024 * 1024)
+      "/dev/shm" else "/tmp"
+  },
   // Lazy heap, no Xms pin, no pre-touch: a 16g pinned pre-touched heap
   // stalls forked JVMs in kernel time on this sandbox (measured: bench
   // 52.7s lazy-8g vs 235s pinned-16g vs DNF with AlwaysPreTouch).

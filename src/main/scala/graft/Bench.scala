@@ -13,6 +13,31 @@ object Bench {
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Store economics must be visible (and controllable): the graft_*
+    // index stores persist across JVMs keyed by corpus fingerprint, so
+    // a run inherits warm stores from any earlier run — fine for the
+    // steady-serve semantics of the stored-index queries, but a
+    // SCALING comparison (32- vs 8-core runs back to back) must not
+    // read cache warmth as parallelism. SPARK_GRAFT_CLEAR_STORES=1
+    // deletes every graft_* store before anything runs, so both runs
+    // of a scaling pair pay identical store economics; either way the
+    // run stamps how many stores it inherited and prints/records each
+    // build it pays (IndexStore.buildLog + the "stores" JSON field).
+    val storeRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    def graftStores(): Seq[String] =
+      Option(storeRoot.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+        .map(_.getName).sorted
+    if (sys.env.get("SPARK_GRAFT_CLEAR_STORES").exists(_ == "1")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      graftStores().foreach(n => rm(new java.io.File(storeRoot, n)))
+      System.err.println("[bench] cleared graft_* stores (SPARK_GRAFT_CLEAR_STORES=1)")
+    }
+    val preWarmStores = graftStores()
+    System.err.println(s"[bench] ${preWarmStores.size} graft_* stores pre-existing (warm) under $storeRoot")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -162,7 +187,19 @@ object Bench {
     // diagnose, never convict. Self-stamped so no artifact consumer has
     // to reconstruct the run's load after the fact.
     val contended = loadStart.take(2).exists(_ >= 2.0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"canary_sec":${f"$canary%.3f"},"degraded":$degraded,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"rep_times":$repsJson}"""
+    // Store build accounting: every graft_* store THIS run built (name
+    // → seconds, from IndexStore.buildLog) plus the count it inherited
+    // warm. An all-warm run shows builds:{} — its numbers are
+    // steady-serve; a cold run shows exactly which firsts it paid and
+    // where (the rep_times show which rep absorbed each).
+    import scala.jdk.CollectionConverters._
+    val builds = graft.sources.IndexStore.buildLog.asScala.toSeq.sortBy(_._1)
+    builds.foreach { case (n, s) =>
+      System.err.println(f"[bench] store built this run: $n ${s.doubleValue}%.2f s") }
+    val storesJson = builds
+      .map { case (n, s) => "\"" + esc(n) + "\":" + f"${s.doubleValue}%.2f" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"canary_sec":${f"$canary%.3f"},"degraded":$degraded,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"stores_prewarmed":${preWarmStores.size},"store_builds":$storesJson,"rep_times":$repsJson}"""
     println(json)
     // Also persist to a file: sbt prefixes stdout with [info], which broke
     // the driver's JSON parse in rounds 1 and 2 ("parsed": null). A bare

@@ -2321,6 +2321,14 @@ object CurationQueries {
       // side is a corpus explode + distinct — 17 s of the 19 s a
       // non-persisted run measured at sf0.1. The frozen-reference
       // pattern means freezing the PLAN's result, not re-deriving it.
+      // Eager localCheckpoint, not persist+count: a persisted table is
+      // served through cache-identity matching against the micro-batch
+      // planner's COPY of the static subtree and its blocks are
+      // evictable under memory pressure — either miss silently re-runs
+      // the corpus explode+distinct inside the batch (the r12 driver
+      // bench read q174 at 58 s/rep where the same binary served 3.5 s
+      // elsewhere). A checkpoint IS the data: every batch plans against
+      // an un-evictable LogicalRDD leaf, recompute is impossible.
       val trainSet = graft.Partitioning.spread(
           batch.filter(pmod(col("doc_id"), lit(NovEvalMod)) =!= 0),
           col("doc_id"))
@@ -2328,12 +2336,19 @@ object CurationQueries {
           NovGramK)).as("sh"))
         .select(Hashing.h60(col("sh")).as("h")).distinct()
         .withColumn("seen", lit(1))
-        .persist()
-      trainSet.count()
+        .localCheckpoint(true)
       val schema = batch.schema
       val src = spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val ev = src.filter(pmod(col("doc_id"), lit(NovEvalMod)) === 0)
+      // spread BEFORE the shingle explode: the single-file bench corpus
+      // scans as one input split, so without it the whole eval-side
+      // shingle transform runs as ONE task inside the micro-batch
+      // (probe: 1 task, 1.24 s of the 1.56 s batch). The narrow
+      // repartition moves only the small eval slice (1/17th of docs);
+      // at scale a micro-batch spans many files and the exchange is
+      // equally harmless.
+      val ev = graft.Partitioning.spread(
+          src.filter(pmod(col("doc_id"), lit(NovEvalMod)) === 0), col("doc_id"))
         .select(col("doc_id"), col("source"),
           explode(Hashing.wordShingles(lower(trim(col("text"))), NovGramK))
             .as("sh"))
@@ -2354,7 +2369,6 @@ object CurationQueries {
         .withColumn("novelty_pm", expr("(1000 * n_novel) div n_grams"))
         .orderBy("doc_id")
         .localCheckpoint()
-      trainSet.unpersist()
       out
     }
 

@@ -72,6 +72,13 @@ object IndexStore {
     f.delete(); ()
   }
 
+  /** Process-wide log of store builds this JVM paid: dest dir name →
+    * build seconds. Filled by [[publish]] on a miss and printed by the
+    * Bench harness, so the first-build cost a run absorbs (vs inherits
+    * warm from a previous run) is always visible next to the timings —
+    * cross-run store persistence must never flatter a bench silently. */
+  val buildLog = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
   /** Build-into-staging + atomic-rename publish. If `dest` is already
     * `valid`, no work. Otherwise `build` runs against a process-unique
     * staging sibling (same filesystem, so the promote is one atomic
@@ -82,6 +89,7 @@ object IndexStore {
     * produce one valid index. */
   def publish(dest: File, valid: File => Boolean)(build: File => Unit): Unit = {
     if (valid(dest)) return
+    val t0 = System.nanoTime()
     val staging = new File(dest.getParentFile,
       s".${dest.getName}.staging.${ProcessHandle.current.pid}.${System.nanoTime}")
     try {
@@ -92,6 +100,9 @@ object IndexStore {
         require(valid(dest),
           s"index publish race left no valid store at $dest")
       }
+      val sec = (System.nanoTime() - t0) / 1e9
+      buildLog.put(dest.getName, sec)
+      System.err.println(f"[store] ${dest.getName} build=$sec%.2f s (miss)")
     } finally if (staging.exists()) deleteRecursively(staging)
   }
 
