@@ -238,11 +238,19 @@ object GraphQueries {
         (col("l_suppkey") * 2L + 1L).as("s"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("w", lit(1L) + expr("1000 div cnt"))
+    // materialize the edge derivation ONCE: the seed aggregate below is
+    // its own action, and MinPlus.run's lazy edge persist re-derived
+    // the whole orders⋈lineitem subtree a second time (probe: two
+    // 0.5 s derivation jobs per rep). The edge list is the (cust,supp)
+    // pair aggregate — |V|²-bounded, far smaller than lineitem — so
+    // one eager checkpoint is the same memory class the operator's own
+    // persist already claims.
     val edges = counted
       .select(explode(array(
         struct(col("c").as("src"), col("s").as("dst"), col("w")),
         struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
       .select("e.src", "e.dst", "e.w")
+      .localCheckpoint(true)
     val seed = edges.agg(min(col("src"))).head().getLong(0)
     graft.operators.MinPlus.run(edges, seed, SpRounds)
       .select(
@@ -303,11 +311,14 @@ object GraphQueries {
       .select((col("o_custkey") * 2L).as("c"),
         (col("l_suppkey") * 2L + 1L).as("s"), col("t"))
       .distinct()
+    // one derivation for both the seed action and the operator's loop
+    // (same double-derivation defect and fix as cheapestPartnerPath)
     val edges = p
       .select(explode(array(
         struct(col("c").as("src"), col("s").as("dst"), col("t")),
         struct(col("s").as("src"), col("c").as("dst"), col("t")))).as("e"))
       .select("e.src", "e.dst", "e.t")
+      .localCheckpoint(true)
     val seed = edges.agg(min(col("src"))).head().getLong(0)
     graft.operators.TemporalReach.run(edges, seed, ReachStart, ReachRounds)
       .select(
