@@ -47,6 +47,11 @@ object Hits {
     * exactly one role). */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
+    // plain persist: the q268 caller feeds a distinct() output, whose
+    // shuffle already spread the cache; an extra repartition here is a
+    // redundant exchange (A/B'd 2026-08-19). A caller scanning a
+    // small-file store should spread BEFORE calling (the Bfs/LPA edge
+    // economics).
     val e = edges.persist()
     val srcs = e.select(col("src").as("u")).distinct().persist()
     val dsts = e.select(col("dst").as("v")).distinct().persist()

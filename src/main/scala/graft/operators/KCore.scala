@@ -25,8 +25,11 @@ object KCore {
     * (pass both arcs), with their in-core degree: (`node`, `deg`). */
   def run(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // spread the cached edge list (Bfs/LPA convention): a persist over
+    // the small-file arcs store otherwise caches at the scan's 1-2
+    // packed splits and every peel's joins run ≤2-way parallel
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).persist()
+      col("dst").cast("long").as("dst")).repartition(col("src")).persist()
     var alive = e.select(col("src").as("id")).distinct()
     // Checkpoint every SECOND peel: the alive set is referenced TWICE
     // per round (both endpoints), so a fully lazy loop doubles the

@@ -34,6 +34,10 @@ object Matching {
     * 1..rounds. */
   def rounds(arcs: DataFrame, nRounds: Int): DataFrame = {
     require(nRounds >= 1)
+    // plain persist: the q291 caller feeds a distinct() output, whose
+    // shuffle already spread the cache; an extra repartition here is a
+    // redundant exchange (A/B'd 2026-08-19). A caller scanning a
+    // small-file store should spread BEFORE calling.
     val e = arcs.persist()
     var un = e.select(col("src").as("v")).distinct().localCheckpoint(true)
     val nNodes = un.count()

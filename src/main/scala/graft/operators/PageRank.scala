@@ -52,7 +52,11 @@ object PageRank {
     // eager checkpoints cost a job-scheduling round trip each; a
     // deep-iteration caller would re-introduce a periodic checkpoint
     // like [[ConnectedComponents]].
-    val e = edges.persist()
+    // the hash exchange on src the scaladoc promises — without it the
+    // cached edge partitioning inherits the scan's splits (the
+    // 4-small-file arcs store packs into 1-2 input splits) and every
+    // iteration's edges⋈ranks compute ran ≤2-way parallel
+    val e = edges.repartition(col("src")).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
@@ -124,7 +128,7 @@ object PageRank {
       iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val base = (100 - dampingPct) * RankUnit / 100
-    val e = edges.persist()
+    val e = edges.repartition(col("src")).persist() // see run()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val flagged = e.select(col("src").as("node"))
       .union(e.select(col("dst")))

@@ -1357,7 +1357,10 @@ object GraphQueries {
     * |V|-row tables shuffle, like every iterated graph operator
     * here. */
   def wlRefinement(spark: SparkSession, dir: String): DataFrame = {
-    val arcs = purchaseArcs(spark, dir).persist()
+    // spread the cached arcs (Bfs/LPA convention): the small-file arcs
+    // store packs into 1-2 input splits, so an un-spread persist ran
+    // every round's neighbor join ≤2-way parallel
+    val arcs = purchaseArcs(spark, dir).repartition(col("src")).persist()
     var colors = arcs.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .select(col("node"), col("deg").cast("string").as("color"))
